@@ -1,0 +1,127 @@
+"""Batch sessionization (SURVEY.md §2.5 W1-W2, §2.4 A1-A5).
+
+Implements the reference's headline goals (/root/reference/README.md:9-16):
+  1. sessionize hits by visitor key within a time-gap window (default 15 min,
+     README.md:43),
+  2. average session time (README.md:12),
+  3. unique URL visits per session (README.md:13-14),
+  4. most-engaged visitors by session time (README.md:16).
+
+Spark-first design: lag + cumulative-sum window functions — two window
+passes over the same ``hashpartition(key) + sort(ts)`` layout, so Catalyst
+plans ONE exchange and one sort feeding both WindowExec nodes, then reuses
+the same partitioning for the per-session hash aggregate. At 100 TB the
+only shuffle is the single exchange on the session key; a hot key degrades
+the per-partition sort, in which case the streaming twin
+(streaming/sessionize.py, native session_window state merge) or per-day
+pre-bucketing is the fallback (SURVEY.md §7.4).
+
+Boundary semantics: a gap STRICTLY GREATER than ``gap_s`` seconds starts a
+new session (gap == 900 s stays in-session); timestamps are floored to
+whole seconds first (unix_timestamp) so the DuckDB oracle
+(floor(epoch(ts))) sees identical values; ties within one second break on
+``order_col``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_GAP_S = 900  # 15 minutes, README.md:43
+
+
+def with_session_ids(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    order_col: str = "event_id",
+    gap_s: int = DEFAULT_GAP_S,
+) -> DataFrame:
+    """Assign ``session_id`` (1-based per key) via lag + cumulative sum.
+
+    Adds columns: ``ts_s`` (epoch seconds, floored) and ``session_id``
+    (bigint). Both window functions share one partitioning/ordering so the
+    physical plan has a single exchange + sort.
+    """
+    w = Window.partitionBy(key).orderBy("ts_s", order_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts_s").over(w)
+    is_new: Column = F.when(
+        prev.isNull() | ((F.col("ts_s") - prev) > F.lit(gap_s)), 1
+    ).otherwise(0)
+    return (
+        df.withColumn("ts_s", F.unix_timestamp(F.col(ts)))
+        .withColumn("session_id", F.sum(is_new).over(run).cast("bigint"))
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    url: str = "event_type",
+    order_col: str = "event_id",
+    gap_s: int = DEFAULT_GAP_S,
+    extra_aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Per-session aggregate row: hit count, duration, distinct-URL count.
+
+    ``url`` is the unique-visit key (README.md:13-14); on the events
+    fixture the stand-in is ``event_type`` (FIXTURES.md). Duration is
+    ``max - min`` of floored epoch seconds (single-hit sessions → 0).
+    """
+    sess = with_session_ids(df, key=key, ts=ts, order_col=order_col, gap_s=gap_s)
+    return sess.groupBy(key, "session_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        (F.max("ts_s") - F.min("ts_s")).alias("duration_s"),
+        F.countDistinct(url).alias("n_unique_urls"),
+        F.min("ts_s").alias("start_s"),
+        F.max("ts_s").alias("end_s"),
+        *extra_aggs,
+    )
+
+
+# Shared oracle SQL fragment: identical sessionization in DuckDB.
+# {tbl} = source view, {key}/{ts}/{order}/{url} = column names, {gap} = secs.
+ORACLE_SESSION_CTE = """
+WITH hits AS (
+    SELECT {key} AS skey, {order} AS ord, {url} AS url,
+           CAST(floor(epoch({ts})) AS BIGINT) AS ts_s
+    FROM {tbl}
+), flagged AS (
+    SELECT *,
+           CASE WHEN lag(ts_s) OVER w IS NULL
+                  OR ts_s - lag(ts_s) OVER w > {gap} THEN 1 ELSE 0 END AS is_new
+    FROM hits
+    WINDOW w AS (PARTITION BY skey ORDER BY ts_s, ord)
+), sess AS (
+    SELECT *,
+           CAST(SUM(is_new) OVER (PARTITION BY skey ORDER BY ts_s, ord
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+    FROM flagged
+), sessions AS (
+    SELECT skey, session_id,
+           COUNT(*) AS n_hits,
+           MAX(ts_s) - MIN(ts_s) AS duration_s,
+           COUNT(DISTINCT url) AS n_unique_urls,
+           MIN(ts_s) AS start_s,
+           MAX(ts_s) AS end_s
+    FROM sess
+    GROUP BY skey, session_id
+)
+"""
+
+
+def events_session_cte(
+    tbl: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    order: str = "event_id",
+    url: str = "event_type",
+    gap: int = DEFAULT_GAP_S,
+) -> str:
+    return ORACLE_SESSION_CTE.format(tbl=tbl, key=key, ts=ts, order=order, url=url, gap=gap)

@@ -1,0 +1,14 @@
+"""Query modules — each import registers queries()/oracle_sql() pairs."""
+
+from __future__ import annotations
+
+import importlib
+
+_MODULES = [
+    "sessions",
+]
+
+
+def load() -> None:
+    for m in _MODULES:
+        importlib.import_module(f"dataengineerchallenge_spark.queries.{m}")

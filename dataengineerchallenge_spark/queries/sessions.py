@@ -1,0 +1,203 @@
+"""Sessionization query family — the reference's goals 1-4
+(/root/reference/README.md:9-16) on the ``events`` fixture
+(user_id plays the IP, event_type the URL; FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataengineerchallenge_spark.operators.sessionize import (
+    DEFAULT_GAP_S,
+    events_session_cte,
+    session_stats,
+    with_session_ids,
+)
+from dataengineerchallenge_spark.registry import register
+from dataengineerchallenge_spark.sources import load_table
+
+_CTE = events_session_cte()
+
+
+def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(ev).withColumnRenamed("user_id", "skey")
+
+
+@register(
+    "sessionize",
+    oracle=_CTE
+    + """
+SELECT skey, session_id, n_hits, duration_s, n_unique_urls, start_s, end_s
+FROM sessions
+""",
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goal 1 (README.md:9-10): one row per (visitor, session)."""
+    return _sessions(spark, sf_dir)
+
+
+@register(
+    "avg_session_time",
+    oracle=_CTE
+    + """
+SELECT ROUND(AVG(duration_s), 4) AS avg_session_s,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM sessions
+""",
+)
+def avg_session_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goal 2 (README.md:12): global average session duration."""
+    return _sessions(spark, sf_dir).agg(
+        F.round(F.avg("duration_s"), 4).alias("avg_session_s"),
+        F.count(F.lit(1)).alias("n_sessions"),
+    )
+
+
+@register(
+    "unique_urls_per_session",
+    oracle=_CTE
+    + """
+SELECT n_unique_urls, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM sessions
+GROUP BY n_unique_urls
+""",
+)
+def unique_urls_per_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goal 3 (README.md:13-14): distinct-URL-per-session distribution."""
+    return (
+        _sessions(spark, sf_dir)
+        .groupBy("n_unique_urls")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+
+
+@register(
+    "most_engaged_users",
+    oracle=_CTE
+    + """
+SELECT skey, MAX(duration_s) AS longest_session_s,
+       CAST(SUM(duration_s) AS BIGINT) AS total_session_s,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM sessions
+GROUP BY skey
+ORDER BY longest_session_s DESC, skey
+LIMIT 20
+""",
+)
+def most_engaged_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goal 4 (README.md:16): top-20 visitors by longest session.
+
+    orderBy().limit() — Catalyst plans TakeOrderedAndProject (per-partition
+    top-k + driver merge), never a full global sort. Ties break on skey so
+    the result set is deterministic for the oracle hash.
+    """
+    return (
+        _sessions(spark, sf_dir)
+        .groupBy("skey")
+        .agg(
+            F.max("duration_s").alias("longest_session_s"),
+            F.sum("duration_s").alias("total_session_s"),
+            F.count(F.lit(1)).alias("n_sessions"),
+        )
+        .orderBy(F.desc("longest_session_s"), "skey")
+        .limit(20)
+    )
+
+
+@register(
+    "session_entry_exit",
+    oracle=_CTE.replace("), sessions AS", """), entry_exit AS (
+    SELECT skey, session_id,
+           first_value(url) OVER (PARTITION BY skey, session_id
+               ORDER BY ts_s, ord
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS entry_url,
+           last_value(url) OVER (PARTITION BY skey, session_id
+               ORDER BY ts_s, ord
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS exit_url
+    FROM sess
+), sessions AS""")
+    + """
+SELECT entry_url, exit_url, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM (SELECT DISTINCT skey, session_id, entry_url, exit_url FROM entry_exit)
+GROUP BY entry_url, exit_url
+""",
+)
+def session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 first/last analytics: entry/exit URL per session, aggregated."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = with_session_ids(ev)
+    w = (
+        Window.partitionBy("user_id", "session_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    per_sess = (
+        sess.withColumn("entry_url", F.first("event_type").over(w))
+        .withColumn("exit_url", F.last("event_type").over(w))
+        .select("user_id", "session_id", "entry_url", "exit_url")
+        .distinct()
+    )
+    return per_sess.groupBy("entry_url", "exit_url").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+
+
+@register(
+    "inter_hit_gaps",
+    oracle="""
+WITH hits AS (
+    SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+    FROM events
+), gaps AS (
+    SELECT user_id, ts_s - lag(ts_s) OVER (PARTITION BY user_id
+        ORDER BY ts_s, event_id) AS gap_s
+    FROM hits
+)
+SELECT user_id,
+       CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+       ROUND(AVG(gap_s), 4) AS avg_gap_s,
+       MAX(gap_s) AS max_gap_s
+FROM gaps
+GROUP BY user_id
+""",
+)
+def inter_hit_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 lag: inter-hit gap stats per visitor (input to gap tuning,
+    README.md:43 'determine the best session window time on your own')."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    gaps = (
+        ev.withColumn("ts_s", F.unix_timestamp("ts"))
+        .withColumn("gap_s", F.col("ts_s") - F.lag("ts_s").over(w))
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
+@register(
+    "per_minute_load",
+    oracle="""
+SELECT CAST(floor(epoch(date_trunc('minute', ts))) AS BIGINT) AS minute_epoch_s,
+       CAST(COUNT(*) AS BIGINT) AS n_requests
+FROM events
+GROUP BY 1
+""",
+)
+def per_minute_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 (README.md:19): per-minute request-load time series — the
+    feature input for MLE goal 1; streaming twin in streaming/load.py.
+
+    Minutes are projected as epoch seconds (bigint) — raw timestamps are
+    never hash-compared (ns-vs-µs caveat, SURVEY.md §7.4).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.unix_timestamp(F.date_trunc("minute", "ts")).alias("minute_epoch_s")
+    ).agg(F.count(F.lit(1)).alias("n_requests"))

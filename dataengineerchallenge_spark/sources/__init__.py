@@ -1,0 +1,3 @@
+from dataengineerchallenge_spark.sources.tables import TABLES, load_table, register_views
+
+__all__ = ["TABLES", "load_table", "register_views"]

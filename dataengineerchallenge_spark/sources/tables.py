@@ -1,0 +1,61 @@
+"""Parquet table sources (SURVEY.md §2.1 S2/S5).
+
+The driver fixtures are one parquet file per table
+(TESTDATA.md). At 100 TB each "table" would be a partitioned parquet
+dataset (e.g. date-partitioned logs per the AWS ELB delivery format,
+/root/reference/README.md:44); ``spark.read.parquet`` handles both —
+partition pruning and predicate pushdown apply automatically because all
+queries here express filters declaratively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _ensure_confs(spark: SparkSession) -> None:
+    """Runtime-settable confs the engine depends on, applied defensively —
+    the driver hands us ITS session, which won't have our builder configs.
+
+    - nanosAsLong: events.ts is parquet TIMESTAMP(NANOS), which Spark 4
+      rejects natively (PARQUET_TYPE_ILLEGAL) — read as bigint nanos instead.
+    - UTC session timezone: epoch arithmetic must match the DuckDB oracle,
+      which treats naive parquet timestamps as UTC.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is parquet TIMESTAMP(NANOS): with
+    # spark.sql.legacy.parquet.nanosAsLong it arrives as bigint nanoseconds.
+    # Floor-divide to µs (identical to DuckDB's ns->µs truncation) and expose
+    # the same TimestampType the rest of the engine expects.
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+            )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose all fixture tables as temp views for the SQL surface (S5)."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

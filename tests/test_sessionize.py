@@ -1,0 +1,104 @@
+"""Sessionizer unit + property tests (SURVEY.md §5.3-5.4).
+
+Edge cases: single-hit session, gap exactly == 900 s (stays in-session;
+strictly-greater starts a new one), ties within one second.
+Invariants: every hit in exactly one session; intra-session gaps <= gap;
+inter-session gap > gap; sum of session hit counts == total hits.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dataengineerchallenge_spark.operators.sessionize import (
+    session_stats,
+    with_session_ids,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def ev(uid, offset_s, eid, etype="view"):
+    return Row(
+        event_id=eid,
+        ts=T0 + dt.timedelta(seconds=offset_s),
+        user_id=uid,
+        event_type=etype,
+    )
+
+
+@pytest.fixture()
+def micro(spark):
+    rows = [
+        # user 1: hits at 0, 10, 910 (gap 900 == boundary -> SAME session),
+        # then 1811 (gap 901 -> NEW session)
+        ev(1, 0, 0),
+        ev(1, 10, 1, "click"),
+        ev(1, 910, 2),
+        ev(1, 1811, 3, "purchase"),
+        # user 2: single hit
+        ev(2, 5, 4),
+        # user 3: two hits same second (tie -> ordered by event_id)
+        ev(3, 7, 6, "b"),
+        ev(3, 7, 5, "a"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_session_boundaries(micro):
+    got = {
+        (r.user_id, r.event_id): r.session_id
+        for r in with_session_ids(micro).collect()
+    }
+    assert got[(1, 0)] == got[(1, 1)] == got[(1, 2)] == 1  # 900 s stays
+    assert got[(1, 3)] == 2  # 901 s starts new
+    assert got[(2, 4)] == 1
+    assert got[(3, 5)] == got[(3, 6)] == 1
+
+
+def test_session_stats(micro):
+    stats = {
+        (r.user_id, r.session_id): r for r in session_stats(micro).collect()
+    }
+    s11 = stats[(1, 1)]
+    assert s11.n_hits == 3 and s11.duration_s == 910 and s11.n_unique_urls == 2
+    s12 = stats[(1, 2)]
+    assert s12.n_hits == 1 and s12.duration_s == 0
+    assert stats[(2, 1)].n_hits == 1
+    assert stats[(3, 1)].n_hits == 2
+
+
+def test_invariants_on_fixture(spark):
+    from dataengineerchallenge_spark.sources import load_table
+
+    ev_df = load_table(spark, "/root/testdata/sf0.001", "events")
+    sess = with_session_ids(ev_df).cache()
+    total = ev_df.count()
+    # every hit in exactly one session
+    assert sess.count() == total
+    assert sess.filter(F.col("session_id").isNull()).count() == 0
+    # hit-count conservation
+    per = sess.groupBy("user_id", "session_id").count()
+    assert per.agg(F.sum("count")).collect()[0][0] == total
+    # intra-session consecutive gap <= 900; inter-session gap > 900
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    gaps = sess.withColumn("gap", F.col("ts_s") - F.lag("ts_s").over(w)).withColumn(
+        "same", F.col("session_id") == F.lag("session_id").over(w)
+    )
+    assert gaps.filter(F.col("same") & (F.col("gap") > 900)).count() == 0
+    assert gaps.filter(~F.col("same") & (F.col("gap") <= 900)).count() == 0
+    sess.unpersist()
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert "session_id" in df.columns
