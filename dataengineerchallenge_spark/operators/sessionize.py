@@ -37,7 +37,7 @@ def with_session_ids(
     df: DataFrame,
     key: str = "user_id",
     ts: str = "ts",
-    order_col: str = "event_id",
+    order_col: str | Sequence[str] = "event_id",
     gap_s: int = DEFAULT_GAP_S,
 ) -> DataFrame:
     """Assign ``session_id`` (1-based per key) via lag + cumulative sum.
@@ -46,7 +46,8 @@ def with_session_ids(
     (bigint). Both window functions share one partitioning/ordering so the
     physical plan has a single exchange + sort.
     """
-    w = Window.partitionBy(key).orderBy("ts_s", order_col)
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = Window.partitionBy(key).orderBy("ts_s", *order_cols)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.lag("ts_s").over(w)
     is_new: Column = F.when(
@@ -63,7 +64,7 @@ def session_stats(
     key: str = "user_id",
     ts: str = "ts",
     url: str = "event_type",
-    order_col: str = "event_id",
+    order_col: str | Sequence[str] = "event_id",
     gap_s: int = DEFAULT_GAP_S,
     extra_aggs: Sequence[Column] = (),
 ) -> DataFrame:

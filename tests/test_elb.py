@@ -1,0 +1,108 @@
+"""ELB parser tests (SURVEY.md §2.2 P1-P5, §5.5): well-formed HTTP/HTTPS,
+failed-backend sentinel rows, quoted user agents with spaces, malformed
+lines, gzip transparency."""
+
+from __future__ import annotations
+
+import gzip
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataengineerchallenge_spark.sources.elb import (
+    elb_sessions,
+    parse_elb,
+    quarantine,
+    read_elb_log,
+    valid_requests,
+)
+
+SAMPLE = "/root/repo/tests/data/elb_sample.log"
+
+GOOD_LINE = (
+    '2015-07-22T09:00:28.019143Z marketpalce-shop 123.242.248.130:54635 '
+    '10.0.6.158:80 0.000022 0.026109 0.00002 200 200 0 699 '
+    '"GET https://paytm.com:443/shop/authresponse?code=f2405b05 HTTP/1.1" '
+    '"Mozilla/5.0 (Windows NT 6.1; rv:21.0) Gecko/20100101 Firefox/21.0" '
+    'ECDHE-RSA-AES128-SHA TLSv1.2'
+)
+FAILED_BACKEND = (
+    '2015-07-22T09:00:30.000000Z marketpalce-shop 1.2.3.4:1000 - '
+    '-1 -1 -1 504 0 0 0 "GET https://paytm.com:443/x HTTP/1.1" "-" - -'
+)
+
+
+@pytest.fixture()
+def one_line(spark):
+    def mk(line):
+        return parse_elb(spark.createDataFrame([(line,)], ["value"]))
+
+    return mk
+
+
+def test_good_line_fields(one_line):
+    r = one_line(GOOD_LINE).collect()[0]
+    assert r.is_valid
+    assert r.client_ip == "123.242.248.130" and r.client_port == 54635
+    assert r.backend_ip == "10.0.6.158" and r.backend_port == 80
+    assert r.method == "GET" and r.protocol == "HTTP/1.1"
+    assert r.url == "https://paytm.com:443/shop/authresponse?code=f2405b05"
+    assert r.url_path == "/shop/authresponse"
+    assert r.request_time == pytest.approx(0.000022)
+    assert r.elb_status == 200 and r.sent_bytes == 699
+    assert "Windows NT 6.1" in r.user_agent  # quoted spaces preserved
+    assert r.ssl_protocol == "TLSv1.2"
+    assert r.ts.isoformat().startswith("2015-07-22T09:00:28.019143")
+
+
+def test_failed_backend_sentinels(one_line):
+    r = one_line(FAILED_BACKEND).collect()[0]
+    assert r.is_valid  # -1/- rows are valid per the ELB format
+    assert r.backend_ip is None and r.backend_port is None
+    assert r.request_time == -1.0 and r.elb_status == 504
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "this is not an elb line at all",
+        '2015-07-22T09:garbage marketpalce-shop 1.2.3.4:555 - -1 -1 -1 504 0 0 0 "GET x HTTP/1.1" "-" - -',
+        "2015-07-22T09:10:00.000001Z marketpalce-shop",
+    ],
+)
+def test_malformed_quarantined(one_line, bad):
+    r = one_line(bad).collect()[0]
+    assert not r.is_valid
+
+
+def test_sample_log_partition(spark):
+    parsed = parse_elb(read_elb_log(spark, SAMPLE))
+    total = parsed.count()
+    n_valid = valid_requests(parsed).count()
+    n_bad = quarantine(parsed).count()
+    assert total == 52
+    assert n_valid + n_bad == total  # every line in exactly one bucket
+    assert n_bad == 4
+
+
+def test_gzip_transparent(spark, tmp_path):
+    gz = tmp_path / "elb.log.gz"
+    with open(SAMPLE, "rb") as fin, gzip.open(gz, "wb") as fout:
+        shutil.copyfileobj(fin, fout)
+    plain = valid_requests(parse_elb(read_elb_log(spark, SAMPLE)))
+    gzipped = valid_requests(parse_elb(read_elb_log(spark, str(gz), spread=True)))
+    assert gzipped.count() == plain.count()
+    assert sorted(r.url for r in gzipped.select("url").collect()) == sorted(
+        r.url for r in plain.select("url").collect()
+    )
+
+
+def test_elb_sessions_end_to_end(spark):
+    sess = elb_sessions(spark, SAMPLE)
+    rows = sess.collect()
+    assert len(rows) > 0
+    got_hits = sum(r.n_hits for r in rows)
+    assert got_hits == valid_requests(parse_elb(read_elb_log(spark, SAMPLE))).count()
+    assert all(r.duration_s >= 0 for r in rows)
+    assert all(r.n_unique_urls >= 1 for r in rows)
