@@ -1,0 +1,79 @@
+"""Join operators Spark lacks as single primitives (SURVEY.md §2.3 J6-J7).
+
+Both are compositions of existing DataFrame ops (the preferred custom-op
+path): no Python UDFs, no RDDs — every piece stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts_s",
+    right_ts: str = "ts_s",
+    payload: Sequence[str] = (),
+    tie_break: Sequence[str] = (),
+) -> DataFrame:
+    """Backward as-of join: attach the latest right row with
+    ``right.ts <= left.ts`` per key — the feature-building primitive for
+    the reference's MLE goals (/root/reference/README.md:21-23).
+
+    Union-tag + last(ignorenulls) over one window: a SINGLE shuffle on the
+    key, no range blow-up, no per-key driver loop — this scales linearly
+    where a naive range join is O(left × right) per key. Right rows sort
+    before left rows at equal timestamps (``_side`` 0 < 1), giving <=
+    semantics. Payload columns come back suffixed ``_asof``.
+    """
+    on = list(on)
+    payload = list(payload)
+    lhs = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
+    for p in payload:
+        lhs = lhs.withColumn(f"{p}_asof", F.lit(None).cast(right.schema[p].dataType))
+    rhs = right.select(
+        *on,
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        *[F.col(p).alias(f"{p}_asof") for p in payload],
+    )
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ats", "_side", *tie_break)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"{p}_asof", ignorenulls=True).over(w).alias(f"{p}_asof_f")
+            for p in payload
+        ],
+    )
+    out = filled.filter(F.col("_side") == 1)
+    for p in payload:
+        out = out.drop(f"{p}_asof").withColumnRenamed(f"{p}_asof_f", f"{p}_asof")
+    return out.drop("_side", "_ats")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    conditions: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval/θ join with an equi prefix (J6): Catalyst hash/SMJ-joins on
+    the equi keys and applies the range predicate as a residual filter —
+    never a cartesian product. Keys must keep per-key cardinality bounded
+    at scale (e.g. user_id, date bucket)."""
+    return left.alias("l").join(
+        right.alias("r"),
+        on=[*[F.col(f"l.{c}") == F.col(f"r.{c}") for c in on], conditions],
+        how=how,
+    )

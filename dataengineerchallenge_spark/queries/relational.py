@@ -1,0 +1,298 @@
+"""Relational join/set-operation battery (SURVEY.md §2.3 J1-J8, §2.7 U1-U3)
+over the TPC-H-ish fixtures. Enrichment joins realize the reference's
+"what additional data would help" bonus (/root/reference/README.md:42);
+scale hygiene: dims are broadcast, big-big joins shuffle on their keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from dataengineerchallenge_spark.functions.exact import (
+    avg_from_ints,
+    cents,
+    sql_avg_from_ints,
+    sql_cents,
+)
+from dataengineerchallenge_spark.operators.joins import as_of_join, range_join
+from dataengineerchallenge_spark.registry import register
+from dataengineerchallenge_spark.sources import load_table
+
+
+@register(
+    "region_revenue",
+    oracle=f"""
+SELECT r.r_name,
+       CAST(SUM({sql_cents('o.o_totalprice')}) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: fact ⋈ broadcast dims (customer→nation→region enrichment).
+
+    All three dims are broadcast — zero shuffle for the joins; the only
+    exchange is the final 5-group aggregate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(cents("o_totalprice")).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "priority_revenue",
+    oracle=f"""
+SELECT o.o_orderpriority,
+       CAST(SUM({sql_cents('l.l_extendedprice * (1 - l.l_discount)')}) AS BIGINT)
+           AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: large-large equi join (orders ⋈ lineitem) — shuffle join on the
+    order key; AQE may demote SMJ to shuffled-hash at runtime."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "customer_order_counts",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+""",
+)
+def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left outer join keeping order-less customers (count = 0)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "customers_with_open_orders",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+""",
+)
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left semi join — existence filter, emits each customer once."""
+    customer = load_table(spark, sf_dir, "customer")
+    open_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return customer.join(
+        open_orders, customer.c_custkey == open_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: left anti join — set-minus filter."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "views_before_error",
+    oracle="""
+WITH e AS (
+    SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+    FROM events WHERE event_type = 'error'
+), v AS (
+    SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+    FROM events WHERE event_type = 'view'
+)
+SELECT e.event_id, CAST(COUNT(v.ts_s) AS BIGINT) AS n_prior_views
+FROM e LEFT JOIN v
+  ON v.user_id = e.user_id AND v.ts_s >= e.ts_s - 300 AND v.ts_s <= e.ts_s
+GROUP BY e.event_id
+""",
+)
+def views_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: range/interval join with equi prefix — views within the 5 min
+    before each error, per user. Hash-joins on user_id with the time band
+    as residual; per-key cardinality bounds the blow-up at scale."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_s", F.unix_timestamp("ts"))
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts_s")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts_s")
+    joined = range_join(
+        errors,
+        views,
+        on=["user_id"],
+        conditions=(F.col("r.ts_s") >= F.col("l.ts_s") - 300)
+        & (F.col("r.ts_s") <= F.col("l.ts_s")),
+        how="left",
+    )
+    return joined.groupBy(F.col("l.event_id").alias("event_id")).agg(
+        F.count(F.col("r.ts_s")).alias("n_prior_views")
+    )
+
+
+@register(
+    "purchase_after_view_gap",
+    oracle="""
+WITH tagged AS (
+    SELECT user_id, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ats,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side,
+           CASE WHEN event_type = 'view' THEN CAST(floor(epoch(ts)) AS BIGINT) END
+               AS view_ts
+    FROM events WHERE event_type IN ('purchase', 'view')
+), filled AS (
+    SELECT *,
+           last_value(view_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ats, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts
+    FROM tagged
+)
+SELECT event_id, user_id,
+       ats - last_view_ts AS gap_s
+FROM filled WHERE side = 1
+""",
+)
+def purchase_after_view_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: backward as-of join — for each purchase, the latest prior view
+    by the same user (union-tag + last(ignorenulls): one shuffle, scales
+    linearly; feature primitive for MLE goals README.md:21-23)."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_s", F.unix_timestamp("ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_s"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", "ts_s", "event_id")
+        .withColumn("view_ts", F.col("ts_s"))
+    )
+    joined = as_of_join(
+        purchases,
+        views,
+        on=["user_id"],
+        payload=["view_ts"],
+        tie_break=["event_id"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        (F.col("ts_s") - F.col("view_ts_asof")).alias("gap_s"),
+    )
+
+
+@register(
+    "region_pairs",
+    oracle="""
+SELECT a.r_name AS from_region, b.r_name AS to_region
+FROM region a CROSS JOIN region b
+WHERE a.r_regionkey <> b.r_regionkey
+""",
+)
+def region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: explicit cross join (nested-loop) — the brute-force pairwise
+    primitive; also the exact oracle shape for LSH similarity joins."""
+    region = load_table(spark, sf_dir, "region")
+    a = region.select(F.col("r_name").alias("from_region"), F.col("r_regionkey").alias("ak"))
+    b = region.select(F.col("r_name").alias("to_region"), F.col("r_regionkey").alias("bk"))
+    return a.crossJoin(b).filter(F.col("ak") != F.col("bk")).drop("ak", "bk")
+
+
+def _week_users(ev: DataFrame, start_day: int, end_day: int) -> DataFrame:
+    d = F.dayofmonth("ts")
+    return ev.filter((d >= start_day) & (d <= end_day)).select("user_id").distinct()
+
+
+_WEEK_SQL = (
+    "SELECT DISTINCT user_id FROM events "
+    "WHERE date_part('day', ts) BETWEEN {a} AND {b}"
+)
+
+
+@register(
+    "retained_users",
+    oracle=f"({_WEEK_SQL.format(a=1, b=7)}) INTERSECT ({_WEEK_SQL.format(a=22, b=28)})",
+)
+def retained_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: intersect — visitors active in both week 1 and week 4."""
+    ev = load_table(spark, sf_dir, "events")
+    return _week_users(ev, 1, 7).intersect(_week_users(ev, 22, 28))
+
+
+@register(
+    "churned_users",
+    oracle=f"({_WEEK_SQL.format(a=1, b=7)}) EXCEPT ({_WEEK_SQL.format(a=22, b=28)})",
+)
+def churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: except — week-1 visitors gone by week 4."""
+    ev = load_table(spark, sf_dir, "events")
+    return _week_users(ev, 1, 7).exceptAll(_week_users(ev, 22, 28)).distinct()
+
+
+@register(
+    "unioned_daily_counts",
+    oracle="""
+WITH unioned AS (
+    SELECT * FROM events WHERE date_part('day', ts) <= 15
+    UNION ALL
+    SELECT * FROM events WHERE date_part('day', ts) > 15
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM unioned GROUP BY event_type
+""",
+)
+def unioned_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: unionByName of period partitions reassembles the full stream
+    (the AWS delivery format ships one file per node per interval)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_half = ev.filter(F.dayofmonth("ts") <= 15)
+    second_half = ev.filter(F.dayofmonth("ts") > 15)
+    return (
+        first_half.unionByName(second_half)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
