@@ -35,8 +35,9 @@ def main() -> None:
     qs = e.queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # warm-up: absorb one-time JVM/codegen/file-listing cost
-    qs[names[0]](spark, sf_dir).count()
+    # warm-up: absorb one-time JVM/codegen/file-listing cost with the SAME
+    # noop-write plan shape being measured
+    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:
@@ -44,7 +45,10 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
     print(
         json.dumps(
             {
@@ -52,7 +56,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf else None,
+                "sf": sf,
             }
         )
     )

@@ -13,7 +13,6 @@ Layout:
   sources/      parquet + ELB-log + streaming sources, sinks
   operators/    sessionization, joins, top-k, dedup, similarity
   functions/    vector / text / json column-expression helpers
-  plans/        plan-inspection utilities (pushdown/broadcast audits)
   streaming/    Structured Streaming twins of the batch operators
   ml/           MLE goal pipelines (pyspark.ml)
 """

@@ -36,10 +36,14 @@ def as_of_join(
     lhs = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
     for p in payload:
         lhs = lhs.withColumn(f"{p}_asof", F.lit(None).cast(right.schema[p].dataType))
+    # tie_break columns must ride along on the right side too, else right
+    # rows sort with NULL tie keys and equal-timestamp ties resolve
+    # nondeterministically (diverging from an oracle ordering on real ids).
     rhs = right.select(
         *on,
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_side"),
+        *[F.col(t) for t in tie_break if t not in on],
         *[F.col(p).alias(f"{p}_asof") for p in payload],
     )
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)

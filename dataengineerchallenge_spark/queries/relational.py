@@ -10,12 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from dataengineerchallenge_spark.functions.exact import (
-    avg_from_ints,
-    cents,
-    sql_avg_from_ints,
-    sql_cents,
-)
+from dataengineerchallenge_spark.functions.exact import cents, sql_cents
 from dataengineerchallenge_spark.operators.joins import as_of_join, range_join
 from dataengineerchallenge_spark.registry import register
 from dataengineerchallenge_spark.sources import load_table
@@ -126,13 +121,15 @@ def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "customers_without_orders",
     oracle="""
-SELECT c_custkey, c_name
-FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """,
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5: left anti join — set-minus filter."""
+    """J5: left anti join — set-minus filter. Oracle uses NOT EXISTS (not
+    NOT IN) so null keys can never silently diverge from anti-join
+    semantics."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     return customer.join(
@@ -268,9 +265,10 @@ def retained_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"({_WEEK_SQL.format(a=1, b=7)}) EXCEPT ({_WEEK_SQL.format(a=22, b=28)})",
 )
 def churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U3: except — week-1 visitors gone by week 4."""
+    """U3: except — week-1 visitors gone by week 4. ``subtract`` is EXCEPT
+    DISTINCT: one dedup aggregate, matching the SQL EXCEPT semantics."""
     ev = load_table(spark, sf_dir, "events")
-    return _week_users(ev, 1, 7).exceptAll(_week_users(ev, 22, 28)).distinct()
+    return _week_users(ev, 1, 7).subtract(_week_users(ev, 22, 28))
 
 
 @register(
