@@ -9,6 +9,7 @@ _MODULES = [
     "elb",
     "relational",
     "ranking",
+    "aggregates",
 ]
 
 

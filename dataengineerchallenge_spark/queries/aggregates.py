@@ -1,0 +1,139 @@
+"""Aggregation breadth (SURVEY.md §2.4 A6-A8) + JSON props (§2.8 F7).
+
+Multi-grain observation reports over the fixtures — the reference's open
+"analytical observations" mandate (/root/reference/README.md:5) plus the
+100 TB requirement that every exact distinct has an approximate (HLL)
+sibling (SURVEY.md §2.4 A6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import broadcast
+
+from dataengineerchallenge_spark.functions.exact import cents, sql_cents
+from dataengineerchallenge_spark.operators.sessionize import events_session_cte
+from dataengineerchallenge_spark.registry import register
+from dataengineerchallenge_spark.sources import load_table
+
+_CTE = events_session_cte()
+
+_PROPS_SCHEMA = T.StructType([T.StructField("k", T.IntegerType())])
+
+
+@register(
+    "props_value_by_type",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+FROM events
+GROUP BY event_type
+""",
+)
+def props_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: parse the events.props JSON column (from_json with an explicit
+    schema — never schema inference on a hot path) and aggregate the
+    extracted value per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", _PROPS_SCHEMA)["k"]
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.count("k").alias("n_with_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+@register(
+    "session_url_sets",
+    oracle=_CTE
+    + """
+SELECT skey, session_id,
+       array_agg(DISTINCT url ORDER BY url) AS urls
+FROM sess
+GROUP BY skey, session_id
+""",
+)
+def session_url_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 collect_set: the distinct URLs each session touched, sort_array-
+    wrapped so the array ordering is deterministic for the oracle hash
+    (SURVEY.md §7.4 discipline — never hash a collect_list order)."""
+    from dataengineerchallenge_spark.operators.sessionize import with_session_ids
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = with_session_ids(ev)
+    return (
+        sess.groupBy(F.col("user_id").alias("skey"), "session_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("urls"))
+    )
+
+
+@register(
+    "region_nation_rollup",
+    oracle=f"""
+SELECT r.r_name, n.n_name,
+       CAST(SUM({sql_cents('o.o_totalprice')}) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+)
+def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 rollup: revenue at (region, nation), (region), and grand-total
+    grains in one pass — Spark plans a single Expand + hash aggregate, so
+    the multi-grain report costs one shuffle, not three."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum(cents("o_totalprice")).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "event_type_day_cube",
+    oracle="""
+SELECT event_type, CAST(date_part('day', ts) AS INT) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY CUBE (event_type, CAST(date_part('day', ts) AS INT))
+""",
+)
+def event_type_day_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 cube: all four grains of (event_type, day) in one Expand pass."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.dayofmonth("ts"))
+        .cube("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register("approx_unique_urls_per_user")  # no oracle: HLL sketches differ per engine
+def approx_unique_urls_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 approx_count_distinct (HLL++, rsd=0.02): the 100 TB sibling of
+    the exact distinct — sketches merge map-side, so the shuffle carries
+    one sketch per group instead of the full value set. Error bound vs the
+    exact count is pinned in tests/test_aggregates.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.approx_count_distinct("event_type", 0.02).alias("approx_unique_urls")
+    )
