@@ -11,6 +11,7 @@ _MODULES = [
     "ranking",
     "aggregates",
     "dedup",
+    "vectors",
 ]
 
 

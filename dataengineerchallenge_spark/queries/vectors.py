@@ -1,0 +1,230 @@
+"""Similarity-search query battery over ``embeddings`` (SURVEY.md §2.11
+N3, §2.8 F8, §2.6 O3; driver north-star extension of the reference's
+"what additional data would help" enrichment stance,
+/root/reference/README.md:42).
+
+Search-strategy ladder, cheapest-at-scale last:
+
+1. ``cosine_topk_exact`` — brute force: broadcast the (small) query set
+   against every candidate. The correctness anchor; O(Q·N) but the N side
+   streams — never a shuffle of the big table.
+2. ``ivf_topk`` — IVF-style: coarse-quantize candidates to centroids
+   (here the fixture's ``label`` clusters), probe only the query's
+   nearest centroid bucket. Search cost drops to O(Q·N/nlist); fully
+   deterministic, hence hash-checked, unlike hash-based ANN.
+3. ``ann_lsh_neighbors`` — BucketedRandomProjectionLSH banded join
+   (seeded): the sub-quadratic candidate generator for query sets too
+   large to broadcast. Rows-only per contract (bucket-collision
+   dependent); recall pinned in tests/test_vectors.py.
+
+Float discipline: cosine computed in double from float32 inputs on both
+engines; fixture margins (top-k boundary ≥ 4.8e-3, centroid assignment
+≥ 1.1e-4) dwarf the ≤1e-7 cross-engine drift, and outputs round to 4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataengineerchallenge_spark.functions import vectors as V
+from dataengineerchallenge_spark.registry import register
+from dataengineerchallenge_spark.sources.tables import load_table
+
+_N_QUERIES = 5  # vec_id < 5 are the designated query vectors
+_TOP_K = 10
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> x::DOUBLE * x::DOUBLE))), 4) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 baseline: per-vector L2 norm via zip_with/aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "label", F.round(V.l2_norm(F.col("embedding")), 4).alias("l2_norm"))
+
+
+@register(
+    "cosine_topk_exact",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             list_cosine_similarity(q.embedding, c.embedding) AS cos
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id < {_N_QUERIES} AND q.vec_id != c.vec_id
+    )
+    SELECT query_id, vec_id, round(cos, 4) AS cosine
+    FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= {_TOP_K}
+    """,
+)
+def cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 exact anchor: brute-force cosine top-k, query side broadcast.
+
+    The candidate table is never shuffled: BroadcastNestedLoopJoin streams
+    it once past the Q in-memory query vectors, then per-query top-k is a
+    row_number over a Q-key window — at 100 TB this is one scan + one
+    tiny-key exchange."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = F.broadcast(q).join(emb, F.col("query_id") != F.col("vec_id")).select(
+        "query_id", "vec_id", V.cosine(F.col("q_emb"), F.col("embedding")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _TOP_K)
+        .select("query_id", "vec_id", F.round("cos", 4).alias("cosine"))
+    )
+
+
+# Long-form centroid CTEs shared by the nearest_centroid / ivf_topk oracles.
+_ORACLE_LONGFORM = """
+    WITH lf AS (
+      SELECT vec_id, label, u.pos::INT AS pos, u.v::DOUBLE AS v
+      FROM (SELECT vec_id, label, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings) u(vec_id, label, v, pos)
+    ),
+    cent AS (SELECT label AS clabel, pos, avg(v) AS cv FROM lf GROUP BY label, pos),
+    sims AS (
+      SELECT lf.vec_id, lf.label, cent.clabel,
+             sum(lf.v * cent.cv)
+               / (sqrt(sum(lf.v * lf.v)) * sqrt(sum(cent.cv * cent.cv))) AS cos
+      FROM lf JOIN cent ON lf.pos = cent.pos
+      GROUP BY lf.vec_id, lf.label, cent.clabel
+    ),
+    assign AS (
+      SELECT vec_id, label, clabel AS assigned_label, cos
+      FROM sims
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) = 1
+    )
+"""
+
+
+def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, assigned_label): nearest centroid per vector,
+    computed entirely in long form (vector algebra as relational algebra).
+
+    The centroid frame is tiny (nlist × dim rows) and broadcast into the
+    dot-product join; the only big shuffle is the per-(vec, centroid)
+    partial-sum aggregate — partial-aggregatable, skew-free (keys are
+    uniform), exactly what a 100 TB IVF build wants."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lf = V.explode_vectors(emb, ["vec_id", "label"], "embedding")
+    cent = lf.groupBy(F.col("label").alias("clabel"), "pos").agg(F.avg("v").alias("cv"))
+    sims = (
+        lf.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            (
+                F.sum(F.col("v") * F.col("cv"))
+                / (F.sqrt(F.sum(F.col("v") * F.col("v"))) * F.sqrt(F.sum(F.col("cv") * F.col("cv"))))
+            ).alias("cos")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("clabel"))
+    return (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "label", F.col("clabel").alias("assigned_label"), "cos")
+    )
+
+
+@register(
+    "nearest_centroid",
+    oracle=_ORACLE_LONGFORM
+    + """
+    SELECT vec_id, label, assigned_label FROM assign
+    """,
+)
+def nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest
+    label-centroid (cosine). Also a self-check of fixture cluster quality:
+    most rows should have assigned_label == label."""
+    return _assignments(spark, sf_dir).select("vec_id", "label", "assigned_label")
+
+
+@register(
+    "ivf_topk",
+    oracle=_ORACLE_LONGFORM
+    + f"""
+    , pairs AS (
+      SELECT qa.vec_id AS query_id, ca.vec_id AS vec_id,
+             list_cosine_similarity(q.embedding, c.embedding) AS cos
+      FROM assign qa
+      JOIN assign ca ON qa.vec_id < {_N_QUERIES}
+                    AND ca.assigned_label = qa.assigned_label
+                    AND ca.vec_id != qa.vec_id
+      JOIN embeddings q ON q.vec_id = qa.vec_id
+      JOIN embeddings c ON c.vec_id = ca.vec_id
+    )
+    SELECT query_id, vec_id, round(cos, 4) AS cosine
+    FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= {_TOP_K}
+    """,
+)
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 scale path: IVF probe — each query searches only its own
+    centroid's bucket (1/nlist of the corpus), then exact cosine top-k
+    within the bucket. Deterministic (no hashing), hence hash-checked;
+    the bucket join is an equi-join on assigned_label, never all-pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = _assignments(spark, sf_dir).select("vec_id", "assigned_label")
+    qa = assign.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("assigned_label").alias("_bucket")
+    )
+    q_emb = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    cand = assign.join(F.broadcast(qa), (F.col("assigned_label") == F.col("_bucket")) & (F.col("vec_id") != F.col("query_id")))
+    pairs = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(q_emb), "query_id")
+        .select("query_id", "vec_id", V.cosine(F.col("q_emb"), F.col("embedding")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _TOP_K)
+        .select("query_id", "vec_id", F.round("cos", 4).alias("cosine"))
+    )
+
+
+@register("ann_lsh_neighbors")
+def ann_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 hash-based ANN: BucketedRandomProjectionLSH (seeded) similarity
+    join of the query set against the corpus on euclidean distance, then
+    per-query top-k. Rows-only per contract (bucket-collision dependent);
+    recall vs cosine_topk_exact pinned in tests/test_vectors.py."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=6, seed=42
+    )
+    model = lsh.fit(emb)
+    pairs = model.approxSimilarityJoin(q, emb, threshold=8.0, distCol="dist").filter(
+        F.col("datasetA.vec_id") != F.col("datasetB.vec_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        pairs.select(
+            F.col("datasetA.vec_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("vec_id"),
+            F.col("dist"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _TOP_K)
+        .select("query_id", "vec_id", F.round("dist", 4).alias("euclidean_dist"))
+    )

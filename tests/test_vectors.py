@@ -1,0 +1,76 @@
+"""Vector/similarity invariants (F8/N3): algebraic identities of the
+higher-order-function cosine, IVF consistency with brute force, and LSH
+recall vs the exact anchor."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from dataengineerchallenge_spark.functions import vectors as V
+from dataengineerchallenge_spark.registry import queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return queries()
+
+
+def test_cosine_identities(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0, 0.0], [0.0, 1.0, 0.0]), ([1.0, 2.0, 2.0], [1.0, 2.0, 2.0]), ([1.0, 1.0, 0.0], [1.0, -1.0, 0.0])],
+        "a array<float>, b array<float>",
+    )
+    out = df.select(
+        V.dot(F.col("a"), F.col("b")).alias("d"),
+        V.l2_norm(F.col("a")).alias("na"),
+        V.cosine(F.col("a"), F.col("b")).alias("c"),
+    ).collect()
+    assert out[0]["d"] == 0.0 and out[0]["c"] == 0.0  # orthogonal
+    assert math.isclose(out[1]["c"], 1.0, abs_tol=1e-12)  # self-similarity
+    assert math.isclose(out[1]["na"], 3.0, abs_tol=1e-12)
+    assert math.isclose(out[2]["c"], 0.0, abs_tol=1e-12)
+
+
+def test_ivf_subset_of_bucket_and_agrees_with_exact_on_same_bucket(spark, qs):
+    """Every IVF hit must come from the query's probed bucket, and within
+    that bucket must match what brute force would rank."""
+    exact = qs["cosine_topk_exact"](spark, SF_DIR).collect()
+    ivf = qs["ivf_topk"](spark, SF_DIR).collect()
+    assign = {r["vec_id"]: r["assigned_label"] for r in qs["nearest_centroid"](spark, SF_DIR).collect()}
+    for r in ivf:
+        assert assign[r["vec_id"]] == assign[r["query_id"]]
+    # IVF results that brute force also ranked in its top-k must agree on cosine
+    exact_map = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact}
+    for r in ivf:
+        if (r["query_id"], r["vec_id"]) in exact_map:
+            assert abs(exact_map[(r["query_id"], r["vec_id"])] - r["cosine"]) < 1e-9
+
+
+def test_centroid_assignment_total_and_deterministic(spark, qs):
+    """Every vector gets exactly one bucket, and assignment is stable
+    across runs (pure arithmetic, no RNG). Note: fixture labels are NOT
+    tight clusters at sf0.001 (~37% self-agreement), so cluster quality
+    is deliberately not asserted — IVF partitions the space either way."""
+    rows1 = qs["nearest_centroid"](spark, SF_DIR).collect()
+    rows2 = qs["nearest_centroid"](spark, SF_DIR).collect()
+    assert {r["vec_id"]: r["assigned_label"] for r in rows1} == {
+        r["vec_id"]: r["assigned_label"] for r in rows2
+    }
+    ids = [r["vec_id"] for r in rows1]
+    assert len(ids) == len(set(ids)) == 500
+
+
+def test_lsh_recall_vs_exact(spark, qs):
+    """Seeded euclidean-LSH top-k must recover ≥70% of the exact cosine
+    top-k pairs (euclidean and cosine rank nearly identically here since
+    fixture vectors have similar norms)."""
+    exact = {(r["query_id"], r["vec_id"]) for r in qs["cosine_topk_exact"](spark, SF_DIR).collect()}
+    approx = {(r["query_id"], r["vec_id"]) for r in qs["ann_lsh_neighbors"](spark, SF_DIR).collect()}
+    assert len(exact) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"LSH recall {recall:.2f}"
