@@ -12,6 +12,7 @@ _MODULES = [
     "aggregates",
     "dedup",
     "vectors",
+    "text",
 ]
 
 
