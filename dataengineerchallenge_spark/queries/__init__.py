@@ -13,6 +13,7 @@ _MODULES = [
     "dedup",
     "vectors",
     "text",
+    "streaming",
 ]
 
 

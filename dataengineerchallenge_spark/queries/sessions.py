@@ -192,7 +192,7 @@ GROUP BY 1
 )
 def per_minute_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 (README.md:19): per-minute request-load time series — the
-    feature input for MLE goal 1; streaming twin in streaming/load.py.
+    feature input for MLE goal 1; streaming twin in streaming/windows.py.
 
     Minutes are projected as epoch seconds (bigint) — raw timestamps are
     never hash-compared (ns-vs-µs caveat, SURVEY.md §7.4).

@@ -1,0 +1,106 @@
+"""Registered streaming queries (SURVEY.md §2.9) — each runs its
+streaming plan to completion over the fixture with availableNow and
+returns the materialized sink contents, so the DuckDB oracle can check
+real streaming output, not a batch stand-in.
+
+Streaming runs pay Python/state overhead per micro-batch; these entries
+exist for semantics verification. Production deployment differences
+(real trigger cadence, kafka source, parquet sink) are config, not code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dataengineerchallenge_spark.operators.sessionize import events_session_cte
+from dataengineerchallenge_spark.registry import register
+from dataengineerchallenge_spark.streaming import run_to_batch, stream_events
+from dataengineerchallenge_spark.streaming.sessionize import (
+    session_window_stream,
+    stateful_sessionize_stream,
+)
+from dataengineerchallenge_spark.streaming.windows import (
+    per_minute_load_stream,
+    sliding_load_stream,
+)
+
+
+@register(
+    "stream_per_minute_load",
+    oracle="""
+    SELECT CAST(floor(epoch(date_trunc('minute', ts))) AS BIGINT) AS minute_epoch_s,
+           CAST(COUNT(*) AS BIGINT) AS n_requests
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_per_minute_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: tumbling per-minute counts, complete-mode snapshot == batch
+    A10 aggregate (streaming/batch equivalence, hash-checked)."""
+    ev = stream_events(spark, sf_dir)
+    return run_to_batch(per_minute_load_stream(ev), "per_minute", output_mode="complete")
+
+
+@register(
+    "stream_sliding_load",
+    oracle="""
+    SELECT CAST(floor(epoch(date_trunc('minute', ts))) AS BIGINT) - 60 * k
+             AS window_start_s,
+           CAST(COUNT(*) AS BIGINT) AS n_requests
+    FROM events CROSS JOIN (SELECT unnest(range(5)) AS k)
+    GROUP BY 1
+    """,
+)
+def stream_sliding_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: 5-min/1-min sliding load; every event lands in 5 overlapping
+    windows (the oracle expands the same 5-way membership in SQL)."""
+    ev = stream_events(spark, sf_dir)
+    return run_to_batch(sliding_load_stream(ev), "sliding", output_mode="complete")
+
+
+@register(
+    "stream_sessionize",
+    oracle=events_session_cte(gap=899)
+    + """
+    SELECT skey, start_s, end_s + 900 AS end_s, n_hits, n_unique_urls
+    FROM sessions
+    """,
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3+T4: native session_window sessionizer, complete snapshot.
+
+    Gap boundary is the native operator's (end-exclusive window: gap ==
+    900 s starts a NEW session), so the oracle runs the shared session
+    CTE with `> 899`; window end = last event + gap."""
+    ev = stream_events(spark, sf_dir)
+    return run_to_batch(session_window_stream(ev), "sessions", output_mode="complete")
+
+
+@register(
+    "stream_stateful_sessions",
+    oracle=events_session_cte()
+    + """
+    , mx AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS m FROM events)
+    SELECT CAST(skey AS VARCHAR) AS skey,
+           start_s AS session_start_s,
+           end_s   AS session_end_s,
+           CAST(n_hits AS BIGINT) AS n_hits
+    FROM (SELECT *, max(session_id) OVER (PARTITION BY skey) AS max_sid
+          FROM sessions), mx
+    WHERE session_id < max_sid      -- closed by a proven gap in-stream
+       OR end_s + 900 < m - 1800    -- flushed by event-time timeout
+    """,
+)
+def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: custom stateful sessionizer (batch `>` gap semantics).
+
+    Emission rule, encoded exactly in the oracle: a session emits when a
+    later event proves its gap closed, OR when its event-time timeout
+    (session end + gap) falls below the final watermark (max event time −
+    30-min delay; the trailing availableNow no-data batch fires these).
+    Sessions still inside the watermark horizon stay in state — correct
+    streaming behavior: they are not provably over. (The fixture has no
+    session exactly ON the timeout boundary, so strict-vs-non-strict
+    comparison is not observable at sf0.01.)"""
+    ev = stream_events(spark, sf_dir)
+    return run_to_batch(stateful_sessionize_stream(ev), "stateful", output_mode="append")

@@ -1,0 +1,174 @@
+"""Streaming sessionization (SURVEY.md §2.9 T3/T4/T5 — the streaming
+twin of operators/sessionize.py; /root/reference/README.md:9-10,43).
+
+Two implementations:
+
+- ``session_window_stream`` (T3): the native gap-window. State merging,
+  watermark eviction and skew handling are Spark-internal — at 100 TB
+  this is the path that replaces the batch window-sort when a hot key
+  degrades it (the fallback promised in operators/sessionize.py).
+- ``stateful_sessionize_stream`` (T5): ``applyInPandasWithState`` with
+  explicit per-key state, for semantics the gap window can't express
+  (here: emit CLOSED sessions eagerly as soon as a later event proves
+  the gap, keep the trailing open session in state until event-time
+  timeout). This is the custom-operator escape hatch of SURVEY §2.10.
+
+Boundary semantics differ from batch BY DESIGN of the native operator:
+``session_window`` merges two events iff their gap is STRICTLY LESS than
+the gap duration (windows are end-exclusive), i.e. gap == 900 s starts a
+new session, while the batch lag+cumsum sessionizer keeps it in-session
+(gap > 900 starts new). Timestamps are pre-floored to whole seconds so
+both engines and the DuckDB oracle compare identical integers; the
+oracle for the native path therefore uses ``gap > 899``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from dataengineerchallenge_spark.operators.sessionize import DEFAULT_GAP_S
+
+
+def _floored(events: DataFrame) -> DataFrame:
+    # whole-second event time, kept as TimestampType for window operators
+    return events.withColumn("ts", F.timestamp_seconds(F.unix_timestamp("ts")))
+
+
+def session_window_stream(
+    events: DataFrame,
+    key: str = "user_id",
+    url: str = "event_type",
+    gap_s: int = DEFAULT_GAP_S,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """T3: native session_window sessionizer with T4 watermark.
+
+    Output per finalized session: key, start_s, end_s (last event +
+    gap, the window's exclusive end), n_hits, n_unique_urls.
+    """
+    ev = _floored(events)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.col(key), F.session_window("ts", f"{gap_s} seconds").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            # countDistinct is unsupported in streaming aggregations;
+            # size(collect_set) gives the same exact count with bounded
+            # per-session state (URL cardinality per session is small)
+            F.size(F.collect_set(url)).alias("n_unique_urls"),
+        )
+        .select(
+            F.col(key).alias("skey"),
+            F.unix_timestamp("sw.start").alias("start_s"),
+            F.unix_timestamp("sw.end").alias("end_s"),
+            "n_hits",
+            "n_unique_urls",
+        )
+    )
+
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_s", LongType()),
+        StructField("end_s", LongType()),
+        StructField("n_hits", LongType()),
+    ]
+)
+
+_OUT_SCHEMA = StructType(
+    [
+        StructField("skey", StringType()),
+        StructField("session_start_s", LongType()),
+        StructField("session_end_s", LongType()),
+        StructField("n_hits", LongType()),
+    ]
+)
+
+
+def stateful_sessionize_stream(
+    events: DataFrame,
+    key: str = "user_id",
+    gap_s: int = DEFAULT_GAP_S,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """T5: explicit-state sessionizer (batch boundary semantics: gap
+    STRICTLY GREATER than gap_s closes a session, matching
+    operators/sessionize.py).
+
+    Per key and micro-batch: sort arrivals, splice onto the open session
+    from state, emit every session closed by a proven gap, keep the
+    trailing session open in state with an event-time timeout of
+    ``gap_s`` past the watermark — when no further event arrives, the
+    timeout fires and the final session flushes (tested with multi-batch
+    replay in tests/test_streaming.py; under a single availableNow batch
+    only closed sessions emit, which is what the registered rows-only
+    query pins).
+    """
+    # keep a TimestampType column for the watermark (EventTimeTimeout
+    # requires one); the state logic itself works on epoch-second longs
+    ev = _floored(events).select(
+        F.col(key).cast("string").alias("skey"),
+        F.col("ts"),
+        F.unix_timestamp("ts").alias("ts_s"),
+    ).withWatermark("ts", watermark)
+
+    def fn(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        skey = key_tuple[0]
+        if state.hasTimedOut:
+            if state.exists:
+                start_s, end_s, n_hits = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {"skey": [skey], "session_start_s": [start_s], "session_end_s": [end_s], "n_hits": [n_hits]}
+                )
+            return
+        ts = sorted(t for pdf in pdfs for t in pdf["ts_s"].tolist())
+        if not ts:
+            return
+        if state.exists:
+            start_s, end_s, n_hits = state.get
+        else:
+            start_s, end_s, n_hits = ts[0], ts[0], 0
+        closed: list[tuple[int, int, int]] = []
+        for t in ts:
+            if n_hits and t - end_s > gap_s:
+                closed.append((start_s, end_s, n_hits))
+                start_s, end_s, n_hits = t, t, 1
+            else:
+                end_s, n_hits = max(end_s, t), n_hits + 1
+        state.update((start_s, end_s, n_hits))
+        # event-time timeout: flush the open session once the watermark
+        # passes its gap horizon (must stay above the current watermark)
+        state.setTimeoutTimestamp(
+            max((end_s + gap_s) * 1000, state.getCurrentWatermarkMs() + 1)
+        )
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "skey": [skey] * len(closed),
+                    "session_start_s": [c[0] for c in closed],
+                    "session_end_s": [c[1] for c in closed],
+                    "n_hits": [c[2] for c in closed],
+                }
+            )
+
+    return ev.groupBy("skey").applyInPandasWithState(
+        fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

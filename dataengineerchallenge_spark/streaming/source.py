@@ -1,0 +1,57 @@
+"""Streaming sources (SURVEY.md §2.1 S3).
+
+The driver fixtures are static parquet; we tail them with the file
+streaming source, which is exactly how a production pipeline would tail
+an S3 prefix of ELB log drops (/root/reference/README.md:44 — AWS
+delivers one object per interval per node). Swapping in Kafka is a
+one-line ``format("kafka")`` change downstream of this module.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineerchallenge_spark.sources.tables import _ensure_confs
+
+
+def _staged_dir(src: str) -> str:
+    """The file streaming source tails a DIRECTORY (like an S3 prefix of
+    ELB log drops); the fixture is a single parquet file, so stage a copy
+    into a scratch dir once per (file, mtime) and reuse it."""
+    p = Path(src)
+    tag = hashlib.sha256(f"{p.resolve()}:{p.stat().st_mtime_ns}".encode()).hexdigest()[:16]
+    d = Path(tempfile.gettempdir()) / f"spark_graft_stream_{tag}"
+    target = d / p.name
+    if not target.exists():
+        d.mkdir(parents=True, exist_ok=True)
+        tmp = d / (p.name + ".tmp")
+        shutil.copyfile(p, tmp)
+        tmp.rename(target)  # atomic: the source never sees a partial file
+    return str(d)
+
+
+def stream_events(spark: SparkSession, sf_dir: str, path: str | None = None) -> DataFrame:
+    """``events`` as an unbounded stream.
+
+    The file source needs an explicit schema (no inference on streams):
+    we take it from a zero-cost batch read of the same file. ``ts`` is
+    parquet TIMESTAMP(NANOS) read as bigint nanos (nanosAsLong, see
+    sources/tables.py) and floored to µs here, identically to the batch
+    path — streaming and batch queries see byte-identical rows.
+    """
+    _ensure_confs(spark)
+    src = path or f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    df = spark.readStream.schema(schema).parquet(_staged_dir(src) if Path(src).is_file() else src)
+    for field in schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+            )
+    return df

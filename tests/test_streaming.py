@@ -1,0 +1,121 @@
+"""Streaming twin invariants (T1-T6): batch equivalence of the
+session_window and stateful sessionizers, and true watermark late-data
+semantics under multi-batch replay."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+from dataengineerchallenge_spark.operators.sessionize import session_stats
+from dataengineerchallenge_spark.registry import queries
+from dataengineerchallenge_spark.sources import load_table
+from dataengineerchallenge_spark.streaming import run_to_batch
+from dataengineerchallenge_spark.streaming.windows import per_minute_load_stream
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return queries()
+
+
+def test_session_window_stream_equals_batch_at_same_gap(spark, qs):
+    """T3 batch equivalence: the native session_window stream (gap ==
+    900 starts new) must equal the batch lag+cumsum sessionizer run with
+    gap_s=899 (whose `>` rule encodes the same boundary)."""
+    ev = load_table(spark, SF_DIR, "events")
+    batch = session_stats(ev, gap_s=899).select(
+        F.col("user_id").alias("skey"), "start_s",
+        (F.col("end_s") + 900).alias("end_s"), "n_hits", "n_unique_urls",
+    )
+    stream = qs["stream_sessionize"](spark, SF_DIR)
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in stream.collect()}
+    assert b == s
+
+
+def test_stateful_stream_sessions_subset_of_batch(spark, qs):
+    """T5 batch equivalence: every emitted stateful session exists in the
+    batch sessionization (same gap semantics), and all gap-closed
+    sessions are emitted."""
+    ev = load_table(spark, SF_DIR, "events")
+    batch = session_stats(ev)  # gap > 900, batch semantics
+    bset = {
+        (str(r["user_id"]), r["start_s"], r["end_s"], r["n_hits"]) for r in batch.collect()
+    }
+    stream = qs["stream_stateful_sessions"](spark, SF_DIR)
+    sset = {
+        (r["skey"], r["session_start_s"], r["session_end_s"], r["n_hits"])
+        for r in stream.collect()
+    }
+    assert sset <= bset
+    # at minimum every non-final session per key must have been emitted
+    from collections import Counter
+
+    per_key = Counter(k for k, *_ in bset)
+    expected_min = sum(n - 1 for n in per_key.values())
+    assert len(sset) >= expected_min
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """T4: a row arriving after the watermark passed its window is
+    discarded. Two availableNow runs share one checkpoint — the second
+    resumes with the first run's watermark (state recovery), so its
+    late row is provably behind the watermark."""
+    d = str(tmp_path / "stream_in")
+    ckpt = str(tmp_path / "ckpt")
+    sch = "ts timestamp, v int"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, sch).coalesce(1).write.parquet(os.path.join(d, name))
+
+    def src():
+        return spark.readStream.schema(sch).parquet(d + "/*")
+
+    out_dir = str(tmp_path / "out")
+
+    def run(tag):
+        q = (
+            per_minute_load_stream(src())
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    # run 1: two rows in minute 10:00, one at 11:00 → wm persists at 10:30
+    write_file("f1", [(t("2024-01-01 10:00:10"), 1), (t("2024-01-01 10:00:20"), 1), (t("2024-01-01 11:00:00"), 1)])
+    run("a")
+    # run 2 (same checkpoint): LATE row for 10:00 (behind wm) + fresh 11:30
+    write_file("f2", [(t("2024-01-01 10:00:30"), 1), (t("2024-01-01 11:30:00"), 1)])
+    run("b")
+    rows = {r["minute_epoch_s"]: r["n_requests"] for r in spark.read.parquet(out_dir).collect()}
+    m1000 = int(t("2024-01-01 10:00:00").timestamp())
+    # the 10:00 window closed with 2 rows — the late third row was dropped
+    assert rows.get(m1000) == 2
+    # windows still inside the watermark horizon are withheld in append mode
+    assert len(rows) == 1
+
+
+def test_tumbling_stream_equals_batch_counts(spark, qs):
+    """T1 batch equivalence at sf0.001 via the registered query."""
+    stream = {tuple(r) for r in qs["stream_per_minute_load"](spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    batch = {
+        tuple(r)
+        for r in ev.groupBy(
+            F.unix_timestamp(F.date_trunc("minute", "ts")).alias("minute_epoch_s")
+        )
+        .agg(F.count(F.lit(1)).alias("n_requests"))
+        .collect()
+    }
+    assert stream == batch
