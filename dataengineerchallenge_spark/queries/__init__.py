@@ -14,6 +14,7 @@ _MODULES = [
     "vectors",
     "text",
     "streaming",
+    "udf",
 ]
 
 
