@@ -11,10 +11,11 @@ Layout:
   session.py    SparkSession factory with scale-oriented defaults
   registry.py   query/oracle registration backing __spark_entry__.py
   sources/      parquet + ELB-log + streaming sources, sinks
-  operators/    sessionization, joins, top-k, dedup, similarity
-  functions/    vector / text / json column-expression helpers
+  operators/    sessionization, joins, dedup, similarity
+  functions/    vector / UDF / exact-arithmetic column helpers
   streaming/    Structured Streaming twins of the batch operators
   ml/           MLE goal pipelines (pyspark.ml)
+  queries/      registered queries()/oracle_sql() pairs per SURVEY §2
 """
 
 __version__ = "0.1.0"

@@ -15,6 +15,7 @@ _MODULES = [
     "text",
     "streaming",
     "udf",
+    "ml",
 ]
 
 

@@ -1,0 +1,81 @@
+"""Registered ML queries (D6/W5; /root/reference/README.md:18-23).
+
+Feature frames are hash-checked against DuckDB (that is where data bugs
+hide); model prediction frames are rows-only per the driver contract
+(non-SQL-expressible), with quality pinned by tests/test_ml.py against
+naive baselines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineerchallenge_spark.ml.features import (
+    LOAD_FEATURES_ORACLE,
+    USER_FEATURES_ORACLE_TAIL,
+    load_feature_frame,
+    user_feature_frame,
+)
+from dataengineerchallenge_spark.ml.models import _fit_predict, key_split, time_split
+from dataengineerchallenge_spark.operators.sessionize import events_session_cte
+from dataengineerchallenge_spark.registry import register
+
+
+@register("load_features", oracle=LOAD_FEATURES_ORACLE)
+def load_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: per-minute load with trailing range-frame features (the
+    MLE-1 design matrix), hash-checked."""
+    return load_feature_frame(spark, sf_dir)
+
+
+@register(
+    "user_session_features",
+    oracle=events_session_cte() + USER_FEATURES_ORACLE_TAIL,
+)
+def user_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral features + MLE-2/3 targets, hash-checked."""
+    return user_feature_frame(spark, sf_dir)
+
+
+@register("predict_next_minute_load")
+def predict_next_minute_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLE goal 1 (README.md:19): expected requests in the next minute.
+    Temporal 80/20 split; linear model over trailing-window features."""
+    feats = load_feature_frame(spark, sf_dir)
+    train, test = time_split(feats, "minute_epoch_s")
+    pred = _fit_predict(
+        train, test, ["prev_1m", "sum_5m", "avg_5m", "minute_of_hour"], "n_requests"
+    )
+    return pred.select(
+        "minute_epoch_s", "n_requests", F.round("prediction", 4).alias("predicted_requests")
+    )
+
+
+@register("predict_session_length")
+def predict_session_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLE goal 2 (README.md:21): expected session length for a given
+    IP. Key-hash 80/20 split over users; behavioral features exclude the
+    duration target itself."""
+    feats = user_feature_frame(spark, sf_dir)
+    train, test = key_split(feats, "user_id")
+    pred = _fit_predict(
+        train, test, ["n_sessions", "avg_hits", "total_hits", "active_span_s"], "avg_session_s"
+    )
+    return pred.select(
+        "user_id", "avg_session_s", F.round("prediction", 4).alias("predicted_session_s")
+    )
+
+
+@register("predict_unique_urls")
+def predict_unique_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLE goal 3 (README.md:23): expected unique URL visits for a given
+    IP (per-session average)."""
+    feats = user_feature_frame(spark, sf_dir)
+    train, test = key_split(feats, "user_id")
+    pred = _fit_predict(
+        train, test, ["n_sessions", "avg_hits", "total_hits", "active_span_s"], "avg_unique_urls"
+    )
+    return pred.select(
+        "user_id", "avg_unique_urls", F.round("prediction", 4).alias("predicted_unique_urls")
+    )
