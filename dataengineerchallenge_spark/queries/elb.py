@@ -1,7 +1,16 @@
 """ELB-log query family (M2): the reference's REAL input format
-(/root/reference/README.md:44-45) end-to-end — scan → parse → quarantine
-→ sessionize. Driver check is rows-only (the oracle views cover only the
-fixture tables); exact parse semantics are pinned by tests/test_elb.py.
+(/root/reference/README.md:44-45) end-to-end — gzip scan → parse →
+quarantine → sessionize — hash-checked against a DuckDB ``read_csv``
+twin over the same checked-in synthetic log.
+
+The log (tests/data/elb_synth.log.gz, ~1000 lines, 14 malformed) is
+generated deterministically by tools/gen_elb_log.py; its malformed lines
+are restricted to classes both engines classify identically (bad
+timestamp / truncated / non-integer status). ``sf_dir`` is ignored by
+design: ELB text logs are not part of the sf-scaled parquet fixtures —
+this family pins the real input FORMAT, scale is covered by the events
+queries. The tiny 52-line handwritten sample stays for pytest edge cases
+(tests/test_elb.py).
 """
 
 from __future__ import annotations
@@ -11,6 +20,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dataengineerchallenge_spark.operators.sessionize import ORACLE_SESSION_CTE
 from dataengineerchallenge_spark.registry import register
 from dataengineerchallenge_spark.sources.elb import (
     elb_sessions,
@@ -19,18 +29,56 @@ from dataengineerchallenge_spark.sources.elb import (
     valid_requests,
 )
 
-SAMPLE_LOG = os.path.join(
+_DATA_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "tests",
     "data",
-    "elb_sample.log",
 )
+SAMPLE_LOG = os.path.join(_DATA_DIR, "elb_sample.log")
+SYNTH_LOG = os.path.join(_DATA_DIR, "elb_synth.log.gz")
+
+# DuckDB twin of sources/elb.py:parse_elb: all-varchar read (so malformed
+# lines survive to be classified) + the same validity predicate.
+_ORACLE_RAW = f"""
+WITH raw AS (
+  SELECT * FROM read_csv('{SYNTH_LOG}',
+    delim=' ', quote='"', header=false, null_padding=true,
+    all_varchar=true, auto_detect=false,
+    columns={{{", ".join(f"'c{i}': 'VARCHAR'" for i in range(15))}}})
+), typed AS (
+  SELECT
+    try_strptime(c0, '%Y-%m-%dT%H:%M:%S.%fZ') AS ts,
+    split_part(c2, ':', 1) AS client_ip,
+    try_cast(split_part(c2, ':', 2) AS INT) AS client_port,
+    string_split(c11, ' ')[1] AS method,
+    string_split(c11, ' ')[2] AS url,
+    string_split(c11, ' ')[3] AS protocol,
+    regexp_extract(string_split(c11, ' ')[2], '^[a-z]+://[^/]+(/[^?#]*)', 1) AS url_path,
+    try_cast(c7 AS INT)  AS elb_status,
+    try_cast(c8 AS INT)  AS backend_status,
+    try_cast(c10 AS BIGINT) AS sent_bytes,
+    c12 AS user_agent,
+    COALESCE(try_strptime(c0, '%Y-%m-%dT%H:%M:%S.%fZ') IS NOT NULL
+             AND c2 IS NOT NULL
+             AND len(string_split(c11, ' ')) >= 2
+             AND try_cast(c7 AS INT) IS NOT NULL, false) AS is_valid
+  FROM raw
+)
+"""
 
 
-@register("elb_parse")
+@register(
+    "elb_parse",
+    oracle=_ORACLE_RAW
+    + """
+    SELECT client_ip, client_port, method, url, url_path, protocol,
+           elb_status, backend_status, sent_bytes, user_agent
+    FROM typed WHERE is_valid
+    """,
+)
 def elb_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1-P4: typed parse of the checked-in sample log (valid rows)."""
-    return valid_requests(parse_elb(read_elb_log(spark, SAMPLE_LOG))).select(
+    """P1-P4: typed parse of the synthetic gzip log (valid rows)."""
+    return valid_requests(parse_elb(read_elb_log(spark, SYNTH_LOG))).select(
         "client_ip",
         "client_port",
         "method",
@@ -44,14 +92,41 @@ def elb_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("elb_malformed_audit")
+@register(
+    "elb_malformed_audit",
+    oracle=_ORACLE_RAW
+    + """
+    SELECT is_valid, CAST(count(*) AS BIGINT) AS n_lines
+    FROM typed GROUP BY is_valid
+    """,
+)
 def elb_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: quarantine audit — every line lands in exactly one bucket."""
-    parsed = parse_elb(read_elb_log(spark, SAMPLE_LOG))
+    parsed = parse_elb(read_elb_log(spark, SYNTH_LOG))
     return parsed.groupBy("is_valid").agg(F.count(F.lit(1)).alias("n_lines"))
 
 
-@register("elb_sessionize")
+_SESSION_TAIL = ORACLE_SESSION_CTE.format(
+    tbl="typed WHERE is_valid",
+    key="client_ip",
+    ts="ts",
+    order="client_port",
+    url="url",
+    gap=900,
+).replace("WITH hits AS", ", hits AS")
+
+
+@register(
+    "elb_sessionize",
+    oracle=_ORACLE_RAW
+    + _SESSION_TAIL
+    + """
+    SELECT skey AS client_ip, session_id, n_hits, duration_s,
+           n_unique_urls, start_s, end_s
+    FROM sessions
+    """,
+)
 def elb_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Goals 1-4 on the real log format: per-session stats by client IP."""
-    return elb_sessions(spark, SAMPLE_LOG)
+    """Goals 1-4 on the real log format: per-session stats by client IP,
+    same sessionizer as the events family (gap > 900 s)."""
+    return elb_sessions(spark, SYNTH_LOG)

@@ -1,0 +1,36 @@
+"""S4 sink roundtrips: parquet (partitioned) and csv."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from dataengineerchallenge_spark.sources import load_table
+from dataengineerchallenge_spark.sources.sinks import read_result, write_result
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_parquet_partitioned_roundtrip(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    ).select("event_id", "event_type", "value", "day")
+    p = str(tmp_path / "out_parquet")
+    write_result(ev, p, partition_by=["event_type"])
+    back = read_result(spark, p)
+    assert back.count() == ev.count()
+    # partition pruning works on the written layout
+    one = back.filter(F.col("event_type") == "click")
+    assert one.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_csv_single_file_roundtrip(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events").groupBy("event_type").count()
+    p = str(tmp_path / "out_csv")
+    write_result(ev, p, fmt="csv", coalesce_to=1)
+    import glob
+
+    assert len(glob.glob(p + "/part-*.csv")) == 1  # compacted summary
+    back = read_result(spark, p, fmt="csv")
+    assert {(r["event_type"], r["count"]) for r in back.collect()} == {
+        (r["event_type"], r["count"]) for r in ev.collect()
+    }
