@@ -16,6 +16,7 @@ _MODULES = [
     "streaming",
     "udf",
     "ml",
+    "multimodal",
 ]
 
 

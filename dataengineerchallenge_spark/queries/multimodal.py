@@ -1,0 +1,68 @@
+"""Registered multimodal queries (N5). The payloads are deterministic
+(header + document text bytes), so even the Arrow decode path is
+hash-checked: DuckDB recomputes byte stats from the same text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineerchallenge_spark.operators.multimodal import (
+    extract_payload_features,
+    with_payloads,
+)
+from dataengineerchallenge_spark.registry import register
+from dataengineerchallenge_spark.sources.tables import load_table
+
+
+@register(
+    "multimodal_manifest",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+           CAST(4 + strlen(text) AS BIGINT) AS n_bytes,
+           sha256('MM1:' || text) AS content_sha
+    FROM documents
+    """,
+)
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5: binary payload column + typed metadata struct — the manifest
+    projection reads ONLY metadata, so parquet column pruning would skip
+    payload IO entirely at scale (.explain shows payload absent)."""
+    mm = with_payloads(load_table(spark, sf_dir, "documents"))
+    return mm.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").cast("long").alias("n_bytes"),
+        F.col("meta.content_sha").alias("content_sha"),
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    WITH t AS (SELECT doc_id, 'MM1:' || text AS payload_txt FROM documents)
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+           CAST(strlen(payload_txt) AS BIGINT) AS n_bytes,
+           round(list_avg([unicode(payload_txt[i])
+                           FOR i IN range(1, len(payload_txt)+1)]), 4) AS mean_byte,
+           list_max([unicode(payload_txt[i])
+                     FOR i IN range(1, len(payload_txt)+1)])::INT AS max_byte,
+           true AS header_ok
+    FROM t
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 decode/feature-extract through mapInPandas (fake codec): the
+    Arrow binary round-trip and per-payload numpy feature math are the
+    real thing; only the codec call is stubbed (ASCII text ⇒ byte values
+    == codepoints, which is what the DuckDB twin recomputes)."""
+    mm = with_payloads(load_table(spark, sf_dir, "documents"))
+    feats = extract_payload_features(mm, codec="fake")
+    return feats.select(
+        "doc_id", "mime", "n_bytes",
+        F.round("mean_byte", 4).alias("mean_byte"),
+        "max_byte", "header_ok",
+    )
