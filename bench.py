@@ -16,12 +16,24 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Original 5 anchors first (BENCH_r01 comparability), then one
+# representative per family added in round 2.
 HEADLINE = [
     "sessionize",
     "avg_session_time",
     "unique_urls_per_session",
     "most_engaged_users",
     "per_minute_load",
+    "region_revenue",           # J1 broadcast star join
+    "top_orders_per_customer",  # O3 per-group top-k
+    "exact_dedup_docs",         # N1 content-hash dedup
+    "near_dup_jaccard",         # N2 shingle-join similarity
+    "cosine_topk_exact",        # N3/F8 vector top-k
+    "doc_lang_id",              # N4 text scoring
+    "load_features",            # W5 range-frame features
+    "udf_user_trend",           # D3 Arrow grouped-map
+    "elb_sessionize",           # P1-P5 real-format parse path
+    "stream_per_minute_load",   # T1 streaming twin
 ]
 
 

@@ -17,6 +17,7 @@ _MODULES = [
     "udf",
     "ml",
     "multimodal",
+    "sql_surface",
 ]
 
 

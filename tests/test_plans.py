@@ -1,0 +1,74 @@
+"""Physical-plan pins (SURVEY.md §4): the configurations the 100 TB
+stance depends on must be visible in the plan, not assumed —
+broadcast joins stay broadcast, the sessionizer keeps its single
+exchange, top-k never becomes a global sort, similarity joins never
+degenerate to cartesian products, and filters reach the parquet scan."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pyspark.sql.functions as F
+import pytest
+
+from dataengineerchallenge_spark.registry import queries
+from dataengineerchallenge_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return queries()
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_region_revenue_joins_are_all_broadcast(spark, qs):
+    plan = explain_str(qs["region_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_sessionize_has_single_exchange(spark, qs):
+    """lag + cumsum + per-session agg must share one hashpartition(key)
+    exchange — the whole 100 TB story of the batch sessionizer."""
+    plan = explain_str(qs["sessionize"](spark, SF_DIR), "simple")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_most_engaged_users_uses_topk_not_global_sort(spark, qs):
+    plan = explain_str(qs["most_engaged_users"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_similarity_joins_never_cartesian(spark, qs):
+    for name in ("near_dup_jaccard", "ivf_topk", "simhash_near_dups"):
+        plan = explain_str(qs[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_parquet_filter_pushdown_and_column_pruning(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    q = ev.filter(F.col("event_type") == "error").select("event_id", "event_type")
+    plan = explain_str(q)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)]" in plan
+    # pruned read schema: only the two projected columns reach the scan
+    assert "value" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_text_scoring_is_jvm_only_with_codegen(spark, qs):
+    """No Python eval nodes in the JVM-only text queries; whole-stage
+    codegen spans present (`*(n)` markers — the lambda-bearing projection
+    itself is interpreted, which is expected for higher-order funcs)."""
+    plan = explain_str(qs["doc_quality_scores"](spark, SF_DIR), "simple")
+    assert "*(" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
