@@ -1,0 +1,66 @@
+"""Skew-handling operators (SURVEY.md §4 — AQE skew-join + salting;
+/root/reference/README.md:61's "messy (ie real) data" at 100 TB means
+hot keys: one bot IP can hold 1% of all hits).
+
+Three levers, in preference order:
+
+1. **AQE** (on by default in session.py): skewed-JOIN partitions are
+   split at runtime. Covers joins, NOT single-key aggregate/window hot
+   spots.
+2. **Salted two-phase aggregation** (here): for algebraic aggregates
+   (count/sum/min/max), shard each key across ``n_salts`` sub-keys,
+   partially aggregate, then re-aggregate without the salt. The hot key's
+   work spreads over ``n_salts`` tasks; correctness is unchanged because
+   the aggregates are associative. This is the documented fallback for
+   the sessionizer's per-key aggregates when one IP dominates
+   (operators/sessionize.py) — the ORDER-dependent window pass itself
+   cannot be salted; its escape hatch is the streaming session_window
+   (state-merge, no per-key sort) in streaming/sessionize.py.
+3. **Broadcast** the small side so the skewed key never shuffles at all
+   (queries/relational.py region_revenue).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# partial-aggregate expression, then the matching final re-aggregate
+_ALGEBRAIC = {
+    "count": (lambda c: F.count(c), lambda p: F.sum(p)),
+    "sum": (lambda c: F.sum(c), lambda p: F.sum(p)),
+    "min": (lambda c: F.min(c), lambda p: F.min(p)),
+    "max": (lambda c: F.max(c), lambda p: F.max(p)),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str | Column, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation: ``aggs`` maps output alias →
+    (column, fn) with fn ∈ count|sum|min|max.
+
+    Phase 1 groups by (keys…, salt) where salt spreads rows of one key
+    over ``n_salts`` reducers; phase 2 folds the partials back per key.
+    Both phases get map-side partial aggregation from Spark, so the extra
+    exchange carries ≤ n_salts rows per key — negligible — while the
+    phase-1 shuffle is skew-free by construction.
+
+    avg is deliberately absent: express it as sum/count in the caller
+    (algebraic decomposition), never salt a non-decomposable aggregate.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(n_salts))
+    partial_exprs = []
+    final_exprs = []
+    for alias, (col, fn) in aggs.items():
+        try:
+            partial_fn, final_fn = _ALGEBRAIC[fn]
+        except KeyError:
+            raise ValueError(f"non-algebraic aggregate {fn!r}; decompose it first") from None
+        partial_exprs.append(partial_fn(col).alias(f"_p_{alias}"))
+        final_exprs.append(final_fn(F.col(f"_p_{alias}")).alias(alias))
+    partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partial_exprs)
+    return partial.groupBy(*keys).agg(*final_exprs)

@@ -137,3 +137,35 @@ def approx_unique_urls_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(
         F.approx_count_distinct("event_type", 0.02).alias("approx_unique_urls")
     )
+
+
+@register(
+    "salted_user_value_stats",
+    oracle="""
+SELECT CAST(user_id AS VARCHAR) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY user_id
+""",
+)
+def salted_user_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase salted aggregation (operators/skew.py): the
+    hot-key fallback for per-IP aggregates, hash-checked against the
+    plain GROUP BY — salting must be invisible in the results."""
+    from dataengineerchallenge_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["user_id"],
+        {"n_events": ("value", "count"), "total_value": ("value", "sum"), "max_value": ("value", "max")},
+        n_salts=16,
+    )
+    return out.select(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("total_value", 4).alias("total_value"),
+        "max_value",
+    )
