@@ -14,6 +14,7 @@ assembler without changing the feature plumbing.
 
 from __future__ import annotations
 
+from pyspark.ml import Pipeline
 from pyspark.ml.feature import VectorAssembler
 from pyspark.ml.regression import LinearRegression
 from pyspark.sql import DataFrame
@@ -23,13 +24,16 @@ from pyspark.sql import functions as F
 def _fit_predict(
     train: DataFrame, test: DataFrame, feature_cols: list[str], label_col: str
 ) -> DataFrame:
-    asm = VectorAssembler(inputCols=feature_cols, outputCol="features")
-    lr = LinearRegression(
-        featuresCol="features", labelCol=label_col, predictionCol="prediction",
-        solver="normal", regParam=1e-6,
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=feature_cols, outputCol="features"),
+            LinearRegression(
+                featuresCol="features", labelCol=label_col, predictionCol="prediction",
+                solver="normal", regParam=1e-6,
+            ),
+        ]
     )
-    model = lr.fit(asm.transform(train))
-    return model.transform(asm.transform(test))
+    return pipe.fit(train).transform(test)
 
 
 def time_split(df: DataFrame, ts_col: str, frac: float = 0.8) -> tuple[DataFrame, DataFrame]:
