@@ -43,3 +43,25 @@ def sql_nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is literally the same statement run by DuckDB."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL)
+
+
+_GS_SQL = """
+SELECT event_type,
+       CAST(date_part('day', ts) AS INT) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (CAST(date_part('day', ts) AS INT)), ())
+"""
+
+
+@register(
+    "event_grouping_sets",
+    oracle=_GS_SQL,
+)
+def event_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 GROUPING SETS (the general form rollup/cube specialize): three
+    explicit grains in one Expand pass, via the SQL surface — the same
+    statement runs on DuckDB as the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GS_SQL)

@@ -81,3 +81,22 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for name in ("b_orders", "b_lineitem"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_date_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Date-partitioned layout (the AWS per-interval delivery shape,
+    reference README.md:44): a day filter must become a PartitionFilter
+    on the scan — zero IO for other days — and never a data filter."""
+    ev = load_table(spark, SF_DIR, "events").withColumn("day", F.dayofmonth("ts"))
+    p = str(tmp_path / "ev_by_day")
+    ev.write.partitionBy("day").parquet(p)
+    q = spark.read.parquet(p).filter(F.col("day") == 2).select("event_id", "value")
+    plan = _explain(q, "formatted")
+    import re
+
+    assert re.search(r"PartitionFilters: \[isnotnull\(day#\d+\), \(day#\d+ = 2\)\]", plan), plan
+    # the day predicate must NOT survive as a post-scan data filter
+    assert "PushedFilters: [IsNotNull(day" not in plan
+    assert "Filter (day" not in plan
+    expected = ev.filter(F.col("day") == 2).count()
+    assert q.count() == expected
