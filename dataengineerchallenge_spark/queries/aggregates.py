@@ -169,3 +169,63 @@ def salted_user_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_value", 4).alias("total_value"),
         "max_value",
     )
+
+
+@register(
+    "value_percentiles_by_type",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 4) AS p25,
+       round(median(value), 4) AS p50,
+       round(quantile_cont(value, 0.75), 4) AS p75,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events
+GROUP BY event_type
+""",
+)
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + median per group (F.percentile /
+    F.median — the exact forms; percentile_approx is the sketch sibling
+    already covered by approx_unique_urls_per_user's HLL discussion).
+    Exact percentile needs a per-group sort at scale — the approx sketch
+    is the 100 TB default, this query pins the exact semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.median("value"), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.75)), 4).alias("p75"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "user_event_type_pivot",
+    oracle="""
+SELECT CAST(user_id AS VARCHAR) AS user_id,
+       CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup')   AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS view
+FROM events
+GROUP BY user_id
+""",
+)
+def user_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide one-hot aggregation): explicit values list so the
+    output schema is static — at scale NEVER let pivot infer the column
+    set (that is a full distinct scan before planning). Absent cells
+    coalesce to 0 to match the oracle's FILTER counts."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.col("user_id").cast("string").alias("user_id"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in _EVENT_TYPES],
+    )

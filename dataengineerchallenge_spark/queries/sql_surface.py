@@ -7,6 +7,7 @@ the ANTLR→analyzer→optimizer path end-to-end under the correctness gate.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from dataengineerchallenge_spark.registry import register
 from dataengineerchallenge_spark.sources.tables import register_views
@@ -65,3 +66,54 @@ def event_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     statement runs on DuckDB as the oracle."""
     register_views(spark, sf_dir)
     return spark.sql(_GS_SQL)
+
+
+@register(
+    "event_scalar_function_showcase",
+    oracle="""
+    SELECT CAST(event_id AS VARCHAR) AS event_id,
+           upper(trim(event_type)) AS type_uc,
+           substring(event_type, 1, 3) AS type_prefix,
+           concat_ws('|', event_type, CAST(user_id AS VARCHAR)) AS type_user,
+           regexp_replace(event_type, '[aeiou]', '_', 'g') AS type_devoweled,
+           CAST(length(event_type) AS INT) AS type_len,
+           CAST(hour(ts) AS INT) AS hr,
+           CAST(isodow(ts) AS INT) AS dow_iso,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS days_since_y0,
+           round(sqrt(abs(value)), 4) AS sqrt_value,
+           round(ln(1.0 + abs(value)), 4) AS log_value,
+           CAST(floor(value) AS BIGINT) AS value_floor,
+           CASE WHEN value >= 5 THEN 'high' WHEN value >= 2 THEN 'mid' ELSE 'low' END AS tier,
+           coalesce(nullif(event_type, 'error'), 'ERR') AS type_masked
+    FROM events
+    """,
+)
+def event_scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F3/F4/F5 breadth in one hash-checked pass: string
+    (upper/trim/substring/concat_ws/regexp_replace/length), date/time
+    (hour/ISO weekday/datediff), math (sqrt/ln/floor/abs), and
+    conditional (CASE, coalesce, nullif) — all JVM built-ins inside one
+    whole-stage-codegen projection, the scalar surface a query author
+    actually lives on."""
+    from dataengineerchallenge_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.upper(F.trim("event_type")).alias("type_uc"),
+        F.substring("event_type", 1, 3).alias("type_prefix"),
+        F.concat_ws("|", "event_type", F.col("user_id").cast("string")).alias("type_user"),
+        F.regexp_replace("event_type", "[aeiou]", "_").alias("type_devoweled"),
+        F.length("event_type").cast("int").alias("type_len"),
+        F.hour("ts").cast("int").alias("hr"),
+        F.dayofweek("ts").alias("_dow_raw"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("int").alias("days_since_y0"),
+        F.round(F.sqrt(F.abs("value")), 4).alias("sqrt_value"),
+        F.round(F.log1p(F.abs("value")), 4).alias("log_value"),
+        F.floor("value").cast("long").alias("value_floor"),
+        F.when(F.col("value") >= 5, "high").when(F.col("value") >= 2, "mid").otherwise("low").alias("tier"),
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("ERR")).alias("type_masked"),
+    ).withColumn(
+        # Spark dayofweek is 1=Sun..7=Sat; convert to ISO 1=Mon..7=Sun
+        "dow_iso", (((F.col("_dow_raw") + 5) % 7) + 1).cast("int")
+    ).drop("_dow_raw")
