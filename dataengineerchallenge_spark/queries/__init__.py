@@ -18,6 +18,7 @@ _MODULES = [
     "ml",
     "multimodal",
     "sql_surface",
+    "pipeline",
 ]
 
 

@@ -50,9 +50,8 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "doc_quality_scores",
-    oracle=f"""
+_QUALITY_ORACLE = (
+    f"""
     WITH m AS (
       SELECT doc_id,
              length(text) AS n_chars_actual,
@@ -74,28 +73,29 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + 0.3 * type_token_ratio
                  + 0.3 * (1.0 - stopword_ratio), 4) AS quality
     FROM m
-    """,
+    """
 )
-def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N4 quality scoring: length / stopword / lexical-diversity signals
-    composed into one score — the filter stage of a pretraining pipeline
-    (drop quality < τ). Per-row map; the lexicon is an in-expression
-    literal (would be a broadcast join for a real stopword list)."""
-    docs = load_table(spark, sf_dir, "documents")
+
+
+def quality_frame(docs: DataFrame) -> DataFrame:
+    """Quality metrics + composite score for any (doc_id, text, …) frame
+    (reused by the corpus_curation_pipeline). Ratios are rounded to 4
+    BEFORE entering the composite so the oracle twin is bit-stable."""
     ws = F.split("text", " ")
     n_words = F.size(ws)
     stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
-    m = docs.select(
-        "doc_id",
-        F.length("text").alias("n_chars_actual"),
-        n_words.alias("n_words"),
-        F.round(F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n_words, 4).alias(
-            "mean_word_len"
-        ),
-        F.round(F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w))) / n_words, 4).alias(
-            "stopword_ratio"
-        ),
-        F.round(F.size(F.array_distinct(ws)) / n_words, 4).alias("type_token_ratio"),
+    m = docs.withColumns(
+        {
+            "n_chars_actual": F.length("text"),
+            "n_words": n_words,
+            "mean_word_len": F.round(
+                F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n_words, 4
+            ),
+            "stopword_ratio": F.round(
+                F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w))) / n_words, 4
+            ),
+            "type_token_ratio": F.round(F.size(F.array_distinct(ws)) / n_words, 4),
+        }
     )
     quality = F.round(
         0.4 * F.least(F.col("n_words") / 50.0, F.lit(1.0))
@@ -104,6 +104,19 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
     )
     return m.withColumn("quality", quality)
+
+
+@register("doc_quality_scores", oracle=_QUALITY_ORACLE)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 quality scoring: length / stopword / lexical-diversity signals
+    composed into one score — the filter stage of a pretraining pipeline
+    (drop quality < τ). Per-row map; the lexicon is an in-expression
+    literal (would be a broadcast join for a real stopword list)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_frame(docs).select(
+        "doc_id", "n_chars_actual", "n_words", "mean_word_len",
+        "stopword_ratio", "type_token_ratio", "quality",
+    )
 
 
 @register(
@@ -137,7 +150,13 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fixture langs are only weakly separable (~36% accuracy vs 20% chance);
     the query checks the machinery, not the fixture. Min top-2 margin
     5.4e-4 ≫ cross-engine float drift."""
-    docs = load_table(spark, sf_dir, "documents")
+    return lang_id_frame(load_table(spark, sf_dir, "documents"))
+
+
+def lang_id_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang) for any (doc_id, lang, text) corpus frame —
+    the model trains on exactly the frame it scores (reused by
+    corpus_curation_pipeline on the deduped/filtered survivors)."""
     tok = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
     lw = tok.groupBy(F.col("lang").alias("l"), "w").agg(F.count("*").cast("double").alias("c"))
     ltot = tok.groupBy(F.col("lang").alias("l")).agg(F.count("*").cast("double").alias("n"))
