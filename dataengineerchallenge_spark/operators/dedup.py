@@ -78,7 +78,12 @@ def word_shingles(text_col: str | Column, n: int = 3) -> Column:
 
 
 def shingle_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard similarity join (N2's exact anchor).
 
@@ -86,22 +91,33 @@ def shingle_jaccard_pairs(
     shingle → count common shingles per pair → Jaccard = common /
     (|A| + |B| - common). Only pairs sharing at least one shingle are ever
     materialized, and the join is a hash join on the shingle key — never a
-    crossJoin. At 100 TB you would additionally drop ultra-frequent
-    shingles (stop-shingles) to bound the per-key fan-out; the hook is the
-    ``freq`` filter below (disabled at test scale to stay oracle-exact).
+    crossJoin.
+
+    ``max_shingle_freq``: drop shingles occurring in more than this many
+    docs from the JOIN side (stop-shingles). At 100 TB this bounds the
+    per-key fan-out of the hottest shingles at the cost of possibly
+    missing pairs whose entire overlap is stop-shingles — a recall
+    trade-off, so it is None (exact) by default and in the oracled query.
+    Doc sizes for the Jaccard denominator always use the unfiltered
+    shingle sets. (Prefix filtering was measured here and does NOT pay on
+    this corpus: the ~30-word vocabulary makes lexicographic prefixes
+    non-selective.)
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     sh = df.select(F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, n)).alias("_sh"))
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))  # shingles already distinct per doc
+    sizes_all = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("_sh").agg(F.count("*").alias("_df"))
+        sh = sh.join(F.broadcast(freq.filter(F.col("_df") <= max_shingle_freq).select("_sh")), "_sh")
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .agg(F.count("*").alias("_common"))
     )
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    sa = sizes_all.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes_all.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
     return (
         common.join(sa, "id_a")
         .join(sb, "id_b")

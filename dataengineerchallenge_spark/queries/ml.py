@@ -79,3 +79,41 @@ def predict_unique_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.select(
         "user_id", "avg_unique_urls", F.round("prediction", 4).alias("predicted_unique_urls")
     )
+
+
+@register(
+    "per_minute_load_dense",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(floor(epoch(date_trunc('minute', ts))) AS BIGINT) AS m,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    spine AS (
+      SELECT unnest(range((SELECT min(m) FROM base),
+                          (SELECT max(m) FROM base) + 60, 60)) AS minute_epoch_s
+    )
+    SELECT s.minute_epoch_s, coalesce(b.n, 0) AS n_requests
+    FROM spine s LEFT JOIN base b ON b.m = s.minute_epoch_s
+    """,
+)
+def per_minute_load_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled per-minute load: a generated minute spine (F.sequence →
+    explode, no driver loop) left-joined to the observed counts, zero
+    minutes explicit. Time-series models need the dense series —
+    rangeBetween features (load_features) handle gaps, but lag-k row
+    features and FFT-ish methods do not. The spine frame is one row per
+    minute — broadcast side of the join at any horizon."""
+    from dataengineerchallenge_spark.ml.features import minute_load
+
+    base = minute_load(spark, sf_dir)
+    bounds = base.agg(
+        F.min("minute_epoch_s").alias("lo"), F.max("minute_epoch_s").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(60))).alias("minute_epoch_s")
+    )
+    return spine.join(base, "minute_epoch_s", "left").select(
+        "minute_epoch_s",
+        F.coalesce(F.col("n_requests"), F.lit(0)).cast("long").alias("n_requests"),
+    )

@@ -91,3 +91,22 @@ def test_shingles_short_doc_empty(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
     out = df.select(D.word_shingles("text", 3).alias("sh")).collect()
     assert out[0]["sh"] == []
+
+
+def test_stop_shingle_filter_preserves_results_when_loose(spark):
+    """With a frequency cap above every shingle's document frequency the
+    stop-shingle variant must equal the exact join; with cap=0 it finds
+    nothing (all shingles dropped) — the recall trade-off made visible."""
+    from dataengineerchallenge_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {tuple(r) for r in D.shingle_jaccard_pairs(docs, "doc_id", "text").collect()}
+    loose = {
+        tuple(r)
+        for r in D.shingle_jaccard_pairs(
+            docs, "doc_id", "text", max_shingle_freq=10**9
+        ).collect()
+    }
+    assert loose == exact and exact
+    none = D.shingle_jaccard_pairs(docs, "doc_id", "text", max_shingle_freq=0).count()
+    assert none == 0
