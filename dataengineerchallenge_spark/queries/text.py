@@ -159,9 +159,13 @@ def lang_id_frame(docs: DataFrame) -> DataFrame:
     corpus_curation_pipeline on the deduped/filtered survivors)."""
     tok = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
     lw = tok.groupBy(F.col("lang").alias("l"), "w").agg(F.count("*").cast("double").alias("c"))
-    ltot = tok.groupBy(F.col("lang").alias("l")).agg(F.count("*").cast("double").alias("n"))
-    vocab = tok.agg(F.countDistinct("w").cast("double").alias("v"))
-    langs = docs.select(F.col("lang").alias("l")).distinct()
+    # ltot / vocab / langs all derive from the tiny lw aggregate, not from
+    # another scan of the corpus: without this each side-frame re-reads
+    # and re-explodes the source (no ReuseExchange across differently
+    # pruned branches)
+    ltot = lw.groupBy("l").agg(F.sum("c").alias("n"))
+    vocab = lw.agg(F.countDistinct("w").cast("double").alias("v"))
+    langs = lw.select("l").distinct()
     scores = (
         tok.crossJoin(F.broadcast(langs))
         .join(F.broadcast(lw), ["l", "w"], "left")
