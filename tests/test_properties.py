@@ -87,3 +87,72 @@ def test_exact_dedup_keeps_min_id_per_content(spark, rows):
     for i, (_s, body) in enumerate(rows):
         expect.setdefault(body, i)
     assert out == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    lines=st.lists(
+        st.one_of(
+            # structurally valid-ish lines with random fields
+            st.tuples(st.integers(0, 86_399), st.integers(0, 9), st.integers(200, 599)).map(
+                lambda t: (
+                    f"2015-07-22T{t[0]//3600:02d}:{t[0]%3600//60:02d}:{t[0]%60:02d}.000000Z "
+                    f"elb1 10.0.0.{t[1]}:1234 10.1.0.1:80 0.01 0.02 0.01 {t[2]} {t[2]} 10 20 "
+                    '"GET https://x.com:443/p HTTP/1.1" "UA" - -'
+                )
+            ),
+            # arbitrary junk (fuzz)
+            st.text(
+                alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\n\r"),
+                max_size=120,
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_elb_parser_total_and_never_crashes(spark, lines):
+    """P5 robustness: EVERY input line lands in exactly one bucket
+    (valid or quarantined) no matter how malformed — the parser never
+    drops or throws ("messy (ie real) data", reference README.md:61)."""
+    from dataengineerchallenge_spark.sources.elb import parse_elb, quarantine, valid_requests
+
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    parsed = parse_elb(df)
+    n_valid = valid_requests(parsed).count()
+    n_bad = quarantine(parsed).count()
+    assert n_valid + n_bad == len(lines)
+    # structurally valid lines must parse with a timestamp and client ip
+    ok = valid_requests(parsed)
+    assert ok.filter(ok.ts.isNull() | ok.client_ip.isNull()).count() == 0
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=1, max_size=25),
+    rights=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=0, max_size=25),
+)
+def test_as_of_join_matches_python_reference(spark, lefts, rights):
+    """J7: for every left row, the attached payload is the right row with
+    the LARGEST ts <= left.ts on the same key (ties → largest rid), or
+    NULL when no such row exists."""
+    from dataengineerchallenge_spark.operators.joins import as_of_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(lefts)], "lid int, k int, ts_s int"
+    )
+    rdf = spark.createDataFrame(
+        [(i, k, ts, f"p{i}") for i, (k, ts) in enumerate(rights)],
+        "rid int, k int, ts_s int, pay string",
+    )
+    out = as_of_join(ldf, rdf, on=["k"], payload=["pay"], tie_break=["rid"])
+    got = {r["lid"]: r["pay_asof"] for r in out.collect()}
+
+    expect = {}
+    for i, (k, ts) in enumerate(lefts):
+        best = None  # (ts, rid)
+        for j, (rk, rts) in enumerate(rights):
+            if rk == k and rts <= ts and (best is None or (rts, j) > best):
+                best = (rts, j)
+        expect[i] = f"p{best[1]}" if best else None
+    assert got == expect
