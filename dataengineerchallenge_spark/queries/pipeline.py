@@ -45,7 +45,7 @@ _QUALITY_MIN = 0.72
                                  / len(string_split(text, ' ')), 4)
                    + 0.3 * (1.0 - round(len(list_filter(string_split(text, ' '),
                                 w -> list_contains(['the', 'a'], w)))::DOUBLE
-                                / len(string_split(text, ' ')), 4)), 4) AS quality
+                                / len(string_split(text, ' ')), 4)), 5) AS quality
       FROM deduped
     ),
     kept AS (SELECT * FROM scored WHERE quality >= {_QUALITY_MIN}),

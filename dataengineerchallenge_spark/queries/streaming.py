@@ -60,7 +60,7 @@ def stream_sliding_load(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_sessionize",
-    oracle=events_session_cte(gap=899)
+    oracle=events_session_cte(gap=900)
     + """
     SELECT skey, start_s, end_s + 900 AS end_s, n_hits, n_unique_urls
     FROM sessions
@@ -69,9 +69,11 @@ def stream_sliding_load(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3+T4: native session_window sessionizer, complete snapshot.
 
-    Gap boundary is the native operator's (end-exclusive window: gap ==
-    900 s starts a NEW session), so the oracle runs the shared session
-    CTE with `> 899`; window end = last event + gap."""
+    Gap boundary: session_window MERGES a gap of exactly 900 s (inclusive
+    — empirically pinned at sf0.1, where exact-900 gaps exist: a gap
+    strictly GREATER than the gap duration starts a new session). That is
+    identical to the batch sessionizer's `>` rule, so the oracle is the
+    shared session CTE with gap=900; window end = last event + gap."""
     ev = stream_events(spark, sf_dir)
     return run_to_batch(session_window_stream(ev), "sessions", output_mode="complete")
 

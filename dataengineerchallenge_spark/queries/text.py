@@ -71,7 +71,7 @@ _QUALITY_ORACLE = (
            type_token_ratio,
            round(0.4 * least(n_words / 50.0, 1.0)
                  + 0.3 * type_token_ratio
-                 + 0.3 * (1.0 - stopword_ratio), 4) AS quality
+                 + 0.3 * (1.0 - stopword_ratio), 5) AS quality
     FROM m
     """
 )
@@ -97,11 +97,16 @@ def quality_frame(docs: DataFrame) -> DataFrame:
             "type_token_ratio": F.round(F.size(F.array_distinct(ws)) / n_words, 4),
         }
     )
+    # round to 5, not 4: the composite of round-4 components lies on a
+    # 1e-5 grid, so ROUND(x,4) sits exactly on the .00005 tie where Spark
+    # (shortest-decimal HALF_UP) and DuckDB (scaled std::round) disagree;
+    # round-5 snaps the 1e-15 float noise to the grid point tie-free
+    # (observed: 3/5000 docs flipped at sf0.1 before this change)
     quality = F.round(
         0.4 * F.least(F.col("n_words") / 50.0, F.lit(1.0))
         + 0.3 * F.col("type_token_ratio")
         + 0.3 * (1.0 - F.col("stopword_ratio")),
-        4,
+        5,
     )
     return m.withColumn("quality", quality)
 

@@ -13,13 +13,12 @@ Two implementations:
   the gap, keep the trailing open session in state until event-time
   timeout). This is the custom-operator escape hatch of SURVEY §2.10.
 
-Boundary semantics differ from batch BY DESIGN of the native operator:
-``session_window`` merges two events iff their gap is STRICTLY LESS than
-the gap duration (windows are end-exclusive), i.e. gap == 900 s starts a
-new session, while the batch lag+cumsum sessionizer keeps it in-session
-(gap > 900 starts new). Timestamps are pre-floored to whole seconds so
-both engines and the DuckDB oracle compare identical integers; the
-oracle for the native path therefore uses ``gap > 899``.
+Boundary semantics: ``session_window`` merges two events iff their gap
+is ≤ the gap duration (inclusive — a gap of exactly 900 s stays
+in-session; verified empirically at sf0.1 where exact-900 gaps occur),
+which MATCHES the batch lag+cumsum sessionizer's `>`-starts-new rule.
+Timestamps are pre-floored to whole seconds so both engines and the
+DuckDB oracle compare identical integers.
 """
 
 from __future__ import annotations

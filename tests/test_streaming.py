@@ -25,11 +25,11 @@ def qs():
 
 
 def test_session_window_stream_equals_batch_at_same_gap(spark, qs):
-    """T3 batch equivalence: the native session_window stream (gap ==
-    900 starts new) must equal the batch lag+cumsum sessionizer run with
-    gap_s=899 (whose `>` rule encodes the same boundary)."""
+    """T3 batch equivalence: the native session_window stream must equal
+    the batch lag+cumsum sessionizer at the same gap (both treat a gap of
+    exactly 900 s as in-session; `>` starts a new one)."""
     ev = load_table(spark, SF_DIR, "events")
-    batch = session_stats(ev, gap_s=899).select(
+    batch = session_stats(ev, gap_s=900).select(
         F.col("user_id").alias("skey"), "start_s",
         (F.col("end_s") + 900).alias("end_s"), "n_hits", "n_unique_urls",
     )
@@ -119,3 +119,29 @@ def test_tumbling_stream_equals_batch_counts(spark, qs):
         .collect()
     }
     assert stream == batch
+
+
+def test_session_window_gap_boundary_inclusive(spark, tmp_path):
+    """Two events exactly 900 s apart form ONE session in the native
+    session_window (inclusive boundary) — and 901 s apart form two.
+    Pins the semantics the stream_sessionize oracle encodes (gap=900)."""
+    from datetime import datetime, timezone
+    from dataengineerchallenge_spark.streaming.sessionize import session_window_stream
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0, tzinfo=timezone.utc)
+
+    def run(offsets, name):
+        rows = [
+            (str(i), datetime.fromtimestamp(t0.timestamp() + o, timezone.utc), "u1", "view")
+            for i, o in enumerate(offsets)
+        ]
+        df = spark.createDataFrame(rows, "event_id string, ts timestamp, user_id string, event_type string")
+        d = str(tmp_path / name)
+        df.write.parquet(d)
+        src = spark.readStream.schema(df.schema).parquet(d)
+        return run_to_batch(session_window_stream(src), name, output_mode="complete")
+
+    one = run([0, 900], "gap900")
+    assert one.count() == 1 and one.collect()[0]["n_hits"] == 2
+    two = run([0, 901], "gap901")
+    assert two.count() == 2
