@@ -106,3 +106,63 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison is not observable at sf0.01.)"""
     ev = stream_events(spark, sf_dir)
     return run_to_batch(stateful_sessionize_stream(ev), "stateful", output_mode="append")
+
+
+@register(
+    "stream_view_purchase_pairs",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(user_id AS VARCHAR) AS user_id,
+             CAST(event_id AS VARCHAR) AS event_id,
+             event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events
+    )
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           p.ts_s - v.ts_s AS gap_s
+    FROM ev v JOIN ev p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts_s >= v.ts_s AND p.ts_s <= v.ts_s + 3600
+    """,
+)
+def stream_view_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (watermarked both sides): all
+    (view, purchase) pairs of one user within an hour — the streaming
+    twin of the batch range join, hash-checked against the plain SQL
+    band join."""
+    from dataengineerchallenge_spark.streaming.joins import (
+        purchases_within_hour_of_view_stream,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_batch(
+        purchases_within_hour_of_view_stream(ev), "vp_pairs", output_mode="append"
+    )
+
+
+_TYPE_WEIGHTS = [("view", 1.0), ("click", 2.0), ("purchase", 10.0), ("signup", 5.0), ("error", 0.0)]
+
+
+@register(
+    "stream_weighted_minute_load",
+    oracle="""
+    WITH w(event_type, weight) AS (VALUES
+      ('view', 1.0), ('click', 2.0), ('purchase', 10.0), ('signup', 5.0), ('error', 0.0))
+    SELECT CAST(floor(epoch(date_trunc('minute', ts))) AS BIGINT) AS minute_epoch_s,
+           CAST(COUNT(*) AS BIGINT) AS n_requests,
+           round(CAST(SUM(coalesce(w.weight, 0.0)) AS DOUBLE), 4) AS weighted_load
+    FROM events LEFT JOIN w USING (event_type)
+    GROUP BY 1
+    """,
+)
+def stream_weighted_minute_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: broadcast per-type weight dimension into the
+    stream, then per-minute weighted load (complete snapshot)."""
+    from dataengineerchallenge_spark.streaming.joins import weighted_minute_load_stream
+
+    ev = stream_events(spark, sf_dir)
+    weights = spark.createDataFrame(_TYPE_WEIGHTS, "event_type string, weight double")
+    return run_to_batch(
+        weighted_minute_load_stream(ev, weights), "wload", output_mode="complete"
+    )
