@@ -90,14 +90,17 @@ def enrich_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     (codec init, model load) must amortize across the batch."""
     for pdf in batches:
         ts = pd.to_datetime(pdf["ts_s"], unit="s")
+        v = pdf["value"].astype("float64")
+        # nullable extension dtypes (Int32/Float64): NULL inputs stay NULL
+        # through the Arrow round-trip instead of becoming garbage ints
+        # (NaN // 2 cast to int32 is undefined) — matches the oracle's
+        # NULL propagation on messy data
         yield pd.DataFrame(
             {
                 "event_id": pdf["event_id"].astype(str),
-                "dow": ts.dt.dayofweek.astype("int32") + 1,  # 1=Mon, ISO
-                "value_bucket": np.minimum(
-                    (pdf["value"].to_numpy(dtype="float64") // 2).astype("int32"), 4
-                ),
-                "log1p_value": np.log1p(pdf["value"].to_numpy(dtype="float64")),
+                "dow": (ts.dt.dayofweek + 1).astype("Int32"),  # 1=Mon, ISO
+                "value_bucket": (v // 2).clip(upper=4).astype("Int32"),
+                "log1p_value": pd.Series(np.log1p(v.to_numpy()), index=pdf.index).astype("Float64"),
             }
         )
 

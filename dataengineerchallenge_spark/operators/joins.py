@@ -62,6 +62,11 @@ def as_of_join(
     out = filled.filter(F.col("_side") == 1)
     for p in payload:
         out = out.drop(f"{p}_asof").withColumnRenamed(f"{p}_asof_f", f"{p}_asof")
+    # drop tie columns that exist only on the right side — after the
+    # union+filter they are all-NULL passengers, not part of the contract
+    for t in tie_break:
+        if t not in left.columns:
+            out = out.drop(t)
     return out.drop("_side", "_ats")
 
 

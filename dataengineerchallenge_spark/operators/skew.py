@@ -25,9 +25,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# partial-aggregate expression, then the matching final re-aggregate
+# partial-aggregate expression, then the matching final re-aggregate.
+# 'count' is COUNT(*) row-count semantics (count(lit(1)) — NULLs in the
+# column still count), matching the oracle's COUNT(*); use 'count_col'
+# semantics via sum(when(col.isNotNull,1)) in the caller if needed.
 _ALGEBRAIC = {
-    "count": (lambda c: F.count(c), lambda p: F.sum(p)),
+    "count": (lambda c: F.count(F.lit(1)), lambda p: F.sum(p)),
     "sum": (lambda c: F.sum(c), lambda p: F.sum(p)),
     "min": (lambda c: F.min(c), lambda p: F.min(p)),
     "max": (lambda c: F.max(c), lambda p: F.max(p)),

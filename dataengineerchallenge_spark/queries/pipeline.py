@@ -95,8 +95,9 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through a parquet sink (sources/sinks.py) between phases instead.
     kept = quality_frame(deduped).filter(F.col("quality") >= _QUALITY_MIN)
     preds = lang_id_frame(kept.select("doc_id", "lang", "text"))
-    fingerprint = F.element_at(
-        F.array_sort(F.array_distinct(F.transform(word_shingles("text", 3), lambda s: F.md5(s)))), 1
+    # F.get (NULL on empty), not element_at (ANSI throw) — see doc_fingerprints
+    fingerprint = F.get(
+        F.array_sort(F.array_distinct(F.transform(word_shingles("text", 3), lambda s: F.md5(s)))), 0
     )
     return (
         kept.withColumn("fingerprint", fingerprint)

@@ -25,20 +25,7 @@ GROUP BY n.n_name
 """
 
 
-@register(
-    "sql_nation_order_stats",
-    oracle="""
-    SELECT n.n_name,
-           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_buyers,
-           ROUND(CAST(SUM(o.o_totalprice) AS DOUBLE), 2) AS gross,
-           ROUND(AVG(o.o_totalprice), 4) AS avg_order
-    FROM orders o
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN nation n   ON c.c_nationkey = n.n_nationkey
-    WHERE o.o_orderstatus <> 'F'
-    GROUP BY n.n_name
-    """,
-)
+@register("sql_nation_order_stats", oracle=_SQL)
 def sql_nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5: register views, run ANSI SQL through spark.sql — the oracle
     is literally the same statement run by DuckDB."""

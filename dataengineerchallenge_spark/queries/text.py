@@ -210,9 +210,12 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = F.array_sort(
         F.array_distinct(F.transform(word_shingles("text", 3), lambda s: F.md5(s)))
     )
+    # F.get, not element_at: docs shorter than the shingle width have an
+    # empty hash array, and under ANSI mode (Spark 4 default) element_at
+    # throws on it; get returns NULL, matching the oracle's h[1] on [].
     return docs.select(
         "doc_id",
-        F.element_at(hashes, 1).alias("fingerprint"),
+        F.get(hashes, 0).alias("fingerprint"),
         F.slice(hashes, 1, 4).alias("sketch"),
     )
 

@@ -48,7 +48,12 @@ def run_to_batch(
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()
     try:
-        q.awaitTermination(timeout_s)
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"streaming query {name!r} did not drain availableNow input in "
+                f"{timeout_s}s — refusing to return a partially-filled sink"
+            )
     finally:
         if q.isActive:
             q.stop()

@@ -156,3 +156,14 @@ def test_as_of_join_matches_python_reference(spark, lefts, rights):
                 best = (rts, j)
         expect[i] = f"p{best[1]}" if best else None
     assert got == expect
+
+
+def test_as_of_join_schema_has_no_injected_tie_columns(spark):
+    """Right-only tie_break columns must not leak into the output."""
+    from dataengineerchallenge_spark.operators.joins import as_of_join
+
+    ldf = spark.createDataFrame([(1, 1, 10)], "lid int, k int, ts_s int")
+    rdf = spark.createDataFrame([(7, 1, 5, "p")], "rid int, k int, ts_s int, pay string")
+    out = as_of_join(ldf, rdf, on=["k"], payload=["pay"], tie_break=["rid"])
+    assert "rid" not in out.columns
+    assert out.collect()[0]["pay_asof"] == "p"

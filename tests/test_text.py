@@ -52,3 +52,15 @@ def test_sentiment_sign(spark, qs):
     rows = qs["doc_sentiment"](spark, SF_DIR).collect()
     assert len(rows) == 500
     assert all(-1.0 <= r["sentiment"] <= 1.0 for r in rows)
+
+
+def test_fingerprint_null_for_short_docs(spark):
+    """Docs shorter than the shingle width get a NULL fingerprint (not an
+    ANSI element_at crash) and an empty sketch."""
+    import pyspark.sql.functions as F
+    from dataengineerchallenge_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    hashes = F.array_sort(F.array_distinct(F.transform(word_shingles("text", 3), lambda s: F.md5(s))))
+    row = df.select(F.get(hashes, 0).alias("fp"), F.slice(hashes, 1, 4).alias("sk")).collect()[0]
+    assert row["fp"] is None and row["sk"] == []

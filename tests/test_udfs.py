@@ -76,3 +76,18 @@ def test_udtf_word_counts_equal_explode_plan(spark, qs):
     }
     udtf = {(r["word"], r["total_n"]) for r in qs["udf_word_counts"](spark, SF_DIR).collect()}
     assert udtf == builtin
+
+
+def test_enrich_propagates_nulls(spark):
+    """D4 NULL discipline: NULL value/ts produce NULL features, never
+    garbage ints from NaN casts."""
+    from dataengineerchallenge_spark.functions.udfs import ENRICH_SCHEMA, enrich_batches
+
+    df = spark.createDataFrame(
+        [("1", 1700000000, 3.4), ("2", 1700000000, None), ("3", None, 1.0)],
+        "event_id string, ts_s long, value double",
+    )
+    out = {r["event_id"]: r for r in df.mapInPandas(enrich_batches, ENRICH_SCHEMA).collect()}
+    assert out["1"]["value_bucket"] == 1 and out["1"]["dow"] is not None
+    assert out["2"]["value_bucket"] is None and out["2"]["log1p_value"] is None
+    assert out["3"]["dow"] is None
