@@ -34,6 +34,7 @@ HEADLINE = [
     "udf_user_trend",           # D3 Arrow grouped-map
     "elb_sessionize",           # P1-P5 real-format parse path
     "stream_per_minute_load",   # T1 streaming twin
+    "corpus_curation_pipeline", # N1+N4 composed flagship
 ]
 
 
