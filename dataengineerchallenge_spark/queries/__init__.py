@@ -19,6 +19,7 @@ _MODULES = [
     "multimodal",
     "sql_surface",
     "pipeline",
+    "formats",
 ]
 
 

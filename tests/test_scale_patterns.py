@@ -100,3 +100,13 @@ def test_date_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "Filter (day" not in plan
     expected = ev.filter(F.col("day") == 2).count()
     assert q.count() == expected
+
+
+def test_orc_pushes_filters_like_parquet(spark):
+    """S2/ORC: the other columnar format also receives pushed filters —
+    the at-rest formats (parquet, ORC) prune; row formats don't."""
+    from dataengineerchallenge_spark.sources.formats import events_from_orc
+
+    q = events_from_orc(spark, SF_DIR).filter(F.col("event_type") == "error").select("event_id")
+    plan = _explain(q, "formatted")
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)]" in plan
