@@ -33,8 +33,12 @@ def sigmoid_score(v: pd.Series) -> pd.Series:
     A built-in equivalent exists (1/(1+exp(-x))) — this UDF is the pinned
     template for the Arrow scalar path (numpy kernels, e.g. scipy special
     functions, where no built-in exists). Arrow-batched: one numpy call
-    per ~10k-row batch, no per-row Python."""
-    return 1.0 / (1.0 + np.exp(-(v.astype("float64") - 5.0)))
+    per ~10k-row batch, no per-row Python. NULL inputs stay NULL (nullable
+    Float64, like enrich_batches) — plain float64 would turn them into NaN
+    and break parity with the SQL oracle's NULL propagation."""
+    x = v.astype("float64")
+    out = pd.Series(1.0 / (1.0 + np.exp(-(x - 5.0))), index=v.index).astype("Float64")
+    return out.mask(v.isna(), pd.NA)
 
 
 @pandas_udf(DoubleType())
@@ -44,8 +48,11 @@ def trimmed_mean_10(v: pd.Series) -> float:
     No Spark built-in computes a count-trimmed mean (percentile_approx
     trims by value, not rank). Definition: sort, drop floor(n/10) rows
     from each end, average the rest — mirrored exactly by the DuckDB
-    oracle's row_number formulation."""
-    a = np.sort(v.to_numpy(dtype="float64"))
+    oracle's row_number formulation. NULLs are dropped before trimming
+    (SQL aggregate semantics); an all-NULL group yields NULL, not NaN."""
+    a = np.sort(v.dropna().to_numpy(dtype="float64"))
+    if len(a) == 0:
+        return None
     k = len(a) // 10
     kept = a[k : len(a) - k] if len(a) - 2 * k > 0 else a
     return float(kept.mean())

@@ -56,7 +56,7 @@ def props_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_CTE
     + """
 SELECT skey, session_id,
-       array_agg(DISTINCT url ORDER BY url) AS urls
+       array_to_string(array_agg(DISTINCT url ORDER BY url), '|') AS urls
 FROM sess
 GROUP BY skey, session_id
 """,
@@ -64,14 +64,16 @@ GROUP BY skey, session_id
 def session_url_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 collect_set: the distinct URLs each session touched, sort_array-
     wrapped so the array ordering is deterministic for the oracle hash
-    (SURVEY.md §7.4 discipline — never hash a collect_list order)."""
+    (SURVEY.md §7.4 discipline — never hash a collect_list order).
+    Serialized with array_join: the driver's pandas canonicalizer cannot
+    sort list-typed cells (CORRECTNESS_r02 'unhashable type: list')."""
     from dataengineerchallenge_spark.operators.sessionize import with_session_ids
 
     ev = load_table(spark, sf_dir, "events")
     sess = with_session_ids(ev)
     return (
         sess.groupBy(F.col("user_id").alias("skey"), "session_id")
-        .agg(F.sort_array(F.collect_set("event_type")).alias("urls"))
+        .agg(F.array_join(F.sort_array(F.collect_set("event_type")), "|").alias("urls"))
     )
 
 

@@ -196,7 +196,7 @@ def lang_id_frame(docs: DataFrame) -> DataFrame:
                    list_transform([array_to_string(ws[i:i+2], ' ')
                                    FOR i IN range(1, len(ws)-1)], x -> md5(x)))) AS h
           FROM t)
-    SELECT doc_id, h[1] AS fingerprint, h[1:4] AS sketch
+    SELECT doc_id, h[1] AS fingerprint, array_to_string(h[1:4], '|') AS sketch
     FROM s
     """,
 )
@@ -205,7 +205,9 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass), keep the minimum as the document fingerprint and the bottom-4
     as a containment sketch (bottom-k MinHash). md5 on both engines so
     the oracle hash-matches; winnowing (per-window minima) is the scale
-    refinement noted for real plagiarism-style matching. Per-row map."""
+    refinement noted for real plagiarism-style matching. Per-row map.
+    Sketch serialized with array_join: the driver's pandas canonicalizer
+    cannot sort list cells (CORRECTNESS_r02 'unhashable type: list')."""
     docs = load_table(spark, sf_dir, "documents")
     hashes = F.array_sort(
         F.array_distinct(F.transform(word_shingles("text", 3), lambda s: F.md5(s)))
@@ -216,7 +218,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.get(hashes, 0).alias("fingerprint"),
-        F.slice(hashes, 1, 4).alias("sketch"),
+        F.array_join(F.slice(hashes, 1, 4), "|").alias("sketch"),
     )
 
 

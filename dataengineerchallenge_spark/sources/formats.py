@@ -44,10 +44,19 @@ def _staged(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             "event_type",
             "value",
         )
+        # Write to a process-unique scratch dir, then atomically rename into
+        # the content-addressed slot: two concurrent drivers can both miss
+        # _SUCCESS, and a reader must never observe a half-written staging
+        # (same publish protocol as streaming/source.py's per-file rename).
+        tmp = Path(tempfile.mkdtemp(prefix=f"spark_graft_fmt_{fmt}_")) / "out"
         w = ev.write.mode("overwrite")
         if fmt == "csv":
             w = w.option("header", "true")
-        w.format(fmt).save(str(d))
+        w.format(fmt).save(str(tmp))
+        try:
+            tmp.rename(d)
+        except OSError:
+            pass  # a concurrent driver published the identical content first
     return str(d)
 
 

@@ -57,4 +57,11 @@ def run_to_batch(
     finally:
         if q.isActive:
             q.stop()
-    return spark.table(qname)
+    # Copy the sink contents out and drop the uniquely-named temp view:
+    # the memory sink is fully driver-resident anyway, and without the
+    # drop a long-lived session accumulates one materialized table per
+    # call (ADVICE r2). localCheckpoint is not enough — it keeps the view.
+    sink = spark.table(qname)
+    out = spark.createDataFrame(sink.collect(), sink.schema)
+    spark.catalog.dropTempView(qname)
+    return out

@@ -49,6 +49,11 @@ def test_cube_grain_counts_consistent(spark, qs):
 
 
 def test_session_url_sets_sorted(spark, qs):
+    # urls is a '|'-joined sorted-set string (driver hasher can't take
+    # arrays); re-splitting must yield a sorted, duplicate-free list
     df = qs["session_url_sets"](spark, SF_DIR)
-    unsorted = df.filter(F.col("urls") != F.sort_array("urls"))
+    arr = F.split("urls", r"\|")
+    unsorted = df.filter(
+        (arr != F.sort_array(arr)) | (F.size(arr) != F.size(F.array_distinct(arr)))
+    )
     assert unsorted.count() == 0

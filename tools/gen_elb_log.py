@@ -92,7 +92,9 @@ def main() -> None:
                 )
                 rows.append((t_us, line))
                 t_us += rng.randint(200_000, 180_000_000)  # 0.2 s – 3 min within session
-            t_us += rng.randint(1000, 7200) * 1_000_000  # 16.7 min – 2 h between sessions
+            # inter-session gap: 1000–7200 s random + 901 s floor-guard
+            # ≈ 31.7 min – 2.25 h total, always > the 900 s session gap
+            t_us += rng.randint(1000, 7200) * 1_000_000
             t_us += 901 * 1_000_000
 
     # malformed lines: classes both engines classify identically
