@@ -28,6 +28,7 @@ HEADLINE = [
     "top_orders_per_customer",  # O3 per-group top-k
     "exact_dedup_docs",         # N1 content-hash dedup
     "near_dup_jaccard",         # N2 shingle-join similarity
+    "near_dup_embedding_lsh",   # N2 embedding-cosine near-dup (LSH scale path)
     "cosine_topk_exact",        # N3/F8 vector top-k
     "doc_lang_id",              # N4 text scoring
     "load_features",            # W5 range-frame features

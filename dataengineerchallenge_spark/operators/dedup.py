@@ -29,6 +29,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dataengineerchallenge_spark.sources.tables import spread
+
 # ASCII unit separator: unambiguous field joiner for content hashing
 _SEP = "\x1f"
 
@@ -105,6 +107,10 @@ def shingle_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
+    # widen the scan first: the shingle explode and both map sides of the
+    # self-join otherwise inherit the source's partitioning (1 for a
+    # single-file fixture — measured 6.7s -> 1.9s at sf0.1); no-op at scale
+    df = spread(df)
     sh = df.select(F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, n)).alias("_sh"))
     sizes_all = sh.groupBy("_id").agg(F.count("*").alias("_n"))
     if max_shingle_freq is not None:
@@ -150,6 +156,7 @@ def minhash_lsh_pairs(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
+    df = spread(df)
     shingled = df.select(
         F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_shingles")
     ).filter(F.size("_shingles") > 0)
@@ -210,7 +217,7 @@ def simhash_near_dup_pairs(
     hash join, never all-pairs. Verification re-checks true hamming
     distance via bit_count(xor).
     """
-    sh = simhash_frame(df, id_col, word_shingles(text_col, n)).select(
+    sh = simhash_frame(spread(df), id_col, word_shingles(text_col, n)).select(
         F.col(id_col).alias("_id"), F.col("simhash").alias("_sim")
     )
     bands = sh.select(

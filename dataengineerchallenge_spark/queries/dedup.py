@@ -17,9 +17,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dataengineerchallenge_spark.functions import vectors as V
 from dataengineerchallenge_spark.operators import dedup as D
 from dataengineerchallenge_spark.registry import register
-from dataengineerchallenge_spark.sources.tables import load_table
+from dataengineerchallenge_spark.sources.tables import load_table, spread
+
+# Embedding near-dup: the fixture corpus has no high-cosine pairs (max
+# pairwise cosine 0.60 at sf0.1), so — like exact_dedup_docs' self-union —
+# the query plants its own: a second "re-encoded delivery batch" whose
+# vectors are the originals scaled by 1.01. Scaling preserves direction
+# (cosine(v, 1.01v) = 1), so every original gains exactly one near-dup
+# twin at cosine ≈ 1.0 while every cross pair stays ≤ 0.61 — a 0.34 margin
+# around the 0.95 threshold that dwarfs any cross-engine float drift.
+_TWIN_OFFSET = 1_000_000
+_TWIN_SCALE = 1.01
+_COS_MIN = 0.95
+
+_EMB_CORPUS_SQL = f"""
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_TWIN_OFFSET},
+             list_transform(embedding, x -> x::DOUBLE * {_TWIN_SCALE}::DOUBLE)
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_cosine_similarity(a.embedding, b.embedding) AS c
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(c, 4) AS cosine
+    FROM pairs WHERE c >= {_COS_MIN}
+"""
+
+
+def _embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ re-encoded twin batch, all-double, with L2 norms."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    orig = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    twin = emb.select(
+        (F.col("vec_id") + F.lit(_TWIN_OFFSET)).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * F.lit(_TWIN_SCALE)).alias(
+            "embedding"
+        ),
+    )
+    return orig.unionByName(twin).withColumn("_nrm", V.l2_norm(F.col("embedding")))
 
 
 @register(
@@ -82,6 +127,70 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin); determinism + planted-pair recall pinned by pytest."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@register("near_dup_embedding", oracle=_EMB_CORPUS_SQL)
+def near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 embedding-cosine near-dup, exact anchor: all-pairs cosine ≥ 0.95
+    over the twinned corpus. Norms are precomputed per row (3× fewer
+    array folds than cosine-per-pair); the pair join is a broadcast
+    nested-loop — the honest brute-force shape for the ORACLE ANCHOR ONLY,
+    same stance as region_pairs. The 100 TB path is
+    ``near_dup_embedding_lsh`` below."""
+    corpus = _embedding_corpus(spark, sf_dir)
+    a = corpus.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea"), F.col("_nrm").alias("_na")
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb"), F.col("_nrm").alias("_nb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b")).withColumn(
+        "c", V.dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))
+    )
+    return (
+        pairs.filter(F.col("c") >= _COS_MIN)
+        .select("id_a", "id_b", F.round("c", 4).alias("cosine"))
+    )
+
+
+@register("near_dup_embedding_lsh", oracle=_EMB_CORPUS_SQL)
+def near_dup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2/J9 embedding near-dup, scale path: unit-normalize, then a seeded
+    BucketedRandomProjectionLSH self-join. On unit vectors cosine ≥ τ ⟺
+    euclidean ≤ √(2−2τ), so the LSH join's EXACT distance filter applied
+    to its candidates reproduces the cosine predicate; candidates are
+    generated only where a hash band collides — sub-quadratic, never
+    all-pairs.
+
+    Oracled (unlike near_dup_minhash) because here recall is provably 1.0
+    on the fixture: every qualifying pair is a planted twin at distance 0,
+    and identical unit vectors hash to identical buckets in every table,
+    so the threshold-verified output equals the exact pair set. On a
+    corpus with borderline pairs (dist near the threshold) this operator
+    class would be rows-only."""
+    import math
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = _embedding_corpus(spark, sf_dir).filter(F.col("_nrm") > 0)
+    unit = corpus.select(
+        "vec_id",
+        array_to_vector(F.transform("embedding", lambda x: x / F.col("_nrm"))).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
+    )
+    model = lsh.fit(unit)
+    max_dist = math.sqrt(2.0 * (1.0 - _COS_MIN))
+    pairs = model.approxSimilarityJoin(unit, unit, threshold=max_dist, distCol="_d").filter(
+        F.col("datasetA.vec_id") < F.col("datasetB.vec_id")
+    )
+    return pairs.select(
+        F.col("datasetA.vec_id").alias("id_a"),
+        F.col("datasetB.vec_id").alias("id_b"),
+        F.round(F.lit(1.0) - F.col("_d") * F.col("_d") / F.lit(2.0), 4).alias("cosine"),
+    )
 
 
 @register(

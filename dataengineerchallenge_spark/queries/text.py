@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from dataengineerchallenge_spark.operators.dedup import word_shingles
 from dataengineerchallenge_spark.registry import register
-from dataengineerchallenge_spark.sources.tables import load_table
+from dataengineerchallenge_spark.sources.tables import load_table, spread
 
 _STOPWORDS = ("the", "a")  # the corpus' function words
 _POS_WORDS = ("fast", "small")  # tiny sentiment lexicon over the fixture vocab
@@ -162,7 +162,7 @@ def lang_id_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, pred_lang) for any (doc_id, lang, text) corpus frame —
     the model trains on exactly the frame it scores (reused by
     corpus_curation_pipeline on the deduped/filtered survivors)."""
-    tok = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+    tok = spread(docs).select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
     lw = tok.groupBy(F.col("lang").alias("l"), "w").agg(F.count("*").cast("double").alias("c"))
     # ltot / vocab / langs all derive from the tiny lw aggregate, not from
     # another scan of the corpus: without this each side-frame re-reads
@@ -240,7 +240,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size are broadcast; the only big shuffle is the per-(doc,term)
     TF aggregate."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tok = spread(docs).select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").cast("double").alias("df"))
     n = docs.agg(F.count("*").cast("double").alias("n"))
@@ -279,7 +279,7 @@ def doc_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicon join is the pattern that scales to real lexicons (thousands
     of entries) where an in-expression literal array would not."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tok = spread(docs).select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     lex = spark.createDataFrame(
         [(w, 1) for w in _POS_WORDS] + [(w, -1) for w in _NEG_WORDS], "w string, polarity int"
     )

@@ -89,7 +89,19 @@ def udf_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.unix_timestamp("ts").alias("ts_s"), "value"
     )
-    fitted = ev.groupBy("user_id").applyInPandas(fit_user_trend, TREND_SCHEMA)
+    # pin the grouping exchange at full shuffle width: AQE's byte-based
+    # coalescing sees a tiny shuffle and folds it to ONE partition, which
+    # serializes every group through a single Python worker (measured
+    # 4.2s -> 1.2s at sf0.1). repartition(N, key) satisfies the groupBy's
+    # required distribution, so no second shuffle is added at any scale —
+    # Python-stage cost is CPU-bound, not byte-bound, so byte-based
+    # coalescing is the wrong heuristic here.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    fitted = (
+        ev.repartition(n_shuffle, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(fit_user_trend, TREND_SCHEMA)
+    )
     return fitted.select(
         "user_id",
         "n",

@@ -55,6 +55,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a narrow scan up to cluster width before a
+    fan-out-heavy stage (shingle explode, token explode, self-join).
+
+    Single-file fixtures arrive as ONE scan partition, so everything up to
+    the first exchange — including a 100×-row explode and the map side of a
+    self-join — runs on one core (measured 3-4× slowdown on the shingle
+    join at sf0.1). Gated: only repartitions when the plan currently has
+    fewer partitions than the target, so at 100 TB (where a partitioned
+    dataset already arrives wider than the cluster) this is a no-op and no
+    extra shuffle is inserted.
+    """
+    target = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose all fixture tables as temp views for the SQL surface (S5)."""
     for t in TABLES:

@@ -110,3 +110,16 @@ def test_stop_shingle_filter_preserves_results_when_loose(spark):
     assert loose == exact and exact
     none = D.shingle_jaccard_pairs(docs, "doc_id", "text", max_shingle_freq=0).count()
     assert none == 0
+
+
+def test_embedding_near_dup_exact_and_lsh_agree(spark, qs):
+    """Every original vector gains exactly one planted twin (cosine ≈ 1),
+    and the LSH scale path reproduces the exact anchor's pair set —
+    guaranteed here because all qualifying pairs sit at distance 0, where
+    bucket collision is certain (see near_dup_embedding_lsh docstring)."""
+    exact = {(r["id_a"], r["id_b"]) for r in qs["near_dup_embedding"](spark, SF_DIR).collect()}
+    n_vecs = 500  # sf0.001 embeddings row count (FIXTURES.md)
+    assert len(exact) == n_vecs
+    assert all(b - a == 1_000_000 for a, b in exact)  # only twin pairs qualify
+    lsh = {(r["id_a"], r["id_b"]) for r in qs["near_dup_embedding_lsh"](spark, SF_DIR).collect()}
+    assert lsh == exact
