@@ -50,3 +50,71 @@ def orc_source_minute_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/ORC: columnar ORC path (vectorized, pushdown-capable),
     hash-checked."""
     return _minute_load(events_from_orc(spark, sf_dir))
+
+
+def _staged_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """events written through the S4 sink partitioned by event_type, into
+    a content-addressed scratch slot (same publish protocol as _staged)."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.sources.tables import load_table
+
+    src = Path(sf_dir) / "events.parquet"
+    tag = hashlib.sha256(f"{src.resolve()}:{src.stat().st_mtime_ns}:part".encode()).hexdigest()[:16]
+    d = Path(tempfile.gettempdir()) / f"spark_graft_sink_part_{tag}"
+    if not (d / "_SUCCESS").exists():
+        ev = load_table(spark, sf_dir, "events").select(
+            F.col("event_id").cast("string"),
+            F.unix_timestamp("ts").alias("ts_s"),
+            F.col("user_id").cast("string"),
+            "event_type",
+            "value",
+        )
+        tmp = Path(tempfile.mkdtemp(prefix="spark_graft_sink_part_")) / "out"
+        write_result(ev, str(tmp), partition_by=["event_type"])
+        try:
+            tmp.rename(d)
+        except OSError:
+            pass  # concurrent driver published identical content first
+    return str(d)
+
+
+@register(
+    "sink_partitioned_roundtrip",
+    oracle="""
+    SELECT event_type,
+           (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day_s,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    WHERE event_type IN ('view', 'purchase')
+    GROUP BY 1, 2
+    """,
+)
+def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 under the correctness gate: events written via the partitioned
+    parquet sink (partitionBy event_type — the 100 TB layout where
+    downstream reads prune whole directories), read back with a
+    partition-column filter, and aggregated per type/day. The event_type
+    predicate is satisfied by PARTITION PRUNING on the written layout
+    (PartitionFilters in the scan — pinned in tests/test_sinks.py), never
+    by reading and discarding rows."""
+    from pyspark.sql import functions as F
+
+    back = spark.read.parquet(_staged_partitioned_events(spark, sf_dir))
+    return (
+        back.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy(
+            "event_type",
+            ((F.col("ts_s") / 86400).cast("long") * 86400).alias("day_s"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

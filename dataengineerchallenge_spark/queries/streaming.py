@@ -141,6 +141,43 @@ def stream_view_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_dedup_events",
+    oracle="""
+    SELECT CAST(event_id AS VARCHAR) AS event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+           event_type,
+           round(value, 4) AS value
+    FROM events
+    """,
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (A9's streaming twin): the events feed
+    delivered TWICE (re-delivered log drops, the at-least-once reality of
+    /root/reference/README.md:44's per-interval objects), deduplicated
+    with ``dropDuplicatesWithinWatermark`` on the event key.
+
+    State stays bounded by the 30-min watermark — at 100 TB/day this is
+    the only viable streaming dedup (unbounded ``dropDuplicates`` state
+    grows forever); the contract is that re-deliveries arrive within the
+    watermark delay, which AWS interval re-drops do. Output == the
+    single-delivery batch, hash-checked."""
+    from pyspark.sql import functions as F
+
+    doubled = stream_events(spark, sf_dir).unionByName(stream_events(spark, sf_dir))
+    dedup = (
+        doubled.withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            F.col("event_id").cast("string").alias("event_id"),
+            F.unix_timestamp("ts").alias("ts_s"),
+            "event_type",
+            F.round("value", 4).alias("value"),
+        )
+    )
+    return run_to_batch(dedup, "dedup", output_mode="append")
+
+
 _TYPE_WEIGHTS = [("view", 1.0), ("click", 2.0), ("purchase", 10.0), ("signup", 5.0), ("error", 0.0)]
 
 

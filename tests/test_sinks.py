@@ -34,3 +34,20 @@ def test_csv_single_file_roundtrip(spark, tmp_path):
     assert {(r["event_type"], r["count"]) for r in back.collect()} == {
         (r["event_type"], r["count"]) for r in ev.collect()
     }
+
+
+def test_sink_partitioned_roundtrip_prunes_partitions(spark):
+    """The registered S4 roundtrip's event_type predicate must be served
+    by partition pruning on the written layout, not a row filter."""
+    import contextlib
+    import io
+    import re
+
+    from dataengineerchallenge_spark.registry import queries
+
+    df = queries()["sink_partitioned_roundtrip"](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert re.search(r"PartitionFilters: \[.*event_type", plan), plan
