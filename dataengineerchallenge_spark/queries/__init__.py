@@ -20,6 +20,7 @@ _MODULES = [
     "sql_surface",
     "pipeline",
     "formats",
+    "analytics",
 ]
 
 

@@ -1,0 +1,140 @@
+"""Observation-analytics battery (the reference's open-ended mandate:
+"make analytical observations about the data",
+/root/reference/README.md:5) — the composed session/event analyses an
+operator of the marketplace would actually run: conversion funnels and
+cohort retention.
+
+Both are single-exchange plans: every window/aggregate/join keys on
+``user_id``, so Catalyst reuses one hashpartition(user_id) shuffle for
+the whole pipeline — the same 100 TB story as the sessionizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataengineerchallenge_spark.registry import register
+from dataengineerchallenge_spark.sources.tables import load_table
+
+
+@register(
+    "conversion_funnel",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(user_id AS VARCHAR) AS u, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events
+    ),
+    v AS (SELECT u, min(ts_s) AS tv FROM ev WHERE event_type = 'view' GROUP BY u),
+    c AS (SELECT ev.u, min(ev.ts_s) AS tc
+          FROM ev JOIN v ON ev.u = v.u AND ev.ts_s >= v.tv
+          WHERE event_type = 'click' GROUP BY ev.u),
+    p AS (SELECT ev.u, min(ev.ts_s) AS tp
+          FROM ev JOIN c ON ev.u = c.u AND ev.ts_s >= c.tc
+          WHERE event_type = 'purchase' GROUP BY ev.u)
+    SELECT 'view' AS stage, CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 'click', CAST((SELECT count(*) FROM c) AS BIGINT)
+    UNION ALL
+    SELECT 'purchase', CAST((SELECT count(*) FROM p) AS BIGINT)
+    """,
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view → click → purchase funnel: a user advances a stage
+    only with an event at-or-after their previous stage's first event.
+
+    One pass over events: three stacked per-user windows (each stage's
+    first-timestamp conditions on the previous stage's column) share a
+    single hashpartition(user_id) exchange; the final count is a tiny
+    unpivoted aggregate. No self-joins — the oracle's three-way join
+    formulation collapses into window algebra."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("u"),
+        "event_type",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    w = Window.partitionBy("u")
+    staged = (
+        ev.withColumn(
+            "tv", F.min(F.when(F.col("event_type") == "view", F.col("ts_s"))).over(w)
+        )
+        .withColumn(
+            "tc",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts_s") >= F.col("tv")),
+                    F.col("ts_s"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "tp",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts_s") >= F.col("tc")),
+                    F.col("ts_s"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("u").agg(
+        F.first("tv").alias("tv"), F.first("tc").alias("tc"), F.first("tp").alias("tp")
+    )
+    totals = per_user.agg(
+        F.count("tv").alias("view"),
+        F.count("tc").alias("click"),
+        F.count("tp").alias("purchase"),
+    )
+    return totals.select(
+        F.expr(
+            "stack(3, 'view', view, 'click', click, 'purchase', purchase) AS (stage, n_users)"
+        )
+    ).select("stage", F.col("n_users").cast("long").alias("n_users"))
+
+
+@register(
+    "weekly_cohort_retention",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(user_id AS VARCHAR) AS u,
+             CAST(floor(epoch(date_trunc('week', ts))) AS BIGINT) AS wk
+      FROM events
+    ),
+    firsts AS (SELECT u, min(wk) AS cohort FROM ev GROUP BY u),
+    act AS (
+      SELECT DISTINCT ev.u, firsts.cohort,
+             (ev.wk - firsts.cohort) // 604800 AS week_offset
+      FROM ev JOIN firsts USING (u)
+    )
+    SELECT cohort AS cohort_week_s,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM act GROUP BY 1, 2
+    """,
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week
+    (Monday-truncated, UTC both engines), counted in each subsequent week
+    they were active.
+
+    TWO exchanges total: one user-keyed aggregate collects each user's
+    cohort AND distinct active-week set in the same pass (collect_set is
+    bounded by the number of calendar weeks, so state per user is tiny at
+    any scale), then exploding the set yields already-distinct
+    (user, week) rows — no join back to the source and no separate
+    distinct, which a naive first-week ⋈ activity formulation (the
+    oracle's shape) would each pay another exchange for."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("u"),
+        F.unix_timestamp(F.date_trunc("week", F.col("ts"))).alias("wk"),
+    )
+    per_user = ev.groupBy("u").agg(
+        F.min("wk").alias("cohort"), F.collect_set("wk").alias("wks")
+    )
+    act = per_user.select("cohort", F.explode("wks").alias("wk")).select(
+        "cohort", ((F.col("wk") - F.col("cohort")) / 604800).cast("long").alias("week_offset")
+    )
+    return act.groupBy(
+        F.col("cohort").alias("cohort_week_s"), "week_offset"
+    ).agg(F.count(F.lit(1)).alias("n_users"))

@@ -130,3 +130,58 @@ def elb_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Goals 1-4 on the real log format: per-session stats by client IP,
     same sessionizer as the events family (gap > 900 s)."""
     return elb_sessions(spark, SYNTH_LOG)
+
+
+@register(
+    "elb_status_timeline",
+    oracle=_ORACLE_RAW
+    + """
+    SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 60) * 60 AS minute_epoch_s,
+           CAST(elb_status // 100 AS INT) AS status_class,
+           CAST(count(*) AS BIGINT) AS n_requests,
+           CAST(sum(sent_bytes) AS BIGINT) AS total_sent_bytes
+    FROM typed WHERE is_valid
+    GROUP BY 1, 2
+    """,
+)
+def elb_status_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R:5 observation: per-minute request counts and bytes by status
+    class (2xx/3xx/4xx/5xx) — the first chart any ELB operator draws.
+    Pure map + one small-key aggregate."""
+    parsed = valid_requests(parse_elb(read_elb_log(spark, SYNTH_LOG)))
+    return parsed.groupBy(
+        ((F.unix_timestamp("ts") / 60).cast("long") * 60).alias("minute_epoch_s"),
+        (F.col("elb_status") / 100).cast("int").alias("status_class"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.sum("sent_bytes").cast("long").alias("total_sent_bytes"),
+    )
+
+
+@register(
+    "elb_top_paths",
+    oracle=_ORACLE_RAW
+    + """
+    SELECT url_path, CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(count(DISTINCT client_ip) AS BIGINT) AS n_ips
+    FROM typed WHERE is_valid AND url_path IS NOT NULL
+    GROUP BY url_path
+    ORDER BY n_hits DESC, url_path
+    LIMIT 10
+    """,
+)
+def elb_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R:13-16 style observation: top-10 URL paths by hits with distinct
+    visitor counts — TakeOrderedAndProject over a per-path aggregate,
+    never a global sort."""
+    parsed = valid_requests(parse_elb(read_elb_log(spark, SYNTH_LOG)))
+    return (
+        parsed.filter(F.col("url_path").isNotNull())
+        .groupBy("url_path")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.countDistinct("client_ip").cast("long").alias("n_ips"),
+        )
+        .orderBy(F.desc("n_hits"), F.asc("url_path"))
+        .limit(10)
+    )

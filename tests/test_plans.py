@@ -72,3 +72,12 @@ def test_text_scoring_is_jvm_only_with_codegen(spark, qs):
     plan = explain_str(qs["doc_quality_scores"](spark, SF_DIR), "simple")
     assert "*(" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_analytics_queries_minimal_exchanges(spark, qs):
+    """Funnel and cohort retention must stay two-exchange plans (one
+    user-keyed shuffle + one tiny final aggregate) — the naive
+    join-back/distinct formulations cost 4."""
+    for name in ("conversion_funnel", "weekly_cohort_retention"):
+        plan = explain_str(qs[name](spark, SF_DIR), "simple")
+        assert plan.count("Exchange") <= 2, f"{name}:\n{plan}"
