@@ -21,6 +21,7 @@ _MODULES = [
     "pipeline",
     "formats",
     "analytics",
+    "sketches",
 ]
 
 

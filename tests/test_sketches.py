@@ -1,0 +1,67 @@
+"""Sketch-aggregate accuracy pins (A6): the approximate answers must sit
+inside their documented error envelopes vs exact twins computed on the
+same fixture — the check that makes rows-only sketch queries trustworthy."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from dataengineerchallenge_spark.registry import queries
+from dataengineerchallenge_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return queries()
+
+
+def test_hll_weekly_actives_within_error(spark, qs):
+    """lgConfigK=12 → rsd ≈ 1.6%/sqrt-ish; allow 5% (≫3 sigma)."""
+    approx = {r["week_s"]: r["approx_users"] for r in qs["hll_weekly_actives"](spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    exact_df = ev.groupBy(
+        F.unix_timestamp(F.date_trunc("week", F.col("ts"))).alias("week_s")
+    ).agg(F.countDistinct(F.col("user_id").cast("string")).alias("n"))
+    exact = {r["week_s"]: r["n"] for r in exact_df.collect()}
+    assert set(approx) == set(exact)
+    for wk, n in exact.items():
+        assert abs(approx[wk] - n) <= max(1, 0.05 * n), (wk, approx[wk], n)
+
+
+def test_hll_union_equals_direct_sketch(spark, qs):
+    """Mergeability: union of per-day sketches must estimate the same as
+    one sketch built directly over the whole week — the contract that
+    makes the materialized sketch table valid."""
+    ev = load_table(spark, SF_DIR, "events")
+    via_union = {
+        r["week_s"]: r["approx_users"]
+        for r in qs["hll_weekly_actives"](spark, SF_DIR).collect()
+    }
+    direct_df = ev.groupBy(
+        F.unix_timestamp(F.date_trunc("week", F.col("ts"))).alias("week_s")
+    ).agg(
+        F.round(F.hll_sketch_estimate(F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(12))), 0)
+        .cast("long")
+        .alias("approx_users")
+    )
+    direct = {r["week_s"]: r["approx_users"] for r in direct_df.collect()}
+    assert via_union == direct
+
+
+def test_approx_percentiles_within_rank_error(spark, qs):
+    """percentile_approx(accuracy=10000): the approximate quantile must
+    land between the exact quantiles at p±1/accuracy-ish rank slack
+    (checked loosely via the exact p±0.01 bracket)."""
+    approx = {r["event_type"]: r for r in qs["approx_value_percentiles"](spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        lo_hi = ev.groupBy("event_type").agg(
+            F.expr(f"percentile(value, {max(p - 0.01, 0.0)})").alias("lo"),
+            F.expr(f"percentile(value, {min(p + 0.01, 1.0)})").alias("hi"),
+        )
+        for r in lo_hi.collect():
+            a = approx[r["event_type"]][col]
+            assert r["lo"] - 1e-9 <= a <= r["hi"] + 1e-9, (r["event_type"], col, a, r["lo"], r["hi"])
