@@ -88,3 +88,79 @@ def payload_feature_batches(codec: str = "fake"):
 
 def extract_payload_features(mm: DataFrame, codec: str = "fake") -> DataFrame:
     return mm.mapInPandas(payload_feature_batches(codec), PAYLOAD_FEATURES_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = "doc_id bigint, frame_idx bigint, frame_mean double"
+
+
+def frame_sample_batches(frame_bytes: int = 16, every_k: int = 2, codec: str = "fake"):
+    """mapInPandas frame-sampling stage (one payload → many frame rows,
+    the video-keyframe shape): split the decoded signal into complete
+    ``frame_bytes``-sized frames, keep every ``every_k``-th, emit one row
+    per kept frame with its mean level."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, idxs, means = [], [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                s = decode_payload(p, codec)
+                # no rounding here: Python round() is half-EVEN, while both
+                # engines' SQL ROUND is half-up — callers F.round the output
+                for j in range(0, len(s) // frame_bytes, every_k):
+                    fr = s[j * frame_bytes : (j + 1) * frame_bytes]
+                    doc_ids.append(did)
+                    idxs.append(j)
+                    means.append(float(fr.mean()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_mean": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return gen
+
+
+def sample_frames(mm: DataFrame, frame_bytes: int = 16, every_k: int = 2) -> DataFrame:
+    return mm.mapInPandas(frame_sample_batches(frame_bytes, every_k), FRAME_SAMPLE_SCHEMA)
+
+
+RESAMPLE_SCHEMA = "doc_id bigint, " + ", ".join(f"s{k} double" for k in range(8))
+
+
+def resample_batches(n_buckets: int = 8, codec: str = "fake"):
+    """mapInPandas resize stage (image-thumbnail shape): downsample each
+    decoded signal to a fixed ``n_buckets``-wide row by averaging integer
+    bucket spans [k·L/n, (k+1)·L/n) — the same integer boundaries the
+    DuckDB twin computes, so the resize is bit-checkable."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": []}
+            for k in range(n_buckets):
+                out[f"s{k}"] = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                s = decode_payload(p, codec)
+                L = len(s)
+                if L < n_buckets:
+                    continue  # no complete resize possible; dropped both sides
+                out["doc_id"].append(did)
+                for k in range(n_buckets):
+                    seg = s[L * k // n_buckets : L * (k + 1) // n_buckets]
+                    out[f"s{k}"].append(float(seg.mean()))  # F.round'd by caller
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    **{
+                        f"s{k}": pd.Series(out[f"s{k}"], dtype="float64")
+                        for k in range(n_buckets)
+                    },
+                }
+            )
+
+    return gen
+
+
+def resample_payloads(mm: DataFrame) -> DataFrame:
+    return mm.mapInPandas(resample_batches(), RESAMPLE_SCHEMA)

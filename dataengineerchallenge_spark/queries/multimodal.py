@@ -66,3 +66,59 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_byte", 4).alias("mean_byte"),
         "max_byte", "header_ok",
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH t AS (SELECT doc_id, 'MM1:' || text AS p FROM documents),
+    g AS (SELECT doc_id,
+                 [round(list_avg([unicode(p[i]) FOR i IN range(j*16+1, j*16+17)]), 4)
+                  FOR j IN range(0, strlen(p)//16)] AS fm
+          FROM t)
+    SELECT doc_id, frame_idx, frame_mean FROM (
+      SELECT doc_id,
+             CAST(generate_subscripts(fm, 1) - 1 AS BIGINT) AS frame_idx,
+             unnest(fm) AS frame_mean
+      FROM g
+    ) WHERE frame_idx % 2 = 0
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 frame-sampling (video-keyframe shape): one payload → one row
+    per kept 16-byte frame (every 2nd complete frame), mean level per
+    frame — the one-to-many mapInPandas emitter a real frame sampler
+    uses, hash-checked byte-for-byte."""
+    from dataengineerchallenge_spark.operators.multimodal import sample_frames
+
+    mm = with_payloads(load_table(spark, sf_dir, "documents"))
+    out = sample_frames(mm, frame_bytes=16, every_k=2)
+    return out.select("doc_id", "frame_idx", F.round("frame_mean", 4).alias("frame_mean"))
+
+
+@register(
+    "multimodal_resample",
+    oracle="""
+    WITH t AS (SELECT doc_id, 'MM1:' || text AS p FROM documents
+               WHERE strlen('MM1:' || text) >= 8)
+    SELECT doc_id,
+           """ + ", ".join(
+        f"round(list_avg([unicode(p[i]) FOR i IN "
+        f"range(strlen(p)*{k}//8 + 1, strlen(p)*{k+1}//8 + 1)]), 4) AS s{k}"
+        for k in range(8)
+    ) + """
+    FROM t
+    """,
+)
+def multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 resize (thumbnail shape): every payload downsampled to a fixed
+    8-wide signal row by integer-boundary bucket means — fixed output
+    dims regardless of input size, the defining property of a resize
+    stage."""
+    from dataengineerchallenge_spark.operators.multimodal import resample_payloads
+
+    mm = with_payloads(load_table(spark, sf_dir, "documents"))
+    out = resample_payloads(mm)
+    return out.select(
+        "doc_id", *[F.round(f"s{k}", 4).alias(f"s{k}") for k in range(8)]
+    )
