@@ -294,3 +294,100 @@ def unioned_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "tpch_q3_style_unshipped_revenue",
+    oracle=f"""
+SELECT l.l_orderkey,
+       CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS orderdate_s,
+       o.o_orderpriority,
+       CAST(SUM({sql_cents('l.l_extendedprice * (1 - l.l_discount)')}) AS BIGINT)
+           AS revenue_cents
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, l.l_orderkey
+LIMIT 10
+""",
+)
+def tpch_q3_style_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority): top-10 not-yet-shipped orders
+    by outstanding revenue for one market segment.
+
+    Scale hygiene: the segment filter prunes customer BEFORE its
+    broadcast; the date predicates push into the orders/lineitem parquet
+    scans; orders⋈lineitem shuffles on the orderkey; the top-10 is
+    TakeOrderedAndProject, never a global sort."""
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    return (
+        orders.join(broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").alias("orderdate_s"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_style_local_supplier_volume",
+    oracle=f"""
+SELECT n.n_name,
+       CAST(SUM({sql_cents('l.l_extendedprice * (1 - l.l_discount)')}) AS BIGINT)
+           AS revenue_cents
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+)
+def tpch_q5_style_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): revenue per nation where
+    the supplier and customer share the nation, one region.
+
+    The region→nation filter prunes the nation dim before broadcast; the
+    only shuffle joins are orders⋈lineitem (orderkey) — supplier,
+    customer, nation, region all broadcast; the local-supplier condition
+    (c_nationkey = s_nationkey) rides the supplier join as a residual."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asian_nations = nation.join(
+        broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return (
+        orders.join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .join(broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(
+            broadcast(supplier),
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(broadcast(asian_nations), supplier.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"))
+    )
