@@ -164,3 +164,37 @@ def events_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(F.col("event_id") % 97 < 5).select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+_HEX = "0123456789abcdef"
+# hex-digit value of the k-th md5 char, identical idiom both engines
+_BUCKET = (
+    "(instr('{hex}', substring(md5(cast(event_id as string)), 1, 1)) - 1) * 16 "
+    "+ instr('{hex}', substring(md5(cast(event_id as string)), 2, 1)) - 1"
+).format(hex=_HEX)
+
+
+@register(
+    "events_hash_sample",
+    oracle=f"""
+SELECT CAST(event_id AS VARCHAR) AS event_id, event_type,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+FROM events
+WHERE ((strpos('{_HEX}', substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1) * 16
+       + strpos('{_HEX}', substr(md5(CAST(event_id AS VARCHAR)), 2, 1)) - 1) % 10 = 0
+""",
+)
+def events_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 reproducible sampling at scale: ~10% sample selected by the
+    first md5 byte of the row key — unlike `df.sample(seed=…)` (RNG
+    state is engine- and partitioning-specific), a content-hash sample
+    is reproducible across engines, re-runs, and repartitionings, which
+    is what a 100 TB eval-split or debugging slice actually requires.
+    Pure per-row predicate: pushes to the scan, no shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.expr(_BUCKET)
+    return ev.filter(bucket % 10 == 0).select(
+        F.col("event_id").cast("string").alias("event_id"),
+        "event_type",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )

@@ -9,8 +9,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dataengineerchallenge_spark.operators.sessionize import events_session_cte
 from dataengineerchallenge_spark.registry import register
-from dataengineerchallenge_spark.sources.tables import register_views
+from dataengineerchallenge_spark.sources.tables import load_table, register_views
 
 _SQL = """
 SELECT n.n_name,
@@ -104,3 +105,30 @@ def event_scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFram
         # Spark dayofweek is 1=Sun..7=Sat; convert to ISO 1=Mon..7=Sun
         "dow_iso", (((F.col("_dow_raw") + 5) % 7) + 1).cast("int")
     ).drop("_dow_raw")
+
+
+_SESSION_TAIL_SQL = """
+SELECT skey, session_id, n_hits, duration_s, n_unique_urls, start_s, end_s
+FROM sessions
+"""
+
+
+@register(
+    "sql_sessionize",
+    oracle=events_session_cte() + _SESSION_TAIL_SQL,
+)
+def sql_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 flagship: the ENTIRE sessionizer (goals 1-4 core,
+    /root/reference/README.md:9-16) expressed as one SQL string through
+    spark.sql — the ANTLR entry point converging on the same Catalyst
+    plan as the DataFrame sessionize (§3.2). The Spark text differs from
+    the DuckDB oracle only in the epoch idiom (unix_timestamp vs
+    floor(epoch)); window clauses, lag, cumulative sum and the grouped
+    session aggregate are the same ANSI on both engines."""
+    from dataengineerchallenge_spark.operators.sessionize import ORACLE_SESSION_CTE
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_sql_events")
+    spark_cte = ORACLE_SESSION_CTE.replace(
+        "CAST(floor(epoch({ts})) AS BIGINT)", "unix_timestamp({ts})"
+    ).format(tbl="_sql_events", key="user_id", ts="ts", order="event_id", url="event_type", gap=900)
+    return spark.sql(spark_cte + _SESSION_TAIL_SQL)
