@@ -86,14 +86,19 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ingested = docs.unionByName(docs)  # duplicated delivery batches
     deduped = exact_dedup(ingested, content_cols=["text"], order_col="doc_id")
-    # NOTE on reuse: the lang model derives five side-frames from this
-    # subtree and branch-specific column pruning defeats ReuseExchange,
-    # so the source is re-scanned per branch (measured: 12 scans). At
-    # fixture scale re-scanning is cheaper than caching (persist()
-    # measured ~1.8x slower here, and repeated calls would accrete cache
-    # entries); at 100 TB the curation pipeline stages the `kept` frame
-    # through a parquet sink (sources/sinks.py) between phases instead.
-    kept = quality_frame(deduped).filter(F.col("quality") >= _QUALITY_MIN)
+    # Stage the curated survivors once: the lang model derives five
+    # side-frames from this subtree and branch-specific column pruning
+    # defeats ReuseExchange, so without staging the dedup+quality phase
+    # re-runs per branch (measured: 12 scans, 6-10 s and high variance at
+    # sf0.1 vs ~2.8 s staged). localCheckpoint materializes to executor
+    # blocks and is GC'd with the frame (unlike persist(), nothing
+    # accretes across calls); at 100 TB the same phase boundary goes
+    # through a parquet sink (sources/sinks.py) instead.
+    kept = (
+        quality_frame(deduped)
+        .filter(F.col("quality") >= _QUALITY_MIN)
+        .localCheckpoint(eager=False)
+    )
     preds = lang_id_frame(kept.select("doc_id", "lang", "text"))
     # F.get (NULL on empty), not element_at (ANSI throw) — see doc_fingerprints
     fingerprint = F.get(
