@@ -52,6 +52,40 @@ def props_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "props_variant_stats",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+           AS n_distinct_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 via the Spark 4 VARIANT path: parse_json → variant_get, the
+    schema-flexible semi-structured representation (binary-encoded,
+    shredding-capable at rest) that replaces string re-parsing when the
+    props schema drifts — the right F7 at 100 TB where one fixed
+    from_json schema can't describe every producer. Values extracted
+    once, then plain aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("k").cast("bigint").alias("n_distinct_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
     "session_url_sets",
     oracle=_CTE
     + """

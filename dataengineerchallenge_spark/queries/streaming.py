@@ -18,6 +18,7 @@ from dataengineerchallenge_spark.streaming import run_to_batch, stream_events
 from dataengineerchallenge_spark.streaming.sessionize import (
     session_window_stream,
     stateful_sessionize_stream,
+    tws_sessionize_stream,
 )
 from dataengineerchallenge_spark.streaming.windows import (
     per_minute_load_stream,
@@ -106,6 +107,43 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison is not observable at sf0.01.)"""
     ev = stream_events(spark, sf_dir)
     return run_to_batch(stateful_sessionize_stream(ev), "stateful", output_mode="append")
+
+
+def _has_tws_runtime() -> bool:
+    """transformWithStateInPandas drives its Python state server over
+    protobuf, which this container lacks — gate, don't crash (the
+    operator itself lives in streaming/sessionize.py regardless)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+if _has_tws_runtime():
+
+    @register(
+        "stream_stateful_sessions_tws",
+        oracle=events_session_cte()
+        + """
+        , mx AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS m FROM events)
+        SELECT CAST(skey AS VARCHAR) AS skey,
+               start_s AS session_start_s,
+               end_s   AS session_end_s,
+               CAST(n_hits AS BIGINT) AS n_hits
+        FROM (SELECT *, max(session_id) OVER (PARTITION BY skey) AS max_sid
+              FROM sessions), mx
+        WHERE session_id < max_sid      -- closed by a proven gap in-stream
+           OR end_s + 900 < m - 1800    -- flushed by event-time timer
+        """,
+    )
+    def stream_stateful_sessions_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """T5 on transformWithStateInPandas (Spark 4): same emission rule
+        and oracle as stream_stateful_sessions, rebuilt on typed value
+        state + explicit timers — the forward-looking stateful API."""
+        ev = stream_events(spark, sf_dir)
+        return run_to_batch(tws_sessionize_stream(ev), "tws", output_mode="append")
 
 
 @register(

@@ -171,3 +171,100 @@ def stateful_sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def tws_sessionize_stream(
+    events: DataFrame,
+    key: str = "user_id",
+    gap_s: int = DEFAULT_GAP_S,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """T5 on the transformWithState API (Spark 4): the same
+    closed-session-eager sessionizer as ``stateful_sessionize_stream``,
+    rebuilt on the successor to applyInPandasWithState — typed value
+    state via a StatefulProcessor handle plus EXPLICIT timers (the old
+    API's single implicit timeout becomes registerTimer/deleteTimer, so
+    stale timers must be deleted when a session extends).
+
+    Output and emission rule are identical to the old-API twin — both
+    share one oracle, and tests/test_streaming.py pins their equality."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ev = _floored(events).select(
+        F.col(key).cast("string").alias("skey"),
+        F.col("ts"),
+        F.unix_timestamp("ts").alias("ts_s"),
+    ).withWatermark("ts", watermark)
+
+    class _TwsSessionizer(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            # timer_ms rides in the state so a later batch can delete the
+            # now-stale timer before registering the extended one
+            self._sess = handle.getValueState(
+                "session", "start_s long, end_s long, n_hits long, timer_ms long"
+            )
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            skey = key_tuple[0]
+            ts = sorted(t for pdf in rows for t in pdf["ts_s"].tolist())
+            if not ts:
+                return
+            if self._sess.exists():
+                start_s, end_s, n_hits, old_timer = self._sess.get()
+                self._handle.deleteTimer(old_timer)
+            else:
+                start_s, end_s, n_hits = ts[0], ts[0], 0
+            closed: list[tuple[int, int, int]] = []
+            for t in ts:
+                if n_hits and t - end_s > gap_s:
+                    closed.append((start_s, end_s, n_hits))
+                    start_s, end_s, n_hits = t, t, 1
+                else:
+                    end_s, n_hits = max(end_s, t), n_hits + 1
+            timer_ms = max(
+                (end_s + gap_s) * 1000, timer_values.getCurrentWatermarkInMs() + 1
+            )
+            self._handle.registerTimer(timer_ms)
+            self._sess.update((start_s, end_s, n_hits, timer_ms))
+            if closed:
+                yield pd.DataFrame(
+                    {
+                        "skey": [skey] * len(closed),
+                        "session_start_s": [c[0] for c in closed],
+                        "session_end_s": [c[1] for c in closed],
+                        "n_hits": [c[2] for c in closed],
+                    }
+                )
+
+        def handleExpiredTimer(self, key_tuple, timer_values, expired_timer_info):
+            skey = key_tuple[0]
+            if not self._sess.exists():
+                return
+            start_s, end_s, n_hits, timer_ms = self._sess.get()
+            # defensive staleness guard (deleteTimer above should make
+            # this always-true): only the CURRENT timer flushes
+            if expired_timer_info.getExpiryTimeInMs() != timer_ms:
+                return
+            self._sess.clear()
+            yield pd.DataFrame(
+                {
+                    "skey": [skey],
+                    "session_start_s": [start_s],
+                    "session_end_s": [end_s],
+                    "n_hits": [n_hits],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return ev.groupBy("skey").transformWithStateInPandas(
+        statefulProcessor=_TwsSessionizer(),
+        outputStructType=_OUT_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
+    )

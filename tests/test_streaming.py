@@ -145,3 +145,25 @@ def test_session_window_gap_boundary_inclusive(spark, tmp_path):
     assert one.count() == 1 and one.collect()[0]["n_hits"] == 2
     two = run([0, 901], "gap901")
     assert two.count() == 2
+
+
+def test_tws_sessionizer_matches_old_api(spark):
+    """transformWithStateInPandas twin == applyInPandasWithState twin on
+    the same fixture (same emission rule, same oracle). Skipped where the
+    TWS protobuf runtime is unavailable (this container)."""
+    import pytest as _pytest
+
+    from dataengineerchallenge_spark.queries.streaming import _has_tws_runtime
+
+    if not _has_tws_runtime():
+        _pytest.skip("protobuf runtime for transformWithStateInPandas unavailable")
+    from dataengineerchallenge_spark.streaming import run_to_batch, stream_events
+    from dataengineerchallenge_spark.streaming.sessionize import (
+        stateful_sessionize_stream,
+        tws_sessionize_stream,
+    )
+
+    ev = stream_events(spark, SF_DIR)
+    old = run_to_batch(stateful_sessionize_stream(ev), "old_api", output_mode="append")
+    new = run_to_batch(tws_sessionize_stream(stream_events(spark, SF_DIR)), "tws_api", output_mode="append")
+    assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
