@@ -185,3 +185,33 @@ def elb_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_hits"), F.asc("url_path"))
         .limit(10)
     )
+
+
+@register(
+    "elb_custom_source_parse",
+    oracle=_ORACLE_RAW
+    + """
+    SELECT client_ip, client_port, method, url, url_path, protocol,
+           elb_status, backend_status, sent_bytes, user_agent
+    FROM typed WHERE is_valid
+    """,
+)
+def elb_custom_source_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 via the Spark 4 Python DataSource API: the same typed parse as
+    elb_parse, fed by the custom ``elblog`` source instead of
+    spark.read.text — hash-equality against the read_csv oracle proves
+    the custom ingest route is byte-identical to the built-in one."""
+    from dataengineerchallenge_spark.sources.pyds import read_elb_log_pyds
+
+    return valid_requests(parse_elb(read_elb_log_pyds(spark, SYNTH_LOG))).select(
+        "client_ip",
+        "client_port",
+        "method",
+        "url",
+        "url_path",
+        "protocol",
+        "elb_status",
+        "backend_status",
+        "sent_bytes",
+        "user_agent",
+    )

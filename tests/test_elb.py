@@ -106,3 +106,34 @@ def test_elb_sessions_end_to_end(spark):
     assert got_hits == valid_requests(parse_elb(read_elb_log(spark, SAMPLE))).count()
     assert all(r.duration_s >= 0 for r in rows)
     assert all(r.n_unique_urls >= 1 for r in rows)
+
+
+def test_pyds_source_matches_builtin_text_source(spark):
+    """The custom Python DataSource ingest route must deliver exactly the
+    lines spark.read.text delivers (same count, same set)."""
+    from dataengineerchallenge_spark.sources.elb import read_elb_log
+    from dataengineerchallenge_spark.sources.pyds import read_elb_log_pyds
+
+    path = SYNTH_LOG if "SYNTH_LOG" in globals() else None
+    if path is None:
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "data", "elb_synth.log.gz")
+    a = {r["value"] for r in read_elb_log(spark, path).collect()}
+    b = {r["value"] for r in read_elb_log_pyds(spark, path).collect()}
+    assert a == b and len(a) > 900
+
+
+def test_pyds_source_partitions_per_file(spark, tmp_path):
+    """One InputPartition per file: a directory of N files scans as N
+    partitions (the parallelism story for per-interval log drops)."""
+    import gzip
+
+    for i in range(3):
+        with gzip.open(tmp_path / f"drop{i}.log.gz", "wt") as f:
+            f.write(f"line-{i}\n")
+    from dataengineerchallenge_spark.sources.pyds import read_elb_log_pyds
+
+    df = read_elb_log_pyds(spark, str(tmp_path))
+    assert df.rdd.getNumPartitions() == 3
+    assert sorted(r["value"] for r in df.collect()) == ["line-0", "line-1", "line-2"]
