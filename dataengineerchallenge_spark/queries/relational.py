@@ -391,3 +391,102 @@ def tpch_q5_style_local_supplier_volume(spark: SparkSession, sf_dir: str) -> Dat
         .groupBy("n_name")
         .agg(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"))
     )
+
+
+@register(
+    "tpch_q1_style_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(SUM({sql_cents('l_quantity')}) AS BIGINT)      AS sum_qty_cents,
+       CAST(SUM({sql_cents('l_extendedprice')}) AS BIGINT) AS sum_base_cents,
+       CAST(SUM({sql_cents('l_extendedprice * (1 - l_discount)')}) AS BIGINT)
+           AS sum_disc_cents,
+       CAST(SUM({sql_cents('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}) AS BIGINT)
+           AS sum_charge_cents,
+       ROUND(SUM({sql_cents('l_quantity')}) / 100.0 / COUNT(*), 4)      AS avg_qty,
+       ROUND(SUM({sql_cents('l_extendedprice')}) / 100.0 / COUNT(*), 4) AS avg_price,
+       ROUND(SUM({sql_cents('l_discount')}) / 100.0 / COUNT(*), 4)      AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1_style_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (pricing summary report): the canonical scan-heavy
+    aggregate — one pass over lineitem, 4-group output.
+
+    Scale hygiene: the shipdate predicate and the 7-column projection both
+    push into the parquet scan; the aggregate is map-side partial over the
+    tiny (returnflag, linestatus) key space, so the exchange carries a
+    handful of rows per input partition regardless of scan size. Averages
+    are derived from the exact integer-cents sums (sum_cents/100/n) so the
+    double arithmetic is bit-identical on both engines before ROUND."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(cents("l_quantity")).alias("sum_qty_cents"),
+        F.sum(cents("l_extendedprice")).alias("sum_base_cents"),
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_cents"),
+        F.sum(
+            cents(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))
+        ).alias("sum_charge_cents"),
+        F.round(F.sum(cents("l_quantity")) / 100.0 / n, 4).alias("avg_qty"),
+        F.round(F.sum(cents("l_extendedprice")) / 100.0 / n, 4).alias("avg_price"),
+        F.round(F.sum(cents("l_discount")) / 100.0 / n, 4).alias("avg_disc"),
+        n.cast("long").alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q18_style_large_volume_customers",
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM({sql_cents('l_quantity')}) > 9000
+)
+SELECT c.c_name,
+       o.o_orderkey,
+       CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS orderdate_s,
+       CAST({sql_cents('o.o_totalprice')} AS BIGINT) AS totalprice_cents,
+       CAST(q.qty_cents AS BIGINT) AS qty_cents
+FROM orders o
+JOIN (SELECT l_orderkey, SUM({sql_cents('l_quantity')}) AS qty_cents
+      FROM lineitem GROUP BY l_orderkey) q ON q.l_orderkey = o.o_orderkey
+JOIN big ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY totalprice_cents DESC, o.o_orderkey
+LIMIT 20
+""",
+)
+def tpch_q18_style_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total line
+    quantity exceeds a threshold, joined back to customer — the
+    aggregate-then-semi-join pattern.
+
+    Scale hygiene: lineitem is aggregated to one row per orderkey BEFORE
+    any join (map-side partial combine shrinks the shuffle), the HAVING
+    filter rides that same aggregate (no second lineitem scan — Spark's
+    plan reuses the exchange), customer broadcasts, and the top-20 is
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    qty = li.groupBy("l_orderkey").agg(F.sum(cents("l_quantity")).alias("qty_cents"))
+    big = qty.filter(F.col("qty_cents") > 9000)
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("orderdate_s"),
+            cents("o_totalprice").alias("totalprice_cents"),
+            "qty_cents",
+        )
+        .orderBy(F.desc("totalprice_cents"), F.asc("o_orderkey"))
+        .limit(20)
+    )
