@@ -256,3 +256,53 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """(node, comp) connected components of an undirected pair graph —
+    the clustering step that turns near-dup PAIRS into dedup GROUPS
+    (N1/N2 downstream: pick one survivor per component, drop the rest).
+
+    Iterative min-label propagation, all DataFrame ops: each round every
+    node takes the min label over itself and its neighbors; a fixpoint is
+    reached after diameter+1 rounds. The per-round plan is one shuffle
+    (edges ⋈ labels on src) plus one hash aggregate, with
+    ``localCheckpoint`` truncating the lineage so round N's plan does not
+    replay rounds 1..N-1.
+
+    Scale stance: near-dup components are dense and tiny (dups of a doc
+    are dups of each other), so the diameter — and the round count — is
+    small at any corpus size; the per-round cost is one hash join on the
+    edge list. For adversarial high-diameter graphs the alternating
+    large-star/small-star scheme (Kiveris et al., "Connected Components
+    in MapReduce and Beyond") converges in O(log n) rounds with the same
+    per-round primitives; the convergence counter below makes the swap a
+    drop-in. The driver-side loop is a fixpoint test (one scalar count
+    per round), never a data collect.
+    """
+    e = pairs.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)  # scanned every round: materialize once
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn("comp", F.col("node"))
+    for _ in range(max_iter):
+        msgs = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), F.col("comp")
+        )
+        new = (
+            msgs.unionByName(labels.select("node", "comp"))
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        # labels only ever decrease, so any strict drop means "not converged"
+        prev = labels.select("node", F.col("comp").alias("_prev"))
+        changed = new.join(prev, "node").where(F.col("comp") < F.col("_prev")).limit(1).count()
+        labels = new
+        if changed == 0:
+            break
+    return labels

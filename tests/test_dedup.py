@@ -123,3 +123,26 @@ def test_embedding_near_dup_exact_and_lsh_agree(spark, qs):
     assert all(b - a == 1_000_000 for a, b in exact)  # only twin pairs qualify
     lsh = {(r["id_a"], r["id_b"]) for r in qs["near_dup_embedding_lsh"](spark, SF_DIR).collect()}
     assert lsh == exact
+
+
+def test_connected_components_chain_and_pair(spark):
+    """A 5-node chain (diameter 4 — forces several propagation rounds),
+    an isolated pair, and an untouched node (absent from output)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r["node"]: r["comp"] for r in D.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_merges_via_shared_node(spark):
+    """Two pair-clusters sharing one doc collapse into one component,
+    regardless of edge direction/order."""
+    pairs = spark.createDataFrame([(7, 3), (3, 9), (20, 7)], "id_a long, id_b long")
+    comp = {r["node"]: r["comp"] for r in D.connected_components(pairs).collect()}
+    assert comp == {3: 3, 7: 3, 9: 3, 20: 3}
+
+
+def test_connected_components_empty(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert D.connected_components(pairs).count() == 0
