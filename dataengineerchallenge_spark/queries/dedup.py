@@ -305,3 +305,61 @@ def near_dup_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.concat_ws(",", F.sort_array(F.collect_list("node"))).alias("member_ids"),
     )
+
+
+@register(
+    "decontaminate_train_corpus",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s AS (SELECT doc_id,
+                 list_distinct([array_to_string(ws[i:i+4], ' ')
+                                FOR i IN range(1, len(ws)-3)]) AS sh
+          FROM t),
+    inv AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    bench AS (SELECT DISTINCT g, doc_id AS bench_doc FROM inv WHERE doc_id % 20 = 0),
+    hits AS (SELECT i.doc_id, count(DISTINCT b.bench_doc) AS n
+             FROM inv i JOIN bench b USING (g)
+             WHERE i.doc_id % 20 != 0
+             GROUP BY i.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_bench_hits,
+           CAST(COALESCE(h.n, 0) > 0 AS INTEGER) AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id % 20 != 0
+    """,
+)
+def decontaminate_train_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1+ benchmark decontamination: flag training documents sharing any
+    5-word shingle with the held-out eval set (docs with doc_id % 20 = 0
+    stand in for the benchmark). The standard n-gram-collision rule used
+    before LLM training runs; at the fixture's shingle width only true
+    near-copies of eval docs collide, not incidental vocabulary overlap.
+
+    Scale hygiene: the benchmark side is tiny by construction, so its
+    distinct (shingle, bench_doc) index is broadcast — the train-side
+    scan streams against it with no shuffle; the per-doc hit count is a
+    partial-aggregatable count over pre-distinct pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = spread(docs).select("doc_id", F.explode(D.word_shingles("text", 5)).alias("g"))
+    is_bench = F.col("doc_id") % 20 == 0
+    bench = (
+        sh.filter(is_bench)
+        .select("g", F.col("doc_id").alias("bench_doc"))
+        .distinct()
+    )
+    pairs = (
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench), "g")
+        .select("doc_id", "bench_doc")
+        .distinct()
+    )
+    hits = pairs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        docs.filter(~is_bench)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_bench_hits"),
+            (F.coalesce("n", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )

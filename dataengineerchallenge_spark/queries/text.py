@@ -291,3 +291,113 @@ def doc_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.coalesce(F.col("polarity"), F.lit(0))) / F.count("*"), 4).alias("sentiment"),
         )
     )
+
+
+# PII scrub: the synthetic corpus is PII-free, so — like the dedup
+# queries' self-union / planted-twin pattern — the query plants its own
+# deterministic PII (an email on doc_id % 10 = 0, a phone on % 10 = 5),
+# then redacts and audits. Patterns stay in the regex subset Java and RE2
+# execute identically (char classes + bounded repeats, no backrefs).
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+_PHONE_RE = "[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+
+@register(
+    "pii_redact_corpus",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE
+               WHEN doc_id % 10 = 0 THEN text || ' contact user' || doc_id || '@example.com now'
+               WHEN doc_id % 10 = 5 THEN text || ' call 555-867-' ||
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+               ELSE text
+             END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS redacted_text
+    FROM planted
+    """,
+)
+def pii_redact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4+ PII redaction: detect and mask email/phone spans before a
+    corpus ships to training, with per-doc audit counts — a pure per-row
+    regex map (no shuffle at any scale; the patterns compile once per
+    task and run inside whole-stage codegen, no Python)."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com now")),
+        )
+        .when(
+            F.col("doc_id") % 10 == 5,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 555-867-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" today"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return planted.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("redacted_text"),
+    )
+
+
+@register(
+    "sequence_packing_manifest",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tok,
+             CAST(floor(COALESCE(SUM(n_tok) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0) AS BIGINT)
+               AS pack_id
+      FROM tok
+    )
+    SELECT source, pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+           min(doc_id) AS first_doc
+    FROM packed GROUP BY source, pack_id
+    """,
+)
+def sequence_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4+ sequence packing: assign documents to fixed token-budget packs
+    (256 tokens) per source shard — the batch-construction step before
+    LLM training. Deterministic capacity chunking: a doc joins the pack
+    its exclusive running token count falls in, so packs can overflow by
+    at most one doc (the distributed-friendly variant of greedy first-fit,
+    which is inherently sequential).
+
+    Scale hygiene: one shuffle on the shard key (source) feeds both the
+    running-sum window and the pack rollup — Catalyst reuses the exchange;
+    shards are independent so parallelism is the shard count."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread(docs).select("doc_id", "source", F.size(F.split("text", " ")).alias("n_tok"))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    packed = tok.withColumn(
+        "pack_id", F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / 256.0).cast("long")
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
