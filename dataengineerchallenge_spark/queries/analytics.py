@@ -138,3 +138,59 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return act.groupBy(
         F.col("cohort").alias("cohort_week_s"), "week_offset"
     ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "event_value_outliers",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    st AS (
+      SELECT event_type,
+             count(*)::BIGINT AS n,
+             sum(cents)::BIGINT AS s,
+             sum(cents * cents)::BIGINT AS sq
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_id, c.event_type,
+           CAST(c.cents AS BIGINT) AS cents,
+           ROUND((c.cents - s::DOUBLE / n)
+                 / sqrt((sq::DOUBLE - s::DOUBLE * s::DOUBLE / n) / (n - 1)), 4) AS z
+    FROM c JOIN st USING (event_type)
+    WHERE abs((c.cents - s::DOUBLE / n)
+              / sqrt((sq::DOUBLE - s::DOUBLE * s::DOUBLE / n) / (n - 1))) > 3.0
+    """,
+)
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier detection over event values — the data
+    quality screen that precedes any training-data cut.
+
+    Determinism discipline: mean and variance derive from exact integer
+    cents sums (count/sum/sum-of-squares), so both engines evaluate the
+    identical double expression on identical integers — no float
+    accumulation-order drift to flip the |z| > 3 boundary. Plan: one
+    partial-aggregatable pass builds the tiny per-type stats frame, which
+    broadcasts back onto the scan — at 100 TB the second pass is a
+    map-only filter."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id", "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    st = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sq"),
+    )
+    sd = F.col("s").cast("double")
+    z = (F.col("cents") - sd / F.col("n")) / F.sqrt(
+        (F.col("sq").cast("double") - sd * sd / F.col("n")) / (F.col("n") - 1)
+    )
+    return (
+        c.join(F.broadcast(st), "event_type")
+        .withColumn("_z", z)
+        .filter(F.abs(F.col("_z")) > 3.0)
+        .select("event_id", "event_type", "cents", F.round("_z", 4).alias("z"))
+    )

@@ -198,3 +198,41 @@ def events_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.unix_timestamp("ts").alias("ts_s"),
     )
+
+
+_DOC_BUCKET = (
+    "(instr('{hex}', substring(md5(cast(doc_id as string)), 1, 1)) - 1) * 16 "
+    "+ instr('{hex}', substring(md5(cast(doc_id as string)), 2, 1)) - 1"
+).format(hex=_HEX)
+
+# per-language sampling rates out of 256 md5 buckets: downsample the
+# majority languages, keep the rare ones whole (the usual corpus
+# rebalancing move before training)
+_LANG_RATES = (("en", 26), ("es", 51), ("zh", 128), ("de", 256), ("fr", 13))
+
+
+@register(
+    "stratified_doc_sample",
+    oracle=f"""
+    WITH rates(lang, rate256) AS (VALUES {', '.join(f"('{l}', {r})" for l, r in _LANG_RATES)})
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE (strpos('{_HEX}', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+          + strpos('{_HEX}', substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1 < r.rate256
+    """,
+)
+def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4+ stratified sampling: per-language sampling rates applied via
+    content-hash bucketing — the reproducible twin of
+    ``df.sampleBy("lang", fractions)``, whose RNG-based draw is neither
+    engine- nor partitioning-stable. The rate table is a broadcast dim;
+    the predicate evaluates per row and pushes below any downstream
+    shuffle, so at 100 TB this is a pure scan-side filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(list(_LANG_RATES), "lang string, rate256 int")
+    bucket = F.expr(_DOC_BUCKET)
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("rate256"))
+        .select("doc_id", "lang", "source")
+    )
