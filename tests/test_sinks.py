@@ -51,3 +51,28 @@ def test_sink_partitioned_roundtrip_prunes_partitions(spark):
         df.explain("formatted")
     plan = buf.getvalue()
     assert re.search(r"PartitionFilters: \[.*event_type", plan), plan
+
+
+def test_bucketed_join_has_no_join_side_exchange(spark):
+    """S4+/J2+: the 8-bucket clustered layout feeds the orderkey join
+    with zero join-side shuffles — the only Exchange in the plan is the
+    final small aggregate. Broadcast is disabled so the pin proves the
+    bucketing (not a broadcast) removed the exchanges."""
+    from dataengineerchallenge_spark.queries.formats import stage_bucketed_order_tables
+
+    bo, bl = stage_bucketed_order_tables(spark, SF_DIR)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o, li = spark.table(bo), spark.table(bl)
+        j = (
+            o.join(li, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    assert plan.count("Exchange") == 1  # the aggregate only — join is co-located
