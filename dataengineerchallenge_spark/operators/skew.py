@@ -67,3 +67,33 @@ def salted_agg(
         final_exprs.append(final_fn(F.col(f"_p_{alias}")).alias(alias))
     partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partial_exprs)
     return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_on: str | Column,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Salted equi-join for big ⋈ medium where one join key is hot and
+    the small side is too large to broadcast: shard the big side's rows
+    across ``n_salts`` sub-keys (deterministic content hash of
+    ``salt_on``, so the shard assignment is reproducible across runs and
+    repartitionings), replicate the small side once per salt, and join on
+    (key, salt). The hot key's probe rows spread over ``n_salts``
+    reducers instead of one.
+
+    Trade-off, stated: the small side shuffles n_salts× its size — worth
+    it only when the skew stall exceeds that replication cost (AQE's
+    runtime skew split, on in session.py, is the first lever; this is the
+    deterministic fallback when a single key exceeds what splitting one
+    partition can fix). Inner join only: replicated rows of ``small``
+    that match nothing vanish in the join, so multiplicity is unchanged.
+    """
+    salt_col = F.col(salt_on) if isinstance(salt_on, str) else salt_on
+    big_s = big.withColumn("_salt", F.pmod(F.xxhash64(salt_col), F.lit(n_salts)))
+    small_s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salts)]))
+    )
+    return big_s.join(small_s, [key, "_salt"]).drop("_salt")

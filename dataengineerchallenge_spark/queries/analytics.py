@@ -194,3 +194,78 @@ def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("_z")) > 3.0)
         .select("event_id", "event_type", "cents", F.round("_z", 4).alias("z"))
     )
+
+@register(
+    "salted_join_type_engagement",
+    oracle="""
+    WITH dim AS (
+      SELECT CAST(user_id AS VARCHAR) AS u, count(*)::BIGINT AS user_events
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(d.user_events) AS BIGINT) AS sum_user_events
+    FROM (SELECT CAST(user_id AS VARCHAR) AS u, event_type FROM events) e
+    JOIN dim d ON e.u = d.u
+    GROUP BY e.event_type
+    """,
+)
+def salted_join_type_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe enrichment join under the correctness gate: events join
+    their per-user activity dim through ``operators.skew.salted_join``
+    (content-hash salt on event_id shards any hot user across 16
+    reducers; the dim replicates 16×). The aggregate proves join
+    multiplicity is exactly that of the plain join."""
+    from dataengineerchallenge_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("u"), "event_type", "event_id"
+    )
+    dim = ev.groupBy("u").agg(F.count(F.lit(1)).alias("user_events"))
+    joined = salted_join(ev, dim, key="u", salt_on="event_id", n_salts=16)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_events").alias("sum_user_events"),
+    )
+
+
+@register(
+    "rolling_7day_user_value",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(user_id AS VARCHAR) AS u,
+             CAST(event_id AS VARCHAR) AS event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT u, event_id, ts_s,
+           CAST(SUM(cents) OVER w AS BIGINT) AS trail_7d_cents,
+           CAST(COUNT(*) OVER w AS BIGINT) AS trail_7d_events
+    FROM e
+    WINDOW w AS (PARTITION BY u ORDER BY ts_s
+                 RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_7day_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 rolling RANGE frame: per-user trailing 7-day spend and event
+    count at every event — a time-based frame over epoch seconds, not a
+    row-count frame, so gaps and ties are handled by value (tied
+    timestamps are frame peers on both engines — no order ambiguity).
+    Sums are exact integer cents. One shuffle on user_id; the frame scan
+    is a single sorted pass per partition."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.col("user_id").cast("string").alias("u"),
+        F.col("event_id").cast("string").alias("event_id"),
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("u").orderBy("ts_s").rangeBetween(-604800, 0)
+    return e.select(
+        "u",
+        "event_id",
+        "ts_s",
+        F.sum("cents").over(w).alias("trail_7d_cents"),
+        F.count(F.lit(1)).over(w).alias("trail_7d_events"),
+    )

@@ -401,3 +401,34 @@ def sequence_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("long").alias("pack_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@register(
+    "doc_token_entropy",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    cnt AS (SELECT doc_id, w, count(*)::DOUBLE AS c FROM tok GROUP BY doc_id, w),
+    tot AS (SELECT doc_id, sum(c) AS n, sum(c * ln(c)) AS clogc FROM cnt GROUP BY doc_id)
+    SELECT doc_id,
+           ROUND(ln(n) - clogc / n, 4) AS token_entropy,
+           CAST(n AS BIGINT) AS n_tokens
+    FROM tot
+    """,
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 lexical-diversity score: Shannon entropy of the per-document
+    unigram distribution (H = ln n − Σ c·ln c / n) — low entropy flags
+    repetitive/boilerplate docs for the quality cut. Explode → two
+    partial-aggregatable group-bys, both keyed on doc_id, so one exchange
+    serves both (tokens of a doc start co-located in its row)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread(docs).select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    cnt = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.sum(F.col("c") * F.log("c")).alias("clogc")
+    )
+    return tot.select(
+        "doc_id",
+        F.round(F.log("n") - F.col("clogc") / F.col("n"), 4).alias("token_entropy"),
+        F.col("n").cast("long").alias("n_tokens"),
+    )
