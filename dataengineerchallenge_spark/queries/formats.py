@@ -120,6 +120,53 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: event_type → workload category; the literal dim for the DPP demo (the
+#: oracle mirrors it as a VALUES list so both engines see identical rows).
+EVENT_CATEGORY_DIM = [
+    ("view", "engagement"),
+    ("click", "engagement"),
+    ("purchase", "commerce"),
+    ("signup", "commerce"),
+    ("error", "ops"),
+]
+
+
+@register(
+    "dpp_engagement_by_type",
+    oracle="""
+    WITH dim(event_type, category) AS (
+      VALUES ('view', 'engagement'), ('click', 'engagement'),
+             ('purchase', 'commerce'), ('signup', 'commerce'), ('error', 'ops')
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 4) AS total_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    WHERE d.category = 'engagement'
+    GROUP BY 1
+    """,
+)
+def dpp_engagement_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning under the gate: the fact side is the
+    event_type-partitioned S4 layout, the dim side a 5-row category map
+    filtered to 'engagement'. No static predicate touches the partition
+    column — the scan is pruned at RUNTIME from the broadcast dim
+    (``dynamicpruningexpression`` in PartitionFilters, pinned in
+    tests/test_sinks.py), so only 2 of 5 partition directories are read.
+    At 100 TB this is the date-dim ⋈ fact pattern: the fact scan shrinks
+    to the dim's surviving keys without any manual predicate rewrite."""
+    fact = spark.read.parquet(_staged_partitioned_events(spark, sf_dir))
+    dim = spark.createDataFrame(EVENT_CATEGORY_DIM, ["event_type", "category"])
+    return (
+        fact.join(dim.filter(F.col("category") == "engagement"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
 def stage_bucketed_order_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """orders/lineitem written as 8-bucket tables clustered+sorted on the
     orderkey (S4+ data layout). Bucket metadata lives in the session

@@ -110,3 +110,45 @@ def test_orc_pushes_filters_like_parquet(spark):
     q = events_from_orc(spark, SF_DIR).filter(F.col("event_type") == "error").select("event_id")
     plan = _explain(q, "formatted")
     assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)]" in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime bloom-filter join pruning: a selective filter on the
+    creation side (urgent orders) injects a bloom-filter semi-filter on
+    the probe side's scan (might_contain over l_orderkey), so most
+    lineitem rows die before the shuffle — the non-partitioned complement
+    of DPP for a 100 TB fact ⋈ filtered-dim join. The application-side
+    size threshold defaults to 10 GiB (far above any fixture), so the pin
+    lowers it to 0; production clusters keep the default and get the
+    filter exactly when the probe scan is big enough to matter."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, SF_DIR, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        li = load_table(spark, SF_DIR, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        [row] = j.collect()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    # bloom pruning must not change the result: cross-check without it
+    o2 = load_table(spark, SF_DIR, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    li2 = load_table(spark, SF_DIR, "lineitem")
+    [plain] = (
+        li2.join(o2, li2.l_orderkey == o2.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert (row["o_orderpriority"], row["n"]) == (plain["o_orderpriority"], plain["n"])

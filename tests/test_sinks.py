@@ -53,6 +53,22 @@ def test_sink_partitioned_roundtrip_prunes_partitions(spark):
     assert re.search(r"PartitionFilters: \[.*event_type", plan), plan
 
 
+def test_dpp_prunes_fact_partitions_at_runtime(spark):
+    """The DPP query's partition filter must come from the dim join at
+    runtime (dynamicpruningexpression), not from a static predicate."""
+    import contextlib
+    import io
+
+    from dataengineerchallenge_spark.registry import queries
+
+    df = queries()["dpp_engagement_by_type"](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruningexpression" in plan, plan
+
+
 def test_bucketed_join_has_no_join_side_exchange(spark):
     """S4+/J2+: the 8-bucket clustered layout feeds the orderkey join
     with zero join-side shuffles — the only Exchange in the plan is the
