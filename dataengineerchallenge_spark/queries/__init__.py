@@ -22,6 +22,7 @@ _MODULES = [
     "formats",
     "analytics",
     "sketches",
+    "quality",
 ]
 
 

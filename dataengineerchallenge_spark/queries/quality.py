@@ -1,0 +1,206 @@
+"""Data-quality audit battery — the validation pass a training-data
+pipeline runs before any corpus ships (SURVEY.md §2.11 north star;
+complements the curation pipeline in queries/pipeline.py).
+
+Three audit surfaces, each a single declarative pass so the 100 TB cost
+model is obvious:
+
+* column profile   — one scan of the fact table, conditional aggregates
+                     (null counts) + exact distinct counts; Spark plans
+                     multi-distinct via one Expand (row ×k) + partial
+                     aggregation, still a single shuffle.
+* domain checks    — rule violations as SUM(CASE WHEN ...) over one scan
+                     per table; no shuffle beyond the final 1-row agg.
+* referential
+  integrity        — orphan counts per FK edge via left-outer join +
+                     conditional count; dims broadcast, so the fact scan
+                     is the only big-data movement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineerchallenge_spark.registry import register
+from dataengineerchallenge_spark.sources.tables import load_table
+
+
+@register(
+    "dq_events_column_profile",
+    oracle="""
+    SELECT col, n_nulls, n_distinct, n_rows FROM (
+      SELECT 'event_id' AS col,
+             CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+             CAST(COUNT(*) AS BIGINT) AS n_rows FROM events
+      UNION ALL
+      SELECT 'ts', CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT ts) AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM events
+      UNION ALL
+      SELECT 'user_id', CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT user_id) AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM events
+      UNION ALL
+      SELECT 'event_type', CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT event_type) AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM events
+      UNION ALL
+      SELECT 'value', CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT value) AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM events
+      UNION ALL
+      SELECT 'props', CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT props) AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM events
+    )
+    """,
+)
+def dq_events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness/cardinality profile of ``events``: per column, its
+    null count, exact distinct count, and the table rowcount — ONE scan.
+    The six exact count-distincts compile to a single Expand (each input
+    row fans to 6 tagged rows) feeding one partially-aggregated shuffle,
+    not six scans; at 100 TB swap exact for approx_count_distinct and the
+    Expand disappears (see approx_unique_urls_per_user)."""
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    aggs = []
+    for c in cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+    aggs.append(F.count(F.lit(1)).alias("n_rows"))
+    one = ev.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in cols)
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) AS (col, n_nulls, n_distinct)", "n_rows"
+    )
+
+
+@register(
+    "dq_domain_checks",
+    oracle="""
+    SELECT rule, n_violations, n_checked FROM (
+      SELECT 'events.value >= 0' AS rule,
+             CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+             CAST(COUNT(*) AS BIGINT) AS n_checked FROM events
+      UNION ALL
+      SELECT 'events.event_type in domain',
+             CAST(SUM(CASE WHEN event_type NOT IN
+                  ('view','click','purchase','signup','error') THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM events
+      UNION ALL
+      SELECT 'lineitem.l_discount in [0,1]',
+             CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.l_quantity > 0',
+             CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'orders.o_totalprice > 0',
+             CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'documents.n_chars = len(text)',
+             CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM documents
+    )
+    """,
+)
+def dq_domain_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based expectation suite: each rule is a conditional SUM over
+    one scan of its table (violations never materialize as rows — the
+    audit of a 100 TB table is a map-side aggregate), unioned into a
+    (rule, n_violations, n_checked) report. The documents rule is a
+    cross-column consistency check (stored n_chars vs recomputed)."""
+
+    def rule(df: DataFrame, name: str, bad) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_violations"),
+            F.count(F.lit(1)).alias("n_checked"),
+        ).select("rule", "n_violations", "n_checked")
+
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    docs = load_table(spark, sf_dir, "documents")
+    checks = [
+        rule(ev, "events.value >= 0", F.col("value") < 0),
+        rule(
+            ev,
+            "events.event_type in domain",
+            ~F.col("event_type").isin("view", "click", "purchase", "signup", "error"),
+        ),
+        rule(
+            li,
+            "lineitem.l_discount in [0,1]",
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+        ),
+        rule(li, "lineitem.l_quantity > 0", F.col("l_quantity") <= 0),
+        rule(orders, "orders.o_totalprice > 0", F.col("o_totalprice") <= 0),
+        rule(docs, "documents.n_chars = len(text)", F.col("n_chars") != F.length("text")),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT edge, n_rows, n_orphans FROM (
+      SELECT 'lineitem.l_orderkey -> orders' AS edge,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'lineitem.l_partkey -> part', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      UNION ALL
+      SELECT 'lineitem.l_suppkey -> supplier', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      UNION ALL
+      SELECT 'orders.o_custkey -> customer', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'customer.c_nationkey -> nation', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK orphan audit over the star schema: for each edge, the fact row
+    count and how many rows dangle (no matching dim key). Left-outer join
+    + conditional count in ONE pass per edge; every dim here broadcasts,
+    so each audit costs exactly one fact scan and zero shuffles. Orders
+    and customer swap fact/dim roles across edges — the pattern, not the
+    table, decides the join strategy."""
+
+    def edge(fact: DataFrame, dim: DataFrame, name: str, fk: str, pk: str) -> DataFrame:
+        probe = F.broadcast(dim.select(F.col(pk).alias("_pk")).distinct())
+        return (
+            fact.join(probe, F.col(fk) == F.col("_pk"), "left")
+            .agg(
+                F.lit(name).alias("edge"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0)).cast("long").alias("n_orphans"),
+            )
+            .select("edge", "n_rows", "n_orphans")
+        )
+
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("lineitem", "orders", "part", "supplier", "customer", "nation")}
+    edges = [
+        edge(t["lineitem"], t["orders"], "lineitem.l_orderkey -> orders", "l_orderkey", "o_orderkey"),
+        edge(t["lineitem"], t["part"], "lineitem.l_partkey -> part", "l_partkey", "p_partkey"),
+        edge(t["lineitem"], t["supplier"], "lineitem.l_suppkey -> supplier", "l_suppkey", "s_suppkey"),
+        edge(t["orders"], t["customer"], "orders.o_custkey -> customer", "o_custkey", "c_custkey"),
+        edge(t["customer"], t["nation"], "customer.c_nationkey -> nation", "c_nationkey", "n_nationkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionAll(e)
+    return out
