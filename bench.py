@@ -53,6 +53,22 @@ def main() -> None:
     # noop-write plan shape being measured
     qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # warm the Python/Arrow worker pool too (spark.python.worker.reuse keeps
+    # it alive): spawning one worker per core is a ~5s one-time infra cost
+    # that would otherwise be charged to whichever pandas-UDF query runs
+    # first, not a property of that query's plan
+    import pandas as pd  # noqa: F401  (worker-side import warm)
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    _warm = pandas_udf(lambda v: v, "double")  # no hints: local pd alias
+    # isn't resolvable by the type-hint inferrer under future-annotations
+
+    n_cores = spark.sparkContext.defaultParallelism
+    spark.range(0, n_cores * 100, 1, n_cores).select(
+        _warm((F.col("id") * 1.0))
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.time()
