@@ -85,6 +85,93 @@ def session_stats(
     )
 
 
+def session_state(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    url: str = "event_type",
+    order_col: str | Sequence[str] = "event_id",
+    gap_s: int = DEFAULT_GAP_S,
+) -> DataFrame:
+    """Mergeable per-session state: like :func:`session_stats` but keeps
+    the distinct-URL SET (collect_set) instead of its count, so a later
+    batch can be merged without rescanning history. At 100 TB, compact
+    closed sessions (everything but each key's last) to the bare count —
+    only the open session can still grow; the set is bounded by one
+    session's URL variety either way (or swap in an HLL sketch, see
+    hll_weekly_actives)."""
+    sess = with_session_ids(df, key=key, ts=ts, order_col=order_col, gap_s=gap_s)
+    return sess.groupBy(key, "session_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("ts_s").alias("start_s"),
+        F.max("ts_s").alias("end_s"),
+        F.collect_set(url).alias("url_set"),
+    )
+
+
+def merge_session_state(
+    state: DataFrame,
+    new_events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    url: str = "event_type",
+    order_col: str | Sequence[str] = "event_id",
+    gap_s: int = DEFAULT_GAP_S,
+) -> DataFrame:
+    """Incrementally fold a new batch of events into prior session state.
+
+    PRECONDITION: every new event's floored timestamp is >= every prior
+    event's for the same key (time-partitioned ingestion; the batch twin
+    of the streaming watermark). Under it, only each key's LAST session
+    can be extended, so the merge is: sessionize the new batch alone,
+    renumber its sessions after the key's prior max (minus one when the
+    first new session continues the open one, i.e. its start is within
+    ``gap_s`` of the prior end), then one (key, session_id) merge
+    aggregate over old+new state rows. Result is IDENTICAL to
+    re-sessionizing all events from scratch — the registered query proves
+    that against the full-recompute oracle — at the cost of one pass over
+    the NEW batch only: the 100 TB daily-ingest pattern where history is
+    never rescanned.
+    """
+    new_state = session_state(
+        new_events, key=key, ts=ts, url=url, order_col=order_col, gap_s=gap_s
+    )
+    prior = state.groupBy(key).agg(
+        F.max("session_id").alias("_smax"), F.max("end_s").alias("_pend")
+    )
+    first_new = new_state.filter(F.col("session_id") == 1).select(
+        F.col(key), F.col("start_s").alias("_nstart")
+    )
+    flags = prior.join(first_new, key).select(
+        key,
+        "_smax",
+        (F.col("_nstart") - F.col("_pend") <= F.lit(gap_s)).cast("long").alias("_cont"),
+    )
+    renumbered = new_state.join(flags, key, "left").select(
+        key,
+        (
+            F.col("session_id")
+            + F.coalesce(F.col("_smax"), F.lit(0))
+            - F.coalesce(F.col("_cont"), F.lit(0))
+        ).alias("session_id"),
+        "n_hits",
+        "start_s",
+        "end_s",
+        "url_set",
+    )
+    return (
+        state.select(key, "session_id", "n_hits", "start_s", "end_s", "url_set")
+        .unionByName(renumbered)
+        .groupBy(key, "session_id")
+        .agg(
+            F.sum("n_hits").alias("n_hits"),
+            F.min("start_s").alias("start_s"),
+            F.max("end_s").alias("end_s"),
+            F.array_distinct(F.flatten(F.collect_list("url_set"))).alias("url_set"),
+        )
+    )
+
+
 # Shared oracle SQL fragment: identical sessionization in DuckDB.
 # {tbl} = source view, {key}/{ts}/{order}/{url} = column names, {gap} = secs.
 ORACLE_SESSION_CTE = """

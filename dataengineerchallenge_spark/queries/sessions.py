@@ -201,3 +201,39 @@ def per_minute_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         F.unix_timestamp(F.date_trunc("minute", "ts")).alias("minute_epoch_s")
     ).agg(F.count(F.lit(1)).alias("n_requests"))
+
+
+@register(
+    "incremental_sessionize_merge",
+    oracle=_CTE
+    + """
+SELECT skey, session_id, n_hits, duration_s, n_unique_urls, start_s, end_s
+FROM sessions
+""",
+)
+def incremental_sessionize_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental twin of ``sessionize``: events are split at a mid-month
+    boundary, the first half becomes mergeable session STATE
+    (operators.sessionize.session_state), and the second half is folded in
+    with merge_session_state — history is never re-scanned. The oracle is
+    the UNSUSPECTING full recompute over all events: hash-equality proves
+    merge(state(old), new) == sessionize(old ∪ new) row for row."""
+    from dataengineerchallenge_spark.operators.sessionize import (
+        merge_session_state,
+        session_state,
+    )
+
+    split_s = 1705363200  # 2024-01-16 00:00:00 UTC, mid-fixture
+    ev = load_table(spark, sf_dir, "events")
+    ts_s = F.unix_timestamp("ts")
+    state = session_state(ev.filter(ts_s < split_s))
+    merged = merge_session_state(state, ev.filter(ts_s >= split_s))
+    return merged.select(
+        F.col("user_id").alias("skey"),
+        "session_id",
+        "n_hits",
+        (F.col("end_s") - F.col("start_s")).alias("duration_s"),
+        F.size("url_set").cast("long").alias("n_unique_urls"),
+        "start_s",
+        "end_s",
+    )

@@ -102,3 +102,45 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert "session_id" in df.columns
+
+
+def test_incremental_merge_edge_cases(spark):
+    """merge_session_state on crafted rows: exact-gap continuation (900 s
+    stays in-session), >gap new session, key only in old, key only in new,
+    and URL-set union across the merge boundary."""
+    import datetime as dt
+
+    from dataengineerchallenge_spark.operators.sessionize import (
+        merge_session_state,
+        session_state,
+    )
+
+    def ev(eid, uid, s, url):
+        return (eid, uid, dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+                + dt.timedelta(seconds=s), url)
+
+    cols = ["event_id", "user_id", "ts", "event_type"]
+    old = spark.createDataFrame(
+        [ev(1, "cont", 0, "a"), ev(2, "cont", 10, "b"),   # open session ends t=10
+         ev(3, "newsess", 0, "a"),                         # open session ends t=0
+         ev(4, "oldonly", 0, "a"), ev(5, "oldonly", 2000, "b")],  # 2 sessions
+        cols,
+    )
+    new = spark.createDataFrame(
+        [ev(6, "cont", 910, "b"), ev(7, "cont", 915, "c"),  # 910-10=900 → SAME session
+         ev(8, "newsess", 901, "z"),                        # 901-0=901 → NEW session
+         ev(9, "newonly", 100, "x")],
+        cols,
+    )
+    got = {
+        (r["user_id"], r["session_id"]): (r["n_hits"], sorted(r["url_set"]), r["start_s"], r["end_s"])
+        for r in merge_session_state(session_state(old), new).collect()
+    }
+    base = 1704067200  # 2024-01-01 epoch
+    assert got[("cont", 1)] == (4, ["a", "b", "c"], base, base + 915)
+    assert got[("newsess", 1)] == (1, ["a"], base, base)
+    assert got[("newsess", 2)] == (1, ["z"], base + 901, base + 901)
+    assert got[("oldonly", 1)] == (1, ["a"], base, base)
+    assert got[("oldonly", 2)] == (1, ["b"], base + 2000, base + 2000)
+    assert got[("newonly", 1)] == (1, ["x"], base + 100, base + 100)
+    assert len(got) == 6
