@@ -490,3 +490,77 @@ def tpch_q18_style_large_volume_customers(spark: SparkSession, sf_dir: str) -> D
         .orderBy(F.desc("totalprice_cents"), F.asc("o_orderkey"))
         .limit(20)
     )
+
+
+@register(
+    "tpch_q4_style_priority_with_late_lines",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4_style_priority_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — correlated EXISTS: orders of one year having at
+    least one line shipped >60 days after order date, counted per
+    priority. Expressed through the SQL surface so Catalyst performs the
+    standard decorrelation: the EXISTS rewrites to a LEFT SEMI hash join
+    on the orderkey with the non-equi ship-lag predicate as the join
+    condition — semantically dedup-free (no pre-aggregate needed), and
+    the date filter prunes the probe side before the join."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_q4_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_q4_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, COUNT(*) AS n_orders
+        FROM _q4_orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM _q4_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
+@register(
+    "tpch_q17_style_small_quantity_revenue",
+    oracle=f"""
+    WITH avg_qty AS (
+      SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM({sql_cents('l.l_extendedprice')}) AS BIGINT) AS small_qty_revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN avg_qty a ON a.l_partkey = l.l_partkey
+    WHERE l.l_quantity < a.half_avg
+    """,
+)
+def tpch_q17_style_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar aggregate: revenue from lines
+    whose quantity is below half their part's average. The correlated
+    subquery decorrelates to a per-part aggregate joined back to the
+    fact — BOTH sides shuffle on l_partkey, so Catalyst reuses one
+    exchange layout for the aggregate and the join (no second shuffle of
+    the big side). The comparison is float-safe: quantities sit on a
+    .01 grid, far from the 0.5*avg boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    half_avg = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(half_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.sum(cents("l_extendedprice")).alias("small_qty_revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
