@@ -152,3 +152,47 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
         .collect()
     )
     assert (row["o_orderpriority"], row["n"]) == (plain["o_orderpriority"], plain["n"])
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's runtime skew-join split: a hot join key whose shuffle
+    partition dwarfs the median gets split into multiple tasks at
+    runtime (SortMergeJoin(skew=true) + AQEShuffleRead skewed) — the
+    first lever against join skew; operators/skew.py's salted_join is
+    the deterministic fallback. Thresholds are lowered to make a ~MB hot
+    key "skewed"; production keeps the 256 MB default. The downstream
+    aggregate is deliberately GLOBAL: an agg keyed on the join key would
+    require hash distribution and veto the split — that interaction is
+    the whole reason salting still exists."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 205000).select(
+            F.when(F.col("id") < 200000, 0).otherwise((F.col("id") % 50) + 1).alias("k"),
+            F.rand(7).alias("v"),
+        )
+        right = spark.range(0, 5100).select((F.col("id") % 51).alias("k"), F.rand(9).alias("w"))
+        # the sum(v*w) aggregate keeps the random doubles alive through the
+        # join: skew detection reads COMPRESSED shuffle bytes, and a
+        # count-only plan prunes to the key column, whose 200k identical
+        # longs compress below the 64 KB threshold (observed: no split)
+        j = big.join(right, "k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.col("v") * F.col("w")).alias("s")
+        )
+        [row] = j.collect()
+        # hot key 0: 200k rows × 100 matches; keys 1..50: 100 × 100 each
+        assert row["n"] == 200000 * 100 + 50 * 100 * 100
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
