@@ -226,3 +226,68 @@ def bucketed_join_order_priority_revenue(spark: SparkSession, sf_dir: str) -> Da
             F.sum(revenue).alias("revenue_cents"),
         )
     )
+
+
+def _staged_zorder_events(spark: SparkSession, sf_dir: str) -> str:
+    """events laid out as 8 Z-ordered files on (user_id, epoch-seconds),
+    content-addressed like the other stagings."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.layout import zorder_by
+    from dataengineerchallenge_spark.sources.tables import load_table
+
+    src = Path(sf_dir) / "events.parquet"
+    tag = hashlib.sha256(f"{src.resolve()}:{src.stat().st_mtime_ns}:zorder".encode()).hexdigest()[:16]
+    d = Path(tempfile.gettempdir()) / f"spark_graft_zorder_{tag}"
+    if not (d / "_SUCCESS").exists():
+        ev = load_table(spark, sf_dir, "events").select(
+            F.col("event_id").cast("string"),
+            F.unix_timestamp("ts").alias("ts_s"),
+            F.col("user_id").cast("long"),
+            "event_type",
+            "value",
+        )
+        tmp = Path(tempfile.mkdtemp(prefix="spark_graft_zorder_")) / "out"
+        zorder_by(ev, "user_id", "ts_s", n_files=8).write.parquet(str(tmp))
+        try:
+            tmp.rename(d)
+        except OSError:
+            pass  # concurrent driver published identical content first
+    return str(d)
+
+
+@register(
+    "zorder_sink_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE user_id BETWEEN 100 AND 200
+      AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+    """,
+)
+def zorder_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+ Z-order layout under the gate: events rewritten as 8 files
+    Morton-clustered on (user_id, ts_s), read back with predicates on
+    BOTH dimensions. Correctness is layout-invariant (the oracle reads
+    the original table); the two-dimensional min/max tightening that
+    makes either predicate skip most files is pinned from real parquet
+    footers in tests/test_layout.py."""
+    lo = 1704844800  # 2024-01-10 UTC
+    hi = 1705708800  # 2024-01-20 UTC
+    back = spark.read.parquet(_staged_zorder_events(spark, sf_dir))
+    return (
+        back.filter(
+            F.col("user_id").between(100, 200)
+            & (F.col("ts_s") >= lo)
+            & (F.col("ts_s") < hi)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
