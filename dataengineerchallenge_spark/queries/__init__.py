@@ -23,6 +23,7 @@ _MODULES = [
     "analytics",
     "sketches",
     "quality",
+    "dimensions",
 ]
 
 
