@@ -24,6 +24,7 @@ _MODULES = [
     "sketches",
     "quality",
     "dimensions",
+    "mixing",
 ]
 
 
