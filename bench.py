@@ -36,6 +36,8 @@ HEADLINE = [
     "elb_sessionize",           # P1-P5 real-format parse path
     "stream_per_minute_load",   # T1 streaming twin
     "corpus_curation_pipeline", # N1+N4 composed flagship
+    "incremental_sessionize_merge",  # W2+ state merge (round 3)
+    "dq_referential_integrity",      # N+ audit battery (round 3)
 ]
 
 

@@ -167,3 +167,61 @@ def test_tws_sessionizer_matches_old_api(spark):
     old = run_to_batch(stateful_sessionize_stream(ev), "old_api", output_mode="append")
     new = run_to_batch(tws_sessionize_stream(stream_events(spark, SF_DIR)), "tws_api", output_mode="append")
     assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_foreachbatch_cdc_upsert_converges_to_batch_profile(spark, tmp_path):
+    """T6+ foreachBatch sink: each micro-batch's per-user profile deltas
+    are UPSERTED into a keyed parquet target via operators' cdc_upsert —
+    the streaming ingestion pattern for a serving table without a
+    transactional format. After availableNow drains, the target must
+    equal the batch-computed profile (merge of per-batch partials)."""
+    import pyspark.sql.functions as F
+
+    from dataengineerchallenge_spark.queries.dimensions import cdc_upsert
+    from dataengineerchallenge_spark.sources import load_table
+    from dataengineerchallenge_spark.streaming import stream_events
+
+    target_dir = str(tmp_path / "profile_target")
+
+    def upsert_batch(batch_df, batch_id):
+        delta = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+        )
+        try:
+            target = spark.read.parquet(target_dir)
+        except Exception:
+            delta.write.mode("overwrite").parquet(target_dir)
+            return
+        # merge additively: existing keys accumulate, new keys insert
+        merged = (
+            target.unionByName(delta)
+            .groupBy("user_id")
+            .agg(F.sum("n_events").alias("n_events"), F.sum("total_value").alias("total_value"))
+        )
+        # cdc_upsert replaces same-key rows wholesale — used here to fold
+        # the merged frame back over the target (proves the operator in a
+        # streaming sink, not just the batch query)
+        out = cdc_upsert(target, merged, "user_id").localCheckpoint()
+        out.write.mode("overwrite").parquet(target_dir)
+
+    ev = stream_events(spark, SF_DIR)
+    q = (
+        ev.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 4))
+        for r in spark.read.parquet(target_dir).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 4))
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .collect()
+    }
+    assert got == want
