@@ -105,17 +105,23 @@ def dq_events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dq_domain_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rule-based expectation suite: each rule is a conditional SUM over
-    one scan of its table (violations never materialize as rows — the
-    audit of a 100 TB table is a map-side aggregate), unioned into a
-    (rule, n_violations, n_checked) report. The documents rule is a
-    cross-column consistency check (stored n_chars vs recomputed)."""
+    """Rule-based expectation suite: ALL of a table's rules are
+    conditional SUMs inside ONE aggregate over one scan (violations never
+    materialize as rows — the audit of a 100 TB table is a single
+    map-side aggregate per table), then ``stack`` unpivots the 1-row
+    result into (rule, n_violations, n_checked) report rows. The
+    documents rule is a cross-column consistency check (stored n_chars vs
+    recomputed)."""
 
-    def rule(df: DataFrame, name: str, bad) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("rule"),
-            F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_violations"),
-            F.count(F.lit(1)).alias("n_checked"),
+    def table_rules(df: DataFrame, rules: list[tuple[str, object]]) -> DataFrame:
+        aggs = [
+            F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias(f"_v{i}")
+            for i, (_, bad) in enumerate(rules)
+        ]
+        one = df.agg(*aggs, F.count(F.lit(1)).alias("n_checked"))
+        pairs = ", ".join(f"'{name}', _v{i}" for i, (name, _) in enumerate(rules))
+        return one.selectExpr(
+            f"stack({len(rules)}, {pairs}) AS (rule, n_violations)", "n_checked"
         ).select("rule", "n_violations", "n_checked")
 
     ev = load_table(spark, sf_dir, "events")
@@ -123,20 +129,19 @@ def dq_domain_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     docs = load_table(spark, sf_dir, "documents")
     checks = [
-        rule(ev, "events.value >= 0", F.col("value") < 0),
-        rule(
-            ev,
-            "events.event_type in domain",
-            ~F.col("event_type").isin("view", "click", "purchase", "signup", "error"),
-        ),
-        rule(
-            li,
-            "lineitem.l_discount in [0,1]",
-            (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
-        ),
-        rule(li, "lineitem.l_quantity > 0", F.col("l_quantity") <= 0),
-        rule(orders, "orders.o_totalprice > 0", F.col("o_totalprice") <= 0),
-        rule(docs, "documents.n_chars = len(text)", F.col("n_chars") != F.length("text")),
+        table_rules(ev, [
+            ("events.value >= 0", F.col("value") < 0),
+            (
+                "events.event_type in domain",
+                ~F.col("event_type").isin("view", "click", "purchase", "signup", "error"),
+            ),
+        ]),
+        table_rules(li, [
+            ("lineitem.l_discount in [0,1]", (F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+            ("lineitem.l_quantity > 0", F.col("l_quantity") <= 0),
+        ]),
+        table_rules(orders, [("orders.o_totalprice > 0", F.col("o_totalprice") <= 0)]),
+        table_rules(docs, [("documents.n_chars = len(text)", F.col("n_chars") != F.length("text"))]),
     ]
     out = checks[0]
     for c in checks[1:]:
