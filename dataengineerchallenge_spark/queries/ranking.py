@@ -236,3 +236,48 @@ def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket < F.col("rate256"))
         .select("doc_id", "lang", "source")
     )
+
+
+@register(
+    "analytic_functions_showcase",
+    oracle=f"""
+    WITH totals AS (
+      SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+             CAST(SUM({sql_cents('value')}) AS BIGINT) AS total_cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, user_id, total_cents,
+           ROUND(cume_dist() OVER w, 6) AS cd,
+           nth_value(total_cents, 2) OVER
+             (PARTITION BY event_type ORDER BY total_cents, user_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_lowest_cents,
+           last_value(total_cents) OVER
+             (PARTITION BY event_type ORDER BY total_cents, user_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS max_cents
+    FROM totals
+    WINDOW w AS (PARTITION BY event_type ORDER BY total_cents, user_id)
+    """,
+)
+def analytic_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/W4 completion: cume_dist (cumulative distribution of each
+    user's spend within their event type), nth_value and frame-spanning
+    last_value over per-user totals. Ordering includes user_id so ranks
+    are total (exact-cent ties broken deterministically); every window
+    shares one (event_type) partitioning, so one exchange feeds all
+    three."""
+    ev = load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type", F.col("user_id").cast("string").alias("user_id")).agg(
+        F.sum(cents("value")).alias("total_cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("total_cents", "user_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return totals.select(
+        "event_type",
+        "user_id",
+        "total_cents",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("total_cents", 2).over(wfull).alias("second_lowest_cents"),
+        F.last("total_cents").over(wfull).alias("max_cents"),
+    )
