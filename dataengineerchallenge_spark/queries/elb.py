@@ -215,3 +215,39 @@ def elb_custom_source_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sent_bytes",
         "user_agent",
     )
+
+
+@register(
+    "elb_custom_source_stream_parse",
+    oracle=_ORACLE_RAW
+    + """
+    SELECT client_ip, client_port, method, url, url_path, protocol,
+           elb_status, backend_status, sent_bytes, user_agent
+    FROM typed WHERE is_valid
+    """,
+)
+def elb_custom_source_stream_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S3 via the Spark 4 Python DataSource STREAM reader: the custom
+    ``elblog`` source tailed as an unbounded stream (offset = files seen;
+    each micro-batch ingests new drops), drained with availableNow into
+    the same typed parse as elb_custom_source_parse. Hash-equality
+    against the identical read_csv oracle proves batch read, custom
+    batch source, and custom streaming source all deliver byte-identical
+    rows."""
+    from dataengineerchallenge_spark.sources.pyds import stream_elb_log_pyds
+    from dataengineerchallenge_spark.streaming import run_to_batch
+
+    lines = stream_elb_log_pyds(spark, SYNTH_LOG)
+    parsed = valid_requests(parse_elb(lines)).select(
+        "client_ip",
+        "client_port",
+        "method",
+        "url",
+        "url_path",
+        "protocol",
+        "elb_status",
+        "backend_status",
+        "sent_bytes",
+        "user_agent",
+    )
+    return run_to_batch(parsed, "elb_pyds_stream", output_mode="append")

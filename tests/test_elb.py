@@ -137,3 +137,46 @@ def test_pyds_source_partitions_per_file(spark, tmp_path):
     df = read_elb_log_pyds(spark, str(tmp_path))
     assert df.rdd.getNumPartitions() == 3
     assert sorted(r["value"] for r in df.collect()) == ["line-0", "line-1", "line-2"]
+
+
+def test_pyds_stream_offsets_resume_across_restarts(spark, tmp_path):
+    """The custom elblog stream reader's offset (files seen) must persist
+    through the checkpoint: a restarted query ingests ONLY files dropped
+    since the previous run — the exactly-once contract for per-interval
+    log drops."""
+    import gzip
+    import shutil
+
+    from dataengineerchallenge_spark.queries.elb import SYNTH_LOG
+    from dataengineerchallenge_spark.sources.elb import parse_elb
+    from dataengineerchallenge_spark.sources.pyds import stream_elb_log_pyds
+    from dataengineerchallenge_spark.streaming import run_to_batch
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    with gzip.open(SYNTH_LOG, "rt", encoding="utf-8") as fh:
+        lines = fh.read().splitlines()
+    (drops / "drop1.log").write_text("\n".join(lines[:100]) + "\n")
+
+    def run():
+        # memory sink can't recover a checkpoint; a real file sink can
+        raw = stream_elb_log_pyds(spark, str(drops))
+        q = (
+            parse_elb(raw)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return spark.read.parquet(sink).count()
+
+    assert run() == 100
+    # restart, same checkpoint, no new files: nothing new ingested
+    assert run() == 100
+    # drop a second file: exactly ITS lines append
+    (drops / "drop2.log").write_text("\n".join(lines[100:150]) + "\n")
+    assert run() == 150
