@@ -435,3 +435,21 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log("n") - F.col("clogc") / F.col("n"), 4).alias("token_entropy"),
         F.col("n").cast("long").alias("n_tokens"),
     )
+
+
+@register("bpe_merge_table")
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 tokenizer training: the first 16 BPE merges learned from the
+    corpus (operators/bpe.py — one corpus-wide word-frequency pass, then
+    per-round pair-count argmax + fold-based symbol rewrite on the tiny
+    word table). Rows-only per contract: the per-round argmax recursion
+    has no SQL twin; exact equivalence to a pure-Python reference BPE is
+    pinned in tests/test_bpe.py, determinism by tie-break is built in."""
+    from dataengineerchallenge_spark.operators.bpe import train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", n_merges=16)
+    return spark.createDataFrame(
+        [(m["rank"], m["left"], m["right"], m["merged"], m["pair_freq"]) for m in merges],
+        "rank int, left string, right string, merged string, pair_freq bigint",
+    )

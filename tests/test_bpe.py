@@ -1,0 +1,67 @@
+"""BPE trainer: exact equivalence with a pure-Python reference
+implementation, determinism, and corpus smoke."""
+
+from __future__ import annotations
+
+import collections
+
+from dataengineerchallenge_spark.operators.bpe import EOW, train_bpe
+
+
+def _ref_bpe(texts, n):
+    wf = collections.Counter(w for t in texts for w in t.split() if w)
+    words = {w: list(w) + [EOW] for w in wf}
+    out = []
+    for rank in range(n):
+        pc = collections.Counter()
+        for w, f in wf.items():
+            s = words[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        mx = max(pc.values())
+        a, b = min(p for p, c in pc.items() if c == mx)
+        out.append({"rank": rank, "left": a, "right": b, "merged": a + b, "pair_freq": mx})
+        for w in words:
+            s = words[w]
+            ns, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            words[w] = ns
+    return out
+
+
+def test_bpe_matches_reference_implementation(spark):
+    texts = ["low low low lower lowest", "newer newer new wider", "a aa aaa aaaa"]
+    docs = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = train_bpe(docs, n_merges=8)
+    assert got == _ref_bpe(texts, 8)
+
+
+def test_bpe_greedy_left_nonoverlapping_merge(spark):
+    """'aaaa' under merge (a,a) must become [aa, aa], not [aa, a, a] or
+    overlapping — the fold's greedy-left rule, checked via the ref impl
+    on a pathological repeat corpus."""
+    texts = ["aaaa aaa aa"]
+    docs = spark.createDataFrame([(t,) for t in texts], ["text"])
+    assert train_bpe(docs, n_merges=4) == _ref_bpe(texts, 4)
+
+
+def test_bpe_on_fixture_corpus_smoke(spark):
+    from dataengineerchallenge_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    merges = train_bpe(docs, n_merges=6)
+    assert len(merges) == 6
+    assert [m["rank"] for m in merges] == list(range(6))
+    # merged symbols grow out of prior merges or raw chars; freqs non-increasing is
+    # NOT guaranteed by BPE, but every pair_freq must be positive
+    assert all(m["pair_freq"] > 0 for m in merges)
+    # determinism: retraining yields the identical table
+    assert train_bpe(docs, n_merges=6) == merges
