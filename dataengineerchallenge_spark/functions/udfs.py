@@ -112,6 +112,36 @@ def enrich_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+# D3+ cogroup applyInPandas: per-key two-frame grouped map. The as-of
+# match below reproduces operators/joins.as_of_join semantics (latest
+# right row with ts <= left ts, inclusive) so the same SQL oracle checks
+# both routes.
+COGROUP_ASOF_SCHEMA = "event_id bigint, user_id bigint, gap_s bigint"
+
+
+def asof_match_groups(purchases: pd.DataFrame, views: pd.DataFrame) -> pd.DataFrame:
+    """Within one user's cogroup: for each purchase, the gap to the
+    latest view at-or-before it (searchsorted on the sorted view
+    timestamps — O(n log m) per group, no pairwise blowup). Purchases
+    with no prior view keep a NULL gap."""
+    if len(purchases) == 0:
+        return pd.DataFrame(
+            {"event_id": pd.array([], dtype="int64"),
+             "user_id": pd.array([], dtype="int64"),
+             "gap_s": pd.array([], dtype="Int64")}
+        )
+    p = purchases.sort_values("ts_s")
+    pts = p["ts_s"].to_numpy(dtype="int64")
+    vts = np.sort(views["ts_s"].to_numpy(dtype="int64")) if len(views) else np.array([], dtype="int64")
+    idx = np.searchsorted(vts, pts, side="right") - 1
+    gaps = pd.array(
+        [int(t - vts[i]) if i >= 0 else None for t, i in zip(pts, idx)], dtype="Int64"
+    )
+    return pd.DataFrame(
+        {"event_id": p["event_id"].to_numpy(), "user_id": p["user_id"].to_numpy(), "gap_s": gaps}
+    )
+
+
 def make_word_count_udtf():
     """D5 Python UDTF: text → one row per distinct word with its count.
 

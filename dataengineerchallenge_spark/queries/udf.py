@@ -150,3 +150,49 @@ def udf_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT w.word, w.n FROM _udtf_docs d, LATERAL word_counts(d.doc_id, d.text) w"
     )
     return per_doc.groupBy("word").agg(F.sum("n").cast("long").alias("total_n"))
+
+
+@register(
+    "udf_cogroup_asof_gap",
+    oracle="""
+WITH tagged AS (
+    SELECT user_id, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ats,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side,
+           CASE WHEN event_type = 'view' THEN CAST(floor(epoch(ts)) AS BIGINT) END
+               AS view_ts
+    FROM events WHERE event_type IN ('purchase', 'view')
+), filled AS (
+    SELECT *,
+           last_value(view_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ats, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts
+    FROM tagged
+)
+SELECT event_id, user_id,
+       ats - last_view_ts AS gap_s
+FROM filled WHERE side = 1
+""",
+)
+def udf_cogroup_asof_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3+ cogroup.applyInPandas: purchases and views cogrouped per user,
+    matched as-of inside one pandas call per key — the two-frame grouped
+    map for per-entity alignment logic (feature joins, trajectory
+    stitching) that a single-frame applyInPandas can't see both sides of.
+    Same oracle as purchase_after_view_gap: the cogroup route must
+    reproduce the window-function as-of join bit for bit."""
+    from dataengineerchallenge_spark.functions.udfs import (
+        COGROUP_ASOF_SCHEMA,
+        asof_match_groups,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_s", F.unix_timestamp("ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts_s")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts_s")
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        purchases.repartition(n_shuffle, "user_id")
+        .groupBy("user_id")
+        .cogroup(views.repartition(n_shuffle, "user_id").groupBy("user_id"))
+        .applyInPandas(asof_match_groups, COGROUP_ASOF_SCHEMA)
+    )
