@@ -57,6 +57,50 @@ def _merge_pair_in_syms(syms, left: str, right: str):
     )
 
 
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge table; returns
+    (id_col, n_bpe_tokens, n_ws_tokens).
+
+    Scale shape: merges are applied to the DISTINCT-WORD table (the same
+    tiny frame training iterated on), never to raw corpus rows — then the
+    word → token-count map broadcast-joins back onto one exploded corpus
+    pass. The rewrite chain is cut with a lazy localCheckpoint every few
+    merges so a 30k-merge vocabulary doesn't nest 30k folds in one plan."""
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .distinct()
+        .select(
+            "word",
+            F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW))).alias("syms"),
+        )
+    )
+    for i, m in enumerate(merges):
+        words = words.select(
+            "word", _merge_pair_in_syms(F.col("syms"), m["left"], m["right"]).alias("syms")
+        )
+        if (i + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=False)
+    word_tokens = words.select("word", F.size("syms").alias("n_tok"))
+    tok = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    return (
+        tok.join(F.broadcast(word_tokens), "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_ws_tokens"),
+        )
+    )
+
+
 def train_bpe(docs: DataFrame, text_col: str = "text", n_merges: int = 20) -> list[dict]:
     """Learn ``n_merges`` BPE merges; returns them in rank order as dicts
     (rank, left, right, merged, pair_freq). Ties on pair frequency break

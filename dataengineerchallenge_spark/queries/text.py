@@ -453,3 +453,17 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["rank"], m["left"], m["right"], m["merged"], m["pair_freq"]) for m in merges],
         "rank int, left string, right string, merged string, pair_freq bigint",
     )
+
+
+@register("bpe_token_counts")
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 tokenizer applied: per-document BPE token counts under the
+    16-merge vocabulary learned by bpe_merge_table — the train→apply loop
+    a data pipeline runs to budget sequence packing in REAL tokens, not
+    whitespace ones. Rows-only (iterative, no SQL twin); equivalence to a
+    reference tokenizer is pinned in tests/test_bpe.py."""
+    from dataengineerchallenge_spark.operators.bpe import apply_bpe, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", n_merges=16)
+    return apply_bpe(docs, merges, "text", "doc_id")

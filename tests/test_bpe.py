@@ -65,3 +65,36 @@ def test_bpe_on_fixture_corpus_smoke(spark):
     assert all(m["pair_freq"] > 0 for m in merges)
     # determinism: retraining yields the identical table
     assert train_bpe(docs, n_merges=6) == merges
+
+
+def test_apply_bpe_matches_reference_token_counts(spark):
+    from dataengineerchallenge_spark.operators.bpe import apply_bpe, train_bpe
+
+    texts = {1: "low low low lower lowest", 2: "newer newer new wider", 3: "a aa low"}
+    docs = spark.createDataFrame([(i, t) for i, t in texts.items()], ["doc_id", "text"])
+    merges = train_bpe(docs, n_merges=6)
+
+    # reference tokenizer: replay merges in rank order per word
+    def tokenize(word):
+        s = list(word) + [EOW]
+        for m in merges:
+            ns, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == m["left"] and s[i + 1] == m["right"]:
+                    ns.append(m["merged"])
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            s = ns
+        return s
+
+    want = {
+        i: (sum(len(tokenize(w)) for w in t.split()), len(t.split()))
+        for i, t in texts.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["n_ws_tokens"])
+        for r in apply_bpe(docs, merges).collect()
+    }
+    assert got == want
