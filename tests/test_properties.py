@@ -167,3 +167,44 @@ def test_as_of_join_schema_has_no_injected_tie_columns(spark):
     out = as_of_join(ldf, rdf, on=["k"], payload=["pay"], tie_break=["rid"])
     assert "rid" not in out.columns
     assert out.collect()[0]["pay_asof"] == "p"
+
+
+@given(events_strategy, st.integers(0, 50_000))
+@settings(max_examples=12, deadline=None)
+def test_incremental_merge_equals_full_recompute(spark, rows, split_ts):
+    """For ANY event set and ANY time split point, folding the post-split
+    batch into pre-split session state must reproduce full-recompute
+    sessionization exactly (time-partitioned ingestion precondition holds
+    by construction of the split)."""
+    import datetime as dt
+
+    from dataengineerchallenge_spark.operators.sessionize import (
+        merge_session_state,
+        session_state,
+    )
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    data = [
+        (eid, str(u), base + dt.timedelta(seconds=ts), f"url{eid % 3}")
+        for eid, (u, ts) in enumerate(rows)
+    ]
+    cols = ["event_id", "user_id", "ts", "event_type"]
+    df = spark.createDataFrame(data, cols)
+    full = {
+        (r["user_id"], r["session_id"]): (r["n_hits"], r["start_s"], r["end_s"], r["n_unique_urls"])
+        for r in session_stats(df).collect()
+    }
+    cut = base + dt.timedelta(seconds=split_ts)
+    old = df.filter(F.col("ts") < cut)
+    new = df.filter(F.col("ts") >= cut)
+    if old.isEmpty():
+        merged_df = session_state(new)
+    else:
+        merged_df = merge_session_state(session_state(old), new)
+    merged = {
+        (r["user_id"], r["session_id"]): (
+            r["n_hits"], r["start_s"], r["end_s"], len(set(r["url_set"]))
+        )
+        for r in merged_df.collect()
+    }
+    assert merged == full
