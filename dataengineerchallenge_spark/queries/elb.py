@@ -251,3 +251,39 @@ def elb_custom_source_stream_parse(spark: SparkSession, sf_dir: str) -> DataFram
         "user_agent",
     )
     return run_to_batch(parsed, "elb_pyds_stream", output_mode="append")
+
+
+@register(
+    "elb_user_agent_families",
+    oracle=_ORACLE_RAW
+    + """
+    SELECT COALESCE(regexp_extract(user_agent, '^([A-Za-z][A-Za-z0-9_-]*)', 1),
+                    '') AS ua_family,
+           CAST(COUNT(*) AS BIGINT) AS n_requests,
+           CAST(COUNT(DISTINCT client_ip) AS BIGINT) AS n_clients,
+           CAST(SUM(sent_bytes) AS BIGINT) AS total_sent_bytes
+    FROM typed WHERE is_valid
+    GROUP BY 1
+    """,
+)
+def elb_user_agent_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops observation on the real log format: traffic broken down by
+    user-agent product family (leading product token of the UA string —
+    the device/bot split an ELB operator actually pivots on). Per-row
+    regexp on the parsed frame, one small aggregate."""
+    parsed = valid_requests(parse_elb(read_elb_log(spark, SYNTH_LOG)))
+    return (
+        parsed.withColumn(
+            "ua_family",
+            F.coalesce(
+                F.regexp_extract("user_agent", "^([A-Za-z][A-Za-z0-9_-]*)", 1),
+                F.lit(""),
+            ),
+        )
+        .groupBy("ua_family")
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.countDistinct("client_ip").alias("n_clients"),
+            F.sum("sent_bytes").alias("total_sent_bytes"),
+        )
+    )

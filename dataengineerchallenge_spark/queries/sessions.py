@@ -237,3 +237,47 @@ def incremental_sessionize_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_s",
         "end_s",
     )
+
+
+@register(
+    "sessionize_native_window",
+    oracle=_CTE
+    + """
+SELECT skey, session_id, n_hits, duration_s, n_unique_urls, start_s, end_s
+FROM sessions
+""",
+)
+def sessionize_native_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goal 1 via Spark's NATIVE session_window aggregate (the same
+    operator the streaming twin uses, here in batch): one groupBy over
+    (user, session_window(ts, gap)) — no window functions, no lag. The
+    gap boundary is inclusive on both paths (== 900 s merges), so this
+    hash-matches the identical full-recompute oracle as ``sessionize``;
+    session ids are recovered per user by start-time rank. At scale this
+    is ONE shuffle on the user key with state merged by the native
+    operator instead of a sort + two window passes."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        ev.withColumn("ts_s", F.unix_timestamp("ts"))
+        .withColumn("_tsx", F.timestamp_seconds("ts_s"))
+        .groupBy(
+            F.col("user_id").alias("skey"),
+            F.session_window("_tsx", f"{DEFAULT_GAP_S} seconds"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.countDistinct("event_type").alias("n_unique_urls"),
+            F.min("ts_s").alias("start_s"),
+            F.max("ts_s").alias("end_s"),
+        )
+    )
+    w = Window.partitionBy("skey").orderBy("start_s")
+    return sess.select(
+        "skey",
+        F.row_number().over(w).cast("bigint").alias("session_id"),
+        "n_hits",
+        (F.col("end_s") - F.col("start_s")).alias("duration_s"),
+        "n_unique_urls",
+        "start_s",
+        "end_s",
+    ).select("skey", "session_id", "n_hits", "duration_s", "n_unique_urls", "start_s", "end_s")
