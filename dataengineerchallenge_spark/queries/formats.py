@@ -291,3 +291,66 @@ def zorder_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+def _staged_evolving_events(spark: SparkSession, sf_dir: str) -> str:
+    """Two parquet drops with EVOLVED schemas: batch1 (first half-month)
+    lacks the ``value`` column, batch2 carries it — the upstream-added-a-
+    field ingestion reality. Content-addressed staging like the others."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.tables import load_table
+
+    src = Path(sf_dir) / "events.parquet"
+    tag = hashlib.sha256(f"{src.resolve()}:{src.stat().st_mtime_ns}:evolve".encode()).hexdigest()[:16]
+    d = Path(tempfile.gettempdir()) / f"spark_graft_evolve_{tag}"
+    if not (d / "_SUCCESS").exists():
+        split_s = 1705363200  # 2024-01-16 UTC
+        ev = load_table(spark, sf_dir, "events").select(
+            F.col("event_id").cast("long"),
+            F.unix_timestamp("ts").alias("ts_s"),
+            "event_type",
+            "value",
+        )
+        tmp = Path(tempfile.mkdtemp(prefix="spark_graft_evolve_")) / "out"
+        ev.filter(F.col("ts_s") < split_s).drop("value").write.parquet(str(tmp / "batch=1"))
+        ev.filter(F.col("ts_s") >= split_s).write.parquet(str(tmp / "batch=2"))
+        (tmp / "_SUCCESS").touch()
+        try:
+            tmp.rename(d)
+        except OSError:
+            pass  # concurrent driver published identical content first
+    return str(d)
+
+
+@register(
+    "schema_evolution_union_read",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_with_value,
+           ROUND(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                          THEN value END), 4) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def schema_evolution_union_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+ schema evolution: one ``mergeSchema`` read over parquet drops
+    whose schemas differ (the old batch predates the ``value`` column);
+    rows from the old batch surface it as NULL, and the aggregate proves
+    the unified view is exactly the NULL-padded union the oracle states.
+    At 100 TB, footer merging is the cheap part — the design rule this
+    pins is that ADDITIVE evolution needs no backfill rewrite of old
+    partitions."""
+    back = spark.read.option("mergeSchema", "true").parquet(
+        _staged_evolving_events(spark, sf_dir)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("value").isNotNull(), 1).otherwise(0)).cast("long").alias("n_with_value"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
