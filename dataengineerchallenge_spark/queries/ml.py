@@ -117,3 +117,27 @@ def per_minute_load_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         "minute_epoch_s",
         F.coalesce(F.col("n_requests"), F.lit(0)).cast("long").alias("n_requests"),
     )
+
+
+@register("kmeans_embedding_clusters")
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 beyond regression: seeded KMeans (k = 8, k-means|| init) over
+    the embeddings table — the trained coarse quantizer an IVF index
+    would use where no labels exist (ivf_topk's centroids come from
+    labels; this learns them). Rows-only (iterative fit); determinism and
+    assignment sanity pinned in tests/test_ml.py. At 100 TB each
+    iteration is one treeAggregate over the vectors — linear passes, and
+    scoring is a broadcast-centroid map."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from dataengineerchallenge_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=8, seed=42, maxIter=20, tol=1e-6).fit(emb)
+    return (
+        model.transform(emb)
+        .select("vec_id", "label", F.col("prediction").alias("cluster"))
+    )

@@ -59,3 +59,32 @@ def test_no_train_test_leakage_in_key_split(spark, qs):
     }
     scored = {str(r["user_id"]) for r in qs["predict_session_length"](spark, SF_DIR).collect()}
     assert scored == held
+
+
+def test_kmeans_clusters_deterministic_and_reduce_variance(spark, qs):
+    """Seeded KMeans: identical assignments across refits, several
+    clusters actually used, and within-cluster variance strictly below
+    the k=1 (global-mean) variance — what a converged k-means fit
+    guarantees. (Label purity is NOT asserted: the fixture's embedding
+    labels are not separable blobs — max pairwise cosine is ~0.6.)"""
+    import numpy as np
+
+    from dataengineerchallenge_spark.sources import load_table
+
+    a = {r["vec_id"]: r["cluster"] for r in qs["kmeans_embedding_clusters"](spark, SF_DIR).collect()}
+    b = {r["vec_id"]: r["cluster"] for r in qs["kmeans_embedding_clusters"](spark, SF_DIR).collect()}
+    assert a == b
+    assert len(set(a.values())) > 1
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype="float64")
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+    X = np.stack([emb[v] for v in a])
+    labels = np.array([a[v] for v in a])
+    sse_global = ((X - X.mean(axis=0)) ** 2).sum()
+    sse_kmeans = sum(
+        ((X[labels == c] - X[labels == c].mean(axis=0)) ** 2).sum()
+        for c in set(labels.tolist())
+    )
+    assert sse_kmeans < 0.95 * sse_global
