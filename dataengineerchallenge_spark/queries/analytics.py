@@ -269,3 +269,45 @@ def rolling_7day_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(w).alias("trail_7d_cents"),
         F.count(F.lit(1)).over(w).alias("trail_7d_events"),
     )
+
+
+@register(
+    "per_minute_load_gapfilled",
+    oracle="""
+    WITH bounds AS (
+      SELECT (CAST(floor(epoch(min(ts))) AS BIGINT) // 60) * 60 AS lo,
+             (CAST(floor(epoch(max(ts))) AS BIGINT) // 60) * 60 AS hi
+      FROM events
+    ), spine AS (
+      SELECT unnest(range(lo, hi + 60, 60)) AS minute_epoch_s FROM bounds
+    ), agg AS (
+      SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 60) * 60 AS minute_epoch_s,
+             count(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT s.minute_epoch_s,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_requests
+    FROM spine s LEFT JOIN agg a USING (minute_epoch_s)
+    """,
+)
+def per_minute_load_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: the per-minute load joined onto a
+    COMPLETE minute spine (sequence() over the observed range, exploded),
+    zero-filling silent minutes — forecasting features (load_features)
+    need a contiguous series, and "no events" is a real observation, not
+    a missing row. The spine derives from a 1-row min/max aggregate and
+    explodes distributed (~43k minutes/month); the fill join is a
+    broadcast of the aggregate onto the spine."""
+    ev = load_table(spark, sf_dir, "events")
+    minute = (F.unix_timestamp("ts") / 60).cast("long") * 60
+    agg = ev.groupBy(minute.alias("minute_epoch_s")).agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.agg(
+        ((F.unix_timestamp(F.min("ts")) / 60).cast("long") * 60).alias("lo"),
+        ((F.unix_timestamp(F.max("ts")) / 60).cast("long") * 60).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(60))).alias("minute_epoch_s")
+    )
+    return spine.join(agg, "minute_epoch_s", "left").select(
+        "minute_epoch_s", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_requests")
+    )

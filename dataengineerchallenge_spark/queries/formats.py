@@ -354,3 +354,28 @@ def schema_evolution_union_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("value").isNotNull(), 1).otherwise(0)).cast("long").alias("n_with_value"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+@register(
+    "json_corrupt_quarantine",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_valid,
+           CAST(3 AS BIGINT) AS n_corrupt,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    """,
+)
+def json_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 on the JSON route: three known-malformed lines ride along with
+    the staged events; PERMISSIVE + columnNameOfCorruptRecord quarantines
+    them into a side column instead of failing the scan. The aggregate
+    proves BOTH directions: every valid row survives with intact values,
+    and exactly the planted bad lines land in quarantine."""
+    from dataengineerchallenge_spark.sources.formats import events_json_with_corrupt
+
+    df = events_json_with_corrupt(spark, sf_dir)
+    return df.agg(
+        F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0)).cast("long").alias("n_valid"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0)).cast("long").alias("n_corrupt"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

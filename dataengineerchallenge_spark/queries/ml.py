@@ -141,3 +141,34 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         model.transform(emb)
         .select("vec_id", "label", F.col("prediction").alias("cluster"))
     )
+
+
+@register("predict_session_length_gbt")
+def predict_session_length_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLE goal 2, gradient-boosted variant: same features and key-hash
+    split as predict_session_length, but a seeded GBTRegressor — the
+    non-linear model that swaps in behind the identical assembler
+    (ml/models.py design note). Full subsampling + all-features strategy
+    keeps the fit deterministic under a fixed seed; determinism is pinned
+    in tests/test_ml.py."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressor
+
+    feats = user_feature_frame(spark, sf_dir)
+    train, test = key_split(feats, "user_id")
+    cols = ["n_sessions", "avg_hits", "total_hits", "active_span_s"]
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=cols, outputCol="features"),
+            GBTRegressor(
+                featuresCol="features", labelCol="avg_session_s",
+                predictionCol="prediction", maxIter=10, maxDepth=3,
+                seed=42, subsamplingRate=1.0, featureSubsetStrategy="all",
+            ),
+        ]
+    )
+    pred = pipe.fit(train).transform(test)
+    return pred.select(
+        "user_id", "avg_session_s", F.round("prediction", 4).alias("predicted_session_s")
+    )

@@ -86,3 +86,40 @@ def events_from_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC reader: the other columnar at-rest format Spark pushes
     filters/pruning into (vectorized reader, like parquet)."""
     return spark.read.schema(_EVENTS_DDL).orc(_staged(spark, sf_dir, "orc"))
+
+
+#: malformed JSON-lines appended to the corrupt-staging copy — known
+#: constants so the quarantine count is oracle-stable
+CORRUPT_JSON_LINES = (
+    '{"event_id": "bad-1", "ts_s": not_json}',
+    '{"event_id": "bad-2", "ts_s": 12,',
+    "plainly not json at all",
+)
+
+
+def events_json_with_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines path with a quarantine column: the staged events plus
+    three known-malformed lines, read PERMISSIVE with
+    ``columnNameOfCorruptRecord`` so bad rows carry their raw text in
+    ``_corrupt`` instead of failing the job — the P5 quarantine stance on
+    the JSON route (the ELB route pins the same stance in
+    sources/elb.py)."""
+    src = Path(_staged(spark, sf_dir, "json"))
+    d = src.parent / (src.name + "_corrupt")
+    if not (d / "_SUCCESS").exists():
+        tmp = Path(tempfile.mkdtemp(prefix="spark_graft_fmt_jsoncorrupt_")) / "out"
+        tmp.mkdir(parents=True)
+        for f in src.glob("part-*.json"):
+            (tmp / f.name).write_bytes(f.read_bytes())
+        (tmp / "part-zz-corrupt.json").write_text("\n".join(CORRUPT_JSON_LINES) + "\n")
+        (tmp / "_SUCCESS").touch()
+        try:
+            tmp.rename(d)
+        except OSError:
+            pass  # concurrent driver published identical content first
+    return (
+        spark.read.schema(_EVENTS_DDL + ", _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(str(d))
+    )

@@ -88,3 +88,12 @@ def test_kmeans_clusters_deterministic_and_reduce_variance(spark, qs):
         for c in set(labels.tolist())
     )
     assert sse_kmeans < 0.95 * sse_global
+
+
+def test_gbt_session_length_deterministic_and_sane(spark, qs):
+    a = {r["user_id"]: r["predicted_session_s"] for r in qs["predict_session_length_gbt"](spark, SF_DIR).collect()}
+    b = {r["user_id"]: r["predicted_session_s"] for r in qs["predict_session_length_gbt"](spark, SF_DIR).collect()}
+    assert a == b and len(a) > 0
+    import math
+
+    assert all(math.isfinite(v) for v in a.values())
