@@ -564,3 +564,75 @@ def tpch_q17_style_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> D
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "tpch_q14_style_promo_revenue_share",
+    oracle=f"""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                   THEN {sql_cents('l.l_extendedprice * (1 - l.l_discount)')} ELSE 0 END)
+                 / SUM({sql_cents('l.l_extendedprice * (1 - l.l_discount)')}), 4)
+             AS promo_share_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-07-01'
+    """,
+)
+def tpch_q14_style_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — conditional-share aggregate over a fact ⋈ dim
+    join: the PROMO slice of half-a-year's revenue as a percentage. The
+    part dim broadcasts; the date filter pushes to the lineitem scan;
+    both SUMs ride one aggregate over exact integer cents, so the share
+    divides two exact longs (ROUND-4 is the only float step)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = li.join(broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            / F.sum(rev),
+            4,
+        ).alias("promo_share_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "tpch_q16_style_supplier_diversity",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def tpch_q16_style_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — NOT IN exclusion + distinct-count rollup:
+    supplier diversity per (brand, size), excluding one brand and any
+    supplier in the complaint list (negative balance). Expressed through
+    the SQL surface so the NOT IN subquery takes Spark's null-aware
+    anti-join path (a plain left_anti is wrong if the subquery can yield
+    NULL); the exclusion list broadcasts, the distinct-count aggregate
+    partial-aggregates on (brand, size, suppkey) before the final
+    shuffle."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_q16_lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("_q16_part")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("_q16_supplier")
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS n_suppliers
+        FROM _q16_lineitem l JOIN _q16_part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND l.l_suppkey NOT IN
+              (SELECT s_suppkey FROM _q16_supplier WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_size
+        """
+    )
