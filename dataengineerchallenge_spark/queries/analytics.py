@@ -311,3 +311,39 @@ def per_minute_load_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(agg, "minute_epoch_s", "left").select(
         "minute_epoch_s", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_requests")
     )
+
+
+@register(
+    "event_value_correlations",
+    oracle="""
+    SELECT event_type,
+           ROUND(corr(value, CAST(floor(epoch(ts)) % 86400 AS DOUBLE)), 4)
+             AS corr_value_timeofday,
+           ROUND(covar_samp(value, CAST(floor(epoch(ts)) % 86400 AS DOUBLE)), 2)
+             AS covar_value_timeofday,
+           ROUND(stddev_samp(value), 4) AS value_stddev,
+           ROUND(skewness(value), 4) AS value_skewness
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_value_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 statistical aggregates: per-type Pearson correlation and sample
+    covariance of value against time-of-day, plus spread and skewness —
+    the profiling pass behind drift monitors. All are algebraic
+    aggregates (sum/sum-of-products moments), so they partial-aggregate
+    map-side like any sum; one shuffle of 5 moment tuples.
+
+    Definition trap, pinned here: Spark's ``skewness`` is the population
+    g1, DuckDB's the bias-corrected sample G1 — the √(n(n−1))/(n−2)
+    rescale makes them the same statistic."""
+    ev = load_table(spark, sf_dir, "events")
+    tod = (F.unix_timestamp("ts") % 86400).cast("double")
+    n = F.count(F.lit(1)).cast("double")
+    g1_to_G1 = F.sqrt(n * (n - 1)) / (n - 2)
+    return ev.groupBy("event_type").agg(
+        F.round(F.corr("value", tod), 4).alias("corr_value_timeofday"),
+        F.round(F.covar_samp("value", tod), 2).alias("covar_value_timeofday"),
+        F.round(F.stddev_samp("value"), 4).alias("value_stddev"),
+        F.round(F.skewness("value") * g1_to_G1, 4).alias("value_skewness"),
+    )

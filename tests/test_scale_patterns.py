@@ -196,3 +196,29 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must preserve inner-join multiplicity exactly — row
+    multiset equality with the plain join on a frame containing a hot key
+    (most rows share user 0-like skew via modulo)."""
+    from dataengineerchallenge_spark.operators.skew import salted_join
+
+    big = spark.range(0, 5000).select(
+        F.when(F.col("id") < 4000, F.lit("hot")).otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 37).cast("string"))
+        ).alias("k"),
+        F.col("id").alias("rid"),
+    )
+    small = spark.range(0, 200).select(
+        F.when(F.col("id") < 5, F.lit("hot")).otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 37).cast("string"))
+        ).alias("k"),
+        F.col("id").alias("sid"),
+    )
+    plain = sorted(map(tuple, big.join(small, "k").select("k", "rid", "sid").collect()))
+    salted = sorted(
+        map(tuple, salted_join(big, small, key="k", salt_on="rid").select("k", "rid", "sid").collect())
+    )
+    assert salted == plain
+    assert len(plain) > 4000 * 5  # the hot key actually fanned out
