@@ -287,3 +287,40 @@ def elb_user_agent_families(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sent_bytes").alias("total_sent_bytes"),
         )
     )
+
+
+@register(
+    "elb_bot_candidates",
+    oracle=_ORACLE_RAW
+    + """
+    SELECT client_ip,
+           CAST(COUNT(*) AS BIGINT) AS n_requests,
+           CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS span_s,
+           ROUND(COUNT(*) / GREATEST(CAST(floor(epoch(max(ts))) AS BIGINT)
+                                     - CAST(floor(epoch(min(ts))) AS BIGINT), 1), 4)
+             AS req_per_s,
+           CAST(COUNT(DISTINCT url_path) AS BIGINT) AS n_paths
+    FROM typed WHERE is_valid
+    GROUP BY client_ip
+    HAVING COUNT(*) / GREATEST(CAST(floor(epoch(max(ts))) AS BIGINT)
+                               - CAST(floor(epoch(min(ts))) AS BIGINT), 1) > 0.1
+        OR COUNT(DISTINCT url_path) >= 5
+    """,
+)
+def elb_bot_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops/bot triage on the real log format: clients whose sustained
+    request rate or path-sweep breadth looks automated (the classic
+    follow-up to "most engaged users" — the top of that list is usually
+    crawlers). Thresholds are illustrative; the operator is the per-key
+    rate/breadth profile, one aggregate over the parsed scan. Epochs are
+    floored to whole seconds on both engines before the rate division."""
+    parsed = valid_requests(parse_elb(read_elb_log(spark, SYNTH_LOG)))
+    agg = parsed.groupBy("client_ip").agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("span_s"),
+        F.countDistinct("url_path").alias("n_paths"),
+    )
+    rate = F.col("n_requests") / F.greatest(F.col("span_s"), F.lit(1))
+    return agg.withColumn("req_per_s", F.round(rate, 4)).filter(
+        (rate > 0.1) | (F.col("n_paths") >= 5)
+    ).select("client_ip", "n_requests", "span_s", "req_per_s", "n_paths")
