@@ -228,3 +228,62 @@ def ann_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= _TOP_K)
         .select("query_id", "vec_id", F.round("dist", 4).alias("euclidean_dist"))
     )
+
+
+@register(
+    "ann_recall_at_k",
+    oracle=_ORACLE_LONGFORM
+    + f"""
+    , exact_pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             list_cosine_similarity(q.embedding, c.embedding) AS cos
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id < {_N_QUERIES} AND q.vec_id != c.vec_id
+    ), exact AS (
+      SELECT query_id, vec_id FROM exact_pairs
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= {_TOP_K}
+    ), ivf_pairs AS (
+      SELECT qa.vec_id AS query_id, ca.vec_id AS vec_id,
+             list_cosine_similarity(q.embedding, c.embedding) AS cos
+      FROM assign qa
+      JOIN assign ca ON qa.vec_id < {_N_QUERIES}
+                    AND ca.assigned_label = qa.assigned_label
+                    AND ca.vec_id != qa.vec_id
+      JOIN embeddings q ON q.vec_id = qa.vec_id
+      JOIN embeddings c ON c.vec_id = ca.vec_id
+    ), ivf AS (
+      SELECT query_id, vec_id FROM ivf_pairs
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= {_TOP_K}
+    )
+    SELECT e.query_id,
+           CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           ROUND(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) / {_TOP_K}.0, 4)
+             AS recall_at_k
+    FROM exact e LEFT JOIN ivf i
+      ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+    GROUP BY e.query_id
+    """,
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 quality metric under the gate: recall@10 of the IVF probe
+    against the exact brute-force top-10, per query — the number an ANN
+    index is actually judged by, computed as a first-class query (both
+    engines independently build exact AND approximate results and
+    compare). IVF's single-probe recall loss (neighbors hiding in other
+    centroid buckets) shows up here as recall < 1 rows, not as silent
+    wrongness. On this fixture the label "clusters" are weak (max
+    pairwise cosine ~0.6), so single-probe recall is honestly low
+    (0.1-0.3) — the metric reporting a real index property, and the
+    case for multi-probe or LSH at these geometries."""
+    exact = cosine_topk_exact(spark, sf_dir).select("query_id", "vec_id")
+    ivf = ivf_topk(spark, sf_dir).select("query_id", "vec_id").withColumn("_m", F.lit(1))
+    return (
+        exact.join(ivf, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_m"), F.lit(0))).cast("long").alias("n_matched"),
+            F.round(
+                F.sum(F.coalesce(F.col("_m"), F.lit(0))) / float(_TOP_K), 4
+            ).alias("recall_at_k"),
+        )
+    )
