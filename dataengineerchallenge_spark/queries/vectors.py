@@ -110,18 +110,14 @@ _ORACLE_LONGFORM = """
 """
 
 
-def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, label, assigned_label): nearest centroid per vector,
-    computed entirely in long form (vector algebra as relational algebra).
-
-    The centroid frame is tiny (nlist × dim rows) and broadcast into the
-    dot-product join; the only big shuffle is the per-(vec, centroid)
-    partial-sum aggregate — partial-aggregatable, skew-free (keys are
-    uniform), exactly what a 100 TB IVF build wants."""
+def _assignments_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, clabel, cos): every vector's cosine to every
+    label-centroid — the frame both the rank-1 assignment and the
+    multi-probe ranking derive from."""
     emb = load_table(spark, sf_dir, "embeddings")
     lf = V.explode_vectors(emb, ["vec_id", "label"], "embedding")
     cent = lf.groupBy(F.col("label").alias("clabel"), "pos").agg(F.avg("v").alias("cv"))
-    sims = (
+    return (
         lf.join(F.broadcast(cent), "pos")
         .groupBy("vec_id", "label", "clabel")
         .agg(
@@ -131,6 +127,17 @@ def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos")
         )
     )
+
+
+def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, assigned_label): nearest centroid per vector,
+    computed entirely in long form (vector algebra as relational algebra).
+
+    The centroid frame is tiny (nlist × dim rows) and broadcast into the
+    dot-product join; the only big shuffle is the per-(vec, centroid)
+    partial-sum aggregate — partial-aggregatable, skew-free (keys are
+    uniform), exactly what a 100 TB IVF build wants."""
+    sims = _assignments_sims(spark, sf_dir)
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("clabel"))
     return (
         sims.withColumn("_rn", F.row_number().over(w))
@@ -286,4 +293,61 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.coalesce(F.col("_m"), F.lit(0))) / float(_TOP_K), 4
             ).alias("recall_at_k"),
         )
+    )
+
+
+@register(
+    "ivf_multiprobe_topk",
+    oracle=_ORACLE_LONGFORM
+    + f"""
+    , probes AS (
+      SELECT vec_id AS query_id, clabel AS probe_label
+      FROM sims WHERE vec_id < {_N_QUERIES}
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) <= 2
+    ), pairs AS (
+      SELECT p.query_id, ca.vec_id,
+             list_cosine_similarity(q.embedding, c.embedding) AS cos
+      FROM probes p
+      JOIN assign ca ON ca.assigned_label = p.probe_label
+                    AND ca.vec_id != p.query_id
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings c ON c.vec_id = ca.vec_id
+    )
+    SELECT query_id, vec_id, round(cos, 4) AS cosine
+    FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= {_TOP_K}
+    """,
+)
+def ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 multi-probe IVF: each query searches its TWO nearest centroid
+    buckets instead of one — the standard recall lever when clusters are
+    weak (ann_recall_at_k shows single-probe at 0.1-0.3 here; doubling
+    probes roughly doubles candidates at still O(Q·2N/nlist) cost).
+    Same deterministic shape as ivf_topk — centroid ranking and bucket
+    equi-joins, no hashing — hence fully hash-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sims = _assignments_sims(spark, sf_dir)
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("clabel"))
+    probes = (
+        sims.filter(F.col("vec_id") < _N_QUERIES)
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= 2)
+        .select(F.col("vec_id").alias("query_id"), F.col("clabel").alias("_bucket"))
+    )
+    assign = _assignments(spark, sf_dir).select("vec_id", "assigned_label")
+    cand = assign.join(
+        F.broadcast(probes),
+        (F.col("assigned_label") == F.col("_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    q_emb = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    pairs = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(q_emb), "query_id")
+        .select("query_id", "vec_id", V.cosine(F.col("q_emb"), F.col("embedding")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _TOP_K)
+        .select("query_id", "vec_id", F.round("cos", 4).alias("cosine"))
     )
