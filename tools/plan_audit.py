@@ -4,7 +4,12 @@ joins, scan pushdown, whole-stage-codegen coverage — as one markdown
 table (PLAN_AUDIT.md). The point is a repo-wide shuffle budget you can
 re-check after any change:
 
-    python tools/plan_audit.py /root/testdata/sf0.01 [PLAN_AUDIT.md]
+    python tools/plan_audit.py /root/testdata/sf0.01 [PLAN_AUDIT.md] [--execute]
+
+With ``--execute`` each query is first run to a noop sink, so the
+audited plan is the FINAL adaptive plan (AQE's actual broadcast
+demotions / coalesced reads, real WholeStageCodegen spans) and a
+wall-time column is added — slower, but the truth.
 
 Streaming queries (writeStream-driven) and ML fits are skipped — their
 execution is not a single batch plan.
@@ -15,6 +20,7 @@ from __future__ import annotations
 import os
 import re
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -24,7 +30,7 @@ SKIP_PREFIXES = ("stream_", "predict_")
 SKIP_NAMES = {"bpe_merge_table", "bpe_token_counts", "kmeans_embedding_clusters"}
 
 
-def audit(sf_dir: str, out_path: str) -> None:
+def audit(sf_dir: str, out_path: str, execute: bool = False) -> None:
     import __spark_entry__ as e
     from dataengineerchallenge_spark.session import get_spark
 
@@ -37,10 +43,21 @@ def audit(sf_dir: str, out_path: str) -> None:
             continue
         try:
             df = fn(spark, sf_dir)
+            secs = ""
+            if execute:
+                # collect() (not a noop write) so the FRAME'S OWN query
+                # execution finalizes — a write spawns a separate one and
+                # leaves this plan isFinalPlan=false
+                t0 = time.time()
+                df.collect()
+                secs = f"{time.time() - t0:.2f}"
             qe = df._jdf.queryExecution()
             plan = qe.executedPlan().toString()
+            # an executed adaptive plan prints Final AND Initial sections;
+            # count nodes from the final one only
+            plan = plan.split("== Initial Plan ==")[0]
         except Exception as ex:  # pragma: no cover - audit robustness
-            rows.append((name, "ERROR", str(ex)[:80], "", "", ""))
+            rows.append((name, "ERROR", str(ex)[:80], "", "", "", ""))
             continue
         n_exchange = len(re.findall(r"Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition|Exchange RoundRobin", plan))
         n_bcast = plan.count("BroadcastExchange")
@@ -61,28 +78,43 @@ def audit(sf_dir: str, out_path: str) -> None:
         n_scan = plan.count("FileScan") + plan.count("BatchScan")
         pushed = "y" if re.search(r"PushedFilters: \[[^\]]", plan) else ""
         n_codegen = len(set(re.findall(r"\*\((\d+)\)", plan)))
-        rows.append((name, str(n_exchange), str(n_bcast), joins, f"{n_scan}{'+pf' if pushed else ''}", str(n_codegen)))
+        rows.append(
+            (name, str(n_exchange), str(n_bcast), joins,
+             f"{n_scan}{'+pf' if pushed else ''}", str(n_codegen), secs)
+        )
 
+    cols = "| query | shuffles | bcasts | joins | scans | wscg |"
+    sep = "|---|---|---|---|---|---|"
+    if execute:
+        cols += " sec |"
+        sep += "---|"
     with open(out_path, "w") as f:
         f.write(
             "# Plan audit\n\n"
-            f"Fixture: `{sf_dir}`. One row per registered batch query; "
+            f"Fixture: `{sf_dir}`"
+            + (", EXECUTED (final adaptive plans, wall time per query)" if execute else "")
+            + ". One row per registered batch query; "
             "`shuffles` counts data-moving Exchange nodes (broadcasts "
             "listed separately — they move only the small side), `scans` "
             "is file scans (`+pf` = at least one scan has pushed "
-            "filters), `wscg` is distinct WholeStageCodegen spans "
-            "(undercounts under AQE: pre-execution adaptive plans hide "
-            "codegen markers until stages materialize).\n\n"
-            "| query | shuffles | bcasts | joins | scans | wscg |\n"
-            "|---|---|---|---|---|---|\n"
+            "filters), `wscg` is distinct WholeStageCodegen spans"
+            + (
+                ".\n\n"
+                if execute
+                else " (undercounts without --execute: pre-execution "
+                "adaptive plans hide codegen markers until stages "
+                "materialize).\n\n"
+            )
+            + cols + "\n" + sep + "\n"
         )
         for r in rows:
-            f.write("| " + " | ".join(r) + " |\n")
+            f.write("| " + " | ".join(r if execute else r[:6]) + " |\n")
     total = sum(int(r[1]) for r in rows if r[1].isdigit())
     print(f"audited {len(rows)} queries -> {out_path}; total shuffle exchanges: {total}")
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out = sys.argv[2] if len(sys.argv) > 2 else "PLAN_AUDIT.md"
-    audit(sf, out)
+    args = [a for a in sys.argv[1:] if a != "--execute"]
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    out = args[1] if len(args) > 1 else "PLAN_AUDIT.md"
+    audit(sf, out, execute="--execute" in sys.argv)
