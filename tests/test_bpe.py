@@ -98,3 +98,22 @@ def test_apply_bpe_matches_reference_token_counts(spark):
         for r in apply_bpe(docs, merges).collect()
     }
     assert got == want
+
+
+def test_bpe_property_random_corpora(spark):
+    """Hypothesis sweep: on arbitrary small corpora over a 3-letter
+    alphabet (dense pair collisions, heavy ties), the distributed trainer
+    must match the reference implementation merge for merge."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.lists(st.text(alphabet="abc", min_size=1, max_size=6), min_size=1, max_size=12)
+
+    @given(st.lists(words, min_size=1, max_size=3))
+    @settings(max_examples=8, deadline=None)
+    def check(texts_words):
+        texts = [" ".join(ws) for ws in texts_words]
+        docs = spark.createDataFrame([(t,) for t in texts], ["text"])
+        assert train_bpe(docs, n_merges=5) == _ref_bpe(texts, 5)
+
+    check()
