@@ -8,6 +8,7 @@ _MODULES = [
     "sessions",
     "elb",
     "relational",
+    "tpch",
     "ranking",
     "aggregates",
     "dedup",

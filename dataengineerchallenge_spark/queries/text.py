@@ -437,6 +437,72 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_repetition_scores",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             len(toks) AS n,
+             list_transform(generate_series(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS bigrams,
+             list_transform(generate_series(1, len(toks) - 2),
+                            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                 AS trigrams
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           ROUND(CASE WHEN len(bigrams) > 0
+                 THEN 1.0 - len(list_distinct(bigrams))::DOUBLE / len(bigrams)
+                 ELSE 0.0 END, 4) AS dup_bigram_frac,
+           ROUND(CASE WHEN len(trigrams) > 0
+                 THEN 1.0 - len(list_distinct(trigrams))::DOUBLE / len(trigrams)
+                 ELSE 0.0 END, 4) AS dup_trigram_frac
+    FROM g
+    """,
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 repetition scoring (the Gopher-rules duplicate-n-gram heuristic,
+    Rae et al. 2021 §A1.1): fraction of a document's word bigrams and
+    trigrams that are repeats of an earlier n-gram in the same document —
+    high values flag boilerplate/spam for the quality cut, complementing
+    the distribution-level view of ``doc_token_entropy``.
+
+    Everything is per-row higher-order-function algebra (slice + zip_with
+    to build n-grams, array_distinct to count uniques) — JVM-side, zero
+    shuffle, embarrassingly parallel at 100 TB. The slice lengths are
+    clamped with greatest(…, 0) so 1-token docs yield empty n-gram arrays
+    instead of a negative-length slice error (and never hit Spark's
+    descending-sequence surprise for sequence(1, 0))."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+
+    def ngrams(k: int):
+        ln = F.greatest(n - (k - 1), F.lit(0))
+        parts = [F.slice(toks, i + 1, ln) for i in range(k)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = F.zip_with(out, p, lambda x, y: F.concat(x, F.lit(" "), y))
+        return out
+
+    def dup_frac(arr):
+        m = F.size(arr)
+        return F.round(
+            F.when(m > 0, 1.0 - F.size(F.array_distinct(arr)).cast("double") / m)
+            .otherwise(F.lit(0.0)),
+            4,
+        )
+
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        dup_frac(ngrams(2)).alias("dup_bigram_frac"),
+        dup_frac(ngrams(3)).alias("dup_trigram_frac"),
+    )
+
+
 @register("bpe_merge_table")
 def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N4 tokenizer training: the first 16 BPE merges learned from the
