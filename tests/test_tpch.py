@@ -66,3 +66,36 @@ def test_q13_outer_join_and_aggs_bounded_exchanges(spark, qs):
 def test_q22_not_exists_plans_as_left_anti(spark, qs):
     plan = explain_str(qs["tpch_q22_style_dormant_high_balance"](spark, SF_DIR))
     assert "LeftAnti" in plan, plan
+
+
+def test_q6_predicates_push_to_scan_no_shuffle_joins(spark, qs):
+    """Pure scan-aggregate: shipdate/quantity hulls reach the parquet
+    reader, no join of any kind, one partial/final agg pair."""
+    df = qs["tpch_q6_style_forecast_revenue"](spark, SF_DIR)
+    plan = explain_str(df, "formatted")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_shipdate" in l and "l_quantity" in l for l in pushed), pushed
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert j not in plan, j
+    simple = explain_str(df)
+    assert simple.count("HashAggregate") == 2, simple
+
+
+def test_q21_semi_and_anti_keep_orderkey_equi_key(spark, qs):
+    """The supplier-inequality residual must ride on an orderkey
+    equi-join (semi + anti), never degrade to a nested-loop join."""
+    plan = explain_str(qs["tpch_q21_style_sole_returned_supplier"](spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q2_join_back_reuses_partkey_clustering(spark, qs):
+    """supply (part,supplier) agg and best (part) agg + the join-back all
+    derive from one lineitem scan; the per-part MIN must not add a
+    second wide shuffle beyond the (partkey,suppkey) one, and the
+    dimension joins broadcast."""
+    plan = explain_str(qs["tpch_q2_style_cheapest_supplier"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
