@@ -533,3 +533,126 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = train_bpe(docs, "text", n_merges=16)
     return apply_bpe(docs, merges, "text", "doc_id")
+
+
+@register(
+    "bm25_keyword_search",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    stats AS (SELECT count(*)::DOUBLE AS n,
+                     avg(len(string_split(text, ' ')))::DOUBLE AS avgdl FROM documents),
+    dl AS (SELECT doc_id, len(string_split(text, ' '))::DOUBLE AS dl FROM documents),
+    tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+           WHERE term IN ('vector', 'stream', 'hash') GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+           WHERE term IN ('vector', 'stream', 'hash') GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                  * tf.tf * 2.2
+                  / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                  * 1000000) AS BIGINT) AS term_micropoints
+      FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
+    SELECT doc_id, CAST(SUM(term_micropoints) AS BIGINT) AS bm25_micropoints
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_micropoints DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 text retrieval: Okapi BM25 (k1=1.2, b=0.75) top-20 documents for
+    a fixed keyword query — the scoring pass of a retrieval-based
+    curation/decontamination filter. Per-term scores are integerized to
+    micropoints (exact.py discipline, scale 6) before the per-doc SUM so
+    the 1-3-term addition is order-free bigint arithmetic; the double
+    expression inside ROUND is the same operand DAG in both engines.
+
+    Scale hygiene: the token explode is filtered to the query terms
+    BEFORE the TF aggregate (predicate on the generator output — at
+    100 TB this is the difference between shuffling every token and
+    shuffling only query-term hits); the 3-row DF table, 1-row corpus
+    stats, and per-doc lengths join broadcast; top-20 is
+    TakeOrderedAndProject, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ("vector", "stream", "hash")
+    toks = spread(docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term").isin(*terms))
+    stats = docs.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg(F.size(F.split("text", " "))).alias("avgdl"),
+    )
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).cast("double").alias("dl"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").cast("double").alias("df"))
+    idf = F.log(F.lit(1) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + 1.2 * (F.lit(1) - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * F.col("tf") * 2.2 / denom * 1_000_000, 0)
+            .cast("bigint")
+            .alias("term_micropoints"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_micropoints").alias("bm25_micropoints"))
+        .orderBy(F.desc("bm25_micropoints"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "doc_chunk_windows",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, toks,
+                 unnest(range(0, len(toks), 30)) AS start_token FROM d)
+    SELECT doc_id,
+           CAST(start_token / 30 AS BIGINT) AS chunk_idx,
+           CAST(start_token AS BIGINT) AS start_token,
+           CAST(LEAST(40, len(toks) - start_token) AS BIGINT) AS chunk_tokens,
+           array_to_string(
+             toks[start_token + 1 : start_token + LEAST(40, len(toks) - start_token)],
+             ' ') AS chunk_text
+    FROM s
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 document chunking: sliding token windows (40 tokens, stride 30,
+    10-token overlap) — the context-window splitter that precedes
+    embedding / training-example construction. Complements
+    sequence_packing_manifest (which packs whole short docs; this splits
+    long ones). Pure per-row generate-and-slice: sequence() + explode +
+    slice + array_join, no shuffle at all — at 100 TB this is a map-only
+    stage whose output is larger than its input (overlap), which is why
+    it must NOT cost a shuffle.
+
+    The window grid is anchored at token 0 (start = 0, 30, 60, ... <
+    n_tokens), so the final window may be shorter than the stride; both
+    engines enumerate the identical grid (DuckDB exclusive-stop range ==
+    Spark inclusive-stop sequence over 0..n-1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    chunk_len = F.least(F.lit(40), F.size("toks") - F.col("start_token"))
+    return (
+        spread(docs)
+        .select(
+            "doc_id",
+            toks.alias("toks"),
+            F.explode(F.sequence(F.lit(0), n - 1, F.lit(30))).alias("start_token"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start_token") / 30).cast("bigint").alias("chunk_idx"),
+            F.col("start_token").cast("bigint").alias("start_token"),
+            chunk_len.cast("bigint").alias("chunk_tokens"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("start_token") + 1, chunk_len), " "
+            ).alias("chunk_text"),
+        )
+    )
