@@ -577,13 +577,14 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = spread(docs).select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term").isin(*terms))
-    stats = docs.agg(
-        F.count("*").cast("double").alias("n"),
-        F.avg(F.size(F.split("text", " "))).alias("avgdl"),
-    )
     dl = docs.select("doc_id", F.size(F.split("text", " ")).cast("double").alias("dl"))
+    # one corpus scan feeds both per-doc lengths and the (n, avgdl) scalar;
+    # df folds over tf's (doc, term) rows — never a second token explode
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").cast("double").alias("df"))
+    df = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     idf = F.log(F.lit(1) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     denom = F.col("tf") + 1.2 * (F.lit(1) - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
     scored = (
