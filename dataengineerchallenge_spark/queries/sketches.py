@@ -75,3 +75,39 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.get(pct, 1), 4).alias("p90"),
         F.round(F.get(pct, 2), 4).alias("p99"),
     )
+
+
+@register("kll_value_quantile_rollup")
+def kll_value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+ mergeable QUANTILES (the KLL twin of hll_weekly_actives): per-day
+    KLL sketches of event value, merged per event_type — the sketch-table
+    pattern where a day-grain materialization answers any coarser rollup
+    without rescanning raw events. Spark 4's kll_sketch_merge_* is a
+    binary scalar, not an aggregate, so the rollup folds a higher-order
+    ``aggregate`` over the collected day sketches; the list is
+    array_sort-ed first so the fold order (and thus the exact compaction
+    path) is deterministic for a given input. Rows-only per contract
+    (sketch-implementation-specific); rank-error vs the exact
+    percentiles is pinned in tests/test_sketches.py."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_s"),
+    ).agg(F.kll_sketch_agg_double("value", F.lit(200)).alias("sk"))
+    merged = (
+        daily.groupBy("event_type")
+        .agg(F.array_sort(F.collect_list("sk")).alias("sks"))
+        .select(
+            "event_type",
+            F.expr(
+                "aggregate(slice(sks, 2, size(sks) - 1), sks[0],"
+                " (acc, x) -> kll_sketch_merge_double(acc, x))"
+            ).alias("sk"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.99)), 4).alias("p99"),
+    )

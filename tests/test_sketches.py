@@ -65,3 +65,57 @@ def test_approx_percentiles_within_rank_error(spark, qs):
         for r in lo_hi.collect():
             a = approx[r["event_type"]][col]
             assert r["lo"] - 1e-9 <= a <= r["hi"] + 1e-9, (r["event_type"], col, a, r["lo"], r["hi"])
+
+
+def test_kll_rollup_within_rank_error(spark, qs):
+    """KLL k=200 → normalized rank error ≈ 1.7%; allow a 5%-rank
+    envelope: each estimated quantile must lie between the exact values
+    at rank q-0.05 and q+0.05 for its event_type."""
+    approx = {
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
+        for r in qs["kll_value_quantile_rollup"](spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    bounds = ev.groupBy("event_type").agg(
+        *[
+            F.expr(f"percentile(value, {q})").alias(f"q{int(q * 1000)}")
+            for q in (0.45, 0.55, 0.85, 0.95, 0.94, 1.0)
+        ]
+    )
+    exact = {r["event_type"]: r for r in bounds.collect()}
+    assert set(approx) == set(exact)
+    for et, (p50, p90, p99) in approx.items():
+        e = exact[et]
+        assert e["q450"] <= p50 <= e["q550"], (et, p50, e["q450"], e["q550"])
+        assert e["q850"] <= p90 <= e["q950"], (et, p90, e["q850"], e["q950"])
+        assert e["q940"] <= p99 <= e["q1000"], (et, p99, e["q940"], e["q1000"])
+
+
+def test_kll_merge_equals_direct_sketch(spark, qs):
+    """Mergeability: folding per-day sketches must estimate within the
+    error envelope of one sketch built directly over all values."""
+    ev = load_table(spark, SF_DIR, "events")
+    direct = {
+        r["event_type"]: r["p50"]
+        for r in ev.groupBy("event_type")
+        .agg(F.kll_sketch_agg_double("value", F.lit(200)).alias("sk"))
+        .select(
+            "event_type",
+            F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), 4).alias("p50"),
+        )
+        .collect()
+    }
+    via_merge = {
+        r["event_type"]: r["p50"]
+        for r in qs["kll_value_quantile_rollup"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r["m"]
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("m"))
+        .collect()
+    }
+    for et in direct:
+        scale = max(1.0, abs(exact[et]))
+        assert abs(direct[et] - via_merge[et]) <= 0.1 * scale, (
+            et, direct[et], via_merge[et])
