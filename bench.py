@@ -53,7 +53,10 @@ def main() -> None:
 
     # warm-up: absorb one-time JVM/codegen/file-listing cost with the SAME
     # noop-write plan shape being measured
-    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    try:
+        qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception:  # noqa: BLE001 — warm-up only; the timed loop records it
+        pass
 
     # warm the Python/Arrow worker pool too (spark.python.worker.reuse keeps
     # it alive): spawning one worker per core is a ~5s one-time infra cost
@@ -71,27 +74,35 @@ def main() -> None:
         _warm((F.col("id") * 1.0))
     ).write.format("noop").mode("overwrite").save()
 
+    # Per-query isolation: one failing query must never zero the whole
+    # artifact — record the error class under "errors" and keep timing the
+    # rest (a bench harness that loses all data on a single failure is
+    # itself a defect).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — isolate, classify, continue
+            errors[name] = type(exc).__name__
+            continue
         timings[name] = round(time.time() - t0, 3)
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -569,9 +569,14 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale hygiene: the token explode is filtered to the query terms
     BEFORE the TF aggregate (predicate on the generator output — at
     100 TB this is the difference between shuffling every token and
-    shuffling only query-term hits); the 3-row DF table, 1-row corpus
-    stats, and per-doc lengths join broadcast; top-20 is
-    TakeOrderedAndProject, never a global sort."""
+    shuffling only query-term hits); the 3-row DF table and the 1-row
+    corpus stats join broadcast. The per-doc-length table is one row per
+    CORPUS document, so it must NOT be broadcast — the tf⋈dl join is
+    left unhinted and AQE picks the physical side (tf, post-filter, is
+    the small one; at sf0.1 AQE plans it broadcast in the correct
+    direction, and at 100 TB it degrades gracefully to a shuffle join
+    instead of OOMing every executor). Top-20 is TakeOrderedAndProject,
+    never a global sort."""
     docs = load_table(spark, sf_dir, "documents")
     terms = ("vector", "stream", "hash")
     toks = spread(docs).select(
@@ -589,7 +594,7 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     denom = F.col("tf") + 1.2 * (F.lit(1) - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
     scored = (
         tf.join(F.broadcast(df), "term")
-        .join(F.broadcast(dl), "doc_id")
+        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",

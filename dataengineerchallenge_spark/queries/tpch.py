@@ -651,7 +651,7 @@ def tpch_q6_style_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
 WITH pv AS (
   SELECT l_partkey,
-         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS value_cents
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
   FROM lineitem GROUP BY l_partkey
 )
 SELECT l_partkey, value_cents

@@ -31,8 +31,9 @@ def _ensure_confs(spark: SparkSession) -> None:
     """Runtime-settable confs the engine depends on, applied defensively —
     the driver hands us ITS session, which won't have our builder configs.
 
-    - nanosAsLong: events.ts is parquet TIMESTAMP(NANOS), which Spark 4
-      rejects natively (PARQUET_TYPE_ILLEGAL) — read as bigint nanos instead.
+    - nanosAsLong: events.ts has historically been parquet TIMESTAMP(NANOS),
+      which Spark 4 rejects natively (PARQUET_TYPE_ILLEGAL) — read as bigint
+      nanos instead. Harmless when the file is already µs.
     - UTC session timezone: epoch arithmetic must match the DuckDB oracle,
       which treats naive parquet timestamps as UTC.
     """
@@ -40,19 +41,37 @@ def _ensure_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    _ensure_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is parquet TIMESTAMP(NANOS): with
-    # spark.sql.legacy.parquet.nanosAsLong it arrives as bigint nanoseconds.
-    # Floor-divide to µs (identical to DuckDB's ns->µs truncation) and expose
-    # the same TimestampType the rest of the engine expects.
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Normalize any ``ts`` column to TIMESTAMP (with local/UTC zone),
+    whatever physical type the fixture parquet uses. Three cases observed
+    across driver generations:
+
+    - bigint: TIMESTAMP(NANOS) read via nanosAsLong — floor-divide ns→µs
+      (identical to DuckDB's truncation) and rebuild a timestamp;
+    - timestamp_ntz: parquet ``timestamp[us]`` without UTC adjustment —
+      cast to TIMESTAMP; under the UTC session TZ this is value-preserving
+      and makes the column legal for ``withWatermark`` (event time must be
+      TIMESTAMP, not NTZ);
+    - timestamp: passthrough.
+
+    Works on batch and streaming DataFrames alike (pure column expressions).
+    """
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+        if field.name != "ts":
+            continue
+        kind = field.dataType.typeName()
+        if kind == "long":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
             )
+        elif kind == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_confs(spark)
+    return _normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:

@@ -15,9 +15,8 @@ import tempfile
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from dataengineerchallenge_spark.sources.tables import _ensure_confs
+from dataengineerchallenge_spark.sources.tables import _ensure_confs, _normalize_ts
 
 
 def _staged_dir(src: str) -> str:
@@ -41,17 +40,13 @@ def stream_events(spark: SparkSession, sf_dir: str, path: str | None = None) -> 
 
     The file source needs an explicit schema (no inference on streams):
     we take it from a zero-cost batch read of the same file. ``ts`` is
-    parquet TIMESTAMP(NANOS) read as bigint nanos (nanosAsLong, see
-    sources/tables.py) and floored to µs here, identically to the batch
-    path — streaming and batch queries see byte-identical rows.
+    normalized to TIMESTAMP by the same helper as the batch path
+    (``sources.tables._normalize_ts``: bigint-nanos / TIMESTAMP_NTZ /
+    TIMESTAMP), so streaming and batch queries see byte-identical rows
+    and ``withWatermark("ts", ...)`` is always legal.
     """
     _ensure_confs(spark)
     src = path or f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(src).schema
     df = spark.readStream.schema(schema).parquet(_staged_dir(src) if Path(src).is_file() else src)
-    for field in schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-            )
-    return df
+    return _normalize_ts(df)
