@@ -164,3 +164,141 @@ def resample_batches(n_buckets: int = 8, codec: str = "fake"):
 
 def resample_payloads(mm: DataFrame) -> DataFrame:
     return mm.mapInPandas(resample_batches(), RESAMPLE_SCHEMA)
+
+
+# --- synthetic codec (SRLE1) -------------------------------------------
+# A REAL container format, not a passthrough fake: 2D grayscale image,
+# run-length encoded. Exists so the codec boundary itself is
+# conformance-tested — variable-length encoding, dimension metadata,
+# malformed-container detection — with pure-numpy encode/decode that the
+# container's missing media libs can't block. Layout (big-endian):
+#   bytes 0-3  magic  b"SRLE"
+#   byte  4    version 0x01
+#   bytes 5-6  width  uint16
+#   bytes 7-8  height uint16
+#   bytes 9+   runs: (run_len uint8 >= 1, value uint8) pairs, row-major;
+#              run lengths must sum to exactly width*height
+
+SRLE_HEADER = b"SRLE\x01"
+
+
+def encode_srle(arr: np.ndarray) -> bytes:
+    """RLE-encode a 2D uint8 array. Runs longer than 255 split."""
+    if arr.ndim != 2:
+        raise ValueError(f"SRLE encodes 2D arrays, got ndim={arr.ndim}")
+    h, w = arr.shape
+    if w == 0 or h == 0 or w > 0xFFFF or h > 0xFFFF:
+        raise ValueError(f"SRLE dims out of range: {w}x{h}")
+    flat = arr.astype(np.uint8).ravel()
+    # run boundaries wherever the value changes
+    change = np.flatnonzero(np.diff(flat)) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(flat)]))
+    out = bytearray(SRLE_HEADER + w.to_bytes(2, "big") + h.to_bytes(2, "big"))
+    for s, e in zip(starts, ends):
+        v = int(flat[s])
+        n = int(e - s)
+        while n > 255:
+            out += bytes((255, v))
+            n -= 255
+        out += bytes((n, v))
+    return bytes(out)
+
+
+def decode_srle(payload: bytes) -> np.ndarray:
+    """Decode an SRLE container; raises ValueError on any malformation
+    (bad magic/version, truncated runs, run-sum/dimension mismatch)."""
+    if len(payload) < 9 or payload[:5] != SRLE_HEADER:
+        raise ValueError("SRLE: bad magic/version or truncated header")
+    w = int.from_bytes(payload[5:7], "big")
+    h = int.from_bytes(payload[7:9], "big")
+    body = np.frombuffer(payload, dtype=np.uint8, offset=9)
+    if len(body) % 2 != 0:
+        raise ValueError("SRLE: truncated run pair")
+    runs, vals = body[0::2], body[1::2]
+    if (runs == 0).any():
+        raise ValueError("SRLE: zero-length run")
+    if int(runs.sum()) != w * h:
+        raise ValueError(f"SRLE: run sum {int(runs.sum())} != {w}x{h}")
+    return np.repeat(vals, runs).reshape(h, w)
+
+
+SYNTH_IMAGE_SCHEMA = "doc_id bigint, payload binary"
+SYNTH_DECODE_SCHEMA = (
+    "doc_id bigint, decode_ok boolean, width int, height int, "
+    "n_px bigint, mean_px double, distinct_px int"
+)
+
+
+def synth_image_batches(corrupt_every: int = 97):
+    """mapInPandas encoder stage: deterministic per-doc image — dims from
+    doc_id (w = 8 + id%9, h = 8 + (id//7)%9), pixels the document's text
+    bytes cycled row-major — SRLE-encoded. Every ``corrupt_every``-th doc
+    ships with its last byte truncated, exercising the malformed-payload
+    quarantine path a real media pipeline needs (messy-data stance,
+    /root/reference/README.md:61)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                w, h = 8 + did % 9, 8 + (did // 7) % 9
+                src = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                px = src[np.arange(w * h) % len(src)].reshape(h, w)
+                enc = encode_srle(px)
+                if corrupt_every and did % corrupt_every == 0:
+                    enc = enc[:-1]
+                payloads.append(enc)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return gen
+
+
+def synth_decode_batches():
+    """mapInPandas decoder stage: SRLE containers → per-image stats, with
+    malformed payloads landing as decode_ok=false quarantine rows (never
+    a task failure: one bad object among billions must not kill a job)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "decode_ok", "width", "height", "n_px", "mean_px", "distinct_px")}
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(int(did))
+                try:
+                    img = decode_srle(bytes(p))
+                    rows["decode_ok"].append(True)
+                    rows["width"].append(img.shape[1])
+                    rows["height"].append(img.shape[0])
+                    rows["n_px"].append(img.size)
+                    rows["mean_px"].append(float(img.mean()))
+                    rows["distinct_px"].append(int(len(np.unique(img))))
+                except ValueError:
+                    rows["decode_ok"].append(False)
+                    for k in ("width", "height", "n_px", "mean_px", "distinct_px"):
+                        rows[k].append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "decode_ok": pd.Series(rows["decode_ok"], dtype="bool"),
+                    "width": pd.Series(rows["width"], dtype="Int32"),
+                    "height": pd.Series(rows["height"], dtype="Int32"),
+                    "n_px": pd.Series(rows["n_px"], dtype="Int64"),
+                    "mean_px": pd.Series(rows["mean_px"], dtype="float64"),
+                    "distinct_px": pd.Series(rows["distinct_px"], dtype="Int32"),
+                }
+            )
+
+    return gen
+
+
+def with_synth_images(docs: DataFrame, corrupt_every: int = 97) -> DataFrame:
+    return docs.select("doc_id", "text").mapInPandas(
+        synth_image_batches(corrupt_every), SYNTH_IMAGE_SCHEMA
+    )
+
+
+def decode_synth_images(mm: DataFrame) -> DataFrame:
+    return mm.mapInPandas(synth_decode_batches(), SYNTH_DECODE_SCHEMA)

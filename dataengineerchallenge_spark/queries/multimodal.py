@@ -122,3 +122,53 @@ def multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", *[F.round(f"s{k}", 4).alias(f"s{k}") for k in range(8)]
     )
+
+
+@register(
+    "multimodal_synth_codec_audit",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, text,
+             8 + doc_id % 9 AS w,
+             8 + (doc_id // 7) % 9 AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           doc_id % 97 <> 0 AS decode_ok,
+           CASE WHEN doc_id % 97 <> 0 THEN CAST(w AS INT) END AS width,
+           CASE WHEN doc_id % 97 <> 0 THEN CAST(h AS INT) END AS height,
+           CASE WHEN doc_id % 97 <> 0 THEN CAST(w * h AS BIGINT) END AS n_px,
+           CASE WHEN doc_id % 97 <> 0 THEN
+             round(list_avg([unicode(text[(i % strlen(text)) + 1])
+                             FOR i IN range(0, w * h)]), 4)
+           END AS mean_px,
+           CASE WHEN doc_id % 97 <> 0 THEN
+             CAST(len(list_distinct([unicode(text[(i % strlen(text)) + 1])
+                                     FOR i IN range(0, w * h)])) AS INT)
+           END AS distinct_px
+    FROM dims
+    """,
+)
+def multimodal_synth_codec_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 synthetic-codec conformance: a REAL variable-length container
+    (SRLE1: magic + uint16 dims + RLE runs, operators/multimodal.py) is
+    encoded AND decoded in Spark mapInPandas stages, and the decoded
+    per-image stats are hash-checked against a DuckDB twin that
+    recomputes them from first principles (pixels = text bytes cycled
+    into the doc-derived WxH grid). A bug anywhere in the codec — header
+    layout, run splitting at 255, run-sum validation, dimension
+    round-trip — breaks the hash. Every 97th payload is shipped
+    truncated and must land as a decode_ok=false quarantine row with
+    NULL stats, never a task failure: the malformed-object discipline a
+    100 TB media crawl requires (one bad blob must not kill a job)."""
+    from dataengineerchallenge_spark.operators.multimodal import (
+        decode_synth_images,
+        with_synth_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_synth_images(with_synth_images(docs))
+    return decoded.select(
+        "doc_id", "decode_ok", "width", "height", "n_px",
+        F.round("mean_px", 4).alias("mean_px"), "distinct_px",
+    )

@@ -42,3 +42,74 @@ def test_header_check_flags_all_rows(spark):
     mm = with_payloads(load_table(spark, SF_DIR, "documents"))
     rows = extract_payload_features(mm).collect()
     assert all(r["header_ok"] for r in rows)
+
+
+# --- SRLE synthetic-codec conformance ----------------------------------
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from dataengineerchallenge_spark.operators.multimodal import (
+    decode_srle,
+    decode_synth_images,
+    encode_srle,
+    with_synth_images,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    arrays(
+        np.uint8,
+        st.tuples(st.integers(1, 40), st.integers(1, 40)),
+        elements=st.integers(0, 255),
+    )
+)
+def test_srle_roundtrip_random_images(img):
+    assert np.array_equal(decode_srle(encode_srle(img)), img)
+
+
+def test_srle_long_runs_split_at_255():
+    # a constant 20x40 image = one 800-px run -> must split into 255-runs
+    img = np.full((20, 40), 7, dtype=np.uint8)
+    enc = encode_srle(img)
+    assert np.array_equal(decode_srle(enc), img)
+    runs = np.frombuffer(enc, dtype=np.uint8, offset=9)[0::2]
+    assert runs.max() == 255 and runs.sum() == 800
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda b: b[:-1],                        # truncated run pair
+        lambda b: b"XRLE\x01" + b[5:],           # bad magic
+        lambda b: b"SRLE\x02" + b[5:],           # bad version
+        lambda b: b[:9] + b[11:],                # dropped run -> sum mismatch
+        lambda b: b[:9],                         # header only
+        lambda b: b"",                           # empty
+    ],
+)
+def test_srle_malformations_raise(mutate):
+    enc = encode_srle(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    with pytest.raises(ValueError):
+        decode_srle(mutate(enc))
+
+
+def test_synth_codec_spark_roundtrip_and_quarantine(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = decode_synth_images(with_synth_images(docs)).collect()
+    assert len(out) == docs.count()
+    bad = [r for r in out if not r["decode_ok"]]
+    good = [r for r in out if r["decode_ok"]]
+    # every 97th doc is shipped corrupt and must quarantine with NULL stats
+    assert {r["doc_id"] % 97 == 0 for r in bad} == {True}
+    assert all(r["width"] is None and r["mean_px"] is None for r in bad)
+    # decoded dims follow the deterministic generator rule
+    assert all(
+        r["width"] == 8 + r["doc_id"] % 9
+        and r["height"] == 8 + (r["doc_id"] // 7) % 9
+        and r["n_px"] == r["width"] * r["height"]
+        for r in good
+    )
