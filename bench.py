@@ -38,6 +38,7 @@ HEADLINE = [
     "corpus_curation_pipeline", # N1+N4 composed flagship
     "incremental_sessionize_merge",  # W2+ state merge (round 3)
     "dq_referential_integrity",      # N+ audit battery (round 3)
+    "multimodal_synth_codec_audit",  # N5 codec encode/decode (round 4)
 ]
 
 
