@@ -86,3 +86,46 @@ def range_join(
         on=[*[F.col(f"l.{c}") == F.col(f"r.{c}") for c in on], conditions],
         how=how,
     )
+
+
+def binned_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bin_s: int,
+) -> DataFrame:
+    """J6+ interval-containment join with NO equi key — the case
+    ``range_join`` can't take: without an equi prefix Catalyst plans a
+    BroadcastNestedLoopJoin, O(points × intervals), which is a
+    wall at 100 TB.
+
+    Technique (the standard bin/bucket decomposition): quantize time into
+    fixed ``bin_s``-second bins; each point lands in exactly one bin, each
+    interval is exploded into every bin it overlaps; join on the bin as a
+    manufactured equi key (hash/SMJ, shuffles only matching bins) and
+    re-check the exact containment predicate as a residual. Each
+    (point, interval) pair can meet in at most the point's single bin, so
+    the join produces no duplicates and needs no post-dedup. Cost is
+    linear in points + interval-bin expansions; choose ``bin_s`` near the
+    typical interval width so expansion stays O(1) per interval.
+
+    Both ts columns are epoch seconds (the engine's hash-safe time
+    representation, SURVEY.md §7.4)."""
+    if bin_s <= 0:
+        raise ValueError(f"bin_s must be positive, got {bin_s}")
+    p = points.withColumn("_bin", F.floor(F.col(point_ts) / bin_s))
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_ts) / bin_s), F.floor(F.col(end_ts) / bin_s)
+            )
+        ),
+    )
+    return (
+        p.join(iv, "_bin")
+        .filter((F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts)))
+        .drop("_bin")
+    )

@@ -11,7 +11,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from dataengineerchallenge_spark.functions.exact import cents, sql_cents
-from dataengineerchallenge_spark.operators.joins import as_of_join, range_join
+from dataengineerchallenge_spark.operators.joins import (
+    as_of_join,
+    binned_interval_join,
+    range_join,
+)
 from dataengineerchallenge_spark.registry import register
 from dataengineerchallenge_spark.sources import load_table
 
@@ -170,6 +174,53 @@ def views_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(F.col("l.event_id").alias("event_id")).agg(
         F.count(F.col("r.ts_s")).alias("n_prior_views")
+    )
+
+
+@register(
+    "error_window_activity",
+    oracle="""
+WITH e AS (
+    SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+    FROM events WHERE event_type = 'error'
+), v AS (
+    SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+    FROM events WHERE event_type = 'view'
+)
+SELECT e.event_id,
+       CAST(COUNT(*) AS BIGINT) AS n_views,
+       CAST(COUNT(DISTINCT v.user_id) AS BIGINT) AS n_viewers
+FROM e JOIN v ON v.ts_s >= e.ts_s - 60 AND v.ts_s <= e.ts_s + 60
+GROUP BY e.event_id
+""",
+)
+def error_window_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6+ interval join with NO equi key: site-wide view activity (any
+    user) within ±60 s of each error — the blast-radius question an
+    incident review asks, and the join shape ``range_join`` cannot
+    express (no shared key → Catalyst would plan a nested-loop join,
+    O(errors × views)). The binned decomposition manufactures a time-bin
+    equi key instead (operators/joins.py:binned_interval_join): points
+    hash to one bin, each ±60 s window explodes into ≤ 3 adjacent 60 s
+    bins, the join shuffles only matching bins, exact containment is the
+    residual — linear, plan-pinned nested-loop-free in
+    tests/test_plans.py."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_s", F.unix_timestamp("ts"))
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select("event_id", F.col("ts_s").alias("e_ts"))
+        .withColumn("w_start", F.col("e_ts") - 60)
+        .withColumn("w_end", F.col("e_ts") + 60)
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("viewer_id"), F.col("ts_s").alias("v_ts")
+    )
+    hits = binned_interval_join(
+        views, errors, point_ts="v_ts", start_ts="w_start", end_ts="w_end", bin_s=60
+    )
+    return hits.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.countDistinct("viewer_id").alias("n_viewers"),
     )
 
 

@@ -260,6 +260,7 @@ def tws_sessionize_stream(
             )
 
         def close(self) -> None:
+            # required StatefulProcessor lifecycle hook; no resources held
             pass
 
     return ev.groupBy("skey").transformWithStateInPandas(

@@ -81,3 +81,38 @@ def test_analytics_queries_minimal_exchanges(spark, qs):
     for name in ("conversion_funnel", "weekly_cohort_retention"):
         plan = explain_str(qs[name](spark, SF_DIR), "simple")
         assert plan.count("Exchange") <= 2, f"{name}:\n{plan}"
+
+
+def test_binned_interval_join_is_hash_not_nested_loop(spark, qs):
+    """The no-equi-key interval join must plan as a hash/SMJ join on the
+    manufactured time-bin key — never the BroadcastNestedLoopJoin that a
+    raw range predicate without equi prefix would produce."""
+    plan = explain_str(qs["error_window_activity"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the bin key is the join key of a real equi join
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_binned_interval_join_matches_naive_range_join(spark):
+    """Exact-equivalence pin: the binned decomposition must return the
+    identical pair set as the naive theta join on a micro frame."""
+    from dataengineerchallenge_spark.operators.joins import binned_interval_join
+
+    pts = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([0, 59, 60, 61, 119, 120, 300, 1000])],
+        "pid int, ts long",
+    )
+    ivs = spark.createDataFrame(
+        [(0, 0, 60), (1, 60, 120), (2, 100, 1000), (3, 1001, 1002)],
+        "iid int, s long, e long",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in binned_interval_join(pts, ivs, "ts", "s", "e", bin_s=60).collect()
+    )
+    naive = sorted(
+        (r["pid"], r["iid"])
+        for r in pts.join(ivs, (F.col("ts") >= F.col("s")) & (F.col("ts") <= F.col("e"))).collect()
+    )
+    assert got == naive and len(got) > 0
