@@ -172,6 +172,81 @@ def merge_session_state(
     )
 
 
+def session_stats_skew_safe(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    url: str = "event_type",
+    order_col: str | Sequence[str] = "event_id",
+    gap_s: int = DEFAULT_GAP_S,
+    slice_s: int = 86_400,
+) -> DataFrame:
+    """Two-phase sessionization for skewed keys — the implemented escape
+    hatch for W2's documented hot-key limit (operators/skew.py): plain
+    ``session_stats`` sorts each key's ENTIRE history inside one window
+    partition, so one hot key (a NAT gateway, a scraper) serializes a
+    whole task at 100 TB. Here the event-level sort is bounded to
+    ``(key, slice)`` (default: one day), and slices are stitched at
+    session granularity:
+
+    1. sessionize each (key, slice) independently — same lag+cumsum, but
+       the sort is at most one slice of one key;
+    2. order each key's LOCAL sessions (orders of magnitude fewer rows
+       than events) and re-apply the identical gap rule to consecutive
+       (prev end, next start) pairs — cross-slice continuations merge,
+       chains across any number of slices fold via the same cumulative
+       sum;
+    3. one (key, global id) aggregate; distinct URLs merge via per-local
+       url sets (bounded by per-session variety, same stance as
+       ``session_state``).
+
+    Every consecutive event pair is evaluated against the same
+    ``gap > gap_s`` rule exactly once (within-slice pairs in phase 1,
+    boundary pairs in phase 2), so the result is IDENTICAL to the
+    single-pass sessionizer — the registered query proves it against the
+    full-recompute oracle. Cost: one extra (small) session-level shuffle
+    — the price of hot-key immunity.
+    """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    ev = (
+        df.withColumn("ts_s", F.unix_timestamp(F.col(ts)))
+        .withColumn("_slice", F.floor(F.col("ts_s") / F.lit(slice_s)))
+    )
+    w = Window.partitionBy(key, "_slice").orderBy("ts_s", *order_cols)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts_s").over(w)
+    is_new = F.when(prev.isNull() | ((F.col("ts_s") - prev) > F.lit(gap_s)), 1).otherwise(0)
+    local = (
+        ev.withColumn("_lid", F.sum(is_new).over(run))
+        .groupBy(key, "_slice", "_lid")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("ts_s").alias("start_s"),
+            F.max("ts_s").alias("end_s"),
+            F.collect_set(url).alias("_urls"),
+        )
+    )
+    ws = Window.partitionBy(key).orderBy("start_s", "_slice", "_lid")
+    runs = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_end = F.lag("end_s").over(ws)
+    sess_new = F.when(
+        prev_end.isNull() | ((F.col("start_s") - prev_end) > F.lit(gap_s)), 1
+    ).otherwise(0)
+    return (
+        local.withColumn("session_id", F.sum(sess_new).over(runs).cast("bigint"))
+        .groupBy(key, "session_id")
+        .agg(
+            F.sum("n_hits").cast("long").alias("n_hits"),
+            (F.max("end_s") - F.min("start_s")).alias("duration_s"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("_urls")))).cast("long").alias(
+                "n_unique_urls"
+            ),
+            F.min("start_s").alias("start_s"),
+            F.max("end_s").alias("end_s"),
+        )
+    )
+
+
 # Shared oracle SQL fragment: identical sessionization in DuckDB.
 # {tbl} = source view, {key}/{ts}/{order}/{url} = column names, {gap} = secs.
 ORACLE_SESSION_CTE = """

@@ -39,6 +39,27 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sessionize_skew_safe",
+    oracle=_CTE
+    + """
+SELECT skey, session_id, n_hits, duration_s, n_unique_urls, start_s, end_s
+FROM sessions
+""",
+)
+def sessionize_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 hot-key escape hatch, proven equivalent: two-phase day-sliced
+    sessionization (operators/sessionize.py:session_stats_skew_safe)
+    checked against the SAME full-recompute oracle as ``sessionize`` —
+    the event-level sort is bounded per (key, day) so one hot IP can no
+    longer serialize a task, and the boundary stitch reapplies the
+    identical gap rule at session granularity."""
+    from dataengineerchallenge_spark.operators.sessionize import session_stats_skew_safe
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats_skew_safe(ev).withColumnRenamed("user_id", "skey")
+
+
+@register(
     "avg_session_time",
     oracle=_CTE
     + """

@@ -144,3 +144,53 @@ def test_incremental_merge_edge_cases(spark):
     assert got[("oldonly", 2)] == (1, ["b"], base + 2000, base + 2000)
     assert got[("newonly", 1)] == (1, ["x"], base + 100, base + 100)
     assert len(got) == 6
+
+
+# --- two-phase skew-safe sessionizer -----------------------------------
+
+def _canon(rows):
+    return sorted(
+        (r["user_id"], r["session_id"], r["n_hits"], r["duration_s"],
+         r["n_unique_urls"], r["start_s"], r["end_s"])
+        for r in rows
+    )
+
+
+def test_skew_safe_equals_plain_on_fixture(spark):
+    from dataengineerchallenge_spark.operators.sessionize import (
+        session_stats,
+        session_stats_skew_safe,
+    )
+    from dataengineerchallenge_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert _canon(session_stats_skew_safe(ev).collect()) == _canon(
+        session_stats(ev).collect()
+    )
+
+
+def test_skew_safe_stitches_sessions_spanning_many_slices(spark):
+    """A session alive across 5 tiny slices must fold back into ONE
+    global session via the chained boundary merge; an over-gap pause in
+    the same slice grid must still split."""
+    from dataengineerchallenge_spark.operators.sessionize import (
+        session_stats,
+        session_stats_skew_safe,
+    )
+
+    base = 1_700_000_000
+    # hits every 400s: gap 400 <= 900 keeps one session across slice
+    # boundaries (slice_s=1000); then a 2000s pause starts session 2
+    hits = [base + i * 400 for i in range(12)]
+    hits += [hits[-1] + 2000, hits[-1] + 2300]
+    rows = [(i, t, 7, f"u{i % 3}") for i, t in enumerate(hits)]
+    df = spark.createDataFrame(rows, "event_id long, ts_l long, user_id long, event_type string")
+    from pyspark.sql import functions as F
+
+    df = df.withColumn("ts", F.timestamp_seconds("ts_l")).drop("ts_l")
+    got = session_stats_skew_safe(df, key="user_id", slice_s=1000)
+    want = session_stats(df, key="user_id")
+    assert _canon(got.collect()) == _canon(want.collect())
+    # the single-key frame really did span multiple slices
+    n_slices = df.select((F.unix_timestamp("ts") / 1000).cast("long")).distinct().count()
+    assert n_slices >= 5

@@ -85,14 +85,26 @@ def main() -> int:
         i = args.index("--json")
         out_json = args[i + 1]
         del args[i : i + 2]
+    pristine = "--pristine" in args
+    if pristine:
+        args.remove("--pristine")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as e
-    from dataengineerchallenge_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if pristine:
+        # the driver hands the engine ITS session, with none of our builder
+        # configs — every conf the engine needs must be runtime-compensated
+        # (sources/tables.py:_ensure_confs). This mode reproduces that.
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("oracle-check-pristine").getOrCreate()
+    else:
+        from dataengineerchallenge_spark.session import get_spark
+
+        spark = get_spark("oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
     qs, oracles = e.queries(), e.oracle_sql()
 
