@@ -14,8 +14,11 @@ Three levers, in preference order:
    the aggregates are associative. This is the documented fallback for
    the sessionizer's per-key aggregates when one IP dominates
    (operators/sessionize.py) — the ORDER-dependent window pass itself
-   cannot be salted; its escape hatch is the streaming session_window
-   (state-merge, no per-key sort) in streaming/sessionize.py.
+   cannot be salted; its escape hatches are (a) the batch two-phase
+   day-sliced sessionizer (operators/sessionize.py:
+   session_stats_skew_safe — sort bounded per (key, slice), oracle-proven
+   equivalent) and (b) the streaming session_window (state-merge, no
+   per-key sort) in streaming/sessionize.py.
 3. **Broadcast** the small side so the skewed key never shuffles at all
    (queries/relational.py region_revenue).
 """

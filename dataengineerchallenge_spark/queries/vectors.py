@@ -351,3 +351,122 @@ def ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= _TOP_K)
         .select("query_id", "vec_id", F.round("cos", 4).alias("cosine"))
     )
+
+
+_PQ_DIM = 16  # dims per subspace; 64-dim fixture -> m = 4 subspaces
+
+
+@register(
+    "pq_adc_topk",
+    oracle=f"""
+    WITH lf AS (
+      SELECT vec_id, label, (u.pos - 1) // {_PQ_DIM} AS sub,
+             u.pos::INT AS pos, u.v::DOUBLE AS v
+      FROM (SELECT vec_id, label, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings) u(vec_id, label, v, pos)
+    ),
+    cb AS (SELECT sub, label AS code, pos, avg(v) AS cv
+           FROM lf GROUP BY sub, label, pos),
+    d2 AS (
+      SELECT lf.vec_id, lf.sub, cb.code,
+             sum((lf.v - cb.cv) * (lf.v - cb.cv)) AS d2
+      FROM lf JOIN cb ON lf.sub = cb.sub AND lf.pos = cb.pos
+      GROUP BY lf.vec_id, lf.sub, cb.code
+    ),
+    codes AS (
+      SELECT vec_id, sub, code FROM d2
+      QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) = 1
+    ),
+    cn AS (SELECT sub, code, sum(cv * cv) AS cn2 FROM cb GROUP BY sub, code),
+    q AS (SELECT * FROM lf WHERE vec_id < {_N_QUERIES}),
+    qdot AS (
+      SELECT q.vec_id AS query_id, q.sub, cb.code, sum(q.v * cb.cv) AS qd
+      FROM q JOIN cb ON q.sub = cb.sub AND q.pos = cb.pos
+      GROUP BY q.vec_id, q.sub, cb.code
+    ),
+    qn AS (SELECT vec_id AS query_id, sqrt(sum(v * v)) AS qnorm
+           FROM q GROUP BY vec_id),
+    s AS (
+      SELECT qdot.query_id, codes.vec_id,
+             sum(qdot.qd) AS num, sum(cn.cn2) AS cn2sum
+      FROM codes
+      JOIN qdot ON codes.sub = qdot.sub AND codes.code = qdot.code
+      JOIN cn ON codes.sub = cn.sub AND codes.code = cn.code
+      GROUP BY qdot.query_id, codes.vec_id
+    )
+    SELECT query_id, vec_id,
+           round(num / (qn.qnorm * sqrt(cn2sum)), 4) AS adc_cosine
+    FROM s JOIN qn USING (query_id)
+    WHERE query_id != vec_id
+    QUALIFY row_number() OVER (PARTITION BY query_id
+             ORDER BY round(num / (qn.qnorm * sqrt(cn2sum)), 4) DESC, vec_id) <= {_TOP_K}
+    """,
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 rung 4 — product quantization with asymmetric distance (ADC):
+    the compression path of the ANN ladder. Vectors are encoded as m=4
+    sub-space codes (nearest per-subspace centroid; codebook = the
+    label-mean sub-vectors, deterministic so the whole operator is
+    hash-checkable, same stance as ivf_topk). Queries stay RAW; candidate
+    similarity is approximated per subspace from a precomputed
+    query×codebook dot table and summed — the candidate's float vector is
+    never touched at query time.
+
+    Why this matters at 100 TB: a 64-dim float32 embedding is 256 B; its
+    PQ code is 4 B (m bytes) — a 64× smaller scoring table that lives in
+    memory where the raw vectors cannot, which is how billion-vector
+    corpora are actually served (the public IVF-PQ design). The scoring
+    join touches only (vec_id, sub, code) and two broadcast lookup
+    tables: per-query code dots (m × n_codes rows) and code norms.
+
+    Ranking ties: candidates sharing all m codes get IDENTICAL scores by
+    construction; ordering uses the ROUNDED score (both engines round
+    the same double expression to 4, collapsing sub-ULP accumulation
+    drift) with vec_id as the deterministic tie-break."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lf = V.explode_vectors(emb, ["vec_id", "label"], "embedding").withColumn(
+        "sub", F.floor(F.col("pos") / _PQ_DIM)
+    )
+    cb = lf.groupBy("sub", F.col("label").alias("code"), "pos").agg(F.avg("v").alias("cv"))
+    d2 = (
+        lf.join(cb, ["sub", "pos"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).alias("d2"))
+    )
+    wenc = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
+    codes = (
+        d2.withColumn("_rn", F.row_number().over(wenc))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "sub", "code")
+    )
+    cn = cb.groupBy("sub", "code").agg(F.sum(F.col("cv") * F.col("cv")).alias("cn2"))
+    q = lf.filter(F.col("vec_id") < _N_QUERIES)
+    qdot = (
+        q.join(cb, ["sub", "pos"])
+        .groupBy(F.col("vec_id").alias("query_id"), "sub", "code")
+        .agg(F.sum(F.col("v") * F.col("cv")).alias("qd"))
+    )
+    qn = q.groupBy(F.col("vec_id").alias("query_id")).agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("qnorm")
+    )
+    s = (
+        codes.join(F.broadcast(qdot), ["sub", "code"])
+        .join(F.broadcast(cn), ["sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd").alias("num"), F.sum("cn2").alias("cn2sum"))
+    )
+    scored = (
+        s.filter(F.col("query_id") != F.col("vec_id"))
+        .join(F.broadcast(qn), "query_id")
+        .withColumn(
+            "adc_cosine",
+            F.round(F.col("num") / (F.col("qnorm") * F.sqrt(F.col("cn2sum"))), 4),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _TOP_K)
+        .select("query_id", "vec_id", "adc_cosine")
+    )
