@@ -208,3 +208,68 @@ def test_incremental_merge_equals_full_recompute(spark, rows, split_ts):
         for r in merged_df.collect()
     }
     assert merged == full
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=events_strategy, slice_s=st.sampled_from([300, 1000, 86_400]))
+def test_skew_safe_sessionizer_equals_plain_on_random_events(spark, rows, slice_s):
+    """Two-phase day-sliced sessionization must equal the single-pass
+    sessionizer for ANY event set and ANY slice width — including slices
+    far smaller than the gap (every session spans many slices) and
+    events landing exactly on slice/gap boundaries."""
+    from dataengineerchallenge_spark.operators.sessionize import (
+        session_stats,
+        session_stats_skew_safe,
+    )
+
+    df = (
+        spark.createDataFrame(
+            [(i, u, ts) for i, (u, ts) in enumerate(rows)],
+            "event_id int, user_id int, ts_s0 int",
+        )
+        .withColumn("ts", F.timestamp_seconds("ts_s0"))
+        .withColumn("url", (F.col("event_id") % 3).cast("string"))
+    )
+    kw = dict(key="user_id", ts="ts", url="url", order_col="event_id", gap_s=GAP)
+
+    def canon(frame):
+        return sorted(
+            (r["user_id"], r["session_id"], r["n_hits"], r["duration_s"],
+             r["n_unique_urls"], r["start_s"], r["end_s"])
+            for r in frame.collect()
+        )
+
+    assert canon(session_stats_skew_safe(df, slice_s=slice_s, **kw)) == canon(
+        session_stats(df, **kw)
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pts=st.lists(st.integers(0, 5000), min_size=1, max_size=40),
+    ivs=st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(0, 600)), min_size=1, max_size=25
+    ),
+    bin_s=st.sampled_from([1, 60, 250, 7000]),
+)
+def test_binned_interval_join_equals_naive_on_random_inputs(spark, pts, ivs, bin_s):
+    """The bin decomposition must return exactly the naive theta-join
+    pair set for any points/intervals/bin width — including bins larger
+    than the whole domain and degenerate zero-length intervals."""
+    from dataengineerchallenge_spark.operators.joins import binned_interval_join
+
+    p = spark.createDataFrame([(i, t) for i, t in enumerate(pts)], "pid int, ts long")
+    iv = spark.createDataFrame(
+        [(j, s, s + w) for j, (s, w) in enumerate(ivs)], "iid int, s long, e long"
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in binned_interval_join(p, iv, "ts", "s", "e", bin_s=bin_s).collect()
+    )
+    naive = sorted(
+        (i, j)
+        for i, t in enumerate(pts)
+        for j, (s, w) in enumerate(ivs)
+        if s <= t <= s + w
+    )
+    assert got == naive
