@@ -95,7 +95,9 @@ def binned_interval_join(
     start_ts: str,
     end_ts: str,
     bin_s: int,
-) -> DataFrame:
+    max_span_bins: int = 4096,
+    with_quarantine: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """J6+ interval-containment join with NO equi key — the case
     ``range_join`` can't take: without an equi prefix Catalyst plans a
     BroadcastNestedLoopJoin, O(points × intervals), which is a
@@ -111,21 +113,48 @@ def binned_interval_join(
     linear in points + interval-bin expansions; choose ``bin_s`` near the
     typical interval width so expansion stays O(1) per interval.
 
+    Corrupt-interval guard (same quarantine stance as the ELB parser's
+    malformed-row handling, sources/elb.py P5): on messy data one bad row
+    — an epoch-0 start, a year-2100 end from a sloppy parse, a reversed
+    interval — would explode into millions of bin rows (and
+    ``F.sequence`` hard-fails past ~2^31 elements, descends silently when
+    start > end). Intervals with NULL bounds, ``start > end``, or a span
+    wider than ``max_span_bins`` bins are therefore excluded from the
+    join instead of killing the job. Pass ``with_quarantine=True`` to
+    also get the rejected intervals back as a second DataFrame with a
+    ``reject_reason`` column (``null_bound`` / ``reversed`` /
+    ``over_max_span``) for audit, mirroring ``elb_malformed_audit``.
+
     Both ts columns are epoch seconds (the engine's hash-safe time
     representation, SURVEY.md §7.4)."""
     if bin_s <= 0:
         raise ValueError(f"bin_s must be positive, got {bin_s}")
-    p = points.withColumn("_bin", F.floor(F.col(point_ts) / bin_s))
-    iv = intervals.withColumn(
-        "_bin",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(start_ts) / bin_s), F.floor(F.col(end_ts) / bin_s)
-            )
-        ),
+    if max_span_bins <= 0:
+        raise ValueError(f"max_span_bins must be positive, got {max_span_bins}")
+    start_bin = F.floor(F.col(start_ts) / bin_s)
+    end_bin = F.floor(F.col(end_ts) / bin_s)
+    reject = (
+        F.when(F.col(start_ts).isNull() | F.col(end_ts).isNull(), F.lit("null_bound"))
+        .when(F.col(start_ts) > F.col(end_ts), F.lit("reversed"))
+        .when(end_bin - start_bin + 1 > max_span_bins, F.lit("over_max_span"))
     )
-    return (
+    tagged = intervals.withColumn("_reject", reject)
+    # The explode sits strictly downstream of the reject filter, so
+    # F.sequence never evaluates on a quarantined row.
+    iv = (
+        tagged.filter(F.col("_reject").isNull())
+        .drop("_reject")
+        .withColumn("_bin", F.explode(F.sequence(start_bin, end_bin)))
+    )
+    p = points.withColumn("_bin", F.floor(F.col(point_ts) / bin_s))
+    joined = (
         p.join(iv, "_bin")
         .filter((F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts)))
         .drop("_bin")
     )
+    if with_quarantine:
+        quarantined = tagged.filter(F.col("_reject").isNotNull()).withColumnRenamed(
+            "_reject", "reject_reason"
+        )
+        return joined, quarantined
+    return joined
