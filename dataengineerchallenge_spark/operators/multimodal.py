@@ -233,19 +233,27 @@ SYNTH_DECODE_SCHEMA = (
 def synth_image_batches(corrupt_every: int = 97):
     """mapInPandas encoder stage: deterministic per-doc image — dims from
     doc_id (w = 8 + id%9, h = 8 + (id//7)%9), pixels the document's text
-    bytes cycled row-major — SRLE-encoded. Every ``corrupt_every``-th doc
+    CODE POINTS mod 256 cycled row-major (character-indexed, so Spark and
+    the DuckDB oracle agree for non-ASCII text too, not just when UTF-8
+    bytes == code points) — SRLE-encoded. Every ``corrupt_every``-th doc
     ships with its last byte truncated, exercising the malformed-payload
     quarantine path a real media pipeline needs (messy-data stance,
-    /root/reference/README.md:61)."""
+    /root/reference/README.md:61). A doc with NULL/empty text has no
+    pixel source and ships as an empty payload, which the decoder
+    quarantines (decode_ok=false) — never a ZeroDivisionError task kill;
+    one bad object must not kill a job."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 did = int(did)
+                if text is None or len(text) == 0:
+                    payloads.append(b"")
+                    continue
                 w, h = 8 + did % 9, 8 + (did // 7) % 9
-                src = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
-                px = src[np.arange(w * h) % len(src)].reshape(h, w)
+                src = np.fromiter(map(ord, text), dtype=np.int64, count=len(text))
+                px = (src[np.arange(w * h) % len(src)] % 256).astype(np.uint8).reshape(h, w)
                 enc = encode_srle(px)
                 if corrupt_every and did % corrupt_every == 0:
                     enc = enc[:-1]

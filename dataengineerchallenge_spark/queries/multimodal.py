@@ -130,20 +130,21 @@ def multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH dims AS (
       SELECT doc_id, text,
              8 + doc_id % 9 AS w,
-             8 + (doc_id // 7) % 9 AS h
+             8 + (doc_id // 7) % 9 AS h,
+             (doc_id % 97 <> 0 AND coalesce(strlen(text), 0) > 0) AS ok
       FROM documents
     )
     SELECT doc_id,
-           doc_id % 97 <> 0 AS decode_ok,
-           CASE WHEN doc_id % 97 <> 0 THEN CAST(w AS INT) END AS width,
-           CASE WHEN doc_id % 97 <> 0 THEN CAST(h AS INT) END AS height,
-           CASE WHEN doc_id % 97 <> 0 THEN CAST(w * h AS BIGINT) END AS n_px,
-           CASE WHEN doc_id % 97 <> 0 THEN
-             round(list_avg([unicode(text[(i % strlen(text)) + 1])
+           ok AS decode_ok,
+           CASE WHEN ok THEN CAST(w AS INT) END AS width,
+           CASE WHEN ok THEN CAST(h AS INT) END AS height,
+           CASE WHEN ok THEN CAST(w * h AS BIGINT) END AS n_px,
+           CASE WHEN ok THEN
+             round(list_avg([unicode(text[(i % strlen(text)) + 1]) % 256
                              FOR i IN range(0, w * h)]), 4)
            END AS mean_px,
-           CASE WHEN doc_id % 97 <> 0 THEN
-             CAST(len(list_distinct([unicode(text[(i % strlen(text)) + 1])
+           CASE WHEN ok THEN
+             CAST(len(list_distinct([unicode(text[(i % strlen(text)) + 1]) % 256
                                      FOR i IN range(0, w * h)])) AS INT)
            END AS distinct_px
     FROM dims
@@ -154,11 +155,13 @@ def multimodal_synth_codec_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SRLE1: magic + uint16 dims + RLE runs, operators/multimodal.py) is
     encoded AND decoded in Spark mapInPandas stages, and the decoded
     per-image stats are hash-checked against a DuckDB twin that
-    recomputes them from first principles (pixels = text bytes cycled
-    into the doc-derived WxH grid). A bug anywhere in the codec — header
-    layout, run splitting at 255, run-sum validation, dimension
-    round-trip — breaks the hash. Every 97th payload is shipped
-    truncated and must land as a decode_ok=false quarantine row with
+    recomputes them from first principles (pixels = text code points
+    mod 256 cycled into the doc-derived WxH grid — character-indexed in
+    BOTH engines, so non-ASCII fixture text can't drift the hash). A bug
+    anywhere in the codec — header layout, run splitting at 255, run-sum
+    validation, dimension round-trip — breaks the hash. Every 97th
+    payload is shipped truncated, and empty/NULL-text docs ship as empty
+    containers; both must land as decode_ok=false quarantine rows with
     NULL stats, never a task failure: the malformed-object discipline a
     100 TB media crawl requires (one bad blob must not kill a job)."""
     from dataengineerchallenge_spark.operators.multimodal import (

@@ -97,6 +97,30 @@ def test_srle_malformations_raise(mutate):
         decode_srle(mutate(enc))
 
 
+def test_synth_codec_empty_and_non_ascii_text(spark):
+    """ADVICE r4 (medium): empty text must quarantine (not ZeroDivisionError
+    the task), and non-ASCII text must decode with code-point-mod-256
+    pixels — the same definition the DuckDB oracle uses — so a regenerated
+    fixture with unicode or empty docs can't silently break hash parity."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "héllo wörldé"), (4, "中文abc"), (5, "plain")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in decode_synth_images(with_synth_images(docs)).collect()}
+    assert len(rows) == 5
+    for did in (1, 2):
+        assert rows[did]["decode_ok"] is False and rows[did]["mean_px"] is None
+    for did, text in ((3, "héllo wörldé"), (4, "中文abc"), (5, "plain")):
+        r = rows[did]
+        assert r["decode_ok"] is True
+        w, h = 8 + did % 9, 8 + (did // 7) % 9
+        cps = [ord(c) % 256 for c in text]
+        px = [cps[i % len(cps)] for i in range(w * h)]
+        assert r["width"] == w and r["height"] == h and r["n_px"] == w * h
+        assert abs(r["mean_px"] - sum(px) / len(px)) < 1e-9
+        assert r["distinct_px"] == len(set(px))
+
+
 def test_synth_codec_spark_roundtrip_and_quarantine(spark):
     docs = load_table(spark, SF_DIR, "documents")
     out = decode_synth_images(with_synth_images(docs)).collect()
