@@ -376,7 +376,8 @@ _PQ_DIM = 16  # dims per subspace; 64-dim fixture -> m = 4 subspaces
     ),
     codes AS (
       SELECT vec_id, sub, code FROM d2
-      QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) = 1
+      QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+               ORDER BY round(d2, 8), code) = 1
     ),
     cn AS (SELECT sub, code, sum(cv * cv) AS cn2 FROM cb GROUP BY sub, code),
     q AS (SELECT * FROM lf WHERE vec_id < {_N_QUERIES}),
@@ -434,7 +435,11 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "sub", "code")
         .agg(F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).alias("d2"))
     )
-    wenc = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
+    # encode argmin orders by the ROUNDED distance (both engines round the
+    # same double to 8) — raw d2 differs across engines by accumulation-
+    # order ULP drift, so a near-tie between two codebook entries could
+    # pick different codes per engine and cascade into a hash flake
+    wenc = Window.partitionBy("vec_id", "sub").orderBy(F.round("d2", 8), "code")
     codes = (
         d2.withColumn("_rn", F.row_number().over(wenc))
         .filter(F.col("_rn") == 1)
