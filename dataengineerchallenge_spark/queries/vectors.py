@@ -356,9 +356,58 @@ def ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_DIM = 16  # dims per subspace; 64-dim fixture -> m = 4 subspaces
 
 
-@register(
-    "pq_adc_topk",
-    oracle=f"""
+def _pq_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The four PQ building blocks shared by ``pq_adc_topk`` and the
+    composed ``ivf_pq_adc_topk``:
+
+    - ``codes`` (vec_id, sub, code): every vector's m sub-space codes —
+      nearest per-subspace centroid, argmin over the ROUNDED distance
+      (both engines round the same double to 8; raw d2 differs across
+      engines by accumulation-order ULP drift, so a near-tie between two
+      codebook entries could pick different codes per engine and cascade
+      into a hash flake).
+    - ``cn`` (sub, code, cn2): squared-norm of each codebook entry.
+    - ``qdot`` (query_id, sub, code, qd): the per-query ADC lookup table,
+      query sub-vector · codebook entry.
+    - ``qn`` (query_id, qnorm): query L2 norms.
+
+    Codebook = label-mean sub-vectors (deterministic, hash-checkable,
+    same stance as ivf_topk's centroids)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lf = V.explode_vectors(emb, ["vec_id", "label"], "embedding").withColumn(
+        "sub", F.floor(F.col("pos") / _PQ_DIM)
+    )
+    cb = lf.groupBy("sub", F.col("label").alias("code"), "pos").agg(F.avg("v").alias("cv"))
+    d2 = (
+        lf.join(cb, ["sub", "pos"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).alias("d2"))
+    )
+    wenc = Window.partitionBy("vec_id", "sub").orderBy(F.round("d2", 8), "code")
+    codes = (
+        d2.withColumn("_rn", F.row_number().over(wenc))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "sub", "code")
+    )
+    cn = cb.groupBy("sub", "code").agg(F.sum(F.col("cv") * F.col("cv")).alias("cn2"))
+    q = lf.filter(F.col("vec_id") < _N_QUERIES)
+    qdot = (
+        q.join(cb, ["sub", "pos"])
+        .groupBy(F.col("vec_id").alias("query_id"), "sub", "code")
+        .agg(F.sum(F.col("v") * F.col("cv")).alias("qd"))
+    )
+    qn = q.groupBy(F.col("vec_id").alias("query_id")).agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("qnorm")
+    )
+    return codes, cn, qdot, qn
+
+
+# PQ CTE chain shared by the pq_adc_topk / ivf_pq_adc_topk oracles:
+# long-form with sub-space ids, codebook, code assignment (rounded
+# argmin), code norms, per-query ADC dot table, query norms.
+_ORACLE_PQ = f"""
     WITH lf AS (
       SELECT vec_id, label, (u.pos - 1) // {_PQ_DIM} AS sub,
              u.pos::INT AS pos, u.v::DOUBLE AS v
@@ -387,8 +436,15 @@ _PQ_DIM = 16  # dims per subspace; 64-dim fixture -> m = 4 subspaces
       GROUP BY q.vec_id, q.sub, cb.code
     ),
     qn AS (SELECT vec_id AS query_id, sqrt(sum(v * v)) AS qnorm
-           FROM q GROUP BY vec_id),
-    s AS (
+           FROM q GROUP BY vec_id)
+"""
+
+
+@register(
+    "pq_adc_topk",
+    oracle=_ORACLE_PQ
+    + f"""
+    , s AS (
       SELECT qdot.query_id, codes.vec_id,
              sum(qdot.qd) AS num, sum(cn.cn2) AS cn2sum
       FROM codes
@@ -425,36 +481,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction; ordering uses the ROUNDED score (both engines round
     the same double expression to 4, collapsing sub-ULP accumulation
     drift) with vec_id as the deterministic tie-break."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    lf = V.explode_vectors(emb, ["vec_id", "label"], "embedding").withColumn(
-        "sub", F.floor(F.col("pos") / _PQ_DIM)
-    )
-    cb = lf.groupBy("sub", F.col("label").alias("code"), "pos").agg(F.avg("v").alias("cv"))
-    d2 = (
-        lf.join(cb, ["sub", "pos"])
-        .groupBy("vec_id", "sub", "code")
-        .agg(F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).alias("d2"))
-    )
-    # encode argmin orders by the ROUNDED distance (both engines round the
-    # same double to 8) — raw d2 differs across engines by accumulation-
-    # order ULP drift, so a near-tie between two codebook entries could
-    # pick different codes per engine and cascade into a hash flake
-    wenc = Window.partitionBy("vec_id", "sub").orderBy(F.round("d2", 8), "code")
-    codes = (
-        d2.withColumn("_rn", F.row_number().over(wenc))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "sub", "code")
-    )
-    cn = cb.groupBy("sub", "code").agg(F.sum(F.col("cv") * F.col("cv")).alias("cn2"))
-    q = lf.filter(F.col("vec_id") < _N_QUERIES)
-    qdot = (
-        q.join(cb, ["sub", "pos"])
-        .groupBy(F.col("vec_id").alias("query_id"), "sub", "code")
-        .agg(F.sum(F.col("v") * F.col("cv")).alias("qd"))
-    )
-    qn = q.groupBy(F.col("vec_id").alias("query_id")).agg(
-        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("qnorm")
-    )
+    codes, cn, qdot, qn = _pq_parts(spark, sf_dir)
     s = (
         codes.join(F.broadcast(qdot), ["sub", "code"])
         .join(F.broadcast(cn), ["sub", "code"])
@@ -468,6 +495,100 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "adc_cosine",
             F.round(F.col("num") / (F.col("qnorm") * F.sqrt(F.col("cn2sum"))), 4),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _TOP_K)
+        .select("query_id", "vec_id", "adc_cosine")
+    )
+
+
+@register(
+    "ivf_pq_adc_topk",
+    oracle=_ORACLE_PQ
+    + f"""
+    , cent AS (SELECT label AS clabel, pos, avg(v) AS cv FROM lf GROUP BY label, pos),
+    csims AS (
+      SELECT lf.vec_id, cent.clabel,
+             sum(lf.v * cent.cv)
+               / (sqrt(sum(lf.v * lf.v)) * sqrt(sum(cent.cv * cent.cv))) AS cos
+      FROM lf JOIN cent ON lf.pos = cent.pos
+      GROUP BY lf.vec_id, cent.clabel
+    ),
+    assign AS (
+      SELECT vec_id, clabel AS assigned_label FROM csims
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, clabel AS probe_label
+      FROM csims WHERE vec_id < {_N_QUERIES}
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) <= 2
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM probes p JOIN assign a
+        ON a.assigned_label = p.probe_label AND a.vec_id != p.query_id
+    ),
+    s AS (
+      SELECT cand.query_id, cand.vec_id,
+             sum(qdot.qd) AS num, sum(cn.cn2) AS cn2sum
+      FROM cand
+      JOIN codes ON codes.vec_id = cand.vec_id
+      JOIN qdot ON qdot.query_id = cand.query_id
+             AND qdot.sub = codes.sub AND qdot.code = codes.code
+      JOIN cn ON cn.sub = codes.sub AND cn.code = codes.code
+      GROUP BY cand.query_id, cand.vec_id
+    )
+    SELECT query_id, vec_id,
+           round(num / (qn.qnorm * sqrt(cn2sum)), 4) AS adc_cosine
+    FROM s JOIN qn USING (query_id)
+    QUALIFY row_number() OVER (PARTITION BY query_id
+             ORDER BY round(num / (qn.qnorm * sqrt(cn2sum)), 4) DESC, vec_id) <= {_TOP_K}
+    """,
+)
+def ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 rung 5 — the COMPOSED billion-vector serving design (public
+    IVF-PQ, VERDICT r4 next-round #3): the IVF coarse quantizer prunes
+    the corpus to each query's 2 nearest centroid buckets (the
+    multi-probe recall lever, O(Q·2N/nlist) candidates), then PQ-ADC
+    scores ONLY those candidates from their 4-byte codes — the candidate
+    float vectors are never touched at query time, and the scoring state
+    is the same two broadcast lookup tables as ``pq_adc_topk``.
+
+    At 100 TB this is the shape that actually serves: the inverted lists
+    partition the corpus by assigned centroid (an equi-join key, so the
+    probe is a shuffle-free broadcast join against a tiny probe table),
+    and per-candidate work is m=4 lookup-adds against an in-memory
+    table instead of a 256 B float read.
+
+    Fully deterministic (label-mean codebooks, rounded argmin encode,
+    rounded-score tie-break), hence hash-checked like both parents."""
+    codes, cn, qdot, qn = _pq_parts(spark, sf_dir)
+    sims = _assignments_sims(spark, sf_dir)
+    assign = _assignments(spark, sf_dir).select("vec_id", "assigned_label")
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("clabel"))
+    probes = (
+        sims.filter(F.col("vec_id") < _N_QUERIES)
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= 2)
+        .select(F.col("vec_id").alias("query_id"), F.col("clabel").alias("probe_label"))
+    )
+    cand = assign.join(
+        F.broadcast(probes),
+        (F.col("assigned_label") == F.col("probe_label"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "vec_id")
+    s = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(qdot), ["query_id", "sub", "code"])
+        .join(F.broadcast(cn), ["sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd").alias("num"), F.sum("cn2").alias("cn2sum"))
+    )
+    scored = s.join(F.broadcast(qn), "query_id").withColumn(
+        "adc_cosine",
+        F.round(F.col("num") / (F.col("qnorm") * F.sqrt(F.col("cn2sum"))), 4),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"), F.asc("vec_id"))
     return (
