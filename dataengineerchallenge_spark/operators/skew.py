@@ -45,6 +45,7 @@ def salted_agg(
     keys: list[str],
     aggs: dict[str, tuple[str | Column, str]],
     n_salts: int = 16,
+    salt_on: list[str | Column] | None = None,
 ) -> DataFrame:
     """Two-phase salted aggregation: ``aggs`` maps output alias →
     (column, fn) with fn ∈ count|sum|min|max.
@@ -55,10 +56,24 @@ def salted_agg(
     exchange carries ≤ n_salts rows per key — negligible — while the
     phase-1 shuffle is skew-free by construction.
 
+    The salt is a CONTENT hash — xxhash64 of (keys…, salt_on…), where
+    ``salt_on`` defaults to the aggregated value columns — so a row's
+    shard assignment is a pure function of its data and identical across
+    stage retries and repartitionings (the same discipline as
+    ``salted_join``; monotonically_increasing_id would make retry
+    behavior nondeterministic). Results are provably unchanged either
+    way (algebraic aggregates), only the shard layout is at stake.
+    Degenerate case to know: rows of a hot key with IDENTICAL values in
+    every hashed column all land in one shard — pass ``salt_on`` with a
+    higher-cardinality column if the default value columns are flat.
+
     avg is deliberately absent: express it as sum/count in the caller
     (algebraic decomposition), never salt a non-decomposable aggregate.
     """
-    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(n_salts))
+    if salt_on is None:
+        salt_on = [col for (col, _fn) in aggs.values()]
+    salt_cols = [F.col(c) if isinstance(c, str) else c for c in salt_on]
+    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], *salt_cols), F.lit(n_salts))
     partial_exprs = []
     final_exprs = []
     for alias, (col, fn) in aggs.items():

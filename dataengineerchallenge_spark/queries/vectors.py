@@ -281,16 +281,65 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrongness. On this fixture the label "clusters" are weak (max
     pairwise cosine ~0.6), so single-probe recall is honestly low
     (0.1-0.3) — the metric reporting a real index property, and the
-    case for multi-probe or LSH at these geometries."""
-    exact = cosine_topk_exact(spark, sf_dir).select("query_id", "vec_id")
-    ivf = ivf_topk(spark, sf_dir).select("query_id", "vec_id").withColumn("_m", F.lit(1))
+    case for multi-probe or LSH at these geometries.
+
+    Plan sharing (VERDICT r4 #4): the IVF top-k is by construction the
+    exact top-k restricted to each query's bucket, so BOTH sides derive
+    from ONE Q×N cosine pass that carries the candidate's assigned
+    bucket — instead of independently re-running the cosine_topk_exact
+    and ivf_topk dataflows (9 shuffles / 7 broadcasts in the r4 plan
+    audit). The exact rank (row_number) and the within-bucket rank (a
+    running sum of the in-bucket flag over the same ordering) come out
+    of a SINGLE window pass, so there is no exact⋈ivf self-join at all,
+    and the final per-query aggregate reuses the window's partitioning.
+    100 TB stance: recall is a diagnostic you compute on a SAMPLED query
+    set (Q small enough to broadcast), never the full corpus — the
+    brute-force side is O(Q·N) and exists here only as the ground-truth
+    anchor for the metric."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = _assignments(spark, sf_dir).select("vec_id", "assigned_label")
+    cands = emb.join(assign, "vec_id")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    # keep the self-pair: the query's own bucket is recovered from it by a
+    # windowed max, so the assignment subtree is built ONCE (a second
+    # q⋈assign consumer would re-run the whole centroid build under the
+    # pushed-down vec_id<Q filter — 3 more exchanges in the r4 audit)
+    pairs = F.broadcast(q).join(cands).select(
+        "query_id",
+        "vec_id",
+        V.cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        "assigned_label",
+    )
+    wq = Window.partitionBy("query_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    ranked = (
+        pairs.withColumn(
+            "_in_bucket",
+            F.col("assigned_label")
+            == F.max(
+                F.when(F.col("vec_id") == F.col("query_id"), F.col("assigned_label"))
+            ).over(wq),
+        )
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "_in_bucket",
+            F.row_number().over(w).alias("_rn"),
+            F.sum(F.when(F.col("_in_bucket"), 1).otherwise(0))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("_brank"),
+        )
+    )
+    hit = F.col("_in_bucket") & (F.col("_brank") <= _TOP_K)
     return (
-        exact.join(ivf, ["query_id", "vec_id"], "left")
+        ranked.filter(F.col("_rn") <= _TOP_K)
         .groupBy("query_id")
         .agg(
-            F.sum(F.coalesce(F.col("_m"), F.lit(0))).cast("long").alias("n_matched"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_matched"),
             F.round(
-                F.sum(F.coalesce(F.col("_m"), F.lit(0))) / float(_TOP_K), 4
+                F.sum(F.when(hit, 1).otherwise(0)) / float(_TOP_K), 4
             ).alias("recall_at_k"),
         )
     )
