@@ -158,23 +158,17 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id_frame(load_table(spark, sf_dir, "documents"))
 
 
-def lang_id_frame(docs: DataFrame, stage_model: bool = True) -> DataFrame:
+def lang_id_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, pred_lang) for any (doc_id, lang, text) corpus frame —
     the model trains on exactly the frame it scores (reused by
-    corpus_curation_pipeline on the deduped/filtered survivors).
-
-    ``stage_model=False`` skips the model checkpoint — pass it when
-    ``docs`` is itself already a staged/checkpointed frame, where
-    re-deriving the side-frames from cheap local blocks costs less than
-    an extra materialization barrier."""
+    corpus_curation_pipeline on the deduped/filtered survivors)."""
     tok = spread(docs).select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
     lw = tok.groupBy(F.col("lang").alias("l"), "w").agg(F.count("*").cast("double").alias("c"))
     # the tiny trained model is staged once (lazy local checkpoint): its
     # three derivations below would otherwise each re-explode and
     # re-aggregate the corpus (no ReuseExchange across differently pruned
     # branches; measured 3.0 -> 2.4s warm at sf0.1)
-    if stage_model:
-        lw = lw.localCheckpoint(eager=False)
+    lw = lw.localCheckpoint(eager=False)
     # ltot / vocab / langs all derive from the staged lw aggregate, not
     # from another scan of the corpus
     ltot = lw.groupBy("l").agg(F.sum("c").alias("n"))
