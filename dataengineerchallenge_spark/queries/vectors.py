@@ -645,3 +645,241 @@ def ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= _TOP_K)
         .select("query_id", "vec_id", "adc_cosine")
     )
+
+
+_PQ_NCODES = 16  # residual codebook entries per subspace
+
+
+@register(
+    "ivf_pq_residual_topk",
+    oracle=f"""
+    WITH lf AS (
+      SELECT vec_id, label, (u.pos - 1) // {_PQ_DIM} AS sub,
+             u.pos::INT AS pos, u.v::DOUBLE AS v
+      FROM (SELECT vec_id, label, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings) u(vec_id, label, v, pos)
+    ),
+    cent AS (SELECT label AS clabel, pos, avg(v) AS cv
+             FROM lf GROUP BY label, pos),
+    csims AS (
+      SELECT lf.vec_id, cent.clabel,
+             sum(lf.v * cent.cv)
+               / (sqrt(sum(lf.v * lf.v)) * sqrt(sum(cent.cv * cent.cv))) AS cos
+      FROM lf JOIN cent ON lf.pos = cent.pos
+      GROUP BY lf.vec_id, cent.clabel
+    ),
+    assign AS (
+      SELECT vec_id, clabel AS bucket FROM csims
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, clabel AS probe_label
+      FROM csims WHERE vec_id < {_N_QUERIES}
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) <= 2
+    ),
+    rlf AS (
+      SELECT lf.vec_id, lf.vec_id % {_PQ_NCODES} AS g, lf.sub, lf.pos,
+             lf.v - cent.cv AS rv
+      FROM lf JOIN assign ON assign.vec_id = lf.vec_id
+      JOIN cent ON cent.clabel = assign.bucket AND cent.pos = lf.pos
+    ),
+    rcb AS (SELECT sub, g AS code, pos, avg(rv) AS rcv
+            FROM rlf GROUP BY sub, g, pos),
+    d2 AS (
+      SELECT rlf.vec_id, rlf.sub, rcb.code,
+             sum((rlf.rv - rcb.rcv) * (rlf.rv - rcb.rcv)) AS d2
+      FROM rlf JOIN rcb ON rlf.sub = rcb.sub AND rlf.pos = rcb.pos
+      GROUP BY rlf.vec_id, rlf.sub, rcb.code
+    ),
+    codes AS (
+      SELECT vec_id, sub, code FROM d2
+      QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+               ORDER BY round(d2, 8), code) = 1
+    ),
+    rn2 AS (SELECT sub, code, sum(rcv * rcv) AS rn2 FROM rcb GROUP BY sub, code),
+    subcent AS (SELECT clabel, (pos - 1) // {_PQ_DIM} AS sub, pos, cv FROM cent),
+    cbr AS (
+      SELECT sc.clabel AS bucket, sc.sub, rcb.code, sum(sc.cv * rcb.rcv) AS cbr
+      FROM subcent sc JOIN rcb ON rcb.sub = sc.sub AND rcb.pos = sc.pos
+      GROUP BY sc.clabel, sc.sub, rcb.code
+    ),
+    cn2sub AS (SELECT clabel AS bucket, sub, sum(cv * cv) AS cn2
+               FROM subcent GROUP BY clabel, sub),
+    q AS (SELECT * FROM lf WHERE vec_id < {_N_QUERIES}),
+    qr AS (
+      SELECT q.vec_id AS query_id, q.sub, rcb.code, sum(q.v * rcb.rcv) AS qrd
+      FROM q JOIN rcb ON q.sub = rcb.sub AND q.pos = rcb.pos
+      GROUP BY q.vec_id, q.sub, rcb.code
+    ),
+    qc AS (
+      SELECT q.vec_id AS query_id, cent.clabel AS bucket, sum(q.v * cent.cv) AS qcd
+      FROM q JOIN cent ON q.pos = cent.pos
+      GROUP BY q.vec_id, cent.clabel
+    ),
+    qn AS (SELECT vec_id AS query_id, sqrt(sum(v * v)) AS qnorm
+           FROM q GROUP BY vec_id),
+    cand AS (
+      SELECT p.query_id, a.vec_id, a.bucket
+      FROM probes p JOIN assign a
+        ON a.bucket = p.probe_label AND a.vec_id != p.query_id
+    ),
+    s AS (
+      SELECT cand.query_id, cand.vec_id, cand.bucket,
+             sum(qr.qrd) AS qrsum,
+             sum(cn2sub.cn2 + 2 * cbr.cbr + rn2.rn2) AS den2
+      FROM cand
+      JOIN codes ON codes.vec_id = cand.vec_id
+      JOIN qr ON qr.query_id = cand.query_id
+            AND qr.sub = codes.sub AND qr.code = codes.code
+      JOIN rn2 ON rn2.sub = codes.sub AND rn2.code = codes.code
+      JOIN cbr ON cbr.bucket = cand.bucket
+            AND cbr.sub = codes.sub AND cbr.code = codes.code
+      JOIN cn2sub ON cn2sub.bucket = cand.bucket AND cn2sub.sub = codes.sub
+      GROUP BY cand.query_id, cand.vec_id, cand.bucket
+    )
+    SELECT s.query_id, s.vec_id,
+           round((qc.qcd + s.qrsum) / (qn.qnorm * sqrt(s.den2)), 4) AS adc_cosine
+    FROM s
+    JOIN qc ON qc.query_id = s.query_id AND qc.bucket = s.bucket
+    JOIN qn ON qn.query_id = s.query_id
+    QUALIFY row_number() OVER (PARTITION BY s.query_id
+             ORDER BY round((qc.qcd + s.qrsum) / (qn.qnorm * sqrt(s.den2)), 4)
+                      DESC, s.vec_id) <= {_TOP_K}
+    """,
+)
+def ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 rung 6 — RESIDUAL IVF-PQ, the faithful billion-vector design
+    (Jegou et al. 2011's IVFADC, public knowledge): instead of
+    quantizing raw vectors, PQ encodes each vector's RESIDUAL from its
+    coarse centroid, r = v - c_bucket. Residuals are centered near zero,
+    so the code budget spends its precision on the part of the vector
+    the coarse quantizer could not explain — the reconstruction is
+    v_hat = c_bucket + r_hat. At identical 4-byte code cost, measured
+    per-(vec, sub) reconstruction SSE on the sf0.01 fixture is 0.210 vs
+    0.227 for rung 5's raw-code reconstruction (~8% lower; pinned in
+    tests/test_vectors.py). The gain is modest here because the
+    stand-in codebooks are untrained means — with real k-means training
+    the residual design's advantage is what makes IVFADC the standard —
+    but the direction is the design's, and the dataflow is exact.
+
+    ADC decomposes exactly into broadcast-sized lookup tables:
+      numerator  q.v_hat        = qc[query, bucket] + sum_sub qr[query, sub, code]
+      |v_hat|^2  per (bucket, codes) = sum_sub cn2[bucket, sub]
+                 + 2*cbr[bucket, sub, code] + rn2[sub, code]
+    so query-time work per candidate is still m lookup-adds against
+    in-memory tables: (query x bucket) coarse dots, (query x sub x code)
+    residual dots, and the data-independent cbr/cn2/rn2 norms. No
+    candidate float vector is touched.
+
+    Deterministic stand-in "training", same stance as every rung:
+    coarse centroids are label means; the residual codebook's 16 entries
+    per subspace are means over the vec_id % 16 groups — arbitrary but
+    deterministic partitions make the whole operator hash-checkable
+    (seeded k-means would slot in at 100 TB without changing the
+    dataflow). Encode argmin orders by ROUND(d2, 8) with code tie-break;
+    ranking by ROUND(score, 4) with vec_id tie-break."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lf = V.explode_vectors(emb, ["vec_id", "label"], "embedding").withColumn(
+        "sub", F.floor(F.col("pos") / _PQ_DIM)
+    )
+    cent = lf.groupBy(F.col("label").alias("clabel"), "pos").agg(F.avg("v").alias("cv"))
+    assign = _assignments(spark, sf_dir).select(
+        "vec_id", F.col("assigned_label").alias("bucket")
+    )
+    sims = _assignments_sims(spark, sf_dir)
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("clabel"))
+    probes = (
+        sims.filter(F.col("vec_id") < _N_QUERIES)
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= 2)
+        .select(F.col("vec_id").alias("query_id"), F.col("clabel").alias("probe_label"))
+    )
+    # rename the centroid's pos before the join: cent derives from lf, so
+    # an unaliased self-join makes pos ambiguous
+    cent_r = cent.select("clabel", F.col("pos").alias("_cpos"), "cv")
+    rlf = (
+        lf.join(assign, "vec_id")
+        .join(
+            F.broadcast(cent_r),
+            (F.col("bucket") == F.col("clabel")) & (F.col("pos") == F.col("_cpos")),
+        )
+        .select(
+            "vec_id",
+            F.pmod(F.col("vec_id"), F.lit(_PQ_NCODES)).alias("g"),
+            "sub",
+            "pos",
+            (F.col("v") - F.col("cv")).alias("rv"),
+        )
+    )
+    rcb = rlf.groupBy("sub", F.col("g").alias("code"), "pos").agg(F.avg("rv").alias("rcv"))
+    d2 = (
+        rlf.join(F.broadcast(rcb), ["sub", "pos"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(F.sum((F.col("rv") - F.col("rcv")) * (F.col("rv") - F.col("rcv"))).alias("d2"))
+    )
+    wenc = Window.partitionBy("vec_id", "sub").orderBy(F.round("d2", 8), "code")
+    codes = (
+        d2.withColumn("_rn", F.row_number().over(wenc))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "sub", "code")
+    )
+    rn2 = rcb.groupBy("sub", "code").agg(F.sum(F.col("rcv") * F.col("rcv")).alias("rn2"))
+    subcent = cent.withColumn("sub", F.floor((F.col("pos")) / _PQ_DIM))
+    cbr = (
+        subcent.join(F.broadcast(rcb), ["sub", "pos"])
+        .groupBy(F.col("clabel").alias("bucket"), "sub", "code")
+        .agg(F.sum(F.col("cv") * F.col("rcv")).alias("cbr"))
+    )
+    cn2sub = subcent.groupBy(F.col("clabel").alias("bucket"), "sub").agg(
+        F.sum(F.col("cv") * F.col("cv")).alias("cn2")
+    )
+    q = lf.filter(F.col("vec_id") < _N_QUERIES)
+    qr = (
+        q.join(F.broadcast(rcb), ["sub", "pos"])
+        .groupBy(F.col("vec_id").alias("query_id"), "sub", "code")
+        .agg(F.sum(F.col("v") * F.col("rcv")).alias("qrd"))
+    )
+    qc = (
+        q.join(F.broadcast(cent), "pos")
+        .groupBy(F.col("vec_id").alias("query_id"), F.col("clabel").alias("bucket"))
+        .agg(F.sum(F.col("v") * F.col("cv")).alias("qcd"))
+    )
+    qn = q.groupBy(F.col("vec_id").alias("query_id")).agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("qnorm")
+    )
+    cand = assign.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("probe_label"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "vec_id", "bucket")
+    s = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(qr), ["query_id", "sub", "code"])
+        .join(F.broadcast(rn2), ["sub", "code"])
+        .join(F.broadcast(cbr), ["bucket", "sub", "code"])
+        .join(F.broadcast(cn2sub), ["bucket", "sub"])
+        .groupBy("query_id", "vec_id", "bucket")
+        .agg(
+            F.sum("qrd").alias("qrsum"),
+            F.sum(F.col("cn2") + 2 * F.col("cbr") + F.col("rn2")).alias("den2"),
+        )
+    )
+    scored = (
+        s.join(F.broadcast(qc), ["query_id", "bucket"])
+        .join(F.broadcast(qn), "query_id")
+        .withColumn(
+            "adc_cosine",
+            F.round(
+                (F.col("qcd") + F.col("qrsum"))
+                / (F.col("qnorm") * F.sqrt(F.col("den2"))),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _TOP_K)
+        .select("query_id", "vec_id", "adc_cosine")
+    )

@@ -133,6 +133,62 @@ def test_ivf_pq_recall_and_candidate_pruning(spark, qs):
     assert all(assigned[v] in probed[q] for q, v in ivfpq)
 
 
+def test_residual_pq_reconstructs_tighter_than_raw_pq(spark):
+    """The reason IVFADC quantizes residuals: at the same 4-byte code
+    cost, encoding r = v - c_bucket must reconstruct with lower error
+    than encoding the raw vector (residuals are centered, so codebook
+    precision is spent where the coarse quantizer failed). Pins the
+    measured per-(vec, sub) SSE ordering on sf0.01 (0.210 vs 0.227) —
+    if codebook or assignment logic regresses, this flips."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataengineerchallenge_spark.functions import vectors as V
+    from dataengineerchallenge_spark.queries.vectors import _PQ_DIM, _assignments
+    from dataengineerchallenge_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    lf = V.explode_vectors(emb, ["vec_id", "label"], "embedding").withColumn(
+        "sub", F.floor(F.col("pos") / _PQ_DIM)
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.round("d2", 8), "code")
+
+    def mean_sse(long_form, code_col):
+        cb = long_form.groupBy("sub", F.col(code_col).alias("code"), "pos").agg(
+            F.avg("x").alias("cx")
+        )
+        d2 = (
+            long_form.join(F.broadcast(cb), ["sub", "pos"])
+            .groupBy("vec_id", "sub", "code")
+            .agg(F.sum((F.col("x") - F.col("cx")) ** 2).alias("d2"))
+        )
+        best = d2.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1")
+        return best.agg(F.avg("d2")).collect()[0][0]
+
+    raw = mean_sse(lf.select("vec_id", "sub", "pos", F.col("v").alias("x"), "label"), "label")
+
+    cent = lf.groupBy(F.col("label").alias("clabel"), "pos").agg(F.avg("v").alias("cv"))
+    assign = _assignments(spark, sf).select("vec_id", F.col("assigned_label").alias("bucket"))
+    cent_r = cent.select("clabel", F.col("pos").alias("_cpos"), "cv")
+    rlf = (
+        lf.join(assign, "vec_id")
+        .join(
+            F.broadcast(cent_r),
+            (F.col("bucket") == F.col("clabel")) & (F.col("pos") == F.col("_cpos")),
+        )
+        .select(
+            "vec_id",
+            "sub",
+            "pos",
+            (F.col("v") - F.col("cv")).alias("x"),
+            F.pmod(F.col("vec_id"), F.lit(16)).alias("g"),
+        )
+    )
+    residual = mean_sse(rlf, "g")
+    assert residual < raw, f"residual SSE {residual:.4f} !< raw SSE {raw:.4f}"
+
+
 def test_pq_codes_compress_64x(spark, qs):
     """The scale claim itself: every candidate is represented by m=4
     codes (4 bytes) vs 64 float32 dims (256 bytes)."""
