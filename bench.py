@@ -39,6 +39,7 @@ HEADLINE = [
     "incremental_sessionize_merge",  # W2+ state merge (round 3)
     "dq_referential_integrity",      # N+ audit battery (round 3)
     "multimodal_synth_codec_audit",  # N5 codec encode/decode (round 4)
+    "ivf_pq_adc_topk",               # N3 composed IVF-PQ serving shape (round 5)
 ]
 
 

@@ -146,6 +146,33 @@ def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _probe_frames(
+    spark: SparkSession, sf_dir: str, n_probes: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """(assign, probes) derived from ONE ranked centroid-similarity
+    frame: ``assign`` is each vector's rank-1 bucket, ``probes`` each
+    query's ``n_probes`` nearest buckets.
+
+    Plan note, measured honestly: Catalyst pushes the ``vec_id <
+    n_queries`` filter below the probe branch's window, so the two
+    branches still compile to separate subtrees (no shared exchange) —
+    but the probe subtree only ever processes the Q query vectors, so
+    its exchanges carry Q×nlist rows at any corpus size. The shared
+    helper exists for semantic single-sourcing (one ranking definition
+    feeds both), not exchange dedup."""
+    sims = _assignments_sims(spark, sf_dir)
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("clabel"))
+    ranked = sims.select("vec_id", "clabel", F.row_number().over(wq).alias("_rn"))
+    assign = ranked.filter(F.col("_rn") == 1).select(
+        "vec_id", F.col("clabel").alias("bucket")
+    )
+    probes = (
+        ranked.filter((F.col("vec_id") < _N_QUERIES) & (F.col("_rn") <= n_probes))
+        .select(F.col("vec_id").alias("query_id"), F.col("clabel").alias("probe_label"))
+    )
+    return assign, probes
+
+
 @register(
     "nearest_centroid",
     oracle=_ORACLE_LONGFORM
@@ -614,18 +641,10 @@ def ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fully deterministic (label-mean codebooks, rounded argmin encode,
     rounded-score tie-break), hence hash-checked like both parents."""
     codes, cn, qdot, qn = _pq_parts(spark, sf_dir)
-    sims = _assignments_sims(spark, sf_dir)
-    assign = _assignments(spark, sf_dir).select("vec_id", "assigned_label")
-    wq = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("clabel"))
-    probes = (
-        sims.filter(F.col("vec_id") < _N_QUERIES)
-        .withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= 2)
-        .select(F.col("vec_id").alias("query_id"), F.col("clabel").alias("probe_label"))
-    )
+    assign, probes = _probe_frames(spark, sf_dir)
     cand = assign.join(
         F.broadcast(probes),
-        (F.col("assigned_label") == F.col("probe_label"))
+        (F.col("bucket") == F.col("probe_label"))
         & (F.col("vec_id") != F.col("query_id")),
     ).select("query_id", "vec_id")
     s = (
@@ -784,17 +803,7 @@ def ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sub", F.floor(F.col("pos") / _PQ_DIM)
     )
     cent = lf.groupBy(F.col("label").alias("clabel"), "pos").agg(F.avg("v").alias("cv"))
-    assign = _assignments(spark, sf_dir).select(
-        "vec_id", F.col("assigned_label").alias("bucket")
-    )
-    sims = _assignments_sims(spark, sf_dir)
-    wq = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("clabel"))
-    probes = (
-        sims.filter(F.col("vec_id") < _N_QUERIES)
-        .withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= 2)
-        .select(F.col("vec_id").alias("query_id"), F.col("clabel").alias("probe_label"))
-    )
+    assign, probes = _probe_frames(spark, sf_dir)
     # rename the centroid's pos before the join: cent derives from lf, so
     # an unaliased self-join makes pos ambiguous
     cent_r = cent.select("clabel", F.col("pos").alias("_cpos"), "cv")
