@@ -306,3 +306,120 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def edit_distance_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str | None = None,
+    k: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """EXACT edit-distance similarity join (N2+ string-level near-dup):
+    every pair with ``levenshtein(text_a, text_b) <= k`` (within
+    ``block_col`` groups when given) — same result set as the naive
+    O(n²) cross join, computed without one.
+
+    Lossless blocking = the public EDJoin design (count filter + prefix
+    filter over positional q-gram multisets):
+
+    - **count filter**: one edit destroys at most ``q`` of a string's
+      ``|s|-q+1`` overlapping q-grams, so ``ed(s,t) <= k`` implies the
+      gram multisets share ``>= max(|s|,|t|) - q + 1 - q*k`` tokens;
+    - **prefix filter**: under any GLOBAL total order of gram tokens
+      (gram string, occurrence index), two multisets sharing that many
+      tokens must share at least one among each string's first
+      ``q*k + 1`` tokens. Ordering tokens by ascending global gram
+      frequency makes the prefixes the RAREST grams, so the
+      inverted-index equi-join on (block, gram, occurrence) probes cold
+      keys — without this, hot bigrams ("e ", "th") fan the join out
+      quadratically (measured: the count-filter-only variant OOMed a
+      1 GiB driver at sf0.1; this one runs in seconds).
+
+    Candidates then verify with exact ``F.levenshtein`` (plus the free
+    ``|len_a - len_b| <= k`` residual). The count bound is vacuous only
+    when BOTH strings are shorter than ``q*k + q`` chars; those short
+    strings are all-pairs joined within their block (an equi-join on
+    the block key, still never a cartesian) and unioned in, keeping the
+    operator total and exact for any input.
+
+    Scale notes: the gram-frequency table is bounded by the q-gram
+    alphabet (|charset|^q) and broadcast; prefix tokens are
+    ``q*k + 1`` rows per string regardless of corpus size; the only
+    corpus-wide shuffles are the two narrow token windows and the
+    candidate join on rare tokens.
+
+    Returns (block, id_a, id_b, edit_dist) with ``id_a < id_b``;
+    ``block`` is a constant 0 when ``block_col`` is None.
+    """
+    if k < 0 or q < 1:
+        raise ValueError(f"need k >= 0 and q >= 1, got k={k} q={q}")
+    from pyspark.sql import Window
+
+    blk = F.col(block_col) if block_col else F.lit(0)
+    base = spread(df).select(
+        blk.alias("_blk"),
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_txt"),
+        F.length(text_col).alias("_len"),
+    )
+    n_grams = F.col("_len") - F.lit(q - 1)
+    gram_arr = F.when(
+        n_grams >= 1,
+        F.transform(F.sequence(F.lit(1), n_grams), lambda i: F.col("_txt").substr(i, F.lit(q))),
+    ).otherwise(F.array().cast("array<string>"))
+    tokens = base.select(
+        "_blk", "_id", "_len", F.posexplode(gram_arr).alias("_pos", "_g")
+    ).withColumn(
+        "_occ",
+        F.row_number().over(Window.partitionBy("_blk", "_id", "_g").orderBy("_pos")),
+    )
+    freq = tokens.groupBy("_g").agg(F.count(F.lit(1)).alias("_f"))
+    prefix = (
+        tokens.join(F.broadcast(freq), "_g")
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("_blk", "_id").orderBy("_f", "_g", "_occ")
+            ),
+        )
+        .filter(F.col("_r") <= q * k + 1)
+        .select("_blk", "_id", "_len", "_g", "_occ")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    gram_cands = (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._g") == F.col("b._g"))
+            & (F.col("a._occ") == F.col("b._occ"))
+            & (F.col("a._id") < F.col("b._id"))
+            & (F.abs(F.col("a._len") - F.col("b._len")) <= k),
+        )
+        .select(
+            F.col("a._blk").alias("_blk"),
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+        )
+    )
+    shorts = base.filter(F.col("_len") <= q * k + q - 1).select("_blk", "_id")
+    sa, sb = shorts.alias("sa"), shorts.alias("sb")
+    short_cands = sa.join(
+        sb,
+        (F.col("sa._blk") == F.col("sb._blk")) & (F.col("sa._id") < F.col("sb._id")),
+    ).select(
+        F.col("sa._blk").alias("_blk"),
+        F.col("sa._id").alias("id_a"),
+        F.col("sb._id").alias("id_b"),
+    )
+    cands = gram_cands.unionByName(short_cands).distinct()
+    na = base.select("_blk", F.col("_id").alias("id_a"), F.col("_txt").alias("_ta"))
+    nb = base.select("_blk", F.col("_id").alias("id_b"), F.col("_txt").alias("_tb"))
+    return (
+        cands.join(na, ["_blk", "id_a"])
+        .join(nb, ["_blk", "id_b"])
+        .withColumn("edit_dist", F.levenshtein("_ta", "_tb"))
+        .filter(F.col("edit_dist") <= k)
+        .select(F.col("_blk").alias("block"), "id_a", "id_b", "edit_dist")
+    )

@@ -120,6 +120,39 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.shingle_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
+@register(
+    "fuzzy_part_name_matches",
+    oracle="""
+    SELECT a.p_brand, a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def fuzzy_part_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2+ EXACT edit-distance similarity join (operators/dedup.py
+    edit_distance_join): within-brand part-name pairs at levenshtein
+    <= 2 — the catalog-dedup question ("is 'spring chocolate lace' the
+    same part as 'spring chocolat lace'?") that string-level near-dup
+    answers where shingle Jaccard is too coarse.
+
+    The Spark plan is the lossless q-gram count-filtered inverted-index
+    join (never all-pairs); the DuckDB oracle is the NAIVE within-brand
+    cross join — hash equality therefore proves the blocking lossless on
+    real data, the same anchor discipline as near_dup_jaccard."""
+    parts = load_table(spark, sf_dir, "part")
+    out = D.edit_distance_join(
+        parts, "p_partkey", "p_name", block_col="p_brand", k=2, q=2
+    )
+    return out.select(
+        F.col("block").alias("p_brand"),
+        "id_a",
+        "id_b",
+        F.col("edit_dist").cast("int").alias("edit_dist"),
+    )
+
+
 @register("near_dup_minhash")
 def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N2/J9 scale path: MinHash + banded LSH approximate similarity

@@ -146,3 +146,61 @@ def test_connected_components_merges_via_shared_node(spark):
 def test_connected_components_empty(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert D.connected_components(pairs).count() == 0
+
+
+# --- exact edit-distance join (EDJoin prefix filter) -------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _lev(s: str, t: str) -> int:
+    prev = list(range(len(t) + 1))
+    for i, cs in enumerate(s, 1):
+        cur = [i]
+        for j, ct in enumerate(t, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=14), min_size=2, max_size=24
+    ),
+    k=st.sampled_from([0, 1, 2, 3]),
+    q=st.sampled_from([2, 3]),
+)
+def test_edit_distance_join_equals_naive(spark, texts, k, q):
+    """The prefix-filtered join must return EXACTLY the naive all-pairs
+    result for any strings — including empty strings and strings shorter
+    than the grams (the short-pair escape path), tie-heavy tiny
+    alphabets (hot grams), and every (k, q) combination."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, txt string"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["edit_dist"])
+        for r in D.edit_distance_join(df, "id", "txt", k=k, q=q).collect()
+    )
+    want = sorted(
+        (i, j, _lev(a, b))
+        for i, a in enumerate(texts)
+        for j, b in enumerate(texts)
+        if i < j and _lev(a, b) <= k
+    )
+    assert got == want
+
+
+def test_edit_distance_join_respects_blocks(spark):
+    """Identical names in different blocks must NOT pair."""
+    df = spark.createDataFrame(
+        [(1, "b1", "same name"), (2, "b2", "same name"), (3, "b1", "same namX")],
+        "id long, blk string, txt string",
+    )
+    got = sorted(
+        (r["block"], r["id_a"], r["id_b"], r["edit_dist"])
+        for r in D.edit_distance_join(df, "id", "txt", block_col="blk", k=2).collect()
+    )
+    assert got == [("b1", 1, 3, 1)]
