@@ -347,3 +347,111 @@ def event_value_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("value"), 4).alias("value_stddev"),
         F.round(F.skewness("value") * g1_to_G1, 4).alias("value_skewness"),
     )
+
+
+@register(
+    "per_minute_value_interpolated",
+    oracle="""
+    WITH bounds AS (
+      SELECT (CAST(floor(epoch(min(ts))) AS BIGINT) // 60) * 60 AS lo,
+             (CAST(floor(epoch(max(ts))) AS BIGINT) // 60) * 60 AS hi
+      FROM events
+    ), spine AS (
+      SELECT unnest(range(lo, hi + 60, 60)) AS minute_epoch_s FROM bounds
+    ), obs AS (
+      -- round the per-minute mean to 6 BEFORE interpolating: engines
+      -- accumulate avg() in different orders (last-ULP drift), and the
+      -- interpolation arithmetic amplifies that onto round-4 ties;
+      -- from identical double inputs the identical expression tree is
+      -- IEEE-deterministic in both engines
+      SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 60) * 60 AS minute_epoch_s,
+             round(avg(value), 6) AS v
+      FROM events GROUP BY 1
+    ), j AS (
+      SELECT s.minute_epoch_s AS t, obs.v FROM spine s
+      LEFT JOIN obs ON obs.minute_epoch_s = s.minute_epoch_s
+    ), filled AS (
+      SELECT t, v,
+             last_value(v IGNORE NULLS) OVER
+               (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER
+               (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(v IGNORE NULLS) OVER
+               (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER
+               (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM j
+    )
+    SELECT t AS minute_epoch_s,
+           v IS NOT NULL AS observed,
+           -- micro-unit integerization via floor(x*1e4 + 0.5), NOT
+           -- round(x, 4): both engines compute the identical double and
+           -- floor it binary-exactly, where round() diverges on the
+           -- frequent grid ties (Spark rounds the shortest decimal
+           -- repr, DuckDB the raw binary) — exact.py discipline
+           CAST(floor(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (t - pt) / (nt - pt)
+           END * 10000 + 0.5) AS BIGINT) AS value_interp_e4
+    FROM filled
+    """,
+)
+def per_minute_value_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+ time-series resample with LINEAR INTERPOLATION: per-minute
+    mean(value) on a complete minute spine, with unobserved minutes
+    interpolated between their neighboring observations — the sensor/
+    metric resampling twin of ``per_minute_load_gapfilled`` (where zero
+    IS the observation, counts need no interpolation; a mean VALUE in a
+    silent minute is genuinely missing and must be estimated).
+
+    Edge minutes before the first / after the last observation clamp to
+    the nearest observed value (no extrapolation) — unreachable here
+    since the spine spans observed bounds, but encoded identically in
+    both engines anyway.
+
+    Scale note: the interpolation windows are GLOBAL (no partition key)
+    — safe because they run over the per-minute AGGREGATE, whose row
+    count is bounded by the time span (~526k rows/year) regardless of
+    corpus size, never over raw events. For multi-entity series,
+    partition the same windows by the entity key."""
+    ev = load_table(spark, sf_dir, "events")
+    minute = (F.unix_timestamp("ts") / 60).cast("long") * 60
+    obs = ev.groupBy(minute.alias("minute_epoch_s")).agg(
+        F.round(F.avg("value"), 6).alias("v")
+    )
+    bounds = ev.agg(
+        ((F.unix_timestamp(F.min("ts")) / 60).cast("long") * 60).alias("lo"),
+        ((F.unix_timestamp(F.max("ts")) / 60).cast("long") * 60).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(60))).alias("minute_epoch_s")
+    )
+    j = spine.join(obs, "minute_epoch_s", "left")
+    t = F.col("minute_epoch_s")
+    wb = Window.orderBy("minute_epoch_s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = Window.orderBy("minute_epoch_s").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_t = F.when(F.col("v").isNotNull(), t)
+    filled = j.select(
+        t,
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_t, ignorenulls=True).over(wb).alias("pt"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_t, ignorenulls=True).over(wf).alias("nt"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv")) * (t - F.col("pt")) / (F.col("nt") - F.col("pt"))
+        )
+    )
+    return filled.select(
+        "minute_epoch_s",
+        F.col("v").isNotNull().alias("observed"),
+        F.floor(interp * 10000 + F.lit(0.5)).cast("long").alias("value_interp_e4"),
+    )
