@@ -455,3 +455,93 @@ def per_minute_value_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("v").isNotNull().alias("observed"),
         F.floor(interp * 10000 + F.lit(0.5)).cast("long").alias("value_interp_e4"),
     )
+
+
+@register(
+    "per_minute_load_ewma",
+    oracle="""
+    WITH bounds AS (
+      SELECT (CAST(floor(epoch(min(ts))) AS BIGINT) // 60) * 60 AS lo,
+             (CAST(floor(epoch(max(ts))) AS BIGINT) // 60) * 60 AS hi
+      FROM events
+    ), spine AS (
+      SELECT unnest(range(lo, hi + 60, 60)) AS minute_epoch_s FROM bounds
+    ), agg AS (
+      SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 60) * 60 AS minute_epoch_s,
+             count(*) AS n
+      FROM events GROUP BY 1
+    ), series AS (
+      SELECT s.minute_epoch_s AS t,
+             CAST(COALESCE(agg.n, 0) AS DOUBLE) AS x
+      FROM spine s LEFT JOIN agg USING (minute_epoch_s)
+    ), windowed AS (
+      SELECT t, x,
+             list(x) OVER (ORDER BY t ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+               AS xs
+      FROM series
+    )
+    SELECT t AS minute_epoch_s,
+           CAST(x AS BIGINT) AS n_requests,
+           CAST(floor(
+             list_sum([xs[len(xs) - i] * pow(0.5, i)
+                       FOR i IN range(0, len(xs))])
+             / (2.0 - pow(0.5, len(xs) - 1)) * 10000 + 0.5) AS BIGINT)
+             AS ewma_e4
+    FROM windowed
+    """,
+)
+def per_minute_load_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+/W5+ exponentially weighted moving average of the per-minute
+    load (finite 30-minute horizon, normalized weights) — the smoothed
+    feature the load-prediction model (MLE goal 1,
+    /root/reference/README.md:19) consumes instead of the raw spiky
+    series. Runs over the zero-filled spine (per_minute_load_gapfilled
+    semantics) so lag positions are true minutes, not observation ranks.
+
+    EWMA's recurrence is not a SQL window aggregate, but the finite-
+    horizon form IS: collect the trailing-30 window into an array and
+    fold weight*value with higher-order functions — JVM-side in Spark
+    (transform/aggregate), a list comprehension in the DuckDB twin.
+
+    Cross-engine float discipline: decay 0.5 EXACTLY so pow(0.5, i) is a
+    binary-exact double in any IEEE libm (an 0.9-style decay can drift a
+    ULP between engines' pow implementations); the fold then computes
+    identical doubles in both engines, integerized to e4 micro-units via
+    floor(x*1e4+0.5) (see per_minute_value_interpolated for why not
+    round()).
+
+    Scale note: same bounded-series stance as the interpolation query —
+    the global window runs over the per-minute aggregate (~526k
+    rows/year), never raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    minute = (F.unix_timestamp("ts") / 60).cast("long") * 60
+    agg = ev.groupBy(minute.alias("minute_epoch_s")).agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.agg(
+        ((F.unix_timestamp(F.min("ts")) / 60).cast("long") * 60).alias("lo"),
+        ((F.unix_timestamp(F.max("ts")) / 60).cast("long") * 60).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(60))).alias("minute_epoch_s")
+    )
+    series = spine.join(agg, "minute_epoch_s", "left").select(
+        "minute_epoch_s", F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("x")
+    )
+    w = Window.orderBy("minute_epoch_s").rowsBetween(-29, Window.currentRow)
+    windowed = series.select(
+        "minute_epoch_s", "x", F.collect_list("x").over(w).alias("xs")
+    )
+    m = F.size("xs")
+    num = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), m - 1),
+            lambda i: F.element_at(F.col("xs"), m - i) * F.pow(F.lit(0.5), i),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    den = F.lit(2.0) - F.pow(F.lit(0.5), (m - 1).cast("double"))
+    return windowed.select(
+        "minute_epoch_s",
+        F.col("x").cast("long").alias("n_requests"),
+        F.floor(num / den * 10000 + F.lit(0.5)).cast("long").alias("ewma_e4"),
+    )
