@@ -63,13 +63,13 @@ N_USERS = 2_000
 EVENT_TYPES = ["view", "click", "purchase", "error", "search"]
 
 
-def _gen(spark, path: str, rows: int, hot_pct: int) -> None:
+def _gen(spark, path: str, rows: int, hot_pct: int, n_users: int = N_USERS) -> None:
     """Deterministic event fixture: hot_pct% of rows on user_id=-1."""
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return
     uid = F.when(
         F.pmod(F.xxhash64("id"), F.lit(100)) < F.lit(hot_pct), F.lit(-1)
-    ).otherwise(F.pmod(F.xxhash64("id", F.lit(7)), F.lit(N_USERS)))
+    ).otherwise(F.pmod(F.xxhash64("id", F.lit(7)), F.lit(n_users)))
     df = spark.range(rows).select(
         F.col("id").alias("event_id"),
         uid.cast("long").alias("user_id"),
@@ -150,9 +150,78 @@ def main() -> None:
     out["sessionize_uniform_overhead_at_max"] = round(
         un["sessionize_skew_safe_s"] / un["sessionize_plain_s"], 2
     )
+    out["join"] = bench_join(spark, root, biggest, args.hot_pct, args.iters)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "results"}))
+
+
+def bench_join(spark, root, rows, hot_pct, iters):
+    """Skewed JOIN leg: a hot-key fact shuffle-joined against a dim too
+    large to broadcast (broadcast disabled to force the scenario
+    salted_join exists for). Measures the three levers in
+    operators/skew.py's documented preference order:
+
+      1. AQE OFF, plain SMJ        — the straggler baseline (one reducer
+                                     receives the hot key's rows);
+      2. AQE ON (skew-join split)  — the first lever: runtime partition
+                                     splitting, zero code change;
+      3. salted_join (AQE ON)      — the deterministic fallback: content-
+                                     hash shards x replicated dim.
+
+    All three checksummed identical. Honest expectation encoded in the
+    operator's docstring: AQE usually suffices; salting is for when one
+    key exceeds what splitting a partition can fix or when AQE is
+    unavailable."""
+    from dataengineerchallenge_spark.operators.skew import salted_join
+
+    n_users = 2_000_000  # dim too big for the 10 MB broadcast threshold
+    fact_path = os.path.join(root, f"ev_r{rows}_h{hot_pct}_u{n_users}")
+    _gen(spark, fact_path, rows, hot_pct, n_users=n_users)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.range(-1, n_users).select(
+        F.col("id").alias("user_id"),
+        (F.pmod(F.xxhash64("id", F.lit(31)), F.lit(1000)) / 10.0).alias("user_weight"),
+    )
+
+    def digest(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value") * F.col("user_weight")).alias("wv"),
+        ).collect()[0]
+        return (r["n"], float(r["wv"]))
+
+    def same(c1, c2):
+        # row count exact; the double sum only to relative 1e-9 — salting
+        # changes accumulation order, which drifts the ~4.5e12 sum by ULPs
+        return c1[0] == c2[0] and abs(c1[1] - c2[1]) <= 1e-9 * max(abs(c1[1]), 1.0)
+
+    plain = lambda: digest(fact.join(dim, "user_id"))  # noqa: E731
+    salted = lambda: digest(  # noqa: E731
+        salted_join(fact, dim, key="user_id", salt_on="event_id", n_salts=16)
+    )
+    res: dict = {"rows": rows, "dim_rows": n_users}
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        c_ref = None
+        for label, fn, aqe in (
+            ("join_plain_aqe_off_s", plain, "false"),
+            ("join_plain_aqe_on_s", plain, "true"),
+            ("join_salted_s", salted, "true"),
+        ):
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+            c = fn()
+            if c_ref is None:
+                c_ref = c
+                res["join_checksum"] = list(c)
+            assert same(c, c_ref), f"join equivalence broke at {label}: {c} != {c_ref}"
+            res[label] = _time(fn, iters)
+            print(f"join {label}: {res[label]}s")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+    return res
 
 
 def run_size(spark, root, rows, args, out, salted_agg, session_stats, session_stats_skew_safe):
