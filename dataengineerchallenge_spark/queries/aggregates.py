@@ -265,3 +265,62 @@ def user_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in _EVENT_TYPES],
     )
+
+
+@register(
+    "winsorized_value_stats",
+    oracle="""
+WITH cuts AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS lo,
+         quantile_cont(value, 0.99) AS hi
+  FROM events GROUP BY event_type
+), clipped AS (
+  SELECT e.event_type,
+         CAST(floor(least(greatest(e.value, c.lo), c.hi) * 10000 + 0.5)
+              AS BIGINT) AS v4
+  FROM events e JOIN cuts c USING (event_type)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(v4) AS BIGINT) AS min_e4,
+       CAST(max(v4) AS BIGINT) AS max_e4,
+       CAST(sum(v4) AS BIGINT) AS sum_e4
+FROM clipped GROUP BY event_type
+""",
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (A+ training-data cleaning): clip each
+    value to its group's exact [p01, p99] band, then per-group stats of
+    the clipped column — the standard outlier treatment before a model
+    consumes a heavy-tailed feature (clipping keeps the row, unlike the
+    z-score FILTER in event_value_outliers, so no training signal is
+    dropped).
+
+    Plan: the cuts frame is one row per group (exact interpolated
+    percentiles, same engine parity as value_percentiles_by_type) and
+    broadcasts back onto the scan — at 100 TB the clip pass is
+    map-only. The clipped values integerize to e4 micro-units BEFORE
+    aggregation (floor(x*1e4+0.5), the exact.py discipline), so min/
+    max/sum are integer-exact in both engines — summing raw clipped
+    doubles would drift with accumulation order."""
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("lo"),
+        F.percentile("value", F.lit(0.99)).alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        F.floor(
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")) * 10000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("v4"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v4").alias("min_e4"),
+        F.max("v4").alias("max_e4"),
+        F.sum("v4").alias("sum_e4"),
+    )
