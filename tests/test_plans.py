@@ -116,3 +116,13 @@ def test_binned_interval_join_matches_naive_range_join(spark):
         for r in pts.join(ivs, (F.col("ts") >= F.col("s")) & (F.col("ts") <= F.col("e"))).collect()
     )
     assert got == naive and len(got) > 0
+
+
+def test_edit_distance_join_never_cartesian(spark, qs):
+    """The EDJoin-blocked fuzzy join must plan every join as an equi
+    join — the prefix-token inverted index, the short-string block join,
+    and the name join-backs — never a BroadcastNestedLoopJoin or
+    CartesianProduct (the all-pairs plan it exists to avoid)."""
+    plan = explain_str(qs["fuzzy_part_name_matches"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
