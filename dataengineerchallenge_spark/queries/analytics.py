@@ -430,16 +430,23 @@ def per_minute_value_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     j = spine.join(obs, "minute_epoch_s", "left")
     t = F.col("minute_epoch_s")
+    # BOTH direction fills are running last() frames (unbounded-preceding
+    # → current), the forward one over ascending and the backward one
+    # over DESCENDING minute order — never a currentRow→unboundedFollowing
+    # first(), which Spark evaluates O(n²) per partition (measured 49 s
+    # vs 0.8 s on the 43k-minute series in the r5 plan audit)
     wb = Window.orderBy("minute_epoch_s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wf = Window.orderBy("minute_epoch_s").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    wr = Window.orderBy(F.desc("minute_epoch_s")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     obs_t = F.when(F.col("v").isNotNull(), t)
     filled = j.select(
         t,
         "v",
         F.last("v", ignorenulls=True).over(wb).alias("pv"),
         F.last(obs_t, ignorenulls=True).over(wb).alias("pt"),
-        F.first("v", ignorenulls=True).over(wf).alias("nv"),
-        F.first(obs_t, ignorenulls=True).over(wf).alias("nt"),
+        F.last("v", ignorenulls=True).over(wr).alias("nv"),
+        F.last(obs_t, ignorenulls=True).over(wr).alias("nt"),
     )
     interp = (
         F.when(F.col("v").isNotNull(), F.col("v"))
