@@ -580,9 +580,11 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ivf_pq_adc_topk",
-    oracle=_ORACLE_PQ
+# Full IVF-PQ oracle, shared by ivf_pq_adc_topk (inline build) and
+# ivf_pq_serve_topk (prebuilt index): both compute the same math, so the
+# same SQL is the truth for both.
+_ORACLE_IVF_PQ = (
+    _ORACLE_PQ
     + f"""
     , cent AS (SELECT label AS clabel, pos, avg(v) AS cv FROM lf GROUP BY label, pos),
     csims AS (
@@ -621,8 +623,11 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s JOIN qn USING (query_id)
     QUALIFY row_number() OVER (PARTITION BY query_id
              ORDER BY round(num / (qn.qnorm * sqrt(cn2sum)), 4) DESC, vec_id) <= {_TOP_K}
-    """,
+    """
 )
+
+
+@register("ivf_pq_adc_topk", oracle=_ORACLE_IVF_PQ)
 def ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N3 rung 5 — the COMPOSED billion-vector serving design (public
     IVF-PQ, VERDICT r4 next-round #3): the IVF coarse quantizer prunes
@@ -655,6 +660,129 @@ def ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("qd").alias("num"), F.sum("cn2").alias("cn2sum"))
     )
     scored = s.join(F.broadcast(qn), "query_id").withColumn(
+        "adc_cosine",
+        F.round(F.col("num") / (F.col("qnorm") * F.sqrt(F.col("cn2sum"))), 4),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _TOP_K)
+        .select("query_id", "vec_id", "adc_cosine")
+    )
+
+
+def _staged_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """BUILD-ONCE half of the IVF-PQ serving split (VERDICT r5 #1): the
+    query-independent index state of ``ivf_pq_adc_topk`` materialized
+    through the S4 sink into a content-addressed scratch slot (same
+    publish protocol as queries/formats.py stagings):
+
+    - ``codes/``      (vec_id, sub, code) PARTITIONED BY bucket — the
+      inverted lists: each assigned-centroid bucket is its own partition
+      directory, so a probe is a directory seek, not a corpus scan.
+    - ``probes/``     (query_id, probe_label) — the query router output
+      (2 nearest coarse centroids per query).
+    - ``qlut/``       (query_id, sub, code, qd, cn2, qnorm) — the ADC
+      lookup state: per-query code dots JOINED with code norms and query
+      norms into one broadcast-sized table.
+    - ``centroids/``  (clabel, pos, cv) — the coarse/PQ codebook (they
+      coincide in this label-mean design); not read by the registered
+      serve query (its query set's router output is prebuilt above) but
+      part of the index artifact a NEW query batch would need.
+
+    All four frames come from the exact dataflows ``ivf_pq_adc_topk``
+    runs inline (`_pq_parts` / `_probe_frames`), so serving from the
+    artifact is bit-compatible with the inline rung and shares its
+    oracle."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+
+    src = Path(sf_dir) / "embeddings.parquet"
+    tag = hashlib.sha256(
+        f"{src.resolve()}:{src.stat().st_mtime_ns}:ivfpq".encode()
+    ).hexdigest()[:16]
+    d = Path(tempfile.gettempdir()) / f"spark_graft_ivfpq_{tag}"
+    if not (d / "_SUCCESS").exists():
+        codes, cn, qdot, qn = _pq_parts(spark, sf_dir)
+        assign, probes = _probe_frames(spark, sf_dir)
+        tmp = Path(tempfile.mkdtemp(prefix="spark_graft_ivfpq_")) / "out"
+        write_result(
+            codes.join(assign, "vec_id"),
+            str(tmp / "codes"),
+            partition_by=["bucket"],
+        )
+        write_result(probes, str(tmp / "probes"), coalesce_to=1)
+        write_result(
+            qdot.join(cn, ["sub", "code"]).join(qn, "query_id"),
+            str(tmp / "qlut"),
+            coalesce_to=1,
+        )
+        emb = load_table(spark, sf_dir, "embeddings")
+        cent = (
+            V.explode_vectors(emb, ["vec_id", "label"], "embedding")
+            .groupBy(F.col("label").alias("clabel"), "pos")
+            .agg(F.avg("v").alias("cv"))
+        )
+        write_result(cent, str(tmp / "centroids"), coalesce_to=1)
+        (tmp / "_SUCCESS").touch()
+        try:
+            tmp.rename(d)
+        except OSError:
+            pass  # concurrent driver published identical content first
+    return str(d)
+
+
+@register("ivf_pq_serve_topk", oracle=_ORACLE_IVF_PQ)
+def ivf_pq_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 rung 5-SERVE — the production half of the IVF-PQ split
+    (VERDICT r5 #1): identical math and oracle as ``ivf_pq_adc_topk``,
+    but the executed plan reads ONLY the prebuilt index artifact — the
+    base ``embeddings`` table is never scanned at query time (pinned in
+    tests/test_vectors.py). The inline rung IS the index build, run
+    once through `_staged_ivfpq_index`; this query is what every
+    subsequent lookup batch costs.
+
+    Plan shape (the 100 TB serving story, measured in PLAN_AUDIT.md):
+    the only tables touched are the bucket-partitioned ``codes``
+    inverted lists and the two KB-sized query-side tables (``probes``,
+    ``qlut``) — versus the inline rung's 10 scans of the base table.
+    The probe join is a broadcast equi-join on the PARTITION column
+    with a selective batch predicate on the probe side, so Catalyst
+    derives ``dynamicpruningexpression(bucket IN ...)`` into the codes
+    scan's PartitionFilters: candidate generation is a directory seek
+    into each query batch's probed inverted lists, exactly how IVF
+    serves at scale. The ADC scoring join then adds per-candidate
+    (qd, cn2) from the single broadcast lookup table, and qnorm rides
+    along — two shuffles total (scoring aggregate + per-query top-k
+    window)."""
+    root = _staged_ivfpq_index(spark, sf_dir)
+    codes = spark.read.parquet(f"{root}/codes")
+    # scope the router output to the current query batch — what a real
+    # serve call does, and the selective predicate Catalyst requires
+    # before it will derive a dynamic partition filter from this join
+    probes = spark.read.parquet(f"{root}/probes").filter(
+        F.col("query_id") < _N_QUERIES
+    )
+    qlut = spark.read.parquet(f"{root}/qlut")
+    cand = codes.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("probe_label"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    s = (
+        cand.join(F.broadcast(qlut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum("qd").alias("num"),
+            F.sum("cn2").alias("cn2sum"),
+            # one identical stored double per query -> max is exact
+            F.max("qnorm").alias("qnorm"),
+        )
+    )
+    scored = s.withColumn(
         "adc_cosine",
         F.round(F.col("num") / (F.col("qnorm") * F.sqrt(F.col("cn2sum"))), 4),
     )
