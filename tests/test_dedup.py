@@ -204,3 +204,38 @@ def test_edit_distance_join_respects_blocks(spark):
         for r in D.edit_distance_join(df, "id", "txt", block_col="blk", k=2).collect()
     )
     assert got == [("b1", 1, 3, 1)]
+
+
+def test_edit_distance_join_large_alphabet_cjk(spark):
+    """VERDICT r5 #2: parity with the naive oracle on a LARGE-alphabet
+    corpus (CJK-range codepoints), where the distinct-gram table is the
+    thing that must never be assumed broadcastable — every string's
+    bigrams are near-unique, the opposite gram-frequency regime from
+    the ASCII hot-gram tests above. The shuffle-join freq attach must
+    return exactly the naive all-pairs result here too."""
+    import random
+
+    rng = random.Random(20260814)
+    cjk = [chr(0x4E00 + i) for i in range(0, 2000, 7)]
+    bases = ["".join(rng.choice(cjk) for _ in range(rng.randint(2, 12))) for _ in range(12)]
+    texts = []
+    for b in bases:
+        texts.append(b)
+        # one substitution neighbor and one insertion neighbor per base
+        pos = rng.randrange(len(b))
+        texts.append(b[:pos] + rng.choice(cjk) + b[pos + 1 :])
+        texts.append(b[:pos] + rng.choice(cjk) + b[pos:])
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, txt string"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["edit_dist"])
+        for r in D.edit_distance_join(df, "id", "txt", k=2, q=2).collect()
+    )
+    want = sorted(
+        (i, j, _lev(a, b))
+        for i, a in enumerate(texts)
+        for j, b in enumerate(texts)
+        if i < j and _lev(a, b) <= 2
+    )
+    assert got == want and len(got) >= len(bases) * 2
