@@ -324,3 +324,40 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v4").alias("max_e4"),
         F.sum("v4").alias("sum_e4"),
     )
+
+
+@register("winsorized_value_stats_approx")
+def winsorized_value_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of ``winsorized_value_stats`` (VERDICT r5 #3):
+    identical clip-then-aggregate shape, but the per-group [p01, p99]
+    cuts come from ``percentile_approx`` (KLL-style rank sketch,
+    accuracy 10000 ⇒ rank error ≤ 1e-4) instead of exact interpolated
+    percentiles. Exact per-group percentile materializes and sorts every
+    group's values — at 100 TB with a handful of event types that is a
+    giant per-group sort for a 2-number answer; the sketch is one
+    mergeable partial-aggregate pass, same as the exact/approx pairing
+    of value_percentiles_by_type / approx_value_percentiles.
+
+    Rows-only per contract (the sketch cut is accuracy-bounded, not
+    bit-pinned); the deviation of the approx-clipped stats vs the exact
+    twin is pinned in tests/test_aggregates.py."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile_approx("value", F.array(F.lit(0.01), F.lit(0.99)), 10000)
+    cuts = ev.groupBy("event_type").agg(
+        F.get(pct, 0).alias("lo"), F.get(pct, 1).alias("hi")
+    )
+    clipped = ev.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        F.floor(
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")) * 10000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("v4"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v4").alias("min_e4"),
+        F.max("v4").alias("max_e4"),
+        F.sum("v4").alias("sum_e4"),
+    )
