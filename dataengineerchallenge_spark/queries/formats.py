@@ -167,6 +167,114 @@ def dpp_engagement_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_date_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """events written through the S4 sink PARTITIONED BY dt (UTC event
+    date, ``dt=yyyy-MM-dd`` directories) — the single most common 100 TB
+    log-table layout at rest (SURVEY §4; the reference's interval-file
+    format, /root/reference/README.md:44, is this shape one level up).
+    Content-addressed scratch slot, same publish protocol as the other
+    stagings."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.sources.tables import load_table
+
+    src = Path(sf_dir) / "events.parquet"
+    tag = hashlib.sha256(f"{src.resolve()}:{src.stat().st_mtime_ns}:datepart".encode()).hexdigest()[:16]
+    d = Path(tempfile.gettempdir()) / f"spark_graft_datepart_{tag}"
+    if not (d / "_SUCCESS").exists():
+        ev = load_table(spark, sf_dir, "events").select(
+            F.col("event_id").cast("string"),
+            F.unix_timestamp("ts").alias("ts_s"),
+            F.col("user_id").cast("string"),
+            "event_type",
+            "value",
+            F.to_date(F.col("ts")).alias("dt"),
+        )
+        tmp = Path(tempfile.mkdtemp(prefix="spark_graft_datepart_")) / "out"
+        write_result(ev, str(tmp), partition_by=["dt"])
+        try:
+            tmp.rename(d)
+        except OSError:
+            pass  # concurrent driver published identical content first
+    return str(d)
+
+
+@register(
+    "date_partition_pruned_daily_load",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-19'
+    GROUP BY 1
+    """,
+)
+def date_partition_pruned_daily_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATIC partition pruning on the date-partitioned-at-rest layout
+    (VERDICT r5 #4): a 10-day window over a 30-day events table must
+    plan as PartitionFilters on ``dt`` with only the 10 matching
+    ``dt=...`` directories ever listed — the scan never opens the other
+    20 days' files (pinned via df.inputFiles() in tests/test_sinks.py).
+    Correctness is layout-invariant: the oracle reads the unpartitioned
+    base table with the same predicate."""
+    back = spark.read.parquet(_staged_date_partitioned_events(spark, sf_dir))
+    return (
+        back.filter(F.col("dt").between(F.lit("2024-01-10"), F.lit("2024-01-19")))
+        .groupBy(F.date_format("dt", "yyyy-MM-dd").alias("dt"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+#: promo calendar — the literal date-dim for the DPP-over-dates demo;
+#: the oracle mirrors it as a VALUES list so both engines see the same dim.
+PROMO_DAYS = ["2024-01-05", "2024-01-10", "2024-01-15", "2024-01-20", "2024-01-25"]
+
+
+@register(
+    "dpp_promo_day_load",
+    oracle=f"""
+    WITH promo(dt) AS (
+      VALUES {", ".join(f"(DATE '{d}')" for d in PROMO_DAYS)}
+    )
+    SELECT strftime(p.dt, '%Y-%m-%d') AS dt,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 4) AS total_value
+    FROM events e JOIN promo p ON CAST(e.ts AS DATE) = p.dt
+    GROUP BY 1
+    """,
+)
+def dpp_promo_day_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning on the date-partitioned layout: the
+    promo calendar is a 5-row dim with no static predicate on ``dt`` —
+    the fact scan is pruned at RUNTIME from the broadcast dim
+    (``dynamicpruningexpression`` in PartitionFilters, pinned in
+    tests/test_sinks.py), reading 5 of 30 day directories. This is the
+    date-dim ⋈ fact pattern every 100 TB log warehouse runs daily:
+    the calendar decides which partitions exist for the query, and no
+    manual predicate rewrite is needed when the calendar changes."""
+    import datetime
+
+    fact = spark.read.parquet(_staged_date_partitioned_events(spark, sf_dir))
+    dim = spark.createDataFrame(
+        [(datetime.date.fromisoformat(d),) for d in PROMO_DAYS], "dt date"
+    ).filter(F.col("dt") >= F.lit("2024-01-01"))  # selective predicate: DPP-eligible
+    return (
+        fact.join(F.broadcast(dim), "dt")
+        .groupBy(F.date_format("dt", "yyyy-MM-dd").alias("dt"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
 def stage_bucketed_order_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """orders/lineitem written as 8-bucket tables clustered+sorted on the
     orderkey (S4+ data layout). Bucket metadata lives in the session

@@ -92,3 +92,77 @@ def test_bucketed_join_has_no_join_side_exchange(spark):
     assert "SortMergeJoin" in plan
     assert plan.count("Bucketed: true") == 2
     assert plan.count("Exchange") == 1  # the aggregate only — join is co-located
+
+
+def _executed_scan_metrics(df) -> list[dict]:
+    """Run df and return the SQL metrics of every file scan in the FINAL
+    adaptive plan (recursing through QueryStage leaves) — the only place
+    partitions-actually-read is observable."""
+    df.collect()
+    out: list[dict] = []
+
+    def walk(jplan):
+        name = jplan.nodeName()
+        if name.startswith("AdaptiveSparkPlan"):
+            walk(jplan.executedPlan())
+            return
+        if "QueryStage" in name:
+            walk(jplan.plan())
+            return
+        if name.startswith("Scan parquet"):
+            m, vals = jplan.metrics(), {}
+            it = m.iterator()
+            while it.hasNext():
+                kv = it.next()
+                vals[kv._1()] = kv._2().value()
+            out.append(vals)
+        ch = jplan.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def test_date_partition_static_pruning_reads_only_window_days(spark):
+    """VERDICT r5 #4: the 10-day window over the dt-partitioned layout
+    must be served by PartitionFilters on dt, and the EXECUTED scan must
+    read exactly 10 of the 30 day directories (scan SQL metrics)."""
+    import contextlib
+    import io
+    import re
+
+    from dataengineerchallenge_spark.registry import queries
+
+    df = queries()["date_partition_pruned_daily_load"](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert re.search(r"PartitionFilters: \[.*dt", plan), plan
+    scans = _executed_scan_metrics(df)
+    assert len(scans) == 1 and scans[0]["numPartitions"] == 10, scans
+
+
+def test_dpp_promo_days_prunes_date_partitions_at_runtime(spark):
+    """The promo-calendar join carries no static dt predicate — the day
+    directories must be pruned at RUNTIME via DPP: the executed fact
+    scan's metrics must show all 30 static partitions reduced to the 5
+    promo days (staticFilesNum vs numPartitions)."""
+    import contextlib
+    import io
+
+    from dataengineerchallenge_spark.queries.formats import PROMO_DAYS
+    from dataengineerchallenge_spark.registry import queries
+
+    df = queries()["dpp_promo_day_load"](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruningexpression" in plan, plan
+    scans = _executed_scan_metrics(df)
+    fact = [s for s in scans if "staticFilesNum" in s]
+    assert len(fact) == 1, scans
+    assert fact[0]["staticFilesNum"] == 30 and fact[0]["numPartitions"] == 5, fact
+    assert {r["dt"] for r in df.collect()} == set(PROMO_DAYS)
