@@ -118,12 +118,21 @@ def binned_interval_join(
     — an epoch-0 start, a year-2100 end from a sloppy parse, a reversed
     interval — would explode into millions of bin rows (and
     ``F.sequence`` hard-fails past ~2^31 elements, descends silently when
-    start > end). Intervals with NULL bounds, ``start > end``, or a span
-    wider than ``max_span_bins`` bins are therefore excluded from the
-    join instead of killing the job. Pass ``with_quarantine=True`` to
-    also get the rejected intervals back as a second DataFrame with a
+    start > end). Intervals with NULL bounds or ``start > end`` are
+    structurally corrupt and are excluded from the join instead of
+    killing the job; pass ``with_quarantine=True`` to also get the
+    rejected intervals back as a second DataFrame with a
     ``reject_reason`` column (``null_bound`` / ``reversed`` /
     ``over_max_span``) for audit, mirroring ``elb_malformed_audit``.
+
+    A span wider than ``max_span_bins`` bins is DIFFERENT: it can be a
+    legitimately wide interval (a month-long promo window against a
+    small ``bin_s``), and silently dropping it would change join results
+    with no signal (ADVICE r5). So without a quarantine channel the
+    operator FAILS LOUD: any over-span interval raises at execution time
+    with instructions to coarsen ``bin_s`` / raise ``max_span_bins`` (a
+    wide valid interval should usually get a wider bin, keeping its
+    expansion O(1)) or to opt into ``with_quarantine=True`` for triage.
 
     Both ts columns are epoch seconds (the engine's hash-safe time
     representation, SURVEY.md §7.4)."""
@@ -133,10 +142,31 @@ def binned_interval_join(
         raise ValueError(f"max_span_bins must be positive, got {max_span_bins}")
     start_bin = F.floor(F.col(start_ts) / bin_s)
     end_bin = F.floor(F.col(end_ts) / bin_s)
+    over_span = (
+        F.lit("over_max_span")
+        if with_quarantine
+        else F.raise_error(
+            F.concat(
+                F.lit(
+                    "binned_interval_join: interval spans more than "
+                    f"max_span_bins={max_span_bins} bins of bin_s={bin_s}s "
+                    "(start="
+                ),
+                F.col(start_ts).cast("string"),
+                F.lit(", end="),
+                F.col(end_ts).cast("string"),
+                F.lit(
+                    "); a valid-but-wide interval must not be dropped "
+                    "silently — coarsen bin_s, raise max_span_bins, or "
+                    "pass with_quarantine=True to triage"
+                ),
+            )
+        )
+    )
     reject = (
         F.when(F.col(start_ts).isNull() | F.col(end_ts).isNull(), F.lit("null_bound"))
         .when(F.col(start_ts) > F.col(end_ts), F.lit("reversed"))
-        .when(end_bin - start_bin + 1 > max_span_bins, F.lit("over_max_span"))
+        .when(end_bin - start_bin + 1 > max_span_bins, over_span)
     )
     tagged = intervals.withColumn("_reject", reject)
     # The explode sits strictly downstream of the reject filter, so

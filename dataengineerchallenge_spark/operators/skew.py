@@ -44,8 +44,8 @@ def salted_agg(
     df: DataFrame,
     keys: list[str],
     aggs: dict[str, tuple[str | Column, str]],
+    salt_on: list[str | Column],
     n_salts: int = 16,
-    salt_on: list[str | Column] | None = None,
 ) -> DataFrame:
     """Two-phase salted aggregation: ``aggs`` maps output alias →
     (column, fn) with fn ∈ count|sum|min|max.
@@ -56,22 +56,28 @@ def salted_agg(
     exchange carries ≤ n_salts rows per key — negligible — while the
     phase-1 shuffle is skew-free by construction.
 
-    The salt is a CONTENT hash — xxhash64 of (keys…, salt_on…), where
-    ``salt_on`` defaults to the aggregated value columns — so a row's
-    shard assignment is a pure function of its data and identical across
-    stage retries and repartitionings (the same discipline as
+    The salt is a CONTENT hash — xxhash64 of (keys…, salt_on…) — so a
+    row's shard assignment is a pure function of its data and identical
+    across stage retries and repartitionings (the same discipline as
     ``salted_join``; monotonically_increasing_id would make retry
-    behavior nondeterministic). Results are provably unchanged either
-    way (algebraic aggregates), only the shard layout is at stake.
-    Degenerate case to know: rows of a hot key with IDENTICAL values in
-    every hashed column all land in one shard — pass ``salt_on`` with a
-    higher-cardinality column if the default value columns are flat.
+    behavior nondeterministic). ``salt_on`` is REQUIRED and must name
+    column(s) with high per-key cardinality — a row id, a fine
+    timestamp (ADVICE r5: an earlier default of the aggregated value
+    columns silently degenerated to ONE shard whenever a hot key's
+    values were flat, e.g. counting a constant flag, reinstating the
+    exact skew this operator removes). Results are provably unchanged
+    by the choice (algebraic aggregates); only the shard layout is at
+    stake.
 
     avg is deliberately absent: express it as sum/count in the caller
     (algebraic decomposition), never salt a non-decomposable aggregate.
     """
-    if salt_on is None:
-        salt_on = [col for (col, _fn) in aggs.values()]
+    if not salt_on:
+        raise ValueError(
+            "salt_on must name at least one high-cardinality column; "
+            "salting on nothing (or flat columns) collapses the hot key "
+            "back into a single shard"
+        )
     salt_cols = [F.col(c) if isinstance(c, str) else c for c in salt_on]
     salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], *salt_cols), F.lit(n_salts))
     partial_exprs = []

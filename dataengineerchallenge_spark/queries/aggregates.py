@@ -197,6 +197,7 @@ def salted_user_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         ["user_id"],
         {"n_events": ("value", "count"), "total_value": ("value", "sum"), "max_value": ("value", "max")},
+        salt_on=["event_id"],  # unique per row: every shard genuinely spreads
         n_salts=16,
     )
     return out.select(

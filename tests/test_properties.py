@@ -327,3 +327,28 @@ def test_binned_interval_join_quarantines_corrupt_intervals(spark, pts, ivs):
         if reason(s, e) is None and s <= t <= s + (e - s)
     )
     assert got == naive
+
+
+def test_binned_interval_join_fails_loud_on_wide_span_without_quarantine(spark):
+    """ADVICE r5: a legitimately wide interval must never vanish
+    silently. Without a quarantine channel the over-span row raises at
+    execution time (with remediation guidance); with the channel it is
+    returned as over_max_span. Corrupt rows (null/reversed) keep the
+    silent-quarantine semantics either way."""
+    import pytest
+
+    from dataengineerchallenge_spark.operators.joins import binned_interval_join
+
+    p = spark.createDataFrame([(1, 100)], "pid int, ts long")
+    wide = spark.createDataFrame([(9, 0, 10**9)], "iid int, s long, e long")
+    with pytest.raises(Exception, match="max_span_bins"):
+        binned_interval_join(p, wide, "ts", "s", "e", bin_s=60).count()
+    joined, quar = binned_interval_join(
+        p, wide, "ts", "s", "e", bin_s=60, with_quarantine=True
+    )
+    assert [r["reject_reason"] for r in quar.collect()] == ["over_max_span"]
+    # corrupt rows still drop silently without the channel
+    corrupt = spark.createDataFrame(
+        [(1, None, 50), (2, 200, 100)], "iid int, s long, e long"
+    )
+    assert binned_interval_join(p, corrupt, "ts", "s", "e", bin_s=60).count() == 0

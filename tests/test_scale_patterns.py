@@ -36,6 +36,7 @@ def test_salted_agg_equals_direct_agg(spark):
             ev,
             ["user_id"],
             {"n": ("value", "count"), "total": ("value", "sum"), "vmax": ("value", "max")},
+            salt_on=["event_id"],
             n_salts=8,
         ).collect()
     }
@@ -47,7 +48,7 @@ def test_salted_agg_rejects_non_algebraic(spark):
 
     ev = load_table(spark, SF_DIR, "events")
     with pytest.raises(ValueError, match="non-algebraic"):
-        salted_agg(ev, ["user_id"], {"a": ("value", "avg")})
+        salted_agg(ev, ["user_id"], {"a": ("value", "avg")}, salt_on=["event_id"])
 
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
@@ -222,3 +223,14 @@ def test_salted_join_equals_plain_join(spark):
     )
     assert salted == plain
     assert len(plain) > 4000 * 5  # the hot key actually fanned out
+
+
+def test_salted_agg_requires_salt_columns(spark):
+    """ADVICE r5: salting on nothing must be rejected up front — an
+    empty salt collapses a hot key into one shard, silently reinstating
+    the skew the operator exists to remove."""
+    import pytest
+
+    ev = load_table(spark, SF_DIR, "events")
+    with pytest.raises(ValueError, match="salt_on"):
+        salted_agg(ev, ["user_id"], {"n": ("value", "count")}, salt_on=[])

@@ -38,7 +38,15 @@ locates that crossover empirically instead of asserting it.
 
 Usage:
     python tools/bench_skew.py [--rows 2000000,8000000,16000000]
-        [--hot-pct 30] [--iters 2] [--out BENCH_skew.json]
+        [--hot-pct 30] [--iters 2] [--driver-memory SIZE]
+        [--out BENCH_skew.json]
+
+Driver memory: local-mode hosts all executors in one JVM, and the
+single-window straggler sort is the memory hog — the DEFAULT ladder's
+16M-row top rung with a 30% hot key needs ~2 GiB of sort buffer in one
+task plus headroom, so the flag defaults to 2g per 2M rows of the
+largest requested size (16M ⇒ 16g), overridable with --driver-memory.
+The setting only takes effect when this process creates the JVM.
 
 Writes the JSON artifact and prints one summary line per measurement.
 Fixture parquet is cached under .benchdata/ (gitignored), keyed by
@@ -110,6 +118,12 @@ def main() -> None:
     ap.add_argument("--rows", default="2000000,8000000,16000000")
     ap.add_argument("--hot-pct", type=int, default=30)
     ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument(
+        "--driver-memory",
+        default=None,
+        help="JVM heap for the local-mode driver (default: 2g per 2M "
+        "rows of the largest --rows entry, min 4g)",
+    )
     ap.add_argument("--out", default="BENCH_skew.json")
     args = ap.parse_args()
     sizes = [int(s) for s in str(args.rows).split(",") if s]
@@ -124,9 +138,8 @@ def main() -> None:
     # local-mode driver hosts all executors: the default 1g heap OOMs on
     # multi-million-row window sorts. Must be set before the JVM starts,
     # so it only takes effect when this process creates the session.
-    os.environ.setdefault(
-        "PYSPARK_SUBMIT_ARGS", "--driver-memory 48g pyspark-shell"
-    )
+    mem = args.driver_memory or f"{max(4, -(-sizes[-1] // 1_000_000))}g"
+    os.environ.setdefault("PYSPARK_SUBMIT_ARGS", f"--driver-memory {mem} pyspark-shell")
     spark = get_spark("bench-skew")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -268,7 +281,9 @@ def run_size(spark, root, rows, args, out, salted_agg, session_stats, session_st
                 F.max("value").alias("max_value"),
             )
         )
-        salted = lambda: agg_digest(salted_agg(ev, ["user_id"], aggs))  # noqa: E731
+        salted = lambda: agg_digest(  # noqa: E731
+            salted_agg(ev, ["user_id"], aggs, salt_on=["event_id"])
+        )
         a1, a2 = plain_agg(), salted()
         assert a1 == a2, f"salted_agg equivalence broke on {name}: {a1} != {a2}"
         res["agg_checksum"] = list(a1)
