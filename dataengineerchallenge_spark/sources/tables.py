@@ -74,6 +74,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
+#: (session id, analyzed-plan semanticHash) -> scan partition count.
+#: df.rdd compiles the full physical plan just to ask its width; with a
+#: 170-query registry re-probing the same fixture scans every run adds a
+#: plan compile per call (VERDICT r5 #7). Keyed on the SEMANTIC hash of
+#: the analyzed plan, so two loads of the same table hit one probe.
+#: Trade-off, documented: if the files behind an identical plan are
+#: rewritten mid-session the cached width is stale — harmless here (the
+#: gate only decides whether to widen) and impossible for the read-only
+#: driver fixtures.
+_SPREAD_CACHE: dict[tuple[int, int], int] = {}
+
+
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Round-robin repartition a narrow scan up to cluster width before a
     fan-out-heavy stage (shingle explode, token explode, self-join).
@@ -84,10 +96,17 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     join at sf0.1). Gated: only repartitions when the plan currently has
     fewer partitions than the target, so at 100 TB (where a partitioned
     dataset already arrives wider than the cluster) this is a no-op and no
-    extra shuffle is inserted.
+    extra shuffle is inserted. The width probe is memoized per semantic
+    plan (see _SPREAD_CACHE).
     """
     target = partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    key = (id(df.sparkSession), df._jdf.queryExecution().analyzed().semanticHash())
+    n = _SPREAD_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if len(_SPREAD_CACHE) < 4096:  # bound against pathological churn
+            _SPREAD_CACHE[key] = n
+    if n >= target:
         return df
     return df.repartition(target)
 
