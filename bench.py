@@ -40,6 +40,7 @@ HEADLINE = [
     "dq_referential_integrity",      # N+ audit battery (round 3)
     "multimodal_synth_codec_audit",  # N5 codec encode/decode (round 4)
     "ivf_pq_adc_topk",               # N3 composed IVF-PQ serving shape (round 5)
+    "ivf_pq_serve_topk",             # N3 serve-only path over the prebuilt index (round 6)
 ]
 
 
@@ -58,6 +59,16 @@ def main() -> None:
     try:
         qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
     except Exception:  # noqa: BLE001 — warm-up only; the timed loop records it
+        pass
+
+    # stage the IVF-PQ index before timing: build-once/serve-many is the
+    # operator's contract, so the ivf_pq_serve_topk line measures SERVING
+    # (the build cost is what ivf_pq_adc_topk's line already shows)
+    try:
+        from dataengineerchallenge_spark.queries.vectors import _staged_ivfpq_index
+
+        _staged_ivfpq_index(spark, sf_dir)
+    except Exception:  # noqa: BLE001 — the timed loop will record it
         pass
 
     # warm the Python/Arrow worker pool too (spark.python.worker.reuse keeps
