@@ -218,3 +218,18 @@ def test_ivf_pq_serve_matches_inline_and_never_scans_base_table(spark, qs):
     plan = plan.split("== Initial Plan ==")[0]
     assert "embeddings" not in plan
     assert "dynamicpruning" in plan.lower()
+
+
+def test_trained_ivf_beats_label_mean_quantizer(spark, qs):
+    """The trained-coarse-quantizer rung must close the documented
+    honesty caveat MEASURABLY: at the same bucket count (k=10) and probe
+    count (2), seeded-k-means centroids must recall at least as much of
+    the exact top-10 as the label-mean twin (measured 0.44 vs 0.28 at
+    sf0.001, 0.56 vs 0.38 at sf0.01)."""
+    exact = {(r["query_id"], r["vec_id"]) for r in qs["cosine_topk_exact"](spark, SF_DIR).collect()}
+    trained = {(r["query_id"], r["vec_id"]) for r in qs["ivf_kmeans_topk"](spark, SF_DIR).collect()}
+    twin = {(r["query_id"], r["vec_id"]) for r in qs["ivf_multiprobe_topk"](spark, SF_DIR).collect()}
+    r_trained = len(exact & trained) / len(exact)
+    r_twin = len(exact & twin) / len(exact)
+    assert r_trained >= r_twin, (r_trained, r_twin)
+    assert r_trained >= 0.4  # absolute floor so both regressing together fails
