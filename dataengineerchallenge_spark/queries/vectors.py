@@ -862,6 +862,143 @@ def ivf_pq_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_ivfpq_appended_index(spark: SparkSession, sf_dir: str) -> str:
+    """INCREMENTAL MAINTENANCE half of the serving split: the codes
+    inverted lists rebuilt as base (first ~80% of vec_ids, taken from
+    the staged full build) plus an APPEND of the remaining ~20% —
+    encoded from the base table scanning ONLY the new rows (pushed
+    vec_id filter), against the FROZEN codebooks already staged in
+    ``centroids/``, written ``mode("append")`` into the same
+    bucket-partitioned layout. No retraining, no touch of old rows, no
+    rebuild of old files: the production answer to "new documents
+    arrived" at 100 TB, where re-encoding the corpus per batch is a
+    non-starter.
+
+    Because encoding is per-vector against frozen codebooks, the
+    appended index is EXACTLY the full build's codes (set equality
+    pinned in tests/test_vectors.py), so serving from it shares
+    ``ivf_pq_adc_topk``'s oracle unchanged."""
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    base = _staged_ivfpq_index(spark, sf_dir)
+    src = Path(sf_dir) / "embeddings.parquet"
+    tag = hashlib.sha256(
+        f"{src.resolve()}:{src.stat().st_mtime_ns}:ivfpq_app".encode()
+    ).hexdigest()[:16]
+    d = Path(tempfile.gettempdir()) / f"spark_graft_ivfpq_app_{tag}"
+    if not (d / "_SUCCESS").exists():
+        emb = load_table(spark, sf_dir, "embeddings")
+        split = emb.count() * 4 // 5
+        tmp = Path(tempfile.mkdtemp(prefix="spark_graft_ivfpq_app_")) / "out"
+        # 1. the index as it stood before the new data: the staged full
+        # build's code rows for the old vec_ids
+        (
+            spark.read.parquet(f"{base}/codes")
+            .filter(F.col("vec_id") < split)
+            .write.partitionBy("bucket")
+            .parquet(str(tmp / "codes"))
+        )
+        # 2. encode ONLY the new batch against the frozen codebooks
+        # (centroids double as the PQ codebook in this design); the scan
+        # carries the pushed vec_id >= split filter — old rows unread
+        cent = spark.read.parquet(f"{base}/centroids")
+        cb = cent.select(
+            F.floor(F.col("pos") / _PQ_DIM).alias("sub"),
+            F.col("clabel").alias("code"),
+            "pos",
+            "cv",
+        )
+        lf_new = V.explode_vectors(
+            emb.filter(F.col("vec_id") >= split), ["vec_id"], "embedding"
+        ).withColumn("sub", F.floor(F.col("pos") / _PQ_DIM))
+        csims = (
+            lf_new.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "clabel")
+            .agg(
+                (
+                    F.sum(F.col("v") * F.col("cv"))
+                    / (
+                        F.sqrt(F.sum(F.col("v") * F.col("v")))
+                        * F.sqrt(F.sum(F.col("cv") * F.col("cv")))
+                    )
+                ).alias("cos")
+            )
+        )
+        wa = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("clabel"))
+        assign_new = (
+            csims.withColumn("_rn", F.row_number().over(wa))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", F.col("clabel").alias("bucket"))
+        )
+        d2 = (
+            lf_new.join(F.broadcast(cb), ["sub", "pos"])
+            .groupBy("vec_id", "sub", "code")
+            .agg(F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).alias("d2"))
+        )
+        wenc = Window.partitionBy("vec_id", "sub").orderBy(F.round("d2", 8), "code")
+        codes_new = (
+            d2.withColumn("_rn", F.row_number().over(wenc))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "sub", "code")
+        )
+        (
+            codes_new.join(assign_new, "vec_id")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(str(tmp / "codes"))
+        )
+        (tmp / "_SUCCESS").touch()
+        try:
+            tmp.rename(d)
+        except OSError:
+            shutil.rmtree(tmp.parent, ignore_errors=True)  # lost the publish race
+    return str(d)
+
+
+@register("ivf_pq_serve_appended_topk", oracle=_ORACLE_IVF_PQ)
+def ivf_pq_serve_appended_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 serve rung over the INCREMENTALLY MAINTAINED index: identical
+    query plan to ``ivf_pq_serve_topk`` (DPP-pruned inverted-list seek +
+    one broadcast ADC table), but the codes layout it reads was built as
+    base + appended batch (see `_staged_ivfpq_appended_index`). Shares
+    the inline rung's oracle — hash-equality here IS the proof that
+    frozen-codebook appends lose nothing vs a full rebuild."""
+    root = _staged_ivfpq_appended_index(spark, sf_dir)
+    base = _staged_ivfpq_index(spark, sf_dir)
+    codes = spark.read.parquet(f"{root}/codes")
+    probes = spark.read.parquet(f"{base}/probes").filter(
+        F.col("query_id") < _N_QUERIES
+    )
+    qlut = spark.read.parquet(f"{base}/qlut")
+    cand = codes.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("probe_label"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    s = (
+        cand.join(F.broadcast(qlut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum("qd").alias("num"),
+            F.sum("cn2").alias("cn2sum"),
+            F.max("qnorm").alias("qnorm"),
+        )
+    )
+    scored = s.withColumn(
+        "adc_cosine",
+        F.round(F.col("num") / (F.col("qnorm") * F.sqrt(F.col("cn2sum"))), 4),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _TOP_K)
+        .select("query_id", "vec_id", "adc_cosine")
+    )
+
+
 _PQ_NCODES = 16  # residual codebook entries per subspace
 
 

@@ -233,3 +233,29 @@ def test_trained_ivf_beats_label_mean_quantizer(spark, qs):
     r_twin = len(exact & twin) / len(exact)
     assert r_trained >= r_twin, (r_trained, r_twin)
     assert r_trained >= 0.4  # absolute floor so both regressing together fails
+
+
+def test_ivf_pq_append_equals_full_rebuild(spark, qs):
+    """Incremental index maintenance: encoding only the new 20% of
+    vectors against the FROZEN codebooks and appending into the
+    bucket-partitioned codes layout must produce (a) exactly the full
+    build's code set and (b) hash-identical serving results."""
+    from dataengineerchallenge_spark.queries.vectors import (
+        _staged_ivfpq_appended_index,
+        _staged_ivfpq_index,
+    )
+
+    full = {
+        tuple(r)
+        for r in spark.read.parquet(_staged_ivfpq_index(spark, SF_DIR) + "/codes").collect()
+    }
+    app = {
+        tuple(r)
+        for r in spark.read.parquet(
+            _staged_ivfpq_appended_index(spark, SF_DIR) + "/codes"
+        ).collect()
+    }
+    assert full == app and len(full) > 0
+    a = sorted(tuple(r) for r in qs["ivf_pq_serve_topk"](spark, SF_DIR).collect())
+    b = sorted(tuple(r) for r in qs["ivf_pq_serve_appended_topk"](spark, SF_DIR).collect())
+    assert a == b
