@@ -1002,9 +1002,9 @@ def ivf_pq_serve_appended_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_NCODES = 16  # residual codebook entries per subspace
 
 
-@register(
-    "ivf_pq_residual_topk",
-    oracle=f"""
+# Full residual-IVF-PQ (IVFADC) oracle, shared by ivf_pq_residual_topk
+# (inline build) and ivf_pq_residual_serve_topk (prebuilt index).
+_ORACLE_IVF_PQ_RESIDUAL = f"""
     WITH lf AS (
       SELECT vec_id, label, (u.pos - 1) // {_PQ_DIM} AS sub,
              u.pos::INT AS pos, u.v::DOUBLE AS v
@@ -1098,8 +1098,10 @@ _PQ_NCODES = 16  # residual codebook entries per subspace
     QUALIFY row_number() OVER (PARTITION BY s.query_id
              ORDER BY round((qc.qcd + s.qrsum) / (qn.qnorm * sqrt(s.den2)), 4)
                       DESC, s.vec_id) <= {_TOP_K}
-    """,
-)
+    """
+
+
+@register("ivf_pq_residual_topk", oracle=_ORACLE_IVF_PQ_RESIDUAL)
 def ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N3 rung 6 — RESIDUAL IVF-PQ, the faithful billion-vector design
     (Jegou et al. 2011's IVFADC, public knowledge): instead of
@@ -1130,7 +1132,55 @@ def ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic partitions make the whole operator hash-checkable
     (seeded k-means would slot in at 100 TB without changing the
     dataflow). Encode argmin orders by ROUND(d2, 8) with code tie-break;
-    ranking by ROUND(score, 4) with vec_id tie-break."""
+    ranking by ROUND(score, 4) with vec_id tie-break.
+
+    This rung IS the residual index build (10 scans of the base table,
+    22 shuffles — PLAN_AUDIT's heaviest row); the serve-many half reads
+    the staged artifact instead: ``ivf_pq_residual_serve_topk``."""
+    codes, rn2, cbr, cn2sub, qr, qc, qn, assign, probes = _residual_parts(spark, sf_dir)
+    cand = assign.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("probe_label"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "vec_id", "bucket")
+    s = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(qr), ["query_id", "sub", "code"])
+        .join(F.broadcast(rn2), ["sub", "code"])
+        .join(F.broadcast(cbr), ["bucket", "sub", "code"])
+        .join(F.broadcast(cn2sub), ["bucket", "sub"])
+        .groupBy("query_id", "vec_id", "bucket")
+        .agg(
+            F.sum("qrd").alias("qrsum"),
+            F.sum(F.col("cn2") + 2 * F.col("cbr") + F.col("rn2")).alias("den2"),
+        )
+    )
+    scored = (
+        s.join(F.broadcast(qc), ["query_id", "bucket"])
+        .join(F.broadcast(qn), "query_id")
+        .withColumn(
+            "adc_cosine",
+            F.round(
+                (F.col("qcd") + F.col("qrsum"))
+                / (F.col("qnorm") * F.sqrt(F.col("den2"))),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _TOP_K)
+        .select("query_id", "vec_id", "adc_cosine")
+    )
+
+
+def _residual_parts(spark: SparkSession, sf_dir: str):
+    """The residual-IVF-PQ building blocks, single-sourced for the
+    inline rung and the index staging (expressions unchanged so both
+    produce bit-identical frames): residual codes, the three
+    data-independent norm/cross tables (rn2, cbr, cn2sub), the
+    query-side lookups (qr, qc, qn), and the coarse (assign, probes)."""
     emb = load_table(spark, sf_dir, "embeddings")
     lf = V.explode_vectors(emb, ["vec_id", "label"], "embedding").withColumn(
         "sub", F.floor(F.col("pos") / _PQ_DIM)
@@ -1190,34 +1240,100 @@ def ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qn = q.groupBy(F.col("vec_id").alias("query_id")).agg(
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("qnorm")
     )
-    cand = assign.join(
+    return codes, rn2, cbr, cn2sub, qr, qc, qn, assign, probes
+
+
+def _staged_ivfpq_residual_index(spark: SparkSession, sf_dir: str) -> str:
+    """Residual-IVF-PQ index staged to parquet (the serve-many half of
+    the repo's heaviest build plan): residual ``codes`` bucket-
+    partitioned by coarse assignment; ``dlut`` — the data-independent
+    denominator table pre-joined to one row per (bucket, sub, code)
+    with dpart = cn2 + 2·cbr + rn2 (nlist × m × ncodes rows, KB-sized);
+    ``qrlut`` — per-query residual dots; ``qclut`` — per-query coarse
+    dots merged with query norms; ``probes`` — the router output. The
+    pre-join of the three denominator tables at BUILD time is what
+    collapses serving's five scoring joins down to two."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+
+    src = Path(sf_dir) / "embeddings.parquet"
+    tag = hashlib.sha256(
+        f"{src.resolve()}:{src.stat().st_mtime_ns}:ivfpq_res".encode()
+    ).hexdigest()[:16]
+    d = Path(tempfile.gettempdir()) / f"spark_graft_ivfpq_res_{tag}"
+    if not (d / "_SUCCESS").exists():
+        codes, rn2, cbr, cn2sub, qr, qc, qn, assign, probes = _residual_parts(
+            spark, sf_dir
+        )
+        tmp = Path(tempfile.mkdtemp(prefix="spark_graft_ivfpq_res_")) / "out"
+        write_result(codes.join(assign, "vec_id"), str(tmp / "codes"), partition_by=["bucket"])
+        dlut = (
+            cbr.join(cn2sub, ["bucket", "sub"])
+            .join(rn2, ["sub", "code"])
+            .select(
+                "bucket",
+                "sub",
+                "code",
+                (F.col("cn2") + 2 * F.col("cbr") + F.col("rn2")).alias("dpart"),
+            )
+        )
+        write_result(dlut, str(tmp / "dlut"), coalesce_to=1)
+        write_result(qr, str(tmp / "qrlut"), coalesce_to=1)
+        write_result(qc.join(qn, "query_id"), str(tmp / "qclut"), coalesce_to=1)
+        write_result(probes, str(tmp / "probes"), coalesce_to=1)
+        (tmp / "_SUCCESS").touch()
+        try:
+            tmp.rename(d)
+        except OSError:
+            pass  # concurrent driver published identical content first
+    return str(d)
+
+
+@register("ivf_pq_residual_serve_topk", oracle=_ORACLE_IVF_PQ_RESIDUAL)
+def ivf_pq_residual_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 rung 6-SERVE — the residual (IVFADC) twin of
+    ``ivf_pq_serve_topk``: identical math and oracle as
+    ``ivf_pq_residual_topk``, but the executed plan reads only the
+    staged index (VERDICT r5 noted the inline residual rung as the
+    repo's heaviest plan — 22 shuffles, 19 broadcasts, 10 scans of the
+    base table; this serve plan is 2 shuffles and never touches
+    ``embeddings``, pinned in tests/test_vectors.py).
+
+    The exact ADC decomposition's three data-independent denominator
+    tables were PRE-JOINED at build time into one (bucket, sub, code)
+    lookup, so scoring is: DPP-pruned inverted-list seek → one
+    broadcast join for the per-query residual dots → one for the
+    denominator parts → per-(query, candidate) sum → one broadcast of
+    the per-(query, bucket) coarse dots + norms. Per-candidate work is
+    m lookup-adds, the IVFADC serving contract."""
+    root = _staged_ivfpq_residual_index(spark, sf_dir)
+    codes = spark.read.parquet(f"{root}/codes")
+    probes = spark.read.parquet(f"{root}/probes").filter(
+        F.col("query_id") < _N_QUERIES
+    )
+    dlut = spark.read.parquet(f"{root}/dlut")
+    qrlut = spark.read.parquet(f"{root}/qrlut")
+    qclut = spark.read.parquet(f"{root}/qclut")
+    cand = codes.join(
         F.broadcast(probes),
         (F.col("bucket") == F.col("probe_label"))
         & (F.col("vec_id") != F.col("query_id")),
-    ).select("query_id", "vec_id", "bucket")
-    s = (
-        cand.join(codes, "vec_id")
-        .join(F.broadcast(qr), ["query_id", "sub", "code"])
-        .join(F.broadcast(rn2), ["sub", "code"])
-        .join(F.broadcast(cbr), ["bucket", "sub", "code"])
-        .join(F.broadcast(cn2sub), ["bucket", "sub"])
-        .groupBy("query_id", "vec_id", "bucket")
-        .agg(
-            F.sum("qrd").alias("qrsum"),
-            F.sum(F.col("cn2") + 2 * F.col("cbr") + F.col("rn2")).alias("den2"),
-        )
     )
-    scored = (
-        s.join(F.broadcast(qc), ["query_id", "bucket"])
-        .join(F.broadcast(qn), "query_id")
-        .withColumn(
-            "adc_cosine",
-            F.round(
-                (F.col("qcd") + F.col("qrsum"))
-                / (F.col("qnorm") * F.sqrt(F.col("den2"))),
-                4,
-            ),
-        )
+    s = (
+        cand.join(F.broadcast(qrlut), ["query_id", "sub", "code"])
+        .join(F.broadcast(dlut), ["bucket", "sub", "code"])
+        .groupBy("query_id", "vec_id", "bucket")
+        .agg(F.sum("qrd").alias("qrsum"), F.sum("dpart").alias("den2"))
+    )
+    scored = s.join(F.broadcast(qclut), ["query_id", "bucket"]).withColumn(
+        "adc_cosine",
+        F.round(
+            (F.col("qcd") + F.col("qrsum")) / (F.col("qnorm") * F.sqrt(F.col("den2"))),
+            4,
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"), F.asc("vec_id"))
     return (

@@ -259,3 +259,19 @@ def test_ivf_pq_append_equals_full_rebuild(spark, qs):
     a = sorted(tuple(r) for r in qs["ivf_pq_serve_topk"](spark, SF_DIR).collect())
     b = sorted(tuple(r) for r in qs["ivf_pq_serve_appended_topk"](spark, SF_DIR).collect())
     assert a == b
+
+
+def test_residual_serve_matches_inline_and_never_scans_base_table(spark, qs):
+    """The residual (IVFADC) serve rung: hash-identical rows to the
+    inline build (the repo's heaviest plan), zero base-table scans, DPP
+    on the bucket-partitioned residual code lists."""
+    inline = sorted(
+        tuple(r) for r in qs["ivf_pq_residual_topk"](spark, SF_DIR).collect()
+    )
+    df = qs["ivf_pq_residual_serve_topk"](spark, SF_DIR)
+    served = sorted(tuple(r) for r in df.collect())
+    assert served == inline and len(served) > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "embeddings" not in plan
+    assert "dynamicpruning" in plan.lower()
