@@ -96,10 +96,12 @@ def main() -> None:
     ann_rungs = [
         ("ivf_topk", "probe 1 coarse bucket, exact cosine inside it"),
         ("ivf_multiprobe_topk", "probe 2 buckets — the recall lever"),
+        ("ivf_kmeans_topk", "TRAINED quantizer (seeded k-means), same probes"),
         ("pq_adc_topk", "whole corpus, 4-byte codes, ADC lookup scoring"),
         ("ivf_pq_adc_topk", "2 probed buckets × ADC codes (serving shape)"),
+        ("ivf_pq_serve_topk", "ditto, served from the PREBUILT index"),
         ("ivf_pq_residual_topk", "IVFADC: codes on residuals from coarse centroid"),
-        ("ivf_pq_serve_topk", "same as above, served from the PREBUILT index"),
+        ("ivf_pq_residual_serve_topk", "ditto, served from the prebuilt index"),
     ]
     ann_rows = []
     for name, what in ann_rungs:
