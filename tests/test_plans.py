@@ -126,3 +126,12 @@ def test_edit_distance_join_never_cartesian(spark, qs):
     plan = explain_str(qs["fuzzy_part_name_matches"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bench_headline_names_all_registered(spark, qs):
+    """Every bench.py HEADLINE name must resolve in the registry — a
+    typo would silently shrink the driver's comparable set."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, missing
