@@ -253,7 +253,11 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nlist*dim model state is KB-sized either way); the fitted centroids
     are driver-side model state broadcast into the same argmin joins as
     every other rung, so search cost is unchanged: O(Q·2N/nlist)
-    candidates, bucket equi-joins, never all-pairs."""
+    candidates, bucket equi-joins, never all-pairs. The one
+    BroadcastNestedLoopJoin in this plan is the INTENTIONAL Q×k probe
+    ranking (5 queries × 10 broadcast centroids — the same
+    tiny-crossJoin anchor stance as region_pairs); the corpus side
+    never meets a non-equi join."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -816,7 +820,8 @@ def ivf_pq_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape (the 100 TB serving story, measured in PLAN_AUDIT.md):
     the only tables touched are the bucket-partitioned ``codes``
     inverted lists and the two KB-sized query-side tables (``probes``,
-    ``qlut``) — versus the inline rung's 10 scans of the base table.
+    ``qlut``) — versus the inline rung's 8 scans of the base table
+    (10 for the residual rung; PLAN_AUDIT.md).
     The probe join is a broadcast equi-join on the PARTITION column
     with a selective batch predicate on the probe side, so Catalyst
     derives ``dynamicpruningexpression(bucket IN ...)`` into the codes
