@@ -91,6 +91,7 @@ def main() -> None:
 
     skew_bench = load_artifact("BENCH_skew.json")
     stream_bench = load_artifact("BENCH_stream.json")
+    ann_bench = load_artifact("BENCH_ann.json")
 
     exact_pairs = {(r["query_id"], r["vec_id"]) for r in run("cosine_topk_exact")}
     ann_rungs = [
@@ -244,6 +245,17 @@ build pays. Quantization (the `pq_*` rungs) trades recall for a 64×
 smaller scoring representation (4-byte codes vs 256-byte vectors);
 residual coding claws back reconstruction error at identical code cost
 (measured SSE 0.210 vs 0.227, pinned in tests/test_vectors.py).
+{"".join(f'''
+And the split is what survives scale (`BENCH_ann.json`, synthetic
+clustered corpora):
+
+{md_table([(f"{int(n):,}", v["build_s"], v["serve_s"], v["inline_s"], f"{v['serve_speedup']}x", round(v["index_bytes"] / 1e6, 1)) for n, v in ann_bench["results"].items()], ["vectors", "build once (s)", "serve/batch (s)", "inline/batch (s)", "speedup", "index MB"])}
+
+Serve cost is FLAT across a 10x corpus growth — the lookup batch pays
+a DPP-pruned inverted-list seek plus KB-sized broadcast joins — while
+the inline rung re-pays the whole index build per batch and grows
+linearly. That divergence is the entire argument for build-once
+serving at 100 TB.''' if ann_bench else "")}
 
 ### Hot-key skew: where each escape hatch starts paying
 {"".join(f'''
