@@ -231,6 +231,52 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> str:
+    """Seeded k-means coarse quantizer trained ONCE and staged
+    (content-addressed like every index artifact): ``centroids/``
+    (clabel, cv) and ``assign/`` (vec_id, bucket). Training inside the
+    query plan would re-pay the fit on every lookup batch — the exact
+    anti-pattern the serve split removes."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+
+    src = Path(sf_dir) / "embeddings.parquet"
+    tag = hashlib.sha256(
+        f"{src.resolve()}:{src.stat().st_mtime_ns}:kmeans10s42".encode()
+    ).hexdigest()[:16]
+    d = Path(tempfile.gettempdir()) / f"spark_graft_kmeans_{tag}"
+    if not (d / "_SUCCESS").exists():
+        emb = load_table(spark, sf_dir, "embeddings")
+        feat = emb.select(
+            "vec_id",
+            array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+        )
+        model = KMeans(
+            k=10, seed=42, maxIter=20, featuresCol="features", predictionCol="bucket"
+        ).fit(feat)
+        tmp = Path(tempfile.mkdtemp(prefix="spark_graft_kmeans_")) / "out"
+        write_result(
+            model.transform(feat).select("vec_id", "bucket"), str(tmp / "assign")
+        )
+        cents = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            "clabel int, cv array<double>",
+        )
+        write_result(cents, str(tmp / "centroids"), coalesce_to=1)
+        (tmp / "_SUCCESS").touch()
+        try:
+            tmp.rename(d)
+        except OSError:
+            pass  # concurrent driver published identical content first
+    return str(d)
+
+
 @register("ivf_kmeans_topk")
 def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N3 TRAINED coarse quantizer (closing the documented honesty
@@ -249,30 +295,21 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     MLlib implementation detail, not SQL-expressible), same stance as
     the D6 ML rows.
 
-    100 TB plan shape: training runs on a SAMPLE (here the corpus —
-    nlist*dim model state is KB-sized either way); the fitted centroids
-    are driver-side model state broadcast into the same argmin joins as
-    every other rung, so search cost is unchanged: O(Q·2N/nlist)
-    candidates, bucket equi-joins, never all-pairs. The one
-    BroadcastNestedLoopJoin in this plan is the INTENTIONAL Q×k probe
-    ranking (5 queries × 10 broadcast centroids — the same
+    100 TB plan shape: training runs ONCE on a SAMPLE (here the
+    corpus — nlist*dim model state is KB-sized either way) and is
+    STAGED like every other index artifact (`_staged_kmeans_quantizer`;
+    build-once/serve-many, the same stance as ivf_pq_serve_topk — a
+    query must never retrain); the staged centroids broadcast into the
+    same argmin joins as every other rung, so search cost is unchanged:
+    O(Q·2N/nlist) candidates, bucket equi-joins, never all-pairs. The
+    one BroadcastNestedLoopJoin in this plan is the INTENTIONAL Q×k
+    probe ranking (5 queries × 10 broadcast centroids — the same
     tiny-crossJoin anchor stance as region_pairs); the corpus side
     never meets a non-equi join."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    root = _staged_kmeans_quantizer(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    feat = emb.select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
-    )
-    model = KMeans(
-        k=10, seed=42, maxIter=20, featuresCol="features", predictionCol="bucket"
-    ).fit(feat)
-    assigned = model.transform(feat).select("vec_id", "bucket")
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "clabel int, cv array<double>",
-    )
+    assigned = spark.read.parquet(f"{root}/assign")
+    cents = spark.read.parquet(f"{root}/centroids")
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
