@@ -92,6 +92,7 @@ def main() -> None:
     skew_bench = load_artifact("BENCH_skew.json")
     stream_bench = load_artifact("BENCH_stream.json")
     ann_bench = load_artifact("BENCH_ann.json")
+    dedup_bench = load_artifact("BENCH_dedup.json")
 
     exact_pairs = {(r["query_id"], r["vec_id"]) for r in run("cosine_topk_exact")}
     ann_rungs = [
@@ -256,6 +257,25 @@ a DPP-pruned inverted-list seek plus KB-sized broadcast joins — while
 the inline rung re-pays the whole index build per batch and grows
 linearly. That divergence is the entire argument for build-once
 serving at 100 TB.''' if ann_bench else "")}
+
+### Near-dup dedup: which path wins depends on the key distribution
+{"".join(f'''
+Planted-near-dup corpora (`BENCH_dedup.json`; 10% mutated copies at
+~0.57 expected Jaccard — the 0.5 decision boundary, not trivial twins)
+under two word distributions:
+
+{md_table([(k.replace("_", " "), f"{v['exact_s']}", f"{v['exact_cap200_s']}", f"{v['lsh_s']}", v["exact_cap200_recall_vs_exact"], v["lsh_recall_vs_exact"]) for k, v in dedup_bench["results"].items()], ["corpus", "exact (s)", "capped (s)", "LSH (s)", "cap recall", "LSH recall"], limit=8)}
+
+On UNIFORM large-vocab corpora (shingle keys mostly unique) the exact
+inverted-index join is linear and the fastest path at every size —
+LSH is 4× slower at 500k docs and buys nothing. On ZIPF (natural-
+language) corpora hot shingles make the exact join superlinear
+(6 → 24 → 158 s across 50k/200k/500k) and the levers start paying:
+the stop-shingle cap holds it to 62 s (2.6×) at the cost of 6.8% of
+pairs (those whose entire overlap is hot shingles), and MinHash-LSH
+stays near-linear at 99.9% recall. The operator defaults stay exact
+(the oracle anchor); the cap and LSH are deliberate, now-measured
+escape hatches — same discipline as the skew table below.''' if dedup_bench else "")}
 
 ### Hot-key skew: where each escape hatch starts paying
 {"".join(f'''
