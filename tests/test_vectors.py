@@ -275,3 +275,36 @@ def test_residual_serve_matches_inline_and_never_scans_base_table(spark, qs):
     plan = plan.split("== Initial Plan ==")[0]
     assert "embeddings" not in plan
     assert "dynamicpruning" in plan.lower()
+
+
+def test_serve_split_parity_on_random_corpora(spark, tmp_path):
+    """The build/serve split must hold for ARBITRARY embedding tables,
+    not just the driver fixture: random corpora (varying sizes, cluster
+    counts, tie-prone duplicate vectors) staged into fresh dirs must
+    serve exactly the inline rung's rows."""
+    import random
+
+    from dataengineerchallenge_spark.queries.vectors import (
+        ivf_pq_adc_topk,
+        ivf_pq_serve_topk,
+    )
+
+    for case, (n, n_labels, dup_every) in enumerate(
+        [(60, 3, 0), (120, 7, 5), (200, 10, 3)]
+    ):
+        rng = random.Random(1000 + case)
+        rows = []
+        for i in range(n):
+            if dup_every and i % dup_every == 1 and i > 1:
+                vec = rows[i - 1][1]  # exact duplicate: ADC score ties
+            else:
+                vec = [rng.uniform(-1, 1) for _ in range(64)]
+            rows.append((i, vec, i % n_labels))
+        d = tmp_path / f"corpus{case}"
+        d.mkdir()
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+        inline = sorted(tuple(r) for r in ivf_pq_adc_topk(spark, str(d)).collect())
+        served = sorted(tuple(r) for r in ivf_pq_serve_topk(spark, str(d)).collect())
+        assert served == inline and len(served) > 0, f"case {case}"

@@ -20,11 +20,11 @@ other:
 Corpus: ``n_docs`` documents of ~60 words drawn hash-deterministically
 from a 20k-word vocabulary (large vocab ⇒ realistic mostly-unique
 shingles); every 10th document is a MUTATION of the previous one with
-~15% of words replaced — the boilerplate/near-copy shape dedup exists
+~10% of words replaced — the boilerplate/near-copy shape dedup exists
 for.
 
 Usage:
-    python tools/bench_dedup.py [--sizes 50000,200000] [--iters 2]
+    python tools/bench_dedup.py [--sizes 50000,200000,500000] [--iters 2]
         [--driver-memory 8g] [--out BENCH_dedup.json]
 """
 
@@ -93,7 +93,7 @@ def _gen(spark, path: str, rows: int, dist: str = "uniform") -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sizes", default="50000,200000")
+    ap.add_argument("--sizes", default="50000,200000,500000")
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--driver-memory", default="8g")
     ap.add_argument("--out", default="BENCH_dedup.json")
