@@ -2,19 +2,30 @@
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Runs each headline query at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; time = build + execute
-(count) per query, after one warm-up of the first query to absorb JVM/codegen
-startup.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Methodology (VERDICT r6 #1 — make the bench answer "did we regress?"):
+- every content-addressed staging any headline query reads is built
+  BEFORE the timed loop, so no query's sample ever carries an index
+  build that belongs to the build-once half of a serve split;
+- each query is timed 3 times warm (the whole suite runs as pass 1, 2, 3
+  so pass 1 absorbs residual JVM/codegen cold-start for all queries) and
+  the reported per-query number is the MEDIAN; "spread" records
+  (max - min) per query so round-over-round deltas can be separated from
+  machine noise — a delta inside the spread is noise, not regression.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_SAMPLES = 3
 
 # Original 5 anchors first (BENCH_r01 comparability), then one
 # representative per family added in round 2.
@@ -44,6 +55,17 @@ HEADLINE = [
 ]
 
 
+def _prestage(spark, sf_dir: str) -> None:
+    """Build every content-addressed artifact a headline query reads, so
+    the timed loop measures SERVING, never an interleaved index build."""
+    from dataengineerchallenge_spark.queries.vectors import _staged_ivfpq_index
+
+    try:
+        _staged_ivfpq_index(spark, sf_dir)
+    except Exception:  # noqa: BLE001 — the timed loop will record it
+        pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as e
@@ -61,15 +83,7 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — warm-up only; the timed loop records it
         pass
 
-    # stage the IVF-PQ index before timing: build-once/serve-many is the
-    # operator's contract, so the ivf_pq_serve_topk line measures SERVING
-    # (the build cost is what ivf_pq_adc_topk's line already shows)
-    try:
-        from dataengineerchallenge_spark.queries.vectors import _staged_ivfpq_index
-
-        _staged_ivfpq_index(spark, sf_dir)
-    except Exception:  # noqa: BLE001 — the timed loop will record it
-        pass
+    _prestage(spark, sf_dir)
 
     # warm the Python/Arrow worker pool too (spark.python.worker.reuse keeps
     # it alive): spawning one worker per core is a ~5s one-time infra cost
@@ -89,19 +103,29 @@ def main() -> None:
 
     # Per-query isolation: one failing query must never zero the whole
     # artifact — record the error class under "errors" and keep timing the
-    # rest (a bench harness that loses all data on a single failure is
-    # itself a defect).
-    timings: dict[str, float] = {}
+    # rest. Samples run as whole-suite passes (1..N_SAMPLES) rather than
+    # back-to-back per query, so sample 1 absorbs each query's residual
+    # cold-start and samples 2..N are uniformly warm.
+    samples: dict[str, list[float]] = {n: [] for n in names}
     errors: dict[str, str] = {}
-    for name in names:
-        t0 = time.time()
-        try:
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # noqa: BLE001 — isolate, classify, continue
-            errors[name] = type(exc).__name__
-            continue
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(N_SAMPLES):
+        for name in names:
+            if name in errors:
+                continue
+            t0 = time.time()
+            try:
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001 — isolate, classify, continue
+                errors[name] = type(exc).__name__
+                continue
+            samples[name].append(time.time() - t0)
 
+    timings = {
+        n: round(statistics.median(s), 3) for n, s in samples.items() if s
+    }
+    spread = {
+        n: round(max(s) - min(s), 3) for n, s in samples.items() if len(s) > 1
+    }
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -112,6 +136,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "samples": N_SAMPLES,
+        "spread": spread,
     }
     if errors:
         result["errors"] = errors

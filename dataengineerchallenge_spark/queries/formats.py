@@ -54,20 +54,16 @@ def orc_source_minute_load(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _staged_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     """events written through the S4 sink partitioned by event_type, into
-    a content-addressed scratch slot (same publish protocol as _staged)."""
-    import hashlib
-    import tempfile
+    a content-addressed slot (shared publish protocol: staging.py)."""
     from pathlib import Path
 
     from pyspark.sql import functions as F
 
     from dataengineerchallenge_spark.sources.sinks import write_result
     from dataengineerchallenge_spark.sources.tables import load_table
+    from dataengineerchallenge_spark.staging import staged
 
-    src = Path(sf_dir) / "events.parquet"
-    tag = hashlib.sha256(f"{src.resolve()}:{src.stat().st_mtime_ns}:part".encode()).hexdigest()[:16]
-    d = Path(tempfile.gettempdir()) / f"spark_graft_sink_part_{tag}"
-    if not (d / "_SUCCESS").exists():
+    def build(out: Path) -> None:
         ev = load_table(spark, sf_dir, "events").select(
             F.col("event_id").cast("string"),
             F.unix_timestamp("ts").alias("ts_s"),
@@ -75,13 +71,9 @@ def _staged_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
             "event_type",
             "value",
         )
-        tmp = Path(tempfile.mkdtemp(prefix="spark_graft_sink_part_")) / "out"
-        write_result(ev, str(tmp), partition_by=["event_type"])
-        try:
-            tmp.rename(d)
-        except OSError:
-            pass  # concurrent driver published identical content first
-    return str(d)
+        write_result(ev, str(out), partition_by=["event_type"])
+
+    return staged(spark, "sink_part", Path(sf_dir) / "events.parquet", "part", build)
 
 
 @register(
@@ -172,19 +164,14 @@ def _staged_date_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     date, ``dt=yyyy-MM-dd`` directories) — the single most common 100 TB
     log-table layout at rest (SURVEY §4; the reference's interval-file
     format, /root/reference/README.md:44, is this shape one level up).
-    Content-addressed scratch slot, same publish protocol as the other
-    stagings."""
-    import hashlib
-    import tempfile
+    Content-addressed slot, shared publish protocol (staging.py)."""
     from pathlib import Path
 
     from dataengineerchallenge_spark.sources.sinks import write_result
     from dataengineerchallenge_spark.sources.tables import load_table
+    from dataengineerchallenge_spark.staging import staged
 
-    src = Path(sf_dir) / "events.parquet"
-    tag = hashlib.sha256(f"{src.resolve()}:{src.stat().st_mtime_ns}:datepart".encode()).hexdigest()[:16]
-    d = Path(tempfile.gettempdir()) / f"spark_graft_datepart_{tag}"
-    if not (d / "_SUCCESS").exists():
+    def build(out: Path) -> None:
         ev = load_table(spark, sf_dir, "events").select(
             F.col("event_id").cast("string"),
             F.unix_timestamp("ts").alias("ts_s"),
@@ -193,13 +180,9 @@ def _staged_date_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
             "value",
             F.to_date(F.col("ts")).alias("dt"),
         )
-        tmp = Path(tempfile.mkdtemp(prefix="spark_graft_datepart_")) / "out"
-        write_result(ev, str(tmp), partition_by=["dt"])
-        try:
-            tmp.rename(d)
-        except OSError:
-            pass  # concurrent driver published identical content first
-    return str(d)
+        write_result(ev, str(out), partition_by=["dt"])
+
+    return staged(spark, "datepart", Path(sf_dir) / "events.parquet", "datepart", build)
 
 
 @register(
@@ -338,18 +321,14 @@ def bucketed_join_order_priority_revenue(spark: SparkSession, sf_dir: str) -> Da
 
 def _staged_zorder_events(spark: SparkSession, sf_dir: str) -> str:
     """events laid out as 8 Z-ordered files on (user_id, epoch-seconds),
-    content-addressed like the other stagings."""
-    import hashlib
-    import tempfile
+    content-addressed like the other stagings (staging.py)."""
     from pathlib import Path
 
     from dataengineerchallenge_spark.sources.layout import zorder_by
     from dataengineerchallenge_spark.sources.tables import load_table
+    from dataengineerchallenge_spark.staging import staged
 
-    src = Path(sf_dir) / "events.parquet"
-    tag = hashlib.sha256(f"{src.resolve()}:{src.stat().st_mtime_ns}:zorder".encode()).hexdigest()[:16]
-    d = Path(tempfile.gettempdir()) / f"spark_graft_zorder_{tag}"
-    if not (d / "_SUCCESS").exists():
+    def build(out: Path) -> None:
         ev = load_table(spark, sf_dir, "events").select(
             F.col("event_id").cast("string"),
             F.unix_timestamp("ts").alias("ts_s"),
@@ -357,13 +336,9 @@ def _staged_zorder_events(spark: SparkSession, sf_dir: str) -> str:
             "event_type",
             "value",
         )
-        tmp = Path(tempfile.mkdtemp(prefix="spark_graft_zorder_")) / "out"
-        zorder_by(ev, "user_id", "ts_s", n_files=8).write.parquet(str(tmp))
-        try:
-            tmp.rename(d)
-        except OSError:
-            pass  # concurrent driver published identical content first
-    return str(d)
+        zorder_by(ev, "user_id", "ts_s", n_files=8).write.parquet(str(out))
+
+    return staged(spark, "zorder", Path(sf_dir) / "events.parquet", "zorder", build)
 
 
 @register(
@@ -404,17 +379,13 @@ def zorder_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _staged_evolving_events(spark: SparkSession, sf_dir: str) -> str:
     """Two parquet drops with EVOLVED schemas: batch1 (first half-month)
     lacks the ``value`` column, batch2 carries it — the upstream-added-a-
-    field ingestion reality. Content-addressed staging like the others."""
-    import hashlib
-    import tempfile
+    field ingestion reality. Content-addressed staging (staging.py)."""
     from pathlib import Path
 
     from dataengineerchallenge_spark.sources.tables import load_table
+    from dataengineerchallenge_spark.staging import staged
 
-    src = Path(sf_dir) / "events.parquet"
-    tag = hashlib.sha256(f"{src.resolve()}:{src.stat().st_mtime_ns}:evolve".encode()).hexdigest()[:16]
-    d = Path(tempfile.gettempdir()) / f"spark_graft_evolve_{tag}"
-    if not (d / "_SUCCESS").exists():
+    def build(out: Path) -> None:
         split_s = 1705363200  # 2024-01-16 UTC
         ev = load_table(spark, sf_dir, "events").select(
             F.col("event_id").cast("long"),
@@ -422,15 +393,10 @@ def _staged_evolving_events(spark: SparkSession, sf_dir: str) -> str:
             "event_type",
             "value",
         )
-        tmp = Path(tempfile.mkdtemp(prefix="spark_graft_evolve_")) / "out"
-        ev.filter(F.col("ts_s") < split_s).drop("value").write.parquet(str(tmp / "batch=1"))
-        ev.filter(F.col("ts_s") >= split_s).write.parquet(str(tmp / "batch=2"))
-        (tmp / "_SUCCESS").touch()
-        try:
-            tmp.rename(d)
-        except OSError:
-            pass  # concurrent driver published identical content first
-    return str(d)
+        ev.filter(F.col("ts_s") < split_s).drop("value").write.parquet(str(out / "batch=1"))
+        ev.filter(F.col("ts_s") >= split_s).write.parquet(str(out / "batch=2"))
+
+    return staged(spark, "evolve", Path(sf_dir) / "events.parquet", "evolve", build)
 
 
 @register(

@@ -138,7 +138,10 @@ def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-sum aggregate — partial-aggregatable, skew-free (keys are
     uniform), exactly what a 100 TB IVF build wants."""
     sims = _assignments_sims(spark, sf_dir)
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("clabel"))
+    # rounded ranking: drift-stable across build paths (see _probe_frames)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc(F.round("cos", 8)), F.asc("clabel")
+    )
     return (
         sims.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -161,7 +164,14 @@ def _probe_frames(
     helper exists for semantic single-sourcing (one ranking definition
     feeds both), not exchange dedup."""
     sims = _assignments_sims(spark, sf_dir)
-    wq = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("clabel"))
+    # order by the ROUNDED cosine (clabel tie-break): the appended-index
+    # build re-derives this ranking from parquet-round-tripped centroids,
+    # so a raw-double ordering could flip a near-tie bucket between the
+    # two builds (ADVICE r6; fixture margins ≥1.1e-4 dwarf the rounding,
+    # so results vs the raw-ordered oracle are unchanged)
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.desc(F.round("cos", 8)), F.asc("clabel")
+    )
     ranked = sims.select("vec_id", "clabel", F.row_number().over(wq).alias("_rn"))
     assign = ranked.filter(F.col("_rn") == 1).select(
         "vec_id", F.col("clabel").alias("bucket")
@@ -237,21 +247,15 @@ def _staged_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> str:
     (clabel, cv) and ``assign/`` (vec_id, bucket). Training inside the
     query plan would re-pay the fit on every lookup batch — the exact
     anti-pattern the serve split removes."""
-    import hashlib
-    import tempfile
     from pathlib import Path
 
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
 
-    src = Path(sf_dir) / "embeddings.parquet"
-    tag = hashlib.sha256(
-        f"{src.resolve()}:{src.stat().st_mtime_ns}:kmeans10s42".encode()
-    ).hexdigest()[:16]
-    d = Path(tempfile.gettempdir()) / f"spark_graft_kmeans_{tag}"
-    if not (d / "_SUCCESS").exists():
+    def build(out: Path) -> None:
         emb = load_table(spark, sf_dir, "embeddings")
         feat = emb.select(
             "vec_id",
@@ -260,21 +264,18 @@ def _staged_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> str:
         model = KMeans(
             k=10, seed=42, maxIter=20, featuresCol="features", predictionCol="bucket"
         ).fit(feat)
-        tmp = Path(tempfile.mkdtemp(prefix="spark_graft_kmeans_")) / "out"
         write_result(
-            model.transform(feat).select("vec_id", "bucket"), str(tmp / "assign")
+            model.transform(feat).select("vec_id", "bucket"), str(out / "assign")
         )
         cents = spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
             "clabel int, cv array<double>",
         )
-        write_result(cents, str(tmp / "centroids"), coalesce_to=1)
-        (tmp / "_SUCCESS").touch()
-        try:
-            tmp.rename(d)
-        except OSError:
-            pass  # concurrent driver published identical content first
-    return str(d)
+        write_result(cents, str(out / "centroids"), coalesce_to=1)
+
+    return staged(
+        spark, "kmeans", Path(sf_dir) / "embeddings.parquet", "kmeans10s42", build
+    )
 
 
 @register("ivf_kmeans_topk")
@@ -803,30 +804,23 @@ def _staged_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     runs inline (`_pq_parts` / `_probe_frames`), so serving from the
     artifact is bit-compatible with the inline rung and shares its
     oracle."""
-    import hashlib
-    import tempfile
     from pathlib import Path
 
     from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
 
-    src = Path(sf_dir) / "embeddings.parquet"
-    tag = hashlib.sha256(
-        f"{src.resolve()}:{src.stat().st_mtime_ns}:ivfpq".encode()
-    ).hexdigest()[:16]
-    d = Path(tempfile.gettempdir()) / f"spark_graft_ivfpq_{tag}"
-    if not (d / "_SUCCESS").exists():
+    def build(out: Path) -> None:
         codes, cn, qdot, qn = _pq_parts(spark, sf_dir)
         assign, probes = _probe_frames(spark, sf_dir)
-        tmp = Path(tempfile.mkdtemp(prefix="spark_graft_ivfpq_")) / "out"
         write_result(
             codes.join(assign, "vec_id"),
-            str(tmp / "codes"),
+            str(out / "codes"),
             partition_by=["bucket"],
         )
-        write_result(probes, str(tmp / "probes"), coalesce_to=1)
+        write_result(probes, str(out / "probes"), coalesce_to=1)
         write_result(
             qdot.join(cn, ["sub", "code"]).join(qn, "query_id"),
-            str(tmp / "qlut"),
+            str(out / "qlut"),
             coalesce_to=1,
         )
         emb = load_table(spark, sf_dir, "embeddings")
@@ -835,13 +829,9 @@ def _staged_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
             .groupBy(F.col("label").alias("clabel"), "pos")
             .agg(F.avg("v").alias("cv"))
         )
-        write_result(cent, str(tmp / "centroids"), coalesce_to=1)
-        (tmp / "_SUCCESS").touch()
-        try:
-            tmp.rename(d)
-        except OSError:
-            pass  # concurrent driver published identical content first
-    return str(d)
+        write_result(cent, str(out / "centroids"), coalesce_to=1)
+
+    return staged(spark, "ivfpq", Path(sf_dir) / "embeddings.parquet", "ivfpq", build)
 
 
 @register("ivf_pq_serve_topk", oracle=_ORACLE_IVF_PQ)
@@ -920,28 +910,22 @@ def _staged_ivfpq_appended_index(spark: SparkSession, sf_dir: str) -> str:
     appended index is EXACTLY the full build's codes (set equality
     pinned in tests/test_vectors.py), so serving from it shares
     ``ivf_pq_adc_topk``'s oracle unchanged."""
-    import hashlib
-    import shutil
-    import tempfile
     from pathlib import Path
 
+    from dataengineerchallenge_spark.staging import staged
+
     base = _staged_ivfpq_index(spark, sf_dir)
-    src = Path(sf_dir) / "embeddings.parquet"
-    tag = hashlib.sha256(
-        f"{src.resolve()}:{src.stat().st_mtime_ns}:ivfpq_app".encode()
-    ).hexdigest()[:16]
-    d = Path(tempfile.gettempdir()) / f"spark_graft_ivfpq_app_{tag}"
-    if not (d / "_SUCCESS").exists():
+
+    def build(out: Path) -> None:
         emb = load_table(spark, sf_dir, "embeddings")
         split = emb.count() * 4 // 5
-        tmp = Path(tempfile.mkdtemp(prefix="spark_graft_ivfpq_app_")) / "out"
         # 1. the index as it stood before the new data: the staged full
         # build's code rows for the old vec_ids
         (
             spark.read.parquet(f"{base}/codes")
             .filter(F.col("vec_id") < split)
             .write.partitionBy("bucket")
-            .parquet(str(tmp / "codes"))
+            .parquet(str(out / "codes"))
         )
         # 2. encode ONLY the new batch against the frozen codebooks
         # (centroids double as the PQ codebook in this design); the scan
@@ -969,7 +953,15 @@ def _staged_ivfpq_appended_index(spark: SparkSession, sf_dir: str) -> str:
                 ).alias("cos")
             )
         )
-        wa = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("clabel"))
+        # rank by the ROUNDED cosine (drift-stable like the PQ encode's
+        # round(d2, 8) argmin): the full build ranks a freshly recomputed
+        # cos while this path ranks one computed from parquet-round-tripped
+        # centroids — a near-tie ULP difference must not flip a bucket
+        # between the two builds (ADVICE r6; parity pinned in
+        # tests/test_vectors.py test_ivf_pq_append_equals_full_rebuild)
+        wa = Window.partitionBy("vec_id").orderBy(
+            F.desc(F.round("cos", 8)), F.asc("clabel")
+        )
         assign_new = (
             csims.withColumn("_rn", F.row_number().over(wa))
             .filter(F.col("_rn") == 1)
@@ -990,14 +982,12 @@ def _staged_ivfpq_appended_index(spark: SparkSession, sf_dir: str) -> str:
             codes_new.join(assign_new, "vec_id")
             .write.mode("append")
             .partitionBy("bucket")
-            .parquet(str(tmp / "codes"))
+            .parquet(str(out / "codes"))
         )
-        (tmp / "_SUCCESS").touch()
-        try:
-            tmp.rename(d)
-        except OSError:
-            shutil.rmtree(tmp.parent, ignore_errors=True)  # lost the publish race
-    return str(d)
+
+    return staged(
+        spark, "ivfpq_app", Path(sf_dir) / "embeddings.parquet", "ivfpq_app", build
+    )
 
 
 @register("ivf_pq_serve_appended_topk", oracle=_ORACLE_IVF_PQ)
@@ -1295,23 +1285,16 @@ def _staged_ivfpq_residual_index(spark: SparkSession, sf_dir: str) -> str:
     dots merged with query norms; ``probes`` — the router output. The
     pre-join of the three denominator tables at BUILD time is what
     collapses serving's five scoring joins down to two."""
-    import hashlib
-    import tempfile
     from pathlib import Path
 
     from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
 
-    src = Path(sf_dir) / "embeddings.parquet"
-    tag = hashlib.sha256(
-        f"{src.resolve()}:{src.stat().st_mtime_ns}:ivfpq_res".encode()
-    ).hexdigest()[:16]
-    d = Path(tempfile.gettempdir()) / f"spark_graft_ivfpq_res_{tag}"
-    if not (d / "_SUCCESS").exists():
+    def build(out: Path) -> None:
         codes, rn2, cbr, cn2sub, qr, qc, qn, assign, probes = _residual_parts(
             spark, sf_dir
         )
-        tmp = Path(tempfile.mkdtemp(prefix="spark_graft_ivfpq_res_")) / "out"
-        write_result(codes.join(assign, "vec_id"), str(tmp / "codes"), partition_by=["bucket"])
+        write_result(codes.join(assign, "vec_id"), str(out / "codes"), partition_by=["bucket"])
         dlut = (
             cbr.join(cn2sub, ["bucket", "sub"])
             .join(rn2, ["sub", "code"])
@@ -1322,16 +1305,14 @@ def _staged_ivfpq_residual_index(spark: SparkSession, sf_dir: str) -> str:
                 (F.col("cn2") + 2 * F.col("cbr") + F.col("rn2")).alias("dpart"),
             )
         )
-        write_result(dlut, str(tmp / "dlut"), coalesce_to=1)
-        write_result(qr, str(tmp / "qrlut"), coalesce_to=1)
-        write_result(qc.join(qn, "query_id"), str(tmp / "qclut"), coalesce_to=1)
-        write_result(probes, str(tmp / "probes"), coalesce_to=1)
-        (tmp / "_SUCCESS").touch()
-        try:
-            tmp.rename(d)
-        except OSError:
-            pass  # concurrent driver published identical content first
-    return str(d)
+        write_result(dlut, str(out / "dlut"), coalesce_to=1)
+        write_result(qr, str(out / "qrlut"), coalesce_to=1)
+        write_result(qc.join(qn, "query_id"), str(out / "qclut"), coalesce_to=1)
+        write_result(probes, str(out / "probes"), coalesce_to=1)
+
+    return staged(
+        spark, "ivfpq_res", Path(sf_dir) / "embeddings.parquet", "ivfpq_res", build
+    )
 
 
 @register("ivf_pq_residual_serve_topk", oracle=_ORACLE_IVF_PQ_RESIDUAL)

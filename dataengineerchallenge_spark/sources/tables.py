@@ -74,16 +74,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
-#: (session id, analyzed-plan semanticHash) -> scan partition count.
+#: (applicationId, analyzed-plan semanticHash) -> scan partition count.
 #: df.rdd compiles the full physical plan just to ask its width; with a
 #: 170-query registry re-probing the same fixture scans every run adds a
 #: plan compile per call (VERDICT r5 #7). Keyed on the SEMANTIC hash of
 #: the analyzed plan, so two loads of the same table hit one probe.
+#: Keyed on applicationId, not id(session): a stopped session's id() can
+#: be reused by a new session object and inherit stale widths (ADVICE
+#: r6); applicationId is unique per SparkContext lifetime.
 #: Trade-off, documented: if the files behind an identical plan are
 #: rewritten mid-session the cached width is stale — harmless here (the
 #: gate only decides whether to widen) and impossible for the read-only
 #: driver fixtures.
-_SPREAD_CACHE: dict[tuple[int, int], int] = {}
+_SPREAD_CACHE: dict[tuple[str, int], int] = {}
 
 
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
@@ -100,7 +103,10 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     plan (see _SPREAD_CACHE).
     """
     target = partitions or df.sparkSession.sparkContext.defaultParallelism
-    key = (id(df.sparkSession), df._jdf.queryExecution().analyzed().semanticHash())
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        df._jdf.queryExecution().analyzed().semanticHash(),
+    )
     n = _SPREAD_CACHE.get(key)
     if n is None:
         n = df.rdd.getNumPartitions()

@@ -1,0 +1,102 @@
+"""Staging protocol invariants (staging.py): conf-driven root, build-once
+semantics, atomic publish, and scratch cleanup on a lost publish race
+(VERDICT r6 What's-wrong #2/#3, ADVICE r6)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from dataengineerchallenge_spark.staging import (
+    SLOT_PREFIX,
+    STAGING_ROOT_CONF,
+    staged,
+    staging_root,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def custom_root(spark, tmp_path):
+    """Point the staging root at a fresh per-test dir, restore after."""
+    spark.conf.set(STAGING_ROOT_CONF, str(tmp_path))
+    yield tmp_path
+    spark.conf.unset(STAGING_ROOT_CONF)
+
+
+def test_staged_routes_through_conf_root_and_builds_once(spark, custom_root):
+    calls = []
+
+    def build(out: Path) -> None:
+        calls.append(1)
+        out.mkdir(parents=True)
+        (out / "data.txt").write_text("payload")
+
+    src = Path(SF_DIR) / "events.parquet"
+    d1 = staged(spark, "t_unit", src, "s1", build)
+    d2 = staged(spark, "t_unit", src, "s1", build)
+    assert d1 == d2
+    assert Path(d1).parent == custom_root  # conf root honored
+    assert Path(d1).name.startswith(f"{SLOT_PREFIX}t_unit_")
+    assert (Path(d1) / "_SUCCESS").exists() and (Path(d1) / "data.txt").exists()
+    assert len(calls) == 1  # second call only stats the slot
+    # no scratch dirs left behind after a successful publish
+    leftovers = [p for p in custom_root.iterdir() if "scratch" in p.name]
+    assert leftovers == []
+
+
+def test_staged_salt_changes_address(spark, custom_root):
+    def build(out: Path) -> None:
+        out.mkdir(parents=True)
+
+    src = Path(SF_DIR) / "events.parquet"
+    d1 = staged(spark, "t_unit", src, "saltA", build)
+    d2 = staged(spark, "t_unit", src, "saltB", build)
+    assert d1 != d2
+
+
+def test_lost_publish_race_cleans_scratch(spark, custom_root):
+    """If another driver publishes the slot first, the loser's rename
+    fails — its fully-written scratch copy must be removed, not leaked
+    (one duplicate index per losing driver otherwise; ADVICE r6)."""
+    from dataengineerchallenge_spark.staging import content_tag
+
+    src = Path(SF_DIR) / "events.parquet"
+    dest = custom_root / f"{SLOT_PREFIX}t_race_{content_tag(src, 'race')}"
+
+    def racing_build(out: Path) -> None:
+        out.mkdir(parents=True)
+        (out / "big_artifact.bin").write_bytes(b"x" * 1024)
+        # simulate the concurrent winner: the destination slot appears
+        # (non-empty => rename onto it raises) while we were building
+        dest.mkdir(parents=True)
+        (dest / "_SUCCESS").touch()
+        (dest / "winner.txt").write_text("theirs")
+
+    d = staged(spark, "t_race", src, "race", racing_build)
+    # winner's content served, loser's scratch gone
+    assert (Path(d) / "winner.txt").exists()
+    leftovers = [p for p in custom_root.iterdir() if "scratch" in p.name]
+    assert leftovers == []
+
+
+def test_default_root_is_tmpdir(spark):
+    import tempfile
+
+    assert staging_root(spark) == Path(tempfile.gettempdir())
+
+
+def test_index_staging_works_under_custom_root(spark, custom_root):
+    """End-to-end: a real index staging (the partitioned-events layout)
+    must land under the conf root and serve its query green."""
+    from dataengineerchallenge_spark.queries.formats import (
+        _staged_partitioned_events,
+        sink_partitioned_roundtrip,
+    )
+
+    root = _staged_partitioned_events(spark, SF_DIR)
+    assert Path(root).parent == custom_root
+    rows = sink_partitioned_roundtrip(spark, SF_DIR).collect()
+    assert len(rows) > 0

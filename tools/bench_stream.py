@@ -80,9 +80,20 @@ def _stage_slices(spark, src: str, out: str, n_slices: int) -> None:
     open(os.path.join(out, "_SUCCESS"), "w").close()
 
 
-def _run_stream(spark, path: str, schema, build) -> dict:
+def _run_stream(spark, path: str, schema, build, n_slices: int | None = None) -> dict:
     """Drive one sessionizer over the staged slices with AvailableNow,
-    one slice per micro-batch; return per-batch progress + totals."""
+    one slice per micro-batch; return per-batch progress + totals.
+
+    Spark caps ``recentProgress`` at
+    ``spark.sql.streaming.numRecentProgressUpdates`` (default 100), which
+    would silently drop the earliest batches above ~100 slices and write
+    an undercounted artifact presented as complete (ADVICE r6) — so the
+    cap is raised to the slice count + headroom BEFORE the query starts,
+    and the batch count is asserted against the slice count after."""
+    if n_slices is not None:
+        spark.conf.set(
+            "spark.sql.streaming.numRecentProgressUpdates", str(n_slices + 32)
+        )
     src = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -119,6 +130,11 @@ def _run_stream(spark, path: str, schema, build) -> dict:
             }
         )
     shutil.rmtree(ckpt, ignore_errors=True)
+    if n_slices is not None and len(q.recentProgress) < n_slices:
+        raise RuntimeError(
+            f"progress log truncated: {len(q.recentProgress)} updates for "
+            f"{n_slices} slices — raise numRecentProgressUpdates"
+        )
     return {
         "wall_s": round(wall, 2),
         "total_rows": total_rows,
@@ -170,7 +186,7 @@ def main() -> None:
         sliced = os.path.join(root, f"stream_r{args.rows}_h{hot}_s{args.slices}")
         _stage_slices(spark, fixture, sliced, args.slices)
         for op, build in ops.items():
-            res = _run_stream(spark, sliced, schema, build)
+            res = _run_stream(spark, sliced, schema, build, n_slices=args.slices)
             out["results"][f"{op}_{name}"] = res
             print(
                 f"{op} {name}: {res['total_rows']} rows in {res['wall_s']}s "

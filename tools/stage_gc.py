@@ -1,0 +1,123 @@
+"""Staged-artifact garbage collector (VERDICT r6 What's-wrong #3).
+
+Content-addressed staging slots (``spark_graft_<prefix>_<tag>``; see
+dataengineerchallenge_spark/staging.py) accumulate one copy per fixture
+content version — correct, but a long-lived deployment needs a lifecycle:
+this tool lists every slot under a staging root with its age and size,
+and expires stale ones.
+
+Dry-run by default; nothing is deleted without ``--delete``.
+
+    python tools/stage_gc.py                          # list all slots
+    python tools/stage_gc.py --expire-days 7          # show what WOULD go
+    python tools/stage_gc.py --expire-days 7 --delete # actually remove
+
+Orphaned ``*_scratch_*`` dirs (a builder that died mid-publish) are
+always considered expirable once older than the cutoff.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+SLOT_PREFIX = "spark_graft_"
+
+
+def _dir_size(path: Path) -> int:
+    return sum(f.stat().st_size for f in path.rglob("*") if f.is_file())
+
+
+def _slot_mtime(path: Path) -> float:
+    """Last-used proxy: the slot dir's own mtime (bumped at publish).
+    Content-addressed slots are immutable after publish, so mtime == the
+    moment this content version was last (re)built."""
+    return path.stat().st_mtime
+
+
+def scan(root: Path, now: float | None = None) -> list[dict]:
+    """One record per staging slot/scratch dir under ``root``."""
+    now = time.time() if now is None else now
+    records = []
+    if not root.is_dir():
+        return records
+    for p in sorted(root.iterdir()):
+        if not p.is_dir() or not p.name.startswith(SLOT_PREFIX):
+            continue
+        mtime = _slot_mtime(p)
+        records.append(
+            {
+                "path": str(p),
+                "name": p.name,
+                "kind": "scratch" if "_scratch_" in p.name else "slot",
+                "published": (p / "_SUCCESS").exists(),
+                "age_days": round((now - mtime) / 86400.0, 3),
+                "size_bytes": _dir_size(p),
+            }
+        )
+    return records
+
+
+def expire(
+    records: list[dict], expire_days: float, delete: bool = False
+) -> list[dict]:
+    """Mark (and with ``delete=True`` remove) records older than the
+    cutoff. Unpublished scratch dirs expire at the same cutoff — they are
+    dead weight from a crashed builder."""
+    expired = [r for r in records if r["age_days"] > expire_days]
+    for r in expired:
+        r["expired"] = True
+        if delete:
+            shutil.rmtree(r["path"], ignore_errors=True)
+            r["deleted"] = True
+    return expired
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument(
+        "--root",
+        default=tempfile.gettempdir(),
+        help="staging root (the spark_graft.staging_root conf value; "
+        "default: the local tmpdir)",
+    )
+    ap.add_argument(
+        "--expire-days",
+        type=float,
+        default=None,
+        help="mark slots older than this many days as expired",
+    )
+    ap.add_argument(
+        "--delete",
+        action="store_true",
+        help="actually remove expired slots (default: dry run)",
+    )
+    args = ap.parse_args(argv)
+
+    records = scan(Path(args.root))
+    expired: list[dict] = []
+    if args.expire_days is not None:
+        expired = expire(records, args.expire_days, delete=args.delete)
+    print(
+        json.dumps(
+            {
+                "root": args.root,
+                "n_slots": len(records),
+                "total_bytes": sum(r["size_bytes"] for r in records),
+                "n_expired": len(expired),
+                "deleted": bool(args.delete),
+                "slots": records,
+            },
+            indent=1,
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
