@@ -150,7 +150,11 @@ def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _probe_frames(
-    spark: SparkSession, sf_dir: str, n_probes: int = 2
+    spark: SparkSession,
+    sf_dir: str,
+    n_probes: int = 2,
+    q_lo: int = 0,
+    q_hi: int = _N_QUERIES,
 ) -> tuple[DataFrame, DataFrame]:
     """(assign, probes) derived from ONE ranked centroid-similarity
     frame: ``assign`` is each vector's rank-1 bucket, ``probes`` each
@@ -177,7 +181,11 @@ def _probe_frames(
         "vec_id", F.col("clabel").alias("bucket")
     )
     probes = (
-        ranked.filter((F.col("vec_id") < _N_QUERIES) & (F.col("_rn") <= n_probes))
+        ranked.filter(
+            (F.col("vec_id") >= q_lo)
+            & (F.col("vec_id") < q_hi)
+            & (F.col("_rn") <= n_probes)
+        )
         .select(F.col("vec_id").alias("query_id"), F.col("clabel").alias("probe_label"))
     )
     return assign, probes
@@ -543,7 +551,7 @@ _PQ_DIM = 16  # dims per subspace; 64-dim fixture -> m = 4 subspaces
 
 
 def _pq_parts(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, q_lo: int = 0, q_hi: int = _N_QUERIES
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """The four PQ building blocks shared by ``pq_adc_topk`` and the
     composed ``ivf_pq_adc_topk``:
@@ -578,7 +586,7 @@ def _pq_parts(
         .select("vec_id", "sub", "code")
     )
     cn = cb.groupBy("sub", "code").agg(F.sum(F.col("cv") * F.col("cv")).alias("cn2"))
-    q = lf.filter(F.col("vec_id") < _N_QUERIES)
+    q = lf.filter((F.col("vec_id") >= q_lo) & (F.col("vec_id") < q_hi))
     qdot = (
         q.join(cb, ["sub", "pos"])
         .groupBy(F.col("vec_id").alias("query_id"), "sub", "code")
@@ -593,7 +601,10 @@ def _pq_parts(
 # PQ CTE chain shared by the pq_adc_topk / ivf_pq_adc_topk oracles:
 # long-form with sub-space ids, codebook, code assignment (rounded
 # argmin), code norms, per-query ADC dot table, query norms.
-_ORACLE_PQ = f"""
+# Parameterized on the query-batch predicate so the fresh-batch serve
+# rung shares the identical CTE chain with a different batch.
+def _oracle_pq(qpred: str) -> str:
+    return f"""
     WITH lf AS (
       SELECT vec_id, label, (u.pos - 1) // {_PQ_DIM} AS sub,
              u.pos::INT AS pos, u.v::DOUBLE AS v
@@ -615,7 +626,7 @@ _ORACLE_PQ = f"""
                ORDER BY round(d2, 8), code) = 1
     ),
     cn AS (SELECT sub, code, sum(cv * cv) AS cn2 FROM cb GROUP BY sub, code),
-    q AS (SELECT * FROM lf WHERE vec_id < {_N_QUERIES}),
+    q AS (SELECT * FROM lf WHERE {qpred}),
     qdot AS (
       SELECT q.vec_id AS query_id, q.sub, cb.code, sum(q.v * cb.cv) AS qd
       FROM q JOIN cb ON q.sub = cb.sub AND q.pos = cb.pos
@@ -624,6 +635,9 @@ _ORACLE_PQ = f"""
     qn AS (SELECT vec_id AS query_id, sqrt(sum(v * v)) AS qnorm
            FROM q GROUP BY vec_id)
 """
+
+
+_ORACLE_PQ = _oracle_pq(f"vec_id < {_N_QUERIES}")
 
 
 @register(
@@ -690,12 +704,14 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Full IVF-PQ oracle, shared by ivf_pq_adc_topk (inline build) and
-# ivf_pq_serve_topk (prebuilt index): both compute the same math, so the
-# same SQL is the truth for both.
-_ORACLE_IVF_PQ = (
-    _ORACLE_PQ
-    + f"""
+# Full IVF-PQ oracle, shared by ivf_pq_adc_topk (inline build),
+# ivf_pq_serve_topk (prebuilt index), and — with a different batch
+# predicate — ivf_pq_serve_fresh_topk: all compute the same math, so the
+# same SQL is the truth for all.
+def _oracle_ivf_pq(qpred: str) -> str:
+    return (
+        _oracle_pq(qpred)
+        + f"""
     , cent AS (SELECT label AS clabel, pos, avg(v) AS cv FROM lf GROUP BY label, pos),
     csims AS (
       SELECT lf.vec_id, cent.clabel,
@@ -710,7 +726,7 @@ _ORACLE_IVF_PQ = (
     ),
     probes AS (
       SELECT vec_id AS query_id, clabel AS probe_label
-      FROM csims WHERE vec_id < {_N_QUERIES}
+      FROM csims WHERE {qpred}
       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) <= 2
     ),
     cand AS (
@@ -734,7 +750,10 @@ _ORACLE_IVF_PQ = (
     QUALIFY row_number() OVER (PARTITION BY query_id
              ORDER BY round(num / (qn.qnorm * sqrt(cn2sum)), 4) DESC, vec_id) <= {_TOP_K}
     """
-)
+    )
+
+
+_ORACLE_IVF_PQ = _oracle_ivf_pq(f"vec_id < {_N_QUERIES}")
 
 
 @register("ivf_pq_adc_topk", oracle=_ORACLE_IVF_PQ)
@@ -834,6 +853,39 @@ def _staged_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     return staged(spark, "ivfpq", Path(sf_dir) / "embeddings.parquet", "ivfpq", build)
 
 
+def _adc_serve_topk(codes: DataFrame, probes: DataFrame, qlut: DataFrame) -> DataFrame:
+    """The ADC serving tail shared by every serve rung: DPP-pruned
+    inverted-list seek (broadcast probe join on the partition column) →
+    one broadcast ADC lookup join → per-(query, candidate) sum → rounded
+    score → per-query top-k. Two shuffles total (scoring aggregate +
+    top-k window)."""
+    cand = codes.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("probe_label"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    s = (
+        cand.join(F.broadcast(qlut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum("qd").alias("num"),
+            F.sum("cn2").alias("cn2sum"),
+            # one identical stored double per query -> max is exact
+            F.max("qnorm").alias("qnorm"),
+        )
+    )
+    scored = s.withColumn(
+        "adc_cosine",
+        F.round(F.col("num") / (F.col("qnorm") * F.sqrt(F.col("cn2sum"))), 4),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _TOP_K)
+        .select("query_id", "vec_id", "adc_cosine")
+    )
+
+
 @register("ivf_pq_serve_topk", oracle=_ORACLE_IVF_PQ)
 def ivf_pq_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N3 rung 5-SERVE — the production half of the IVF-PQ split
@@ -867,31 +919,7 @@ def ivf_pq_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id") < _N_QUERIES
     )
     qlut = spark.read.parquet(f"{root}/qlut")
-    cand = codes.join(
-        F.broadcast(probes),
-        (F.col("bucket") == F.col("probe_label"))
-        & (F.col("vec_id") != F.col("query_id")),
-    )
-    s = (
-        cand.join(F.broadcast(qlut), ["query_id", "sub", "code"])
-        .groupBy("query_id", "vec_id")
-        .agg(
-            F.sum("qd").alias("num"),
-            F.sum("cn2").alias("cn2sum"),
-            # one identical stored double per query -> max is exact
-            F.max("qnorm").alias("qnorm"),
-        )
-    )
-    scored = s.withColumn(
-        "adc_cosine",
-        F.round(F.col("num") / (F.col("qnorm") * F.sqrt(F.col("cn2sum"))), 4),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= _TOP_K)
-        .select("query_id", "vec_id", "adc_cosine")
-    )
+    return _adc_serve_topk(codes, probes, qlut)
 
 
 def _staged_ivfpq_appended_index(spark: SparkSession, sf_dir: str) -> str:
@@ -1005,29 +1033,181 @@ def ivf_pq_serve_appended_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id") < _N_QUERIES
     )
     qlut = spark.read.parquet(f"{base}/qlut")
-    cand = codes.join(
-        F.broadcast(probes),
-        (F.col("bucket") == F.col("probe_label"))
-        & (F.col("vec_id") != F.col("query_id")),
+    return _adc_serve_topk(codes, probes, qlut)
+
+
+_FRESH_LO, _FRESH_HI = _N_QUERIES, 2 * _N_QUERIES
+
+
+def _staged_fresh_query_batch(spark: SparkSession, sf_dir: str) -> str:
+    """The serve REQUEST payload for the fresh-batch rung: (query_id,
+    embedding) rows for a batch the index build never saw (vec_ids
+    [_FRESH_LO, _FRESH_HI) — NOT in the prebuilt ``probes/`` router).
+    Stands in for the vectors a caller hands the serving layer; staged
+    once so the registered query's executed plan reads only this payload
+    plus the index artifact, never the base table."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        write_result(
+            emb.filter(
+                (F.col("vec_id") >= _FRESH_LO) & (F.col("vec_id") < _FRESH_HI)
+            ).select(F.col("vec_id").alias("query_id"), "embedding"),
+            str(out),
+            coalesce_to=1,
+        )
+
+    return staged(
+        spark, "ivfpq_freshq", Path(sf_dir) / "embeddings.parquet", "freshq", build
     )
-    s = (
-        cand.join(F.broadcast(qlut), ["query_id", "sub", "code"])
-        .groupBy("query_id", "vec_id")
+
+
+@register(
+    "ivf_pq_serve_fresh_topk",
+    oracle=_oracle_ivf_pq(f"vec_id >= {_FRESH_LO} AND vec_id < {_FRESH_HI}"),
+)
+def ivf_pq_serve_fresh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 serve rung for a FRESH query batch (VERDICT r6 #2 — the most
+    common real serving call: queries NOT known at index-build time, so
+    nothing about them is prebuilt). The batch payload arrives as a tiny
+    (query_id, embedding) table; ROUTING and the ADC lookup tables are
+    computed AT QUERY TIME from the staged ``centroids/`` codebook —
+    which exists in the index artifact precisely for this — and the rest
+    is the same DPP-pruned inverted-list seek as ``ivf_pq_serve_topk``.
+
+    Query-time work is all batch-sized: the batch's long form (Q×dim
+    rows) joins the broadcast codebook (nlist×dim rows) to produce the
+    probe ranking (round(cos, 8), clabel tie-break — the same
+    drift-stable ordering as the build side), the per-query code dots,
+    and the query norms. The corpus is touched only through the
+    bucket-partitioned codes scan, pruned by
+    ``dynamicpruningexpression`` to the probed inverted lists (zero
+    base-table scans; pinned in tests/test_vectors.py)."""
+    root = _staged_ivfpq_index(spark, sf_dir)
+    batch = spark.read.parquet(_staged_fresh_query_batch(spark, sf_dir))
+    cent = spark.read.parquet(f"{root}/centroids")
+    qlf = V.explode_vectors(batch, ["query_id"], "embedding").withColumn(
+        "sub", F.floor(F.col("pos") / _PQ_DIM)
+    )
+    # route: batch × broadcast centroids → 2 nearest buckets per query
+    qsims = (
+        qlf.join(F.broadcast(cent), "pos")
+        .groupBy("query_id", "clabel")
         .agg(
-            F.sum("qd").alias("num"),
-            F.sum("cn2").alias("cn2sum"),
-            F.max("qnorm").alias("qnorm"),
+            (
+                F.sum(F.col("v") * F.col("cv"))
+                / (
+                    F.sqrt(F.sum(F.col("v") * F.col("v")))
+                    * F.sqrt(F.sum(F.col("cv") * F.col("cv")))
+                )
+            ).alias("cos")
         )
     )
-    scored = s.withColumn(
-        "adc_cosine",
-        F.round(F.col("num") / (F.col("qnorm") * F.sqrt(F.col("cn2sum"))), 4),
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos", 8)), F.asc("clabel")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
+    probes = (
+        qsims.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= 2)
+        .select("query_id", F.col("clabel").alias("probe_label"))
+    )
+    # ADC lookups from the same centroids viewed as the PQ codebook
+    cb = cent.select(
+        F.floor(F.col("pos") / _PQ_DIM).alias("sub"),
+        F.col("clabel").alias("code"),
+        "pos",
+        "cv",
+    )
+    qdot = (
+        qlf.join(F.broadcast(cb), ["sub", "pos"])
+        .groupBy("query_id", "sub", "code")
+        .agg(F.sum(F.col("v") * F.col("cv")).alias("qd"))
+    )
+    cn = cb.groupBy("sub", "code").agg(F.sum(F.col("cv") * F.col("cv")).alias("cn2"))
+    qn = qlf.groupBy("query_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("qnorm")
+    )
+    qlut = qdot.join(cn, ["sub", "code"]).join(qn, "query_id")
+    codes = spark.read.parquet(f"{root}/codes")
+    return _adc_serve_topk(codes, probes, qlut)
+
+
+@register(
+    "ann_serve_recall_at_k",
+    oracle=f"""
+    WITH approx AS (
+      SELECT query_id, vec_id FROM (
+        {_oracle_ivf_pq(f"vec_id >= {_FRESH_LO} AND vec_id < {_FRESH_HI}")}
+      )
+    ), exact_pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             list_cosine_similarity(q.embedding, c.embedding) AS cos
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id >= {_FRESH_LO} AND q.vec_id < {_FRESH_HI}
+       AND q.vec_id != c.vec_id
+    ), exact AS (
+      SELECT query_id, vec_id FROM exact_pairs
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= {_TOP_K}
+    )
+    SELECT e.query_id,
+           CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           ROUND(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) / {_TOP_K}.0, 4)
+             AS recall_at_k
+    FROM exact e LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY e.query_id
+    """,
+)
+def ann_serve_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 quality metric WHERE SERVING HAPPENS (VERDICT r6 #5):
+    recall@10 of the served fresh-batch IVF-PQ top-k
+    (``ivf_pq_serve_fresh_topk`` — query-time routing + DPP codes seek)
+    against the exact brute-force top-10 for the same batch, per query.
+    ``ann_recall_at_k`` instruments the inline IVF rung; this row
+    instruments the production path end-to-end, so a routing or
+    lookup-table regression in the serve code shows up as a recall drop
+    even while the inline rung stays green.
+
+    The brute-force side is the diagnostic's ground-truth anchor (O(Q·N),
+    query side broadcast, candidates never shuffled — same stance as
+    ann_recall_at_k): recall is computed on a sampled batch, never the
+    full corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(
+        (F.col("vec_id") >= _FRESH_LO) & (F.col("vec_id") < _FRESH_HI)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    pairs = F.broadcast(q).join(emb, F.col("query_id") != F.col("vec_id")).select(
+        "query_id", "vec_id", V.cosine(F.col("q_emb"), F.col("embedding")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    exact = (
+        pairs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= _TOP_K)
-        .select("query_id", "vec_id", "adc_cosine")
+        .select("query_id", "vec_id")
+    )
+    served = ivf_pq_serve_fresh_topk(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("_sv")
+    )
+    hit = F.col("_sv").isNotNull()
+    return (
+        exact.join(
+            served,
+            (exact["query_id"] == served["query_id"])
+            & (exact["vec_id"] == served["_sv"]),
+            "left",
+        )
+        .select(exact["query_id"].alias("query_id"), "_sv")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_matched"),
+            F.round(F.sum(F.when(hit, 1).otherwise(0)) / float(_TOP_K), 4).alias(
+                "recall_at_k"
+            ),
+        )
     )
 
 

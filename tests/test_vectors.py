@@ -277,6 +277,72 @@ def test_residual_serve_matches_inline_and_never_scans_base_table(spark, qs):
     assert "dynamicpruning" in plan.lower()
 
 
+def test_ivf_pq_serve_fresh_matches_inline_and_never_scans_base_table(spark, qs):
+    """The fresh-batch serve rung (VERDICT r6 #2): a query batch NOT in
+    the prebuilt router must be routed at query time from the staged
+    centroids only — (a) rows identical to the inline IVF-PQ dataflow
+    run on the same batch, (b) zero base-table scans, (c) DPP on the
+    codes scan."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataengineerchallenge_spark.queries.vectors import (
+        _FRESH_HI,
+        _FRESH_LO,
+        _TOP_K,
+        _pq_parts,
+        _probe_frames,
+    )
+
+    # inline twin on the fresh batch: same parts, base-table dataflow
+    codes, cn, qdot, qn = _pq_parts(spark, SF_DIR, q_lo=_FRESH_LO, q_hi=_FRESH_HI)
+    assign, probes = _probe_frames(spark, SF_DIR, q_lo=_FRESH_LO, q_hi=_FRESH_HI)
+    cand = assign.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("probe_label"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "vec_id")
+    s = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(qdot), ["query_id", "sub", "code"])
+        .join(F.broadcast(cn), ["sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd").alias("num"), F.sum("cn2").alias("cn2sum"))
+    )
+    scored = s.join(F.broadcast(qn), "query_id").withColumn(
+        "adc_cosine",
+        F.round(F.col("num") / (F.col("qnorm") * F.sqrt(F.col("cn2sum"))), 4),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"), F.asc("vec_id"))
+    inline = sorted(
+        tuple(r)
+        for r in scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _TOP_K)
+        .select("query_id", "vec_id", "adc_cosine")
+        .collect()
+    )
+
+    df = qs["ivf_pq_serve_fresh_topk"](spark, SF_DIR)
+    served = sorted(tuple(r) for r in df.collect())
+    assert served == inline and len(served) > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "embeddings" not in plan
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_serve_recall_floor(spark, qs):
+    """Recall instrumented where serving happens (VERDICT r6 #5): the
+    served fresh batch must recover a sane fraction of the exact top-10
+    (2-probe IVF-PQ on this weak-cluster fixture measures ~0.2-0.5;
+    floor guards against a silent routing/lookup regression, e.g. probes
+    landing on the wrong buckets would drive this to ~0)."""
+    rows = qs["ann_serve_recall_at_k"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    mean_recall = sum(r["recall_at_k"] for r in rows) / len(rows)
+    assert mean_recall >= 0.1, f"served recall collapsed: {mean_recall:.3f}"
+
+
 def test_serve_split_parity_on_random_corpora(spark, tmp_path):
     """The build/serve split must hold for ARBITRARY embedding tables,
     not just the driver fixture: random corpora (varying sizes, cluster
