@@ -175,6 +175,127 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_band_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    band_rows: int = 4,
+    salt: int = 42,
+) -> DataFrame:
+    """(id, band, band_hash): banded MinHash signatures from a STATELESS
+    seeded hash family — h_i(x) = xxhash64(x, salt·1000 + i), no fitted
+    model — so signatures computed for an appended batch are bit-identical
+    to what a full recompute would produce for the same rows. That
+    property is what the incremental dedup split rests on: stage the
+    corpus's band table once, then near-dup a new delivery by signing
+    ONLY the new rows and joining against the staged bands (the N2 mirror
+    of the ANN side's frozen-codebook append).
+
+    Plan: explode distinct shingles → ``num_hashes`` codegen'd
+    min-aggregates in ONE hash aggregate (a doc's shingles start
+    co-partitioned, so map-side partials reduce each doc to a single
+    64-long row before the exchange — same shape as simhash_frame's bit
+    votes) → band assembly is a pure projection. All JVM-side.
+
+    Docs with fewer than ``n`` words have no shingles and yield no rows
+    (they cannot shingle-near-dup anything). Defaults: 64 hashes in 16
+    bands of 4 ⇒ P(candidate | J) = 1-(1-J⁴)¹⁶ ≈ 0.64 at J=0.5, 0.99 at
+    J=0.7 — the standard banding trade documented in the LSH literature.
+    """
+    if num_hashes % band_rows != 0:
+        raise ValueError(f"band_rows={band_rows} must divide num_hashes={num_hashes}")
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, n)).alias("_sh")
+    )
+    mins = sh.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64("_sh", F.lit(salt * 1000 + i))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    n_bands = num_hashes // band_rows
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"_h{b * band_rows + r}") for r in range(band_rows)]
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return (
+        mins.select(F.col("_id"), F.explode(bands).alias("_b"))
+        .select(F.col("_id").alias(id_col), F.col("_b.band").alias("band"), F.col("_b.band_hash").alias("band_hash"))
+    )
+
+
+def band_collision_pairs(
+    bands_a: DataFrame, bands_b: DataFrame | None = None, id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from banded-signature
+    collisions: an equi-join on (band, band_hash) — only docs agreeing on
+    some band's full sub-signature ever meet, never all-pairs.
+
+    One-sided use (``bands_b=None``) is the classic self-join. Two-sided
+    use is the INCREMENTAL path: ``bands_a`` = the staged corpus band
+    table (big, scanned in place), ``bands_b`` = the new batch's bands
+    (small — broadcast, so the staged side never shuffles and append cost
+    scales with the batch, not the corpus)."""
+    a = bands_a.select(
+        F.col(id_col).alias("_ida"), "band", "band_hash"
+    )
+    if bands_b is None:
+        b = bands_a.select(F.col(id_col).alias("_idb"), "band", "band_hash")
+        joined = a.join(b, ["band", "band_hash"])
+    else:
+        b = bands_b.select(F.col(id_col).alias("_idb"), "band", "band_hash")
+        joined = a.join(F.broadcast(b), ["band", "band_hash"])
+    return (
+        joined.filter(F.col("_ida") != F.col("_idb"))
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    cand: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification of a candidate pair set: join each
+    pair's two distinct-shingle ARRAYS (semi-join pushdown keeps the doc
+    scan to candidate ids only) and compute |A∩B| / |A∪B| with
+    array_intersect — no explode, no per-shingle shuffle, right when the
+    candidate set is already small (the LSH contract). Returns
+    (id_a, id_b, jaccard) at ``jaccard >= threshold``."""
+    sh = df.select(
+        F.col(id_col).alias("_vid"), word_shingles(text_col, n).alias("_vsh")
+    )
+    a = sh.select(F.col("_vid").alias("id_a"), F.col("_vsh").alias("_sha"))
+    b = sh.select(F.col("_vid").alias("id_b"), F.col("_vsh").alias("_shb"))
+    common = F.size(F.array_intersect("_sha", "_shb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            common / (F.size("_sha") + F.size("_shb") - common),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 def simhash_frame(df: DataFrame, id_col: str, tokens: Column, id_salt: int = 0) -> DataFrame:
     """(id, simhash) frame: 64-bit SimHash of a token-array column.
 

@@ -162,6 +162,78 @@ def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, max_jaccard_dist=0.5)
 
 
+@register("near_dup_banded_minhash")
+def near_dup_banded_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 stateless banded-MinHash near-dup (the operator the incremental
+    split below stages): seeded xxhash64 MinHash family → 16-band
+    collision candidates → EXACT Jaccard verification, so output pairs
+    are true ≥0.5-Jaccard pairs (candidate generation is recall-limited,
+    verification is not). Rows-only per contract (xxhash64 has no DuckDB
+    twin) but fully deterministic — recall vs the exact anchor and
+    incremental parity pinned in tests/test_dedup.py."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bands = D.minhash_band_frame(docs, "doc_id", "text", n=3)
+    cand = D.band_collision_pairs(bands)
+    return D.verify_jaccard(docs, "doc_id", "text", cand, n=3, threshold=0.5)
+
+
+def _staged_minhash_bands(spark: SparkSession, sf_dir: str) -> str:
+    """BUILD-ONCE half of the incremental dedup split (VERDICT r6 #4, the
+    N2 mirror of the ANN side's staged codes): the banded-MinHash
+    signature table of the BASE corpus (first ~80% of doc_ids — the
+    "existing 99%" of the daily-delivery reality) written through the S4
+    sink. Signatures come from a stateless seeded hash family
+    (operators/dedup.py minhash_band_frame), so rows appended later sign
+    identically without refitting anything — no model state to version,
+    only this table."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        docs = spread(load_table(spark, sf_dir, "documents"))
+        split = docs.count() * 4 // 5
+        base = docs.filter(F.col("doc_id") < split)
+        write_result(
+            D.minhash_band_frame(base, "doc_id", "text", n=3), str(out)
+        )
+
+    return staged(
+        spark, "mh_bands", Path(sf_dir) / "documents.parquet", "mh64b4", build
+    )
+
+
+@register("near_dup_incremental_minhash")
+def near_dup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 INCREMENTAL near-dup: dedup an appended ~20% delivery against
+    the corpus WITHOUT recomputing corpus signatures (at 100 TB the daily
+    reality is "dedup the new 1% against the existing 99%"; re-signing
+    the corpus per delivery is the non-starter this split removes).
+
+    Plan: sign ONLY the new batch (its shingle explode + min-aggregate is
+    batch-sized) → candidates = staged-bands ⋈ broadcast(new bands)
+    (the staged table never shuffles) ∪ the new batch's tiny self-join →
+    exact-Jaccard verify touching only candidate docs (semi-join
+    pushdown). Append cost scales with the batch, not the corpus —
+    measured in BENCH_dedup.json.
+
+    Returns every ≥0.5-Jaccard pair INVOLVING a new doc (new-new and
+    new-old); old-old pairs were the previous run's output and are not
+    recomputed. Rows-only per contract (seeded xxhash64);
+    append-equals-full-recompute parity is pinned in tests/test_dedup.py
+    against ``near_dup_banded_minhash`` run on the whole corpus."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    split = docs.count() * 4 // 5
+    new = docs.filter(F.col("doc_id") >= split)
+    new_bands = D.minhash_band_frame(new, "doc_id", "text", n=3)
+    staged_bands = spark.read.parquet(_staged_minhash_bands(spark, sf_dir))
+    cand = D.band_collision_pairs(staged_bands, new_bands).unionByName(
+        D.band_collision_pairs(new_bands)
+    ).distinct()
+    return D.verify_jaccard(docs, "doc_id", "text", cand, n=3, threshold=0.5)
+
+
 @register("simhash_near_dups")
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N2 SimHash variant: 64-bit fingerprint, 16-bit band candidate join,

@@ -239,3 +239,79 @@ def test_edit_distance_join_large_alphabet_cjk(spark):
         if i < j and _lev(a, b) <= 2
     )
     assert got == want and len(got) >= len(bases) * 2
+
+
+def test_banded_minhash_pairs_subset_of_exact_with_recall(spark, qs):
+    """The stateless banded-MinHash operator: every output pair must be a
+    true >=0.5-Jaccard pair (exact verification), and candidate
+    generation must recover a healthy fraction of the exact anchor's
+    pairs (fixture near-dups sit at J 0.5-0.9 where 16x4 banding gives
+    P(candidate) 0.64-0.999)."""
+    exact = {
+        (r["id_a"], r["id_b"]) for r in qs["near_dup_jaccard"](spark, SF_DIR).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in qs["near_dup_banded_minhash"](spark, SF_DIR).collect()
+    }
+    assert banded <= exact  # verification makes false positives impossible
+    assert len(exact) > 0
+    recall = len(banded & exact) / len(exact)
+    assert recall >= 0.6, f"banded MinHash recall {recall:.2f}"
+
+
+def test_incremental_minhash_equals_full_recompute(spark, qs):
+    """Append-equals-full-recompute parity (VERDICT r6 #4, the N2 mirror
+    of ivf_pq_serve_appended_topk): signing ONLY the appended ~20% batch
+    and joining against the staged base-corpus band table must produce
+    EXACTLY the pairs a full-corpus banded run emits for pairs involving
+    a new doc. Exact equality, not recall — the hash family is stateless,
+    so the two paths are bit-identical by construction; this pin fails
+    if staging, banding, or the broadcast join ever diverge."""
+    from dataengineerchallenge_spark.sources.tables import load_table
+
+    split = load_table(spark, SF_DIR, "documents").count() * 4 // 5
+    full = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in qs["near_dup_banded_minhash"](spark, SF_DIR).collect()
+    }
+    full_new = {(a, b, j) for a, b, j in full if a >= split or b >= split}
+    incr = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in qs["near_dup_incremental_minhash"](spark, SF_DIR).collect()
+    }
+    assert incr == full_new
+    assert len(incr) > 0  # the fixture has near-dups in the appended slice
+
+
+def test_incremental_minhash_never_signs_old_docs(spark):
+    """The scale claim in plan terms: the incremental query's executed
+    plan must contain NO shingle explode/min-aggregate over the base
+    corpus — the only MinHash aggregation runs over the new batch (the
+    pushed doc_id filter), and the staged band table is consumed as-is."""
+    from dataengineerchallenge_spark.queries.dedup import (
+        _staged_minhash_bands,
+        near_dup_incremental_minhash,
+    )
+
+    import re
+
+    from dataengineerchallenge_spark.sources.tables import load_table
+
+    split = load_table(spark, SF_DIR, "documents").count() * 4 // 5
+    _staged_minhash_bands(spark, SF_DIR)  # ensure staged before planning
+    df = near_dup_incremental_minhash(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    # the staged band table is consumed as-is
+    assert "spark_graft_mh_bands" in plan
+    # the signing branch's documents scan carries the pushed batch
+    # predicate — the base corpus is never re-signed
+    assert f"GreaterThanOrEqual(doc_id,{split})" in plan
+    # every shuffle-bound MinHash signing aggregate (the partial
+    # HashAggregate producing the _h* signature mins) sits in the plan
+    # exactly once — for the new batch; a second one would mean the
+    # corpus-side signatures were recomputed instead of read from the
+    # staged table
+    assert len(re.findall(r"partial_min\(xxhash64\(_sh#\d+, 42000, 42\)\)", plan)) == 1

@@ -23,9 +23,18 @@ shingles); every 10th document is a MUTATION of the previous one with
 ~10% of words replaced — the boilerplate/near-copy shape dedup exists
 for.
 
+Round 7 adds the INCREMENTAL rung (VERDICT r6 #4): for each corpus size
+the last ``--incr-batch`` docs are treated as a new delivery; the base
+corpus's banded-MinHash signature table is staged once, then
+``incr_s`` measures sign-the-batch + join-against-staged-bands + verify
+(pairs involving the batch), versus ``banded_full_s`` — the full-corpus
+banded recompute. The claim under test: with a FIXED batch size, incr_s
+stays near-flat as the corpus grows while the full recompute grows
+linearly — append cost scales with the batch, not the corpus.
+
 Usage:
     python tools/bench_dedup.py [--sizes 50000,200000,500000] [--iters 2]
-        [--driver-memory 8g] [--out BENCH_dedup.json]
+        [--incr-batch 20000] [--driver-memory 8g] [--out BENCH_dedup.json]
 """
 
 from __future__ import annotations
@@ -95,6 +104,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="50000,200000,500000")
     ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--incr-batch", type=int, default=20_000)
     ap.add_argument("--driver-memory", default="8g")
     ap.add_argument("--out", default="BENCH_dedup.json")
     args = ap.parse_args()
@@ -167,6 +177,64 @@ def main() -> None:
                 )
             out["results"][f"{dist}_{rows}"] = res
             print(f"{dist} N={rows}: {json.dumps(res)}")
+
+    # ---- incremental split: fixed batch, growing corpus (uniform dist) ----
+    import shutil
+    import tempfile
+
+    for rows in sizes:
+        d = os.path.join(root, f"dedup_uniform_{rows}")
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        split = rows - args.incr_batch
+        base = docs.filter(F.col("doc_id") < split)
+        new = docs.filter(F.col("doc_id") >= split)
+
+        stage_dir = tempfile.mkdtemp(prefix="spark_graft_bench_mh_")
+        t = time.time()
+        D.minhash_band_frame(base, "doc_id", "text", n=3).write.mode(
+            "overwrite"
+        ).parquet(stage_dir)
+        base_sign_s = round(time.time() - t, 2)
+        staged_bands = spark.read.parquet(stage_dir)
+
+        def run_incr():
+            nb = D.minhash_band_frame(new, "doc_id", "text", n=3)
+            cand = (
+                D.band_collision_pairs(staged_bands, nb)
+                .unionByName(D.band_collision_pairs(nb))
+                .distinct()
+            )
+            return D.verify_jaccard(docs, "doc_id", "text", cand, n=3, threshold=0.5)
+
+        def run_full():
+            bands = D.minhash_band_frame(docs, "doc_id", "text", n=3)
+            return D.verify_jaccard(
+                docs, "doc_id", "text", D.band_collision_pairs(bands), n=3, threshold=0.5
+            )
+
+        def best_pairs(build):
+            b, res_pairs = float("inf"), None
+            for _ in range(args.iters):
+                t0 = time.time()
+                res_pairs = {(r["id_a"], r["id_b"]) for r in build().collect()}
+                b = min(b, time.time() - t0)
+            return round(b, 2), res_pairs
+
+        incr_s, incr_pairs = best_pairs(run_incr)
+        full_s, full_pairs = best_pairs(run_full)
+        full_new = {(a, b) for a, b in full_pairs if a >= split or b >= split}
+        out["results"][f"incr_uniform_{rows}"] = res = {
+            "corpus": rows,
+            "batch": args.incr_batch,
+            "base_sign_s": base_sign_s,
+            "incr_s": incr_s,
+            "banded_full_s": full_s,
+            "incr_pairs": len(incr_pairs),
+            "parity_with_full": incr_pairs == full_new,
+        }
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        print(f"incr N={rows}: {json.dumps(res)}")
+
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "results"}))
