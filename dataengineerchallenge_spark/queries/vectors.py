@@ -1140,68 +1140,83 @@ def ivf_pq_serve_fresh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_serve_recall_at_k",
     oracle=f"""
     WITH approx AS (
-      SELECT query_id, vec_id FROM (
+      SELECT 'prebuilt' AS batch, query_id, vec_id FROM (
+        {_oracle_ivf_pq(f"vec_id < {_N_QUERIES}")}
+      )
+      UNION ALL
+      SELECT 'fresh' AS batch, query_id, vec_id FROM (
         {_oracle_ivf_pq(f"vec_id >= {_FRESH_LO} AND vec_id < {_FRESH_HI}")}
       )
     ), exact_pairs AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+      SELECT CASE WHEN q.vec_id < {_N_QUERIES} THEN 'prebuilt' ELSE 'fresh' END AS batch,
+             q.vec_id AS query_id, c.vec_id AS vec_id,
              list_cosine_similarity(q.embedding, c.embedding) AS cos
       FROM embeddings q JOIN embeddings c
-        ON q.vec_id >= {_FRESH_LO} AND q.vec_id < {_FRESH_HI}
-       AND q.vec_id != c.vec_id
+        ON q.vec_id < {_FRESH_HI} AND q.vec_id != c.vec_id
     ), exact AS (
-      SELECT query_id, vec_id FROM exact_pairs
+      SELECT batch, query_id, vec_id FROM exact_pairs
       QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= {_TOP_K}
     )
-    SELECT e.query_id,
+    SELECT e.batch, e.query_id,
            CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
            ROUND(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) / {_TOP_K}.0, 4)
              AS recall_at_k
     FROM exact e LEFT JOIN approx a
-      ON a.query_id = e.query_id AND a.vec_id = e.vec_id
-    GROUP BY e.query_id
+      ON a.batch = e.batch AND a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY e.batch, e.query_id
     """,
 )
 def ann_serve_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N3 quality metric WHERE SERVING HAPPENS (VERDICT r6 #5):
-    recall@10 of the served fresh-batch IVF-PQ top-k
-    (``ivf_pq_serve_fresh_topk`` — query-time routing + DPP codes seek)
-    against the exact brute-force top-10 for the same batch, per query.
-    ``ann_recall_at_k`` instruments the inline IVF rung; this row
-    instruments the production path end-to-end, so a routing or
-    lookup-table regression in the serve code shows up as a recall drop
-    even while the inline rung stays green.
+    """N3 quality metric WHERE SERVING HAPPENS (VERDICT r6 #5): recall@10
+    of BOTH served IVF-PQ paths against the exact brute-force top-10 —
+    the prebuilt-router batch (``ivf_pq_serve_topk``) and the
+    fresh-routed batch (``ivf_pq_serve_fresh_topk``), one row per
+    (batch, query). ``ann_recall_at_k`` instruments the inline IVF rung;
+    these rows instrument the production paths end-to-end, so a routing
+    or lookup-table regression in the serve code shows up as a recall
+    drop even while the inline rungs stay green.
 
     The brute-force side is the diagnostic's ground-truth anchor (O(Q·N),
     query side broadcast, candidates never shuffled — same stance as
     ann_recall_at_k): recall is computed on a sampled batch, never the
     full corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(
-        (F.col("vec_id") >= _FRESH_LO) & (F.col("vec_id") < _FRESH_HI)
-    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    q = emb.filter(F.col("vec_id") < _FRESH_HI).select(
+        F.when(F.col("vec_id") < _N_QUERIES, F.lit("prebuilt"))
+        .otherwise(F.lit("fresh"))
+        .alias("batch"),
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
     pairs = F.broadcast(q).join(emb, F.col("query_id") != F.col("vec_id")).select(
-        "query_id", "vec_id", V.cosine(F.col("q_emb"), F.col("embedding")).alias("cos")
+        "batch", "query_id", "vec_id", V.cosine(F.col("q_emb"), F.col("embedding")).alias("cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     exact = (
         pairs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= _TOP_K)
-        .select("query_id", "vec_id")
+        .select("batch", "query_id", "vec_id")
     )
-    served = ivf_pq_serve_fresh_topk(spark, sf_dir).select(
-        "query_id", F.col("vec_id").alias("_sv")
+    served = (
+        ivf_pq_serve_topk(spark, sf_dir)
+        .select(F.lit("prebuilt").alias("_sb"), "query_id", F.col("vec_id").alias("_sv"))
+        .unionByName(
+            ivf_pq_serve_fresh_topk(spark, sf_dir).select(
+                F.lit("fresh").alias("_sb"), "query_id", F.col("vec_id").alias("_sv")
+            )
+        )
     )
     hit = F.col("_sv").isNotNull()
     return (
         exact.join(
             served,
-            (exact["query_id"] == served["query_id"])
+            (exact["batch"] == served["_sb"])
+            & (exact["query_id"] == served["query_id"])
             & (exact["vec_id"] == served["_sv"]),
             "left",
         )
-        .select(exact["query_id"].alias("query_id"), "_sv")
-        .groupBy("query_id")
+        .select("batch", exact["query_id"].alias("query_id"), "_sv")
+        .groupBy("batch", "query_id")
         .agg(
             F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_matched"),
             F.round(F.sum(F.when(hit, 1).otherwise(0)) / float(_TOP_K), 4).alias(
