@@ -1,0 +1,102 @@
+"""Diagnose round-over-round bench drift → BENCH_variance.json
+(VERDICT r6 What's-wrong #1: BENCH_r06's comparable-21 total came out
+1.17× of r5 with unchanged plans, and a one-sample bench cannot say
+whether that was regression or machine noise).
+
+Reads the committed single-sample round artifacts (BENCH_r05.json,
+BENCH_r06.json) plus a FRESH median-of-3 run of bench.py (the r7
+methodology: artifacts pre-staged, three warm suite passes, per-query
+median + spread), and classifies every query common to all three:
+
+- ``noise``      — the fresh median is back at (or below) the r5 level,
+                   or r5 and r6 both sit inside the fresh min..max
+                   window: the r6 sample was session noise, the code is
+                   not slower.
+- ``persistent`` — the fresh median reproduces the r6 elevation beyond
+                   the spread window: something real (code or machine)
+                   changed since r5 and is still present.
+
+Usage:
+    python tools/bench_variance.py [--fresh fresh.json] [--out BENCH_variance.json]
+
+Without --fresh, runs ``bench.py`` as a subprocess at $SPARK_GRAFT_SF_DIR
+(default sf0.1) and uses its JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(name: str) -> dict:
+    with open(os.path.join(REPO, name)) as f:
+        return json.load(f)
+
+
+def classify(r5: float, r6: float, med: float, spread: float) -> str:
+    half = spread / 2.0
+    if med <= r5 * 1.1 or abs(med - r5) <= half:
+        return "noise"
+    if abs(med - r6) <= half:
+        return "persistent"
+    return "persistent" if med > r5 * 1.2 else "noise"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fresh", default=None, help="path to a bench.py JSON output; runs bench.py if omitted")
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_variance.json"))
+    args = ap.parse_args()
+
+    if args.fresh:
+        fresh = json.load(open(args.fresh))
+    else:
+        res = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        fresh = json.loads(res.stdout.strip().splitlines()[-1])
+
+    r5, r6 = _load("BENCH_r05.json"), _load("BENCH_r06.json")
+    spread = fresh.get("spread", {})
+    rows = {}
+    for q, med in fresh["queries"].items():
+        if q not in r5["queries"] or q not in r6["queries"]:
+            continue
+        v5, v6, sp = r5["queries"][q], r6["queries"][q], spread.get(q, 0.0)
+        rows[q] = {
+            "r5_s": v5,
+            "r6_s": v6,
+            "fresh_median_s": med,
+            "fresh_spread_s": sp,
+            "r6_over_r5": round(v6 / v5, 3) if v5 else None,
+            "fresh_over_r5": round(med / v5, 3) if v5 else None,
+            "verdict": classify(v5, v6, med, sp),
+        }
+    common = sorted(rows)
+    out = {
+        "metric": "bench_variance",
+        "sf": fresh.get("sf"),
+        "samples": fresh.get("samples"),
+        "fresh_total_s": round(sum(rows[q]["fresh_median_s"] for q in common), 3),
+        "r5_total_s": round(sum(rows[q]["r5_s"] for q in common), 3),
+        "r6_total_s": round(sum(rows[q]["r6_s"] for q in common), 3),
+        "n_noise": sum(1 for q in common if rows[q]["verdict"] == "noise"),
+        "n_persistent": sum(1 for q in common if rows[q]["verdict"] == "persistent"),
+        "queries": rows,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
+
+
+if __name__ == "__main__":
+    main()
