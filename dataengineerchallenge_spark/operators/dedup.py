@@ -273,20 +273,26 @@ def verify_jaccard(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact-Jaccard verification of a candidate pair set: join each
-    pair's two distinct-shingle ARRAYS (semi-join pushdown keeps the doc
-    scan to candidate ids only) and compute |A∩B| / |A∪B| with
+    pair's two texts, THEN shingle, and compute |A∩B| / |A∪B| with
     array_intersect — no explode, no per-shingle shuffle, right when the
-    candidate set is already small (the LSH contract). Returns
+    candidate set is already small (the LSH contract).
+
+    The shingling projection sits deliberately ABOVE the joins: computed
+    below them it would run for every corpus row even though only
+    candidate rows survive (measured on the incremental bench: the
+    per-corpus shingle pass made verify linear in the corpus instead of
+    linear in the candidates). The joins carry raw text, which only the
+    O(|candidates|) surviving rows ever pay to shingle. Returns
     (id_a, id_b, jaccard) at ``jaccard >= threshold``."""
-    sh = df.select(
-        F.col(id_col).alias("_vid"), word_shingles(text_col, n).alias("_vsh")
-    )
-    a = sh.select(F.col("_vid").alias("id_a"), F.col("_vsh").alias("_sha"))
-    b = sh.select(F.col("_vid").alias("id_b"), F.col("_vsh").alias("_shb"))
+    txt = df.select(F.col(id_col).alias("_vid"), F.col(text_col).alias("_vtxt"))
+    a = txt.select(F.col("_vid").alias("id_a"), F.col("_vtxt").alias("_ta"))
+    b = txt.select(F.col("_vid").alias("id_b"), F.col("_vtxt").alias("_tb"))
+    sha, shb = word_shingles(F.col("_ta"), n), word_shingles(F.col("_tb"), n)
     common = F.size(F.array_intersect("_sha", "_shb"))
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
+        .select("id_a", "id_b", sha.alias("_sha"), shb.alias("_shb"))
         .withColumn(
             "jaccard",
             common / (F.size("_sha") + F.size("_shb") - common),

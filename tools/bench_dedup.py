@@ -105,6 +105,11 @@ def main() -> None:
     ap.add_argument("--sizes", default="50000,200000,500000")
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--incr-batch", type=int, default=20_000)
+    ap.add_argument(
+        "--only-incr",
+        action="store_true",
+        help="re-run only the incremental rung, merging into an existing artifact",
+    )
     ap.add_argument("--driver-memory", default="8g")
     ap.add_argument("--out", default="BENCH_dedup.json")
     args = ap.parse_args()
@@ -130,7 +135,9 @@ def main() -> None:
         "mut_pct": MUT_PCT,
         "results": {},
     }
-    for dist in ("uniform", "zipf"):
+    if args.only_incr and os.path.exists(args.out):
+        out["results"] = json.load(open(args.out)).get("results", {})
+    for dist in ("uniform", "zipf") if not args.only_incr else ():
         for rows in sizes:
             d = os.path.join(root, f"dedup_{dist}_{rows}")
             _gen(spark, d, rows, dist=dist)
