@@ -35,8 +35,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _load(name: str) -> dict:
+    """Driver round artifacts wrap the bench JSON under 'parsed'."""
     with open(os.path.join(REPO, name)) as f:
-        return json.load(f)
+        d = json.load(f)
+    return d["parsed"] if "parsed" in d else d
 
 
 def classify(r5: float, r6: float, med: float, spread: float) -> str:

@@ -285,12 +285,13 @@ under two word distributions:
 
 On UNIFORM large-vocab corpora (shingle keys mostly unique) the exact
 inverted-index join is linear and the fastest path at every size —
-LSH is 4× slower at 500k docs and buys nothing. On ZIPF (natural-
+LSH is {dedup_bench["results"]["uniform_500000"]["lsh_s"] / dedup_bench["results"]["uniform_500000"]["exact_s"]:.1f}× slower at 500k docs and buys nothing. On ZIPF (natural-
 language) corpora hot shingles make the exact join superlinear
-(6 → 24 → 158 s across 50k/200k/500k) and the levers start paying:
-the stop-shingle cap holds it to 62 s (2.6×) at the cost of 6.8% of
+({" → ".join(str(round(dedup_bench["results"][f"zipf_{n}"]["exact_s"])) for n in (50000, 200000, 500000) if f"zipf_{n}" in dedup_bench["results"])} s across 50k/200k/500k) and the levers start paying:
+the stop-shingle cap holds the 500k run to {dedup_bench["results"]["zipf_500000"]["exact_cap200_s"]:.0f} s
+({dedup_bench["results"]["zipf_500000"]["exact_s"] / dedup_bench["results"]["zipf_500000"]["exact_cap200_s"]:.1f}×) at the cost of {100 * (1 - dedup_bench["results"]["zipf_500000"]["exact_cap200_recall_vs_exact"]):.1f}% of
 pairs (those whose entire overlap is hot shingles), and MinHash-LSH
-stays near-linear at 99.9% recall. The operator defaults stay exact
+stays near-linear at {100 * dedup_bench["results"]["zipf_500000"]["lsh_recall_vs_exact"]:.1f}% recall. The operator defaults stay exact
 (the oracle anchor); the cap and LSH are deliberate, now-measured
 escape hatches — same discipline as the skew table below.''' if dedup_bench else "")}
 {"".join(f'''
