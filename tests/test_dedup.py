@@ -315,3 +315,30 @@ def test_incremental_minhash_never_signs_old_docs(spark):
     # corpus-side signatures were recomputed instead of read from the
     # staged table
     assert len(re.findall(r"partial_min\(xxhash64\(_sh#\d+, 42000, 42\)\)", plan)) == 1
+
+
+def test_minhash_band_frame_partition_and_order_invariant(spark):
+    """Distributed-correctness property of the staged band table: the
+    banded signature of a document depends only on its text — never on
+    row order, partitioning, or which delivery batch it arrived in.
+    (This is the invariant that makes staged bands joinable with bands
+    computed later on other machines; if an aggregate or hash ever picks
+    up partition-dependent state, incremental parity silently breaks.)"""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(60)
+    ]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string").repartition(1)
+    df2 = spark.createDataFrame(list(reversed(rows)), "doc_id long, text string").repartition(
+        7, "text"
+    )
+    b1 = sorted(tuple(r) for r in D.minhash_band_frame(df1, "doc_id", "text").collect())
+    b2 = sorted(tuple(r) for r in D.minhash_band_frame(df2, "doc_id", "text").collect())
+    assert b1 == b2 and len(b1) > 0
+    # docs shorter than the shingle width yield no rows, by contract
+    short_ids = {i for i, t in rows if len(t.split()) < 3 or t == ""}
+    assert short_ids.isdisjoint({r[0] for r in b1})
