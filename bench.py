@@ -120,11 +120,18 @@ def main() -> None:
                 continue
             samples[name].append(time.time() - t0)
 
+    # an errored query is reported ONLY under "errors": its surviving
+    # samples are the cold/partial ones the median methodology exists to
+    # exclude, and a query must never appear in both maps
     timings = {
-        n: round(statistics.median(s), 3) for n, s in samples.items() if s
+        n: round(statistics.median(s), 3)
+        for n, s in samples.items()
+        if s and n not in errors
     }
     spread = {
-        n: round(max(s) - min(s), 3) for n, s in samples.items() if len(s) > 1
+        n: round(max(s) - min(s), 3)
+        for n, s in samples.items()
+        if len(s) > 1 and n not in errors
     }
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))

@@ -228,9 +228,13 @@ def near_dup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") >= split)
     new_bands = D.minhash_band_frame(new, "doc_id", "text", n=3)
     staged_bands = spark.read.parquet(_staged_minhash_bands(spark, sf_dir))
+    # no outer distinct: each branch is already distinct and the two are
+    # provably disjoint — the staged⋈new branch always pairs an old id
+    # (< split) with a new one, the self-join branch only new-new — so a
+    # re-shuffle of the candidate set would deduplicate nothing
     cand = D.band_collision_pairs(staged_bands, new_bands).unionByName(
         D.band_collision_pairs(new_bands)
-    ).distinct()
+    )
     return D.verify_jaccard(docs, "doc_id", "text", cand, n=3, threshold=0.5)
 
 

@@ -191,6 +191,7 @@ def main() -> None:
 
     for rows in sizes:
         d = os.path.join(root, f"dedup_uniform_{rows}")
+        _gen(spark, d, rows)  # idempotent; --only-incr skips the loop above
         docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
         split = rows - args.incr_batch
         base = docs.filter(F.col("doc_id") < split)
@@ -206,10 +207,10 @@ def main() -> None:
 
         def run_incr():
             nb = D.minhash_band_frame(new, "doc_id", "text", n=3)
-            cand = (
-                D.band_collision_pairs(staged_bands, nb)
-                .unionByName(D.band_collision_pairs(nb))
-                .distinct()
+            # no outer distinct: both branches are internally distinct and
+            # provably disjoint (old-new vs new-new pairs)
+            cand = D.band_collision_pairs(staged_bands, nb).unionByName(
+                D.band_collision_pairs(nb)
             )
             return D.verify_jaccard(docs, "doc_id", "text", cand, n=3, threshold=0.5)
 

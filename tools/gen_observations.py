@@ -116,6 +116,23 @@ def main() -> None:
     fresh_recalls = [r["recall_at_k"] for r in serve_recall if r["batch"] == "fresh"]
     fresh_mean_recall = sum(fresh_recalls) / len(fresh_recalls)
 
+    # largest uniform/zipf crossover entries present (the artifact's
+    # --sizes is configurable, so fixed-key lookups would crash on a
+    # smaller-sizes run)
+    def _largest(prefix):
+        sizes_present = sorted(
+            int(k.rsplit("_", 1)[1])
+            for k in (dedup_bench or {}).get("results", {})
+            if k.startswith(prefix) and "exact_s" in dedup_bench["results"][k]
+        )
+        if not sizes_present:
+            return None, None
+        n = sizes_present[-1]
+        return n, dedup_bench["results"][f"{prefix}{n}"]
+
+    ded_u_n, ded_u = _largest("uniform_")
+    ded_z_n, ded_z = _largest("zipf_")
+
     pct = run("engagement_percentiles")
     total_time = sum(r["total_s"] for r in pct) or 1
     by_decile: dict[int, int] = {}
@@ -285,15 +302,15 @@ under two word distributions:
 
 On UNIFORM large-vocab corpora (shingle keys mostly unique) the exact
 inverted-index join is linear and the fastest path at every size —
-LSH is {dedup_bench["results"]["uniform_500000"]["lsh_s"] / dedup_bench["results"]["uniform_500000"]["exact_s"]:.1f}× slower at 500k docs and buys nothing. On ZIPF (natural-
+LSH is {ded_u["lsh_s"] / ded_u["exact_s"]:.1f}× slower at {ded_u_n // 1000}k docs and buys nothing. On ZIPF (natural-
 language) corpora hot shingles make the exact join superlinear
-({" → ".join(str(round(dedup_bench["results"][f"zipf_{n}"]["exact_s"])) for n in (50000, 200000, 500000) if f"zipf_{n}" in dedup_bench["results"])} s across 50k/200k/500k) and the levers start paying:
-the stop-shingle cap holds the 500k run to {dedup_bench["results"]["zipf_500000"]["exact_cap200_s"]:.0f} s
-({dedup_bench["results"]["zipf_500000"]["exact_s"] / dedup_bench["results"]["zipf_500000"]["exact_cap200_s"]:.1f}×) at the cost of {100 * (1 - dedup_bench["results"]["zipf_500000"]["exact_cap200_recall_vs_exact"]):.1f}% of
+({" → ".join(str(round(v["exact_s"])) for k, v in sorted(dedup_bench["results"].items(), key=lambda kv: (kv[0].rsplit("_", 1)[0], int(kv[0].rsplit("_", 1)[1]))) if k.startswith("zipf_") and "exact_s" in v)} s across the sizes) and the levers start paying:
+the stop-shingle cap holds the {ded_z_n // 1000}k run to {ded_z["exact_cap200_s"]:.0f} s
+({ded_z["exact_s"] / ded_z["exact_cap200_s"]:.1f}×) at the cost of {100 * (1 - ded_z["exact_cap200_recall_vs_exact"]):.1f}% of
 pairs (those whose entire overlap is hot shingles), and MinHash-LSH
-stays near-linear at {100 * dedup_bench["results"]["zipf_500000"]["lsh_recall_vs_exact"]:.1f}% recall. The operator defaults stay exact
+stays near-linear at {100 * ded_z["lsh_recall_vs_exact"]:.1f}% recall. The operator defaults stay exact
 (the oracle anchor); the cap and LSH are deliberate, now-measured
-escape hatches — same discipline as the skew table below.''' if dedup_bench else "")}
+escape hatches — same discipline as the skew table below.''' if dedup_bench and ded_u and ded_z else "")}
 {"".join(f'''
 And dedup gets the same build-once/serve-many split the ANN index has
 (`near_dup_incremental_minhash`): the corpus's banded-MinHash signature
