@@ -100,3 +100,25 @@ def test_index_staging_works_under_custom_root(spark, custom_root):
     assert Path(root).parent == custom_root
     rows = sink_partitioned_roundtrip(spark, SF_DIR).collect()
     assert len(rows) > 0
+
+
+def test_ann_serve_split_works_under_custom_root(spark, custom_root):
+    """The 100 TB scenario the conf root exists for: the WHOLE IVF-PQ
+    build/serve split — index build, router, fresh-batch payload —
+    staged under a non-default root, with the serve rungs returning the
+    inline rung's rows and the plan still free of base-table scans."""
+    from dataengineerchallenge_spark.queries.vectors import (
+        _staged_fresh_query_batch,
+        _staged_ivfpq_index,
+        ivf_pq_adc_topk,
+        ivf_pq_serve_topk,
+    )
+
+    assert Path(_staged_ivfpq_index(spark, SF_DIR)).parent == custom_root
+    assert Path(_staged_fresh_query_batch(spark, SF_DIR)).parent == custom_root
+    inline = sorted(tuple(r) for r in ivf_pq_adc_topk(spark, SF_DIR).collect())
+    df = ivf_pq_serve_topk(spark, SF_DIR)
+    served = sorted(tuple(r) for r in df.collect())
+    assert served == inline and len(served) > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "embeddings" not in plan.split("== Initial Plan ==")[0]

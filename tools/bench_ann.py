@@ -9,6 +9,10 @@ IVF-PQ build/serve split (queries/vectors.py) is about:
   write bucket-partitioned inverted lists + lookup tables);
 - **serve_s**: per-lookup-batch cost of `ivf_pq_serve_topk` over the
   prebuilt index (best of ``iters``);
+- **serve_fresh_s**: per-batch cost of `ivf_pq_serve_fresh_topk` — a
+  batch the build never saw, routed at query time from the staged
+  centroids (the common real serving call; payload staged before
+  timing, so the number is routing + ADC lookups + DPP seek);
 - **inline_s**: what every lookup batch costs WITHOUT the split
   (`ivf_pq_adc_topk` rebuilds the index inside the query plan).
 
@@ -80,8 +84,10 @@ def main() -> None:
         "PYSPARK_SUBMIT_ARGS", f"--driver-memory {args.driver_memory} pyspark-shell"
     )
     from dataengineerchallenge_spark.queries.vectors import (
+        _staged_fresh_query_batch,
         _staged_ivfpq_index,
         ivf_pq_adc_topk,
+        ivf_pq_serve_fresh_topk,
         ivf_pq_serve_topk,
     )
     from dataengineerchallenge_spark.session import get_spark
@@ -109,8 +115,10 @@ def main() -> None:
             return round(b, 3), n
 
         serve_s, n_serve = best(ivf_pq_serve_topk)
+        _staged_fresh_query_batch(spark, d)  # request payload, pre-staged
+        serve_fresh_s, n_fresh = best(ivf_pq_serve_fresh_topk)
         inline_s, n_inline = best(ivf_pq_adc_topk)
-        assert n_serve == n_inline > 0
+        assert n_serve == n_inline > 0 and n_fresh > 0
         idx_bytes = sum(
             os.path.getsize(os.path.join(dp, f))
             for dp, _, fs in os.walk(idx)
@@ -119,13 +127,15 @@ def main() -> None:
         out["results"][str(rows)] = {
             "build_s": build_s,
             "serve_s": serve_s,
+            "serve_fresh_s": serve_fresh_s,
             "inline_s": inline_s,
             "serve_speedup": round(inline_s / serve_s, 1),
             "index_bytes": idx_bytes,
             "result_rows": n_serve,
         }
         print(
-            f"N={rows}: build {build_s}s once; serve {serve_s}s vs inline "
+            f"N={rows}: build {build_s}s once; serve {serve_s}s "
+            f"(fresh batch {serve_fresh_s}s) vs inline "
             f"{inline_s}s ({out['results'][str(rows)]['serve_speedup']}x); "
             f"index {idx_bytes/1e6:.1f} MB"
         )

@@ -273,7 +273,7 @@ residual coding claws back reconstruction error at identical code cost
 And the split is what survives scale (`BENCH_ann.json`, synthetic
 clustered corpora):
 
-{md_table([(f"{int(n):,}", v["build_s"], v["serve_s"], v["inline_s"], f"{v['serve_speedup']}x", round(v["index_bytes"] / 1e6, 1)) for n, v in ann_bench["results"].items()], ["vectors", "build once (s)", "serve/batch (s)", "inline/batch (s)", "speedup", "index MB"])}
+{md_table([(f"{int(n):,}", v["build_s"], v["serve_s"], v.get("serve_fresh_s", "—"), v["inline_s"], f"{v['serve_speedup']}x", round(v["index_bytes"] / 1e6, 1)) for n, v in ann_bench["results"].items()], ["vectors", "build once (s)", "serve/batch (s)", "fresh batch (s)", "inline/batch (s)", "speedup", "index MB"])}
 
 Serve cost is FLAT across a 10x corpus growth — the lookup batch pays
 a DPP-pruned inverted-list seek plus KB-sized broadcast joins — while
