@@ -422,6 +422,78 @@ def near_dup_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "near_dup_dedup_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_CLUSTER_CTES}
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    WHERE COALESCE(c.cluster_id, d.doc_id) = d.doc_id
+    """,
+)
+def near_dup_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 end state — the deduped corpus itself: keep exactly ONE
+    survivor per near-dup cluster (the min doc_id, i.e. the doc whose id
+    IS its cluster id) plus every singleton, drop the rest. This is the
+    frame a training pipeline actually consumes downstream of the
+    pair/cluster diagnostics (pairs → components → survivors), and the
+    rollup twin of exact_dedup's keep-first semantics at near-dup
+    granularity. Text column omitted from the output (the driver's
+    hasher compares scalar cells; identity + metadata define the
+    survivor set)."""
+    docs, comp = _near_dup_components(spark, sf_dir)
+    return (
+        docs.join(comp, docs.doc_id == comp.node, "left")
+        .filter(F.coalesce("comp", "doc_id") == F.col("doc_id"))
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@register(
+    "leakage_safe_train_test_split",
+    oracle=f"""
+    WITH RECURSIVE {_CLUSTER_CTES},
+    assigned AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN cluster_id % 10 < 8 THEN 'train' ELSE 'test' END
+             AS split
+    FROM assigned
+    """,
+)
+def leakage_safe_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2+ LEAKAGE-SAFE train/test split: assign every document to train
+    or test BY NEAR-DUP CLUSTER, never individually — two near-copies
+    must land on the same side, or the held-out set leaks into training
+    and eval numbers inflate (the same failure decontamination guards
+    against, applied to the split itself). Docs in no near-dup pair are
+    their own singleton cluster and split independently.
+
+    Bucketing must be engine-independent to stay hash-checkable (Spark's
+    and DuckDB's hash functions differ), so both engines bucket on
+    ``cluster_id % 10`` (< 8 → train, ~80/20): cluster ids are min
+    doc-ids — arbitrary with respect to content and uniformly spread
+    over the id space. Swapping in a seeded deterministic hash of the
+    id changes nothing structural.
+
+    100 TB shape: the expensive part is the near-dup component build
+    (shared, staged in practice); the split itself is a projection —
+    no extra shuffle beyond the cluster join."""
+    docs, comp = _near_dup_components(spark, sf_dir)
+    assigned = docs.join(comp, docs.doc_id == comp.node, "left").select(
+        "doc_id", F.coalesce("comp", "doc_id").alias("cluster_id")
+    )
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.when(F.pmod(F.col("cluster_id"), F.lit(10)) < 8, F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@register(
     "decontaminate_train_corpus",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

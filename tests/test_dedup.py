@@ -342,3 +342,33 @@ def test_minhash_band_frame_partition_and_order_invariant(spark):
     # docs shorter than the shingle width yield no rows, by contract
     short_ids = {i for i, t in rows if len(t.split()) < 3 or t == ""}
     assert short_ids.isdisjoint({r[0] for r in b1})
+
+
+def test_leakage_safe_split_never_straddles_pairs(spark, qs):
+    """The split's defining invariant: every exact >=0.5-Jaccard pair
+    lands on ONE side (no train/test leakage through near-copies), the
+    assignment covers every doc exactly once, and both sides are
+    non-empty at roughly the 80/20 intent."""
+    split = {r["doc_id"]: r["split"] for r in qs["leakage_safe_train_test_split"](spark, SF_DIR).collect()}
+    pairs = [(r["id_a"], r["id_b"]) for r in qs["near_dup_jaccard"](spark, SF_DIR).collect()]
+    assert pairs, "fixture lost its planted near-dups"
+    for a, b in pairs:
+        assert split[a] == split[b], f"pair ({a},{b}) straddles the split"
+    n = len(split)
+    n_train = sum(1 for s in split.values() if s == "train")
+    assert n == 500  # every doc assigned exactly once (dict keyed by id)
+    assert 0.6 * n < n_train < 0.95 * n  # ~80/20, cluster-granular
+
+
+def test_dedup_corpus_is_cluster_survivors(spark, qs):
+    """The deduped corpus must be exactly: one survivor (min doc_id) per
+    multi-doc cluster + every singleton; and no surviving pair of docs
+    may still be >=0.5-Jaccard near-dups of each other."""
+    kept = {r["doc_id"] for r in qs["near_dup_dedup_corpus"](spark, SF_DIR).collect()}
+    clusters = {
+        r["doc_id"]: r["cluster_id"] for r in qs["near_dup_clusters"](spark, SF_DIR).collect()
+    }
+    expect = {d for d, c in clusters.items() if d == c}
+    assert kept == expect
+    pairs = [(r["id_a"], r["id_b"]) for r in qs["near_dup_jaccard"](spark, SF_DIR).collect()]
+    assert pairs and all(not (a in kept and b in kept) for a, b in pairs)
