@@ -289,14 +289,16 @@ def verify_jaccard(
     b = txt.select(F.col("_vid").alias("id_b"), F.col("_vtxt").alias("_tb"))
     sha, shb = word_shingles(F.col("_ta"), n), word_shingles(F.col("_tb"), n)
     common = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size("_sha") + F.size("_shb") - common
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .select("id_a", "id_b", sha.alias("_sha"), shb.alias("_shb"))
-        .withColumn(
-            "jaccard",
-            common / (F.size("_sha") + F.size("_shb") - common),
-        )
+        # two shingle-less docs have an empty union: Jaccard undefined,
+        # never a near-dup pair (band collisions can't produce them —
+        # no signature — but an arbitrary caller-supplied pair can)
+        .filter(union > 0)
+        .withColumn("jaccard", common / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )

@@ -372,3 +372,35 @@ def test_dedup_corpus_is_cluster_survivors(spark, qs):
     assert kept == expect
     pairs = [(r["id_a"], r["id_b"]) for r in qs["near_dup_jaccard"](spark, SF_DIR).collect()]
     assert pairs and all(not (a in kept and b in kept) for a, b in pairs)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from("ab "), min_size=0, max_size=30),
+        min_size=2,
+        max_size=15,
+    )
+)
+def test_verify_jaccard_equals_inverted_index_join(spark, texts):
+    """The array-intersect verification path (used by every banded-
+    MinHash query) must compute EXACTLY the same Jaccard as the
+    inverted-index exact join when handed the all-pairs candidate set —
+    including empty strings, docs below the shingle width, and repeated
+    shingles (both paths must use DISTINCT shingle sets)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    n = len(texts)
+    cand = spark.createDataFrame(
+        [(i, j) for i in range(n) for j in range(i + 1, n)], "id_a long, id_b long"
+    )
+    via_verify = sorted(
+        tuple(r)
+        for r in D.verify_jaccard(df, "doc_id", "text", cand, n=3, threshold=0.5).collect()
+    )
+    via_join = sorted(
+        tuple(r)
+        for r in D.shingle_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    )
+    assert via_verify == via_join
