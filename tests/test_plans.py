@@ -135,3 +135,41 @@ def test_bench_headline_names_all_registered(spark, qs):
 
     missing = [n for n in bench.HEADLINE if n not in qs]
     assert not missing, missing
+
+
+def test_serve_rungs_hold_two_shuffle_budget(spark, qs):
+    """Shuffle-budget regression guard for the serving split: the two
+    prebuilt-router serve rungs must keep their audited 2-exchange plan
+    (scoring aggregate + top-k window) — a third exchange means the
+    broadcast probe/lookup joins degraded to shuffle joins and the
+    inverted-list seek story is gone. (The staged artifacts must exist
+    first; building them here keeps the pin self-contained.)"""
+    from dataengineerchallenge_spark.queries.vectors import (
+        _staged_ivfpq_index,
+        _staged_ivfpq_residual_index,
+    )
+
+    _staged_ivfpq_index(spark, SF_DIR)
+    _staged_ivfpq_residual_index(spark, SF_DIR)
+    for name in ("ivf_pq_serve_topk", "ivf_pq_residual_serve_topk"):
+        plan = explain_str(qs[name](spark, SF_DIR), "simple")
+        n = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert n <= 2, f"{name} grew to {n} shuffle exchanges:\n{plan}"
+
+
+def test_incremental_minhash_candidate_joins_broadcast_new_side(spark, qs):
+    """The incremental dedup scale claim in plan terms: the staged band
+    table must meet the new batch's bands through broadcast joins (the
+    batch side broadcasts; the staged side never shuffles) — a
+    SortMergeJoin on (band, band_hash) would mean the corpus-sized band
+    store is being re-shuffled per delivery."""
+    from dataengineerchallenge_spark.queries.dedup import _staged_minhash_bands
+
+    _staged_minhash_bands(spark, SF_DIR)
+    plan = explain_str(qs["near_dup_incremental_minhash"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # every (band, band_hash) candidate join is a broadcast hash join
+    import re
+
+    smj_on_bands = re.search(r"SortMergeJoin.*band_hash", plan)
+    assert smj_on_bands is None, plan
