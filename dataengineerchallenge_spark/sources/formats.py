@@ -16,13 +16,12 @@ formats (both columnar, both pushdown-capable in Spark).
 
 from __future__ import annotations
 
-import hashlib
-import tempfile
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
 from dataengineerchallenge_spark.sources.tables import load_table
+from dataengineerchallenge_spark.staging import staged
 
 # events with ts pre-floored to epoch seconds: JSON/CSV have no native
 # timestamp type, so the interchange schema carries the integer form the
@@ -31,10 +30,7 @@ _EVENTS_DDL = "event_id string, ts_s long, user_id string, event_type string, va
 
 
 def _staged(spark: SparkSession, sf_dir: str, fmt: str) -> str:
-    src = Path(sf_dir) / "events.parquet"
-    tag = hashlib.sha256(f"{src.resolve()}:{src.stat().st_mtime_ns}:{fmt}".encode()).hexdigest()[:16]
-    d = Path(tempfile.gettempdir()) / f"spark_graft_fmt_{fmt}_{tag}"
-    if not (d / "_SUCCESS").exists():
+    def build(out: Path) -> None:
         from pyspark.sql import functions as F
 
         ev = load_table(spark, sf_dir, "events").select(
@@ -44,20 +40,12 @@ def _staged(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             "event_type",
             "value",
         )
-        # Write to a process-unique scratch dir, then atomically rename into
-        # the content-addressed slot: two concurrent drivers can both miss
-        # _SUCCESS, and a reader must never observe a half-written staging
-        # (same publish protocol as streaming/source.py's per-file rename).
-        tmp = Path(tempfile.mkdtemp(prefix=f"spark_graft_fmt_{fmt}_")) / "out"
         w = ev.write.mode("overwrite")
         if fmt == "csv":
             w = w.option("header", "true")
-        w.format(fmt).save(str(tmp))
-        try:
-            tmp.rename(d)
-        except OSError:
-            pass  # a concurrent driver published the identical content first
-    return str(d)
+        w.format(fmt).save(str(out))
+
+    return staged(spark, f"fmt_{fmt}", Path(sf_dir) / "events.parquet", fmt, build)
 
 
 def events_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,21 +93,19 @@ def events_json_with_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     the JSON route (the ELB route pins the same stance in
     sources/elb.py)."""
     src = Path(_staged(spark, sf_dir, "json"))
-    d = src.parent / (src.name + "_corrupt")
-    if not (d / "_SUCCESS").exists():
-        tmp = Path(tempfile.mkdtemp(prefix="spark_graft_fmt_jsoncorrupt_")) / "out"
-        tmp.mkdir(parents=True)
+
+    def build(out: Path) -> None:
+        out.mkdir(parents=True)
         for f in src.glob("part-*.json"):
-            (tmp / f.name).write_bytes(f.read_bytes())
-        (tmp / "part-zz-corrupt.json").write_text("\n".join(CORRUPT_JSON_LINES) + "\n")
-        (tmp / "_SUCCESS").touch()
-        try:
-            tmp.rename(d)
-        except OSError:
-            pass  # concurrent driver published identical content first
+            (out / f.name).write_bytes(f.read_bytes())
+        (out / "part-zz-corrupt.json").write_text("\n".join(CORRUPT_JSON_LINES) + "\n")
+
+    d = staged(
+        spark, "fmt_jsoncorrupt", Path(sf_dir) / "events.parquet", "jsoncorrupt", build
+    )
     return (
         spark.read.schema(_EVENTS_DDL + ", _corrupt string")
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt")
-        .json(str(d))
+        .json(d)
     )

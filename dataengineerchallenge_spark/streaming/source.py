@@ -9,9 +9,7 @@ one-line ``format("kafka")`` change downstream of this module.
 
 from __future__ import annotations
 
-import hashlib
 import shutil
-import tempfile
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -19,13 +17,18 @@ from pyspark.sql import DataFrame, SparkSession
 from dataengineerchallenge_spark.sources.tables import _ensure_confs, _normalize_ts
 
 
-def _staged_dir(src: str) -> str:
+def _staged_dir(spark: SparkSession, src: str) -> str:
     """The file streaming source tails a DIRECTORY (like an S3 prefix of
     ELB log drops); the fixture is a single parquet file, so stage a copy
-    into a scratch dir once per (file, mtime) and reuse it."""
+    into a content-addressed dir under the shared staging root
+    (staging.py) once per (file, mtime) and reuse it. Per-file atomic
+    rename instead of the _SUCCESS slot protocol: a stream source must
+    never observe a partial file, and the dir itself may legitimately
+    grow (that is what a stream tail is)."""
+    from dataengineerchallenge_spark.staging import SLOT_PREFIX, content_tag, staging_root
+
     p = Path(src)
-    tag = hashlib.sha256(f"{p.resolve()}:{p.stat().st_mtime_ns}".encode()).hexdigest()[:16]
-    d = Path(tempfile.gettempdir()) / f"spark_graft_stream_{tag}"
+    d = staging_root(spark) / f"{SLOT_PREFIX}stream_{content_tag(p, 'stream')}"
     target = d / p.name
     if not target.exists():
         d.mkdir(parents=True, exist_ok=True)
@@ -48,5 +51,7 @@ def stream_events(spark: SparkSession, sf_dir: str, path: str | None = None) -> 
     _ensure_confs(spark)
     src = path or f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(src).schema
-    df = spark.readStream.schema(schema).parquet(_staged_dir(src) if Path(src).is_file() else src)
+    df = spark.readStream.schema(schema).parquet(
+        _staged_dir(spark, src) if Path(src).is_file() else src
+    )
     return _normalize_ts(df)
