@@ -479,11 +479,10 @@ def leakage_safe_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame
 
     100 TB shape: the expensive part is the near-dup component build
     (shared, staged in practice); the split itself is a projection —
-    no extra shuffle beyond the cluster join."""
-    docs, comp = _near_dup_components(spark, sf_dir)
-    assigned = docs.join(comp, docs.doc_id == comp.node, "left").select(
-        "doc_id", F.coalesce("comp", "doc_id").alias("cluster_id")
-    )
+    no extra shuffle beyond the cluster join. Built ON
+    ``near_dup_clusters`` (not a copy of its dataflow), so the split can
+    never diverge from the cluster diagnostics it must agree with."""
+    assigned = near_dup_clusters(spark, sf_dir)
     return assigned.select(
         "doc_id",
         "cluster_id",

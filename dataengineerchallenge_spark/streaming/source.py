@@ -25,6 +25,8 @@ def _staged_dir(spark: SparkSession, src: str) -> str:
     rename instead of the _SUCCESS slot protocol: a stream source must
     never observe a partial file, and the dir itself may legitimately
     grow (that is what a stream tail is)."""
+    import os
+
     from dataengineerchallenge_spark.staging import SLOT_PREFIX, content_tag, staging_root
 
     p = Path(src)
@@ -32,7 +34,10 @@ def _staged_dir(spark: SparkSession, src: str) -> str:
     target = d / p.name
     if not target.exists():
         d.mkdir(parents=True, exist_ok=True)
-        tmp = d / (p.name + ".tmp")
+        # process-unique AND dot-hidden scratch name: concurrent drivers
+        # must not truncate each other's in-flight copy, and Spark's file
+        # source ignores dotfiles so a half-written copy is never listed
+        tmp = d / f".{p.name}.{os.getpid()}.tmp"
         shutil.copyfile(p, tmp)
         tmp.rename(target)  # atomic: the source never sees a partial file
     return str(d)

@@ -149,11 +149,15 @@ def test_serve_rungs_hold_two_shuffle_budget(spark, qs):
         _staged_ivfpq_residual_index,
     )
 
+    import re
+
     _staged_ivfpq_index(spark, SF_DIR)
     _staged_ivfpq_residual_index(spark, SF_DIR)
     for name in ("ivf_pq_serve_topk", "ivf_pq_residual_serve_topk"):
         plan = explain_str(qs[name](spark, SF_DIR), "simple")
-        n = plan.count("Exchange") - plan.count("BroadcastExchange")
+        # count shuffle-exchange NODES only (not BroadcastExchange, and
+        # not the "Exchange" substring inside ReusedExchange)
+        n = len(re.findall(r"\bExchange (hash|range|Single)", plan))
         assert n <= 2, f"{name} grew to {n} shuffle exchanges:\n{plan}"
 
 
