@@ -122,3 +122,34 @@ def test_ann_serve_split_works_under_custom_root(spark, custom_root):
     assert served == inline and len(served) > 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "embeddings" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_concurrent_staged_calls_one_winner_no_leftovers(spark, custom_root):
+    """Two racers staging the same slot concurrently: both return the
+    same published path, the slot holds exactly one copy, and no scratch
+    dirs survive (the loser cleans up its duplicate)."""
+    import threading
+
+    src = Path(SF_DIR) / "events.parquet"
+    barrier = threading.Barrier(2)
+    results: list[str] = []
+    builds: list[int] = []
+
+    def build(out: Path) -> None:
+        builds.append(1)
+        out.mkdir(parents=True)
+        (out / "payload.bin").write_bytes(b"y" * 2048)
+        barrier.wait(timeout=30)  # maximize overlap: both finish building
+        # before either attempts the publish rename
+
+    def racer():
+        results.append(staged(spark, "t_conc", src, "conc", build))
+
+    t1, t2 = threading.Thread(target=racer), threading.Thread(target=racer)
+    t1.start(); t2.start(); t1.join(30); t2.join(30)
+    assert len(results) == 2 and results[0] == results[1]
+    assert len(builds) == 2  # both raced past the _SUCCESS check
+    d = Path(results[0])
+    assert (d / "_SUCCESS").exists() and (d / "payload.bin").exists()
+    leftovers = [p for p in custom_root.iterdir() if "scratch" in p.name]
+    assert leftovers == []
