@@ -52,18 +52,25 @@ HEADLINE = [
     "multimodal_synth_codec_audit",  # N5 codec encode/decode (round 4)
     "ivf_pq_adc_topk",               # N3 composed IVF-PQ serving shape (round 5)
     "ivf_pq_serve_topk",             # N3 serve-only path over the prebuilt index (round 6)
+    "ivf_pq_serve_fresh_topk",       # N3 fresh-batch serve, routed at query time (round 7)
+    "near_dup_incremental_minhash",  # N2 incremental dedup vs staged band store (round 7)
 ]
 
 
 def _prestage(spark, sf_dir: str) -> None:
     """Build every content-addressed artifact a headline query reads, so
     the timed loop measures SERVING, never an interleaved index build."""
-    from dataengineerchallenge_spark.queries.vectors import _staged_ivfpq_index
+    from dataengineerchallenge_spark.queries.dedup import _staged_minhash_bands
+    from dataengineerchallenge_spark.queries.vectors import (
+        _staged_fresh_query_batch,
+        _staged_ivfpq_index,
+    )
 
-    try:
-        _staged_ivfpq_index(spark, sf_dir)
-    except Exception:  # noqa: BLE001 — the timed loop will record it
-        pass
+    for stage in (_staged_ivfpq_index, _staged_fresh_query_batch, _staged_minhash_bands):
+        try:
+            stage(spark, sf_dir)
+        except Exception:  # noqa: BLE001 — the timed loop will record it
+            pass
 
 
 def main() -> None:
