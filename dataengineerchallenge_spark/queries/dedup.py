@@ -204,6 +204,36 @@ def _staged_minhash_bands(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def _staged_minhash_bands_appended(spark: SparkSession, sf_dir: str) -> str:
+    """STORE MAINTENANCE half of the incremental dedup lifecycle: after a
+    delivery is deduped, its signatures are COMMITTED into the band store
+    (mode-append into the staged layout) so the next delivery joins
+    against base+batch — sign → dedup → commit, the same
+    append-equals-rebuild discipline as `_staged_ivfpq_appended_index`.
+    The appended store must equal a full-corpus signing exactly (the hash
+    family is stateless), pinned in tests/test_dedup.py."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.staging import staged
+
+    base = _staged_minhash_bands(spark, sf_dir)
+
+    def build(out: Path) -> None:
+        # 1. the store as it stood: the staged base-corpus bands
+        spark.read.parquet(base).write.parquet(str(out))
+        # 2. commit the new delivery's bands — signed from the batch only
+        docs = spread(load_table(spark, sf_dir, "documents"))
+        split = docs.count() * 4 // 5
+        new = docs.filter(F.col("doc_id") >= split)
+        D.minhash_band_frame(new, "doc_id", "text", n=3).write.mode("append").parquet(
+            str(out)
+        )
+
+    return staged(
+        spark, "mh_bands_app", Path(sf_dir) / "documents.parquet", "mh64b4app", build
+    )
+
+
 @register("near_dup_incremental_minhash")
 def near_dup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N2 INCREMENTAL near-dup: dedup an appended ~20% delivery against

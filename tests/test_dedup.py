@@ -404,3 +404,29 @@ def test_verify_jaccard_equals_inverted_index_join(spark, texts):
         for r in D.shingle_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
     )
     assert via_verify == via_join
+
+
+def test_minhash_band_store_append_equals_full_signing(spark):
+    """Store-maintenance parity (the N2 mirror of ivf_pq append-equals-
+    rebuild): committing the new delivery's bands into the staged store
+    must produce EXACTLY the band table a full-corpus signing would —
+    so the next delivery can join against the appended store with no
+    recall loss and no re-signing of history."""
+    from dataengineerchallenge_spark.queries.dedup import (
+        _staged_minhash_bands_appended,
+    )
+    from dataengineerchallenge_spark.sources.tables import load_table, spread
+
+    appended = {
+        tuple(r)
+        for r in spark.read.parquet(
+            _staged_minhash_bands_appended(spark, SF_DIR)
+        ).collect()
+    }
+    full = {
+        tuple(r)
+        for r in D.minhash_band_frame(
+            spread(load_table(spark, SF_DIR, "documents")), "doc_id", "text", n=3
+        ).collect()
+    }
+    assert appended == full and len(appended) > 0
