@@ -261,9 +261,13 @@ def dpp_promo_day_load(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stage_bucketed_order_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """orders/lineitem written as 8-bucket tables clustered+sorted on the
     orderkey (S4+ data layout). Bucket metadata lives in the session
-    catalog, so staging is per-session: write once into a scratch path,
-    reuse via ``spark.catalog.tableExists`` on repeat calls. Returns the
-    two table names."""
+    catalog, so staging is deliberately per-session (NOT the shared
+    content-addressed protocol of staging.py — a shared path would fight
+    saveAsTable's catalog-scoped overwrite semantics across sessions):
+    write once into a scratch path, reuse via
+    ``spark.catalog.tableExists`` on repeat calls. On a real deployment
+    the same write targets the metastore warehouse, which is the shared
+    location. Returns the two table names."""
     import tempfile
 
     from dataengineerchallenge_spark.sources.tables import load_table
