@@ -140,6 +140,16 @@ def main() -> None:
         for n, s in samples.items()
         if len(s) > 1 and n not in errors
     }
+    # actual per-query sample window, so drift tools can test "does a
+    # prior round's number sit inside what this machine produces today"
+    # against the real min..max rather than a symmetric half-spread
+    # reconstruction (ADVICE r7 on tools/bench_variance.py)
+    qmin = {
+        n: round(min(s), 3) for n, s in samples.items() if s and n not in errors
+    }
+    qmax = {
+        n: round(max(s), 3) for n, s in samples.items() if s and n not in errors
+    }
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -152,6 +162,8 @@ def main() -> None:
         "sf": sf,
         "samples": N_SAMPLES,
         "spread": spread,
+        "qmin": qmin,
+        "qmax": qmax,
     }
     if errors:
         result["errors"] = errors

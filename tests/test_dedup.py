@@ -430,3 +430,130 @@ def test_minhash_band_store_append_equals_full_signing(spark):
         ).collect()
     }
     assert appended == full and len(appended) > 0
+
+
+def test_band_collision_auto_mode_flips_by_batch_size(spark):
+    """The broadcast-vs-shuffle decision (VERDICT r7 #2) is made from the
+    batch size estimate, never a fixed hint: under the budget the batch
+    side carries the broadcast hint (BroadcastHashJoin even with
+    autoBroadcast disabled); over the budget NO hint is applied, so the
+    join degrades to a shuffle join instead of force-broadcasting."""
+    rows = [(i, i % 4, i * 7) for i in range(32)]
+    bands = spark.createDataFrame(rows, "doc_id long, band int, band_hash long")
+    batch = spark.createDataFrame(rows[:8], "doc_id long, band int, band_hash long")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        under = D.band_collision_pairs(bands, batch, batch_band_rows=8)
+        plan_u = under._jdf.queryExecution().executedPlan().toString()
+        over = D.band_collision_pairs(
+            bands, batch, batch_band_rows=10**9
+        )
+        plan_o = over._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" in plan_u
+    assert "BroadcastHashJoin" not in plan_o
+    # both modes compute the identical candidate set
+    assert sorted(map(tuple, under.collect())) == sorted(map(tuple, over.collect()))
+
+
+def test_bigbatch_incremental_parity_and_bucket_local_store(spark, qs):
+    """The over-threshold delivery path: (a) output identical to the
+    broadcast path, (b) with broadcast disabled the candidate join reads
+    the (band, band_hash)-bucketed store with ZERO staged-side exchange
+    — only the batch shuffles into the bucket layout (the scale-safe
+    degradation the forced hint could never give)."""
+    from dataengineerchallenge_spark.operators.dedup import (
+        band_collision_pairs,
+        minhash_band_frame,
+    )
+    from dataengineerchallenge_spark.queries.dedup import (
+        _MH_N,
+        stage_bucketed_band_store,
+    )
+    from dataengineerchallenge_spark.sources.tables import load_table, spread
+
+    broadcast_path = sorted(
+        tuple(r) for r in qs["near_dup_incremental_minhash"](spark, SF_DIR).collect()
+    )
+    bigbatch = sorted(
+        tuple(r)
+        for r in qs["near_dup_incremental_minhash_bigbatch"](spark, SF_DIR).collect()
+    )
+    assert bigbatch == broadcast_path and len(bigbatch) > 0
+
+    # plan pin on the candidate join alone, broadcast fully disabled
+    docs = spread(load_table(spark, SF_DIR, "documents"))
+    split = docs.count() * 4 // 5
+    new_bands = minhash_band_frame(
+        docs.filter(F.col("doc_id") >= split), "doc_id", "text", n=_MH_N
+    )
+    store = spark.table(stage_bucketed_band_store(spark, SF_DIR))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cand = band_collision_pairs(store, new_bands, mode="shuffle")
+        cand.collect()
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 1  # the store scan, bucket-aligned
+    # exactly one exchange on the join keys — the BATCH side shuffling
+    # into the store's bucket layout; the staged side contributes zero
+    # (its bucketing satisfies the join distribution). The other two
+    # exchanges in the plan are batch-internal: the signing aggregate
+    # (on _id) and the final distinct (on id_a, id_b).
+    assert plan.count("Exchange hashpartitioning(band") == 1
+    assert plan.count("Exchange hashpartitioning") == 3
+
+
+def test_second_delivery_equals_full_recompute(spark, qs):
+    """Steady-state two-turn parity (VERDICT r7 What's-missing #3):
+    delivery2 deduped against the COMMITTED base+delivery1 store must
+    emit exactly the full-corpus run's pairs involving a delivery2 doc
+    — the sign → dedup → commit loop holds on turn two, not just one."""
+    from dataengineerchallenge_spark.sources.tables import load_table
+
+    n = load_table(spark, SF_DIR, "documents").count()
+    split2 = n * 4 // 5
+    full = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in qs["near_dup_banded_minhash"](spark, SF_DIR).collect()
+    }
+    full_d2 = {(a, b, j) for a, b, j in full if a >= split2 or b >= split2}
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in qs["near_dup_second_delivery_minhash"](spark, SF_DIR).collect()
+    }
+    assert got == full_d2
+    assert len(got) > 0
+
+
+def test_committed_two_turn_store_equals_full_signing(spark):
+    """The 60→80% committed store (the one delivery2 joins against) must
+    equal a from-scratch signing of every doc below the 80% cutoff —
+    extending the append==full pin to the two-turn lifecycle."""
+    from dataengineerchallenge_spark.queries.dedup import (
+        _MH_N,
+        _staged_minhash_bands_appended,
+    )
+    from dataengineerchallenge_spark.sources.tables import load_table, spread
+
+    store = {
+        tuple(r)
+        for r in spark.read.parquet(
+            _staged_minhash_bands_appended(spark, SF_DIR, base=(3, 5), hi=(4, 5))
+        ).collect()
+    }
+    docs = spread(load_table(spark, SF_DIR, "documents"))
+    split2 = docs.count() * 4 // 5
+    full = {
+        tuple(r)
+        for r in D.minhash_band_frame(
+            docs.filter(F.col("doc_id") < split2), "doc_id", "text", n=_MH_N
+        ).collect()
+    }
+    assert store == full and len(store) > 0

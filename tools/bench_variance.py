@@ -9,12 +9,18 @@ methodology: artifacts pre-staged, three warm suite passes, per-query
 median + spread), and classifies every query common to all three:
 
 - ``noise``      — the fresh median is back at (or below) the r5 level,
-                   or r5 and r6 both sit inside the fresh min..max
-                   window: the r6 sample was session noise, the code is
-                   not slower.
-- ``persistent`` — the fresh median reproduces the r6 elevation beyond
-                   the spread window: something real (code or machine)
-                   changed since r5 and is still present.
+                   or r5 sits inside the fresh sample window: the r6
+                   sample was session noise, the code is not slower.
+- ``persistent`` — the fresh median reproduces the r6 elevation while
+                   r5 falls outside the fresh window: something real
+                   (code or machine) changed since r5 and is still
+                   present.
+
+The "fresh window" is the ACTUAL per-query min..max when bench.py
+reports it (``qmin``/``qmax``, added r8); for older bench outputs
+without those keys it falls back to median ± spread/2 — a symmetric
+reconstruction that is narrower than min..max on skewed samples, which
+is why the real window is preferred (ADVICE r7).
 
 Usage:
     python tools/bench_variance.py [--fresh fresh.json] [--out BENCH_variance.json]
@@ -41,11 +47,21 @@ def _load(name: str) -> dict:
     return d["parsed"] if "parsed" in d else d
 
 
-def classify(r5: float, r6: float, med: float, spread: float) -> str:
-    half = spread / 2.0
-    if med <= r5 * 1.1 or abs(med - r5) <= half:
+def classify(
+    r5: float,
+    r6: float,
+    med: float,
+    spread: float,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> str:
+    # fresh sample window: actual min..max when bench.py reported it,
+    # else the half-spread reconstruction (pre-r8 bench outputs)
+    if lo is None or hi is None:
+        lo, hi = med - spread / 2.0, med + spread / 2.0
+    if med <= r5 * 1.1 or lo <= r5 <= hi:
         return "noise"
-    if abs(med - r6) <= half:
+    if lo <= r6 <= hi:
         return "persistent"
     return "persistent" if med > r5 * 1.2 else "noise"
 
@@ -69,19 +85,23 @@ def main() -> None:
 
     r5, r6 = _load("BENCH_r05.json"), _load("BENCH_r06.json")
     spread = fresh.get("spread", {})
+    qmin, qmax = fresh.get("qmin", {}), fresh.get("qmax", {})
     rows = {}
     for q, med in fresh["queries"].items():
         if q not in r5["queries"] or q not in r6["queries"]:
             continue
         v5, v6, sp = r5["queries"][q], r6["queries"][q], spread.get(q, 0.0)
+        lo, hi = qmin.get(q), qmax.get(q)
         rows[q] = {
             "r5_s": v5,
             "r6_s": v6,
             "fresh_median_s": med,
             "fresh_spread_s": sp,
+            "fresh_min_s": lo,
+            "fresh_max_s": hi,
             "r6_over_r5": round(v6 / v5, 3) if v5 else None,
             "fresh_over_r5": round(med / v5, 3) if v5 else None,
-            "verdict": classify(v5, v6, med, sp),
+            "verdict": classify(v5, v6, med, sp, lo, hi),
         }
     common = sorted(rows)
     out = {

@@ -114,7 +114,11 @@ def main() -> None:
     # query time from staged centroids — nothing about it prebuilt)
     serve_recall = run("ann_serve_recall_at_k")
     fresh_recalls = [r["recall_at_k"] for r in serve_recall if r["batch"] == "fresh"]
-    fresh_mean_recall = sum(fresh_recalls) / len(fresh_recalls)
+    # guard like the artifact-gated sections: a fixture too small to
+    # populate the fresh batch must skip the paragraph, not divide by zero
+    fresh_mean_recall = (
+        sum(fresh_recalls) / len(fresh_recalls) if fresh_recalls else None
+    )
 
     # largest uniform/zipf crossover entries present (the artifact's
     # --sizes is configurable, so fixed-key lookups would crash on a
@@ -281,7 +285,7 @@ the inline rung re-pays the whole index build per batch and grows
 linearly. That divergence is the entire argument for build-once
 serving at 100 TB.''' if ann_bench else "")}
 
-The serving story also covers the common real call — a query batch the
+{f'''The serving story also covers the common real call — a query batch the
 index build never saw: `ivf_pq_serve_fresh_topk` routes it at query
 time against the staged centroids codebook alone (probe ranking + ADC
 lookup tables are all batch-sized arithmetic), then runs the same
@@ -290,7 +294,7 @@ Recall@10 is instrumented where serving happens
 (`ann_serve_recall_at_k`, oracle-checked): the fresh batch measures
 {fresh_mean_recall:.2f} mean recall under 2-probe label-mean IVF-PQ on
 this weak-cluster fixture — honest, and exactly the number a routing
-regression would silently destroy if it weren't a registered query.
+regression would silently destroy if it weren't a registered query.''' if fresh_mean_recall is not None else ""}
 
 ### Near-dup dedup: which path wins depends on the key distribution
 {"".join(f'''

@@ -14,12 +14,20 @@ Dry-run by default; nothing is deleted without ``--delete``.
 
 Orphaned ``*_scratch_*`` dirs (a builder that died mid-publish) are
 always considered expirable once older than the cutoff.
+
+Scope (ADVICE r7): ONLY dirs following the content-addressed protocol
+naming are GC-able — ``spark_graft_<prefix>_<16-hex tag>`` slots and
+their ``*_scratch_*`` work dirs. Other ``spark_graft_*`` dirs under a
+shared tmp (e.g. the ``spark_graft_bkt_*`` paths backing live
+session-catalog bucketed tables, queries/formats.py) are explicitly
+outside the protocol and are never listed or deleted here.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import re
 import shutil
 import sys
 import tempfile
@@ -27,16 +35,39 @@ import time
 from pathlib import Path
 
 SLOT_PREFIX = "spark_graft_"
+# published content-addressed slot: prefix + _ + 16 lowercase hex chars
+_SLOT_RE = re.compile(rf"^{SLOT_PREFIX}.+_[0-9a-f]{{16}}$")
+
+
+def _is_protocol_dir(name: str) -> bool:
+    """True only for dirs the staging protocol owns: content-addressed
+    slots (16-hex tag suffix) and builder scratch dirs. Anything else —
+    notably session-catalog bucketed-table paths (spark_graft_bkt_*) —
+    must never be GC'd from under a running session."""
+    if not name.startswith(SLOT_PREFIX):
+        return False
+    return "_scratch_" in name or bool(_SLOT_RE.match(name))
 
 
 def _dir_size(path: Path) -> int:
-    return sum(f.stat().st_size for f in path.rglob("*") if f.is_file())
+    # per-file stat guarded: on a shared root a concurrent builder/GC can
+    # remove files between the rglob listing and the stat (ADVICE r7)
+    total = 0
+    for f in path.rglob("*"):
+        try:
+            if f.is_file():
+                total += f.stat().st_size
+        except OSError:
+            continue  # vanished mid-scan — skip, don't crash the sweep
+    return total
 
 
 def _slot_mtime(path: Path) -> float:
-    """Last-used proxy: the slot dir's own mtime (bumped at publish).
-    Content-addressed slots are immutable after publish, so mtime == the
-    moment this content version was last (re)built."""
+    """The slot dir's own mtime — the moment this content version was
+    (re)built/published, NOT last access (content-addressed slots are
+    immutable after publish and reads don't bump dir mtime). ``age`` in
+    the scan output is therefore age-since-build; an old-but-hot slot is
+    eligible at the cutoff and will simply be rebuilt on next use."""
     return path.stat().st_mtime
 
 
@@ -47,7 +78,7 @@ def scan(root: Path, now: float | None = None) -> list[dict]:
     if not root.is_dir():
         return records
     for p in sorted(root.iterdir()):
-        if not p.is_dir() or not p.name.startswith(SLOT_PREFIX):
+        if not p.is_dir() or not _is_protocol_dir(p.name):
             continue
         mtime = _slot_mtime(p)
         records.append(
