@@ -1229,9 +1229,12 @@ def ann_serve_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_NCODES = 16  # residual codebook entries per subspace
 
 
-# Full residual-IVF-PQ (IVFADC) oracle, shared by ivf_pq_residual_topk
-# (inline build) and ivf_pq_residual_serve_topk (prebuilt index).
-_ORACLE_IVF_PQ_RESIDUAL = f"""
+# Full residual-IVF-PQ (IVFADC) oracle, parameterized over the query-batch
+# predicate — shared by ivf_pq_residual_topk (inline build),
+# ivf_pq_residual_serve_topk (prebuilt index, default batch) and
+# ivf_pq_residual_serve_fresh_topk (a batch the router never saw).
+def _oracle_ivf_pq_residual(qpred: str) -> str:
+    return f"""
     WITH lf AS (
       SELECT vec_id, label, (u.pos - 1) // {_PQ_DIM} AS sub,
              u.pos::INT AS pos, u.v::DOUBLE AS v
@@ -1254,7 +1257,7 @@ _ORACLE_IVF_PQ_RESIDUAL = f"""
     ),
     probes AS (
       SELECT vec_id AS query_id, clabel AS probe_label
-      FROM csims WHERE vec_id < {_N_QUERIES}
+      FROM csims WHERE {qpred}
       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) <= 2
     ),
     rlf AS (
@@ -1285,7 +1288,7 @@ _ORACLE_IVF_PQ_RESIDUAL = f"""
     ),
     cn2sub AS (SELECT clabel AS bucket, sub, sum(cv * cv) AS cn2
                FROM subcent GROUP BY clabel, sub),
-    q AS (SELECT * FROM lf WHERE vec_id < {_N_QUERIES}),
+    q AS (SELECT * FROM lf WHERE {qpred}),
     qr AS (
       SELECT q.vec_id AS query_id, q.sub, rcb.code, sum(q.v * rcb.rcv) AS qrd
       FROM q JOIN rcb ON q.sub = rcb.sub AND q.pos = rcb.pos
@@ -1328,6 +1331,9 @@ _ORACLE_IVF_PQ_RESIDUAL = f"""
     """
 
 
+_ORACLE_IVF_PQ_RESIDUAL = _oracle_ivf_pq_residual(f"vec_id < {_N_QUERIES}")
+
+
 @register("ivf_pq_residual_topk", oracle=_ORACLE_IVF_PQ_RESIDUAL)
 def ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N3 rung 6 — RESIDUAL IVF-PQ, the faithful billion-vector design
@@ -1364,7 +1370,9 @@ def ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     This rung IS the residual index build (10 scans of the base table,
     22 shuffles — PLAN_AUDIT's heaviest row); the serve-many half reads
     the staged artifact instead: ``ivf_pq_residual_serve_topk``."""
-    codes, rn2, cbr, cn2sub, qr, qc, qn, assign, probes = _residual_parts(spark, sf_dir)
+    codes, rn2, cbr, cn2sub, qr, qc, qn, assign, probes, _, _ = _residual_parts(
+        spark, sf_dir
+    )
     cand = assign.join(
         F.broadcast(probes),
         (F.col("bucket") == F.col("probe_label"))
@@ -1402,18 +1410,23 @@ def ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _residual_parts(spark: SparkSession, sf_dir: str):
+def _residual_parts(
+    spark: SparkSession, sf_dir: str, q_lo: int = 0, q_hi: int = _N_QUERIES
+):
     """The residual-IVF-PQ building blocks, single-sourced for the
     inline rung and the index staging (expressions unchanged so both
     produce bit-identical frames): residual codes, the three
     data-independent norm/cross tables (rn2, cbr, cn2sub), the
-    query-side lookups (qr, qc, qn), and the coarse (assign, probes)."""
+    query-side lookups (qr, qc, qn), the coarse (assign, probes), and
+    the two codebooks (cent, rcb) a fresh batch routes/scores from.
+    ``q_lo``/``q_hi`` select the query batch (default: the prebuilt
+    router's batch)."""
     emb = load_table(spark, sf_dir, "embeddings")
     lf = V.explode_vectors(emb, ["vec_id", "label"], "embedding").withColumn(
         "sub", F.floor(F.col("pos") / _PQ_DIM)
     )
     cent = lf.groupBy(F.col("label").alias("clabel"), "pos").agg(F.avg("v").alias("cv"))
-    assign, probes = _probe_frames(spark, sf_dir)
+    assign, probes = _probe_frames(spark, sf_dir, q_lo=q_lo, q_hi=q_hi)
     # rename the centroid's pos before the join: cent derives from lf, so
     # an unaliased self-join makes pos ambiguous
     cent_r = cent.select("clabel", F.col("pos").alias("_cpos"), "cv")
@@ -1453,7 +1466,7 @@ def _residual_parts(spark: SparkSession, sf_dir: str):
     cn2sub = subcent.groupBy(F.col("clabel").alias("bucket"), "sub").agg(
         F.sum(F.col("cv") * F.col("cv")).alias("cn2")
     )
-    q = lf.filter(F.col("vec_id") < _N_QUERIES)
+    q = lf.filter((F.col("vec_id") >= q_lo) & (F.col("vec_id") < q_hi))
     qr = (
         q.join(F.broadcast(rcb), ["sub", "pos"])
         .groupBy(F.col("vec_id").alias("query_id"), "sub", "code")
@@ -1467,7 +1480,7 @@ def _residual_parts(spark: SparkSession, sf_dir: str):
     qn = q.groupBy(F.col("vec_id").alias("query_id")).agg(
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("qnorm")
     )
-    return codes, rn2, cbr, cn2sub, qr, qc, qn, assign, probes
+    return codes, rn2, cbr, cn2sub, qr, qc, qn, assign, probes, cent, rcb
 
 
 def _staged_ivfpq_residual_index(spark: SparkSession, sf_dir: str) -> str:
@@ -1477,17 +1490,25 @@ def _staged_ivfpq_residual_index(spark: SparkSession, sf_dir: str) -> str:
     denominator table pre-joined to one row per (bucket, sub, code)
     with dpart = cn2 + 2·cbr + rn2 (nlist × m × ncodes rows, KB-sized);
     ``qrlut`` — per-query residual dots; ``qclut`` — per-query coarse
-    dots merged with query norms; ``probes`` — the router output. The
-    pre-join of the three denominator tables at BUILD time is what
-    collapses serving's five scoring joins down to two."""
+    dots merged with query norms; ``probes`` — the router output;
+    ``centroids`` + ``rcodebook`` — the coarse and residual codebooks,
+    not read by the prebuilt-batch serve but the part of the artifact a
+    FRESH query batch routes and builds its ADC lookups from (the
+    residual twin of the plain index's ``centroids/``). The pre-join of
+    the three denominator tables at BUILD time is what collapses
+    serving's five scoring joins down to two.
+
+    Salt derives from the family parameters (ADVICE r7): changing the
+    subspace width, codebook size, or query-batch count re-addresses
+    the slot instead of serving a stale artifact."""
     from pathlib import Path
 
     from dataengineerchallenge_spark.sources.sinks import write_result
     from dataengineerchallenge_spark.staging import staged
 
     def build(out: Path) -> None:
-        codes, rn2, cbr, cn2sub, qr, qc, qn, assign, probes = _residual_parts(
-            spark, sf_dir
+        codes, rn2, cbr, cn2sub, qr, qc, qn, assign, probes, cent, rcb = (
+            _residual_parts(spark, sf_dir)
         )
         write_result(codes.join(assign, "vec_id"), str(out / "codes"), partition_by=["bucket"])
         dlut = (
@@ -1504,9 +1525,12 @@ def _staged_ivfpq_residual_index(spark: SparkSession, sf_dir: str) -> str:
         write_result(qr, str(out / "qrlut"), coalesce_to=1)
         write_result(qc.join(qn, "query_id"), str(out / "qclut"), coalesce_to=1)
         write_result(probes, str(out / "probes"), coalesce_to=1)
+        write_result(cent, str(out / "centroids"), coalesce_to=1)
+        write_result(rcb, str(out / "rcodebook"), coalesce_to=1)
 
+    salt = f"ivfpq_res:d{_PQ_DIM}:c{_PQ_NCODES}:q{_N_QUERIES}:v2"
     return staged(
-        spark, "ivfpq_res", Path(sf_dir) / "embeddings.parquet", "ivfpq_res", build
+        spark, "ivfpq_res", Path(sf_dir) / "embeddings.parquet", salt, build
     )
 
 
@@ -1542,6 +1566,104 @@ def ivf_pq_residual_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = (
         cand.join(F.broadcast(qrlut), ["query_id", "sub", "code"])
+        .join(F.broadcast(dlut), ["bucket", "sub", "code"])
+        .groupBy("query_id", "vec_id", "bucket")
+        .agg(F.sum("qrd").alias("qrsum"), F.sum("dpart").alias("den2"))
+    )
+    scored = s.join(F.broadcast(qclut), ["query_id", "bucket"]).withColumn(
+        "adc_cosine",
+        F.round(
+            (F.col("qcd") + F.col("qrsum")) / (F.col("qnorm") * F.sqrt(F.col("den2"))),
+            4,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _TOP_K)
+        .select("query_id", "vec_id", "adc_cosine")
+    )
+
+
+@register(
+    "ivf_pq_residual_serve_fresh_topk",
+    oracle=_oracle_ivf_pq_residual(
+        f"vec_id >= {_FRESH_LO} AND vec_id < {_FRESH_HI}"
+    ),
+)
+def ivf_pq_residual_serve_fresh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 rung 6-SERVE-FRESH (VERDICT r7 #2): a FRESH query batch against
+    the RESIDUAL (IVFADC) index — the better-recall production shape
+    (measured ~8% lower reconstruction SSE at equal code cost) serving
+    queries the index build never saw. Routing and ALL query-side ADC
+    lookup tables are computed at query time from the staged codebooks
+    (``centroids/`` for coarse routing + coarse dots, ``rcodebook/`` for
+    the residual dots); the data-independent denominator stays the
+    prebuilt ``dlut``.
+
+    Query-time work is all batch-sized: the batch long form (Q×dim rows)
+    joins the two broadcast codebooks to produce the probe ranking
+    (round(cos, 8), clabel tie-break — identical to the build-side
+    ordering so a parquet round-trip of the centroids cannot flip a
+    near-tie bucket), the per-(query, sub, code) residual dots, the
+    per-(query, bucket) coarse dots, and the query norms. The corpus is
+    touched only through the bucket-partitioned residual codes scan,
+    DPP-pruned to the probed inverted lists — zero base-table scans
+    (pinned in tests/test_vectors.py)."""
+    root = _staged_ivfpq_residual_index(spark, sf_dir)
+    batch = spark.read.parquet(_staged_fresh_query_batch(spark, sf_dir))
+    cent = spark.read.parquet(f"{root}/centroids")
+    rcb = spark.read.parquet(f"{root}/rcodebook")
+    qlf = V.explode_vectors(batch, ["query_id"], "embedding").withColumn(
+        "sub", F.floor(F.col("pos") / _PQ_DIM)
+    )
+    # route: batch × broadcast coarse codebook → 2 nearest buckets/query
+    qsims = (
+        qlf.join(F.broadcast(cent), "pos")
+        .groupBy("query_id", "clabel")
+        .agg(
+            (
+                F.sum(F.col("v") * F.col("cv"))
+                / (
+                    F.sqrt(F.sum(F.col("v") * F.col("v")))
+                    * F.sqrt(F.sum(F.col("cv") * F.col("cv")))
+                )
+            ).alias("cos")
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos", 8)), F.asc("clabel")
+    )
+    probes = (
+        qsims.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= 2)
+        .select("query_id", F.col("clabel").alias("probe_label"))
+    )
+    # query-side ADC lookups from the staged codebooks
+    qr = (
+        qlf.join(F.broadcast(rcb), ["sub", "pos"])
+        .groupBy("query_id", "sub", "code")
+        .agg(F.sum(F.col("v") * F.col("rcv")).alias("qrd"))
+    )
+    qc = (
+        qlf.join(F.broadcast(cent), "pos")
+        .groupBy("query_id", F.col("clabel").alias("bucket"))
+        .agg(F.sum(F.col("v") * F.col("cv")).alias("qcd"))
+    )
+    qn = qlf.groupBy("query_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("qnorm")
+    )
+    qclut = qc.join(qn, "query_id")
+    # identical serving tail to ivf_pq_residual_serve_topk
+    codes = spark.read.parquet(f"{root}/codes")
+    dlut = spark.read.parquet(f"{root}/dlut")
+    cand = codes.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("probe_label"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    s = (
+        cand.join(F.broadcast(qr), ["query_id", "sub", "code"])
         .join(F.broadcast(dlut), ["bucket", "sub", "code"])
         .groupBy("query_id", "vec_id", "bucket")
         .agg(F.sum("qrd").alias("qrsum"), F.sum("dpart").alias("den2"))

@@ -331,6 +331,74 @@ def test_ivf_pq_serve_fresh_matches_inline_and_never_scans_base_table(spark, qs)
     assert "dynamicpruning" in plan.lower()
 
 
+def test_residual_serve_fresh_matches_inline_and_never_scans_base_table(spark, qs):
+    """The fresh-batch serve rung for the RESIDUAL (IVFADC) index
+    (VERDICT r7 #2): a query batch NOT in the prebuilt router must be
+    routed at query time from the staged coarse+residual codebooks only —
+    (a) rows identical to the inline residual dataflow run on the same
+    batch, (b) zero base-table scans, (c) DPP on the residual codes
+    scan."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataengineerchallenge_spark.queries.vectors import (
+        _FRESH_HI,
+        _FRESH_LO,
+        _TOP_K,
+        _residual_parts,
+    )
+
+    # inline twin on the fresh batch: same parts, base-table dataflow
+    codes, rn2, cbr, cn2sub, qr, qc, qn, assign, probes, _, _ = _residual_parts(
+        spark, SF_DIR, q_lo=_FRESH_LO, q_hi=_FRESH_HI
+    )
+    cand = assign.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("probe_label"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "vec_id", "bucket")
+    s = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(qr), ["query_id", "sub", "code"])
+        .join(F.broadcast(rn2), ["sub", "code"])
+        .join(F.broadcast(cbr), ["bucket", "sub", "code"])
+        .join(F.broadcast(cn2sub), ["bucket", "sub"])
+        .groupBy("query_id", "vec_id", "bucket")
+        .agg(
+            F.sum("qrd").alias("qrsum"),
+            F.sum(F.col("cn2") + 2 * F.col("cbr") + F.col("rn2")).alias("den2"),
+        )
+    )
+    scored = (
+        s.join(F.broadcast(qc), ["query_id", "bucket"])
+        .join(F.broadcast(qn), "query_id")
+        .withColumn(
+            "adc_cosine",
+            F.round(
+                (F.col("qcd") + F.col("qrsum"))
+                / (F.col("qnorm") * F.sqrt(F.col("den2"))),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"), F.asc("vec_id"))
+    inline = sorted(
+        tuple(r)
+        for r in scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _TOP_K)
+        .select("query_id", "vec_id", "adc_cosine")
+        .collect()
+    )
+
+    df = qs["ivf_pq_residual_serve_fresh_topk"](spark, SF_DIR)
+    served = sorted(tuple(r) for r in df.collect())
+    assert served == inline and len(served) > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "embeddings" not in plan
+    assert "dynamicpruning" in plan.lower()
+
+
 def test_serve_recall_floor(spark, qs):
     """Recall instrumented where serving happens (VERDICT r6 #5): both
     served batches — prebuilt router and fresh-routed — must beat random
