@@ -1089,11 +1089,23 @@ def ivf_pq_serve_fresh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base-table scans; pinned in tests/test_vectors.py)."""
     root = _staged_ivfpq_index(spark, sf_dir)
     batch = spark.read.parquet(_staged_fresh_query_batch(spark, sf_dir))
+    return _serve_fresh_from_index(spark, root, batch)
+
+
+def _serve_fresh_from_index(
+    spark: SparkSession, root: str, batch: DataFrame, n_probes: int = 2
+) -> DataFrame:
+    """Query-time routing + ADC-lookup construction for a fresh batch
+    against a staged IVF-PQ index (the body of
+    ``ivf_pq_serve_fresh_topk``, parameterized over the probe count so
+    the recall-vs-probes curve — tools/bench_ann.py --recall-curve,
+    absolute floor pinned in tests/test_vectors.py — exercises the SAME
+    serve code the registered query runs)."""
     cent = spark.read.parquet(f"{root}/centroids")
     qlf = V.explode_vectors(batch, ["query_id"], "embedding").withColumn(
         "sub", F.floor(F.col("pos") / _PQ_DIM)
     )
-    # route: batch × broadcast centroids → 2 nearest buckets per query
+    # route: batch × broadcast centroids → n_probes nearest buckets/query
     qsims = (
         qlf.join(F.broadcast(cent), "pos")
         .groupBy("query_id", "clabel")
@@ -1112,7 +1124,7 @@ def ivf_pq_serve_fresh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = (
         qsims.withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= 2)
+        .filter(F.col("_rn") <= n_probes)
         .select("query_id", F.col("clabel").alias("probe_label"))
     )
     # ADC lookups from the same centroids viewed as the PQ codebook

@@ -18,14 +18,30 @@ IVF-PQ build/serve split (queries/vectors.py) is about:
 
 Corpus: 10 mild clusters (deterministic per-label base vector + hash
 noise), so bucket sizes are balanced and candidate fractions realistic;
-labels drive the stand-in codebooks exactly as on the fixtures. Recall
-is NOT reported here — synthetic noise clusters say nothing about real
-recall (that's pinned on the fixtures); this artifact is about where
-the time goes as N grows.
+labels drive the stand-in codebooks exactly as on the fixtures.
+
+**Recall-vs-probes curve** (VERDICT r7 #3): `--recall-curve` serves the
+fresh batch at 1/2/4/8 probes through the REGISTERED serve code
+(`_serve_fresh_from_index`) against brute-force exact top-10, on TWO
+geometries:
+
+- ``separable`` — many TIGHT clusters of ~10 vectors (near-orthogonal
+  hash-random centers, ±0.02 noise on ~4.6-norm bases), so each query's
+  exact top-10 is its cluster co-members and the quantization cells
+  resolve the true neighborhood. Geometry permits an ABSOLUTE floor
+  (pinned ≥0.8 in tests/test_vectors.py) — a real recall regression in
+  routing/ADC shows up as a hard drop, which the old 3x-random relative
+  pin could not catch.
+- ``mild`` — the 10-broad-cluster default. Measured flat ~0.04 at every
+  probe count: within-cluster ranking is noise the label-mean codebook
+  cannot see, so probe count buys nothing. The pair demonstrates the
+  real lever: CODEBOOK RESOLUTION (cells ≈ k vectors), not probes,
+  bounds recall — with trained k-means codebooks at 100 TB the
+  separable regime is the one you engineer for.
 
 Usage:
     python tools/bench_ann.py [--sizes 100000,1000000] [--iters 3]
-        [--driver-memory 8g] [--out BENCH_ann.json]
+        [--driver-memory 8g] [--out BENCH_ann.json] [--recall-curve]
 """
 
 from __future__ import annotations
@@ -71,12 +87,116 @@ def _gen(spark, path: str, rows: int) -> None:
     open(os.path.join(path, "_SUCCESS"), "w").close()
 
 
+def gen_separable(
+    spark, path: str, rows: int, cluster_size: int = 10, labels_per_cluster: int = 1
+) -> None:
+    """SEPARABLE planted geometry: tight spatial clusters of exactly
+    ``cluster_size * labels_per_cluster`` vectors (label = vec_id %
+    n_labels, so the fresh-batch queries vec_id 5..9 land in distinct
+    clusters). Cluster centers are hash-random in [-1, 1]^64 —
+    near-orthogonal in 64-d — and per-vector noise is ±0.02 against a
+    ~4.6 center norm, so every vector's exact top-k neighborhood IS its
+    spatial co-members and the label-mean codebook's quantization cells
+    resolve it. This is the geometry where absolute recall is
+    well-defined for an IVF-PQ with cell granularity ≈ k
+    (tests/test_vectors.py pins the floor).
+
+    ``labels_per_cluster > 1`` plants the STRADDLED variant: each
+    spatial cluster is split across that many coarse labels (sibling
+    labels share a center), so a query's true neighborhood spans
+    multiple inverted lists and single-probe serving structurally caps
+    below (1/labels_per_cluster) of it — the geometry multi-probe
+    exists for, and the one that makes the recall-vs-probes curve RISE."""
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    n_labels = rows // cluster_size
+    center = F.floor(F.col("label") / labels_per_cluster)
+    base = [
+        (F.pmod(F.xxhash64(center, F.lit(d + 7919)), F.lit(2000)) / 1000.0 - 1.0)
+        for d in range(DIM)
+    ]
+    noise = [
+        (F.pmod(F.xxhash64("id", F.lit(d)), F.lit(1000)) / 25000.0 - 0.02)
+        for d in range(DIM)
+    ]
+    df = (
+        spark.range(rows)
+        .withColumn("label", F.pmod(F.col("id"), F.lit(n_labels)).cast("int"))
+        .select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[(b + n).cast("float") for b, n in zip(base, noise)]
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    df.repartition(32).write.mode("overwrite").parquet(os.path.join(path, "embeddings.parquet"))
+    open(os.path.join(path, "_SUCCESS"), "w").close()
+
+
+def recall_curve(spark, d: str, probes_list=(1, 2, 4, 8)) -> dict:
+    """Serve the fresh batch at each probe count through the REGISTERED
+    fresh-serve code path and score recall@10 against brute-force exact
+    top-10 (batch-sized, so the anchor is cheap). Returns
+    {probes: {recall_at_10, serve_s}} plus the corpus candidate fraction
+    per probe."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataengineerchallenge_spark.functions import vectors as V
+    from dataengineerchallenge_spark.queries.vectors import (
+        _FRESH_HI,
+        _FRESH_LO,
+        _TOP_K,
+        _serve_fresh_from_index,
+        _staged_fresh_query_batch,
+        _staged_ivfpq_index,
+    )
+
+    root = _staged_ivfpq_index(spark, d)
+    batch = spark.read.parquet(_staged_fresh_query_batch(spark, d))
+    emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+    nlist = emb.select("label").distinct().count()
+    q = emb.filter(
+        (F.col("vec_id") >= _FRESH_LO) & (F.col("vec_id") < _FRESH_HI)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    pairs = F.broadcast(q).join(emb, F.col("query_id") != F.col("vec_id")).select(
+        "query_id", "vec_id", V.cosine(F.col("q_emb"), F.col("embedding")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _TOP_K)
+        .collect()
+    }
+    curve: dict = {"nlist": nlist}
+    for p in probes_list:
+        t0 = time.time()
+        served = {
+            (r.query_id, r.vec_id)
+            for r in _serve_fresh_from_index(spark, root, batch, n_probes=p).collect()
+        }
+        curve[str(p)] = {
+            "recall_at_10": round(len(served & exact) / len(exact), 3),
+            "cand_frac": round(min(p, nlist) / nlist, 4),
+            "serve_s": round(time.time() - t0, 3),
+        }
+    return curve
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="100000,1000000")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--driver-memory", default="8g")
     ap.add_argument("--out", default="BENCH_ann.json")
+    ap.add_argument(
+        "--recall-curve",
+        action="store_true",
+        help="also measure recall@10 vs probes on separable + mild geometry",
+    )
+    ap.add_argument("--curve-rows", type=int, default=5000)
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",") if s]
 
@@ -139,6 +259,18 @@ def main() -> None:
             f"{inline_s}s ({out['results'][str(rows)]['serve_speedup']}x); "
             f"index {idx_bytes/1e6:.1f} MB"
         )
+    if args.recall_curve:
+        out["recall_curve"] = {}
+        geoms = (
+            ("separable", lambda s, d, r: gen_separable(s, d, r)),
+            ("straddled", lambda s, d, r: gen_separable(s, d, r, 5, 2)),
+            ("mild", _gen),
+        )
+        for geom, gen in geoms:
+            d = os.path.join(root, f"ann_{geom}_{args.curve_rows}")
+            gen(spark, d, args.curve_rows)
+            out["recall_curve"][geom] = recall_curve(spark, d)
+            print(f"recall curve [{geom}]: ", out["recall_curve"][geom])
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "results"}))
