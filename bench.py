@@ -54,19 +54,34 @@ HEADLINE = [
     "ivf_pq_serve_topk",             # N3 serve-only path over the prebuilt index (round 6)
     "ivf_pq_serve_fresh_topk",       # N3 fresh-batch serve, routed at query time (round 7)
     "near_dup_incremental_minhash",  # N2 incremental dedup vs staged band store (round 7)
+    "ivf_pq_residual_serve_fresh_topk",      # N3 residual (IVFADC) fresh serve (round 8)
+    "near_dup_incremental_minhash_bigbatch", # N2 over-budget bucketed-SMJ dedup (round 8)
+    "near_dup_second_delivery_minhash",      # N2 steady-state delivery N+1 (round 8)
 ]
 
 
 def _prestage(spark, sf_dir: str) -> None:
     """Build every content-addressed artifact a headline query reads, so
     the timed loop measures SERVING, never an interleaved index build."""
-    from dataengineerchallenge_spark.queries.dedup import _staged_minhash_bands
+    from dataengineerchallenge_spark.queries.dedup import (
+        _staged_minhash_bands,
+        _staged_minhash_bands_appended,
+        stage_bucketed_band_store,
+    )
     from dataengineerchallenge_spark.queries.vectors import (
         _staged_fresh_query_batch,
         _staged_ivfpq_index,
+        _staged_ivfpq_residual_index,
     )
 
-    for stage in (_staged_ivfpq_index, _staged_fresh_query_batch, _staged_minhash_bands):
+    for stage in (
+        _staged_ivfpq_index,
+        _staged_ivfpq_residual_index,
+        _staged_fresh_query_batch,
+        _staged_minhash_bands,
+        _staged_minhash_bands_appended,
+        stage_bucketed_band_store,
+    ):
         try:
             stage(spark, sf_dir)
         except Exception:  # noqa: BLE001 — the timed loop will record it
@@ -161,13 +176,26 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "samples": N_SAMPLES,
-        "spread": spread,
-        "qmin": qmin,
-        "qmax": qmax,
     }
     if errors:
         result["errors"] = errors
-    print(json.dumps(result))
+    # Spread + actual sample window go to a SIDECAR file, not stdout:
+    # the driver captures only the last 2,000 bytes of stdout, and the
+    # r8 line with qmin/qmax inline reached ~3.0 KB — the head (metric,
+    # value, medians) was truncated and BENCH_r08.json parsed as null
+    # (VERDICT r8 What's-wrong #1). tools/bench_variance.py reads the
+    # sidecar for the min..max window.
+    detail = dict(result, spread=spread, qmin=qmin, qmax=qmax)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    line = json.dumps(result)
+    # hard guard: the driver-facing line must stay far inside the 2,000-
+    # byte tail capture, or the round ships with no parseable perf signal
+    assert len(line) < 1800, f"bench stdout line {len(line)}B >= 1800B"
+    print(line)
 
 
 if __name__ == "__main__":

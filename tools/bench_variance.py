@@ -83,6 +83,17 @@ def main() -> None:
         )
         fresh = json.loads(res.stdout.strip().splitlines()[-1])
 
+    # as of r9 bench.py keeps the stdout line driver-sized and writes
+    # spread/qmin/qmax to a sidecar (VERDICT r8 What's-wrong #1); merge
+    # the sidecar in when the line itself doesn't carry the window
+    if "qmin" not in fresh:
+        sidecar = os.path.join(REPO, "BENCH_detail.json")
+        if os.path.exists(sidecar):
+            det = json.load(open(sidecar))
+            if det.get("queries") == fresh.get("queries"):
+                for k in ("spread", "qmin", "qmax"):
+                    fresh.setdefault(k, det.get(k, {}))
+
     r5, r6 = _load("BENCH_r05.json"), _load("BENCH_r06.json")
     spread = fresh.get("spread", {})
     qmin, qmax = fresh.get("qmin", {}), fresh.get("qmax", {})
