@@ -850,7 +850,11 @@ def _staged_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
         )
         write_result(cent, str(out / "centroids"), coalesce_to=1)
 
-    return staged(spark, "ivfpq", Path(sf_dir) / "embeddings.parquet", "ivfpq", build)
+    # salt derives from the family parameters (ADVICE r8): changing the
+    # subspace width or the prebuilt router's query-batch count must
+    # re-address the slot, not serve a stale index from a persistent root
+    salt = f"ivfpq:d{_PQ_DIM}:q{_N_QUERIES}"
+    return staged(spark, "ivfpq", Path(sf_dir) / "embeddings.parquet", salt, build)
 
 
 def _adc_serve_topk(codes: DataFrame, probes: DataFrame, qlut: DataFrame) -> DataFrame:
@@ -1061,8 +1065,12 @@ def _staged_fresh_query_batch(spark: SparkSession, sf_dir: str) -> str:
             coalesce_to=1,
         )
 
+    # batch bounds derive from _N_QUERIES, so encode it (ADVICE r8): a
+    # changed batch window re-addresses the slot instead of serving a
+    # stale payload from a persistent staging root
+    salt = f"freshq:lo{_FRESH_LO}:hi{_FRESH_HI}"
     return staged(
-        spark, "ivfpq_freshq", Path(sf_dir) / "embeddings.parquet", "freshq", build
+        spark, "ivfpq_freshq", Path(sf_dir) / "embeddings.parquet", salt, build
     )
 
 
@@ -1092,20 +1100,14 @@ def ivf_pq_serve_fresh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _serve_fresh_from_index(spark, root, batch)
 
 
-def _serve_fresh_from_index(
-    spark: SparkSession, root: str, batch: DataFrame, n_probes: int = 2
-) -> DataFrame:
-    """Query-time routing + ADC-lookup construction for a fresh batch
-    against a staged IVF-PQ index (the body of
-    ``ivf_pq_serve_fresh_topk``, parameterized over the probe count so
-    the recall-vs-probes curve — tools/bench_ann.py --recall-curve,
-    absolute floor pinned in tests/test_vectors.py — exercises the SAME
-    serve code the registered query runs)."""
-    cent = spark.read.parquet(f"{root}/centroids")
-    qlf = V.explode_vectors(batch, ["query_id"], "embedding").withColumn(
-        "sub", F.floor(F.col("pos") / _PQ_DIM)
-    )
-    # route: batch × broadcast centroids → n_probes nearest buckets/query
+def _route_probes(qlf: DataFrame, cent: DataFrame, n_probes: int) -> DataFrame:
+    """Query-time ROUTER shared by both fresh-batch serve rungs (plain
+    IVF-PQ and residual IVFADC): the batch long form joins the broadcast
+    coarse codebook, cosine per (query, centroid), top ``n_probes``
+    buckets per query with the build-side drift-stable ordering
+    (round(cos, 8), clabel tie-break — so a parquet round-trip of the
+    centroids cannot flip a near-tie bucket). Returns (query_id,
+    probe_label)."""
     qsims = (
         qlf.join(F.broadcast(cent), "pos")
         .groupBy("query_id", "clabel")
@@ -1122,11 +1124,27 @@ def _serve_fresh_from_index(
     wq = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("cos", 8)), F.asc("clabel")
     )
-    probes = (
+    return (
         qsims.withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= n_probes)
         .select("query_id", F.col("clabel").alias("probe_label"))
     )
+
+
+def _serve_fresh_from_index(
+    spark: SparkSession, root: str, batch: DataFrame, n_probes: int = 2
+) -> DataFrame:
+    """Query-time routing + ADC-lookup construction for a fresh batch
+    against a staged IVF-PQ index (the body of
+    ``ivf_pq_serve_fresh_topk``, parameterized over the probe count so
+    the recall-vs-probes curve — tools/bench_ann.py --recall-curve,
+    absolute floor pinned in tests/test_vectors.py — exercises the SAME
+    serve code the registered query runs)."""
+    cent = spark.read.parquet(f"{root}/centroids")
+    qlf = V.explode_vectors(batch, ["query_id"], "embedding").withColumn(
+        "sub", F.floor(F.col("pos") / _PQ_DIM)
+    )
+    probes = _route_probes(qlf, cent, n_probes)
     # ADC lookups from the same centroids viewed as the PQ codebook
     cb = cent.select(
         F.floor(F.col("pos") / _PQ_DIM).alias("sub"),
@@ -1571,6 +1589,23 @@ def ivf_pq_residual_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dlut = spark.read.parquet(f"{root}/dlut")
     qrlut = spark.read.parquet(f"{root}/qrlut")
     qclut = spark.read.parquet(f"{root}/qclut")
+    return _residual_adc_serve_topk(codes, probes, qrlut, dlut, qclut)
+
+
+def _residual_adc_serve_topk(
+    codes: DataFrame,
+    probes: DataFrame,
+    qrlut: DataFrame,
+    dlut: DataFrame,
+    qclut: DataFrame,
+) -> DataFrame:
+    """The residual (IVFADC) serving tail shared by the prebuilt-batch
+    and fresh-batch rungs (the residual twin of ``_adc_serve_topk``):
+    DPP-pruned inverted-list seek → broadcast join for the per-query
+    residual dots → broadcast join for the prebuilt denominator parts →
+    per-(query, candidate, bucket) sum → broadcast of the per-(query,
+    bucket) coarse dots + norms → rounded score → per-query top-k. Two
+    shuffles total (scoring aggregate + top-k window)."""
     cand = codes.join(
         F.broadcast(probes),
         (F.col("bucket") == F.col("probe_label"))
@@ -1624,35 +1659,28 @@ def ivf_pq_residual_serve_fresh_topk(spark: SparkSession, sf_dir: str) -> DataFr
     (pinned in tests/test_vectors.py)."""
     root = _staged_ivfpq_residual_index(spark, sf_dir)
     batch = spark.read.parquet(_staged_fresh_query_batch(spark, sf_dir))
+    return _residual_serve_fresh_from_index(spark, root, batch)
+
+
+def _residual_serve_fresh_from_index(
+    spark: SparkSession, root: str, batch: DataFrame, n_probes: int = 2
+) -> DataFrame:
+    """Query-time routing + residual ADC-lookup construction for a fresh
+    batch against a staged IVFADC index (the body of
+    ``ivf_pq_residual_serve_fresh_topk``, parameterized over the probe
+    count so the recall-vs-probes curve can sweep the residual path
+    too — ADVICE r8). Routes via the shared ``_route_probes`` and scores
+    via the shared ``_residual_adc_serve_topk`` tail; only the
+    query-side lookup construction (residual dots from ``rcodebook/``,
+    coarse dots + norms from ``centroids/``) is built here."""
     cent = spark.read.parquet(f"{root}/centroids")
     rcb = spark.read.parquet(f"{root}/rcodebook")
     qlf = V.explode_vectors(batch, ["query_id"], "embedding").withColumn(
         "sub", F.floor(F.col("pos") / _PQ_DIM)
     )
-    # route: batch × broadcast coarse codebook → 2 nearest buckets/query
-    qsims = (
-        qlf.join(F.broadcast(cent), "pos")
-        .groupBy("query_id", "clabel")
-        .agg(
-            (
-                F.sum(F.col("v") * F.col("cv"))
-                / (
-                    F.sqrt(F.sum(F.col("v") * F.col("v")))
-                    * F.sqrt(F.sum(F.col("cv") * F.col("cv")))
-                )
-            ).alias("cos")
-        )
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round("cos", 8)), F.asc("clabel")
-    )
-    probes = (
-        qsims.withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= 2)
-        .select("query_id", F.col("clabel").alias("probe_label"))
-    )
+    probes = _route_probes(qlf, cent, n_probes)
     # query-side ADC lookups from the staged codebooks
-    qr = (
+    qrlut = (
         qlf.join(F.broadcast(rcb), ["sub", "pos"])
         .groupBy("query_id", "sub", "code")
         .agg(F.sum(F.col("v") * F.col("rcv")).alias("qrd"))
@@ -1666,30 +1694,6 @@ def ivf_pq_residual_serve_fresh_topk(spark: SparkSession, sf_dir: str) -> DataFr
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("qnorm")
     )
     qclut = qc.join(qn, "query_id")
-    # identical serving tail to ivf_pq_residual_serve_topk
     codes = spark.read.parquet(f"{root}/codes")
     dlut = spark.read.parquet(f"{root}/dlut")
-    cand = codes.join(
-        F.broadcast(probes),
-        (F.col("bucket") == F.col("probe_label"))
-        & (F.col("vec_id") != F.col("query_id")),
-    )
-    s = (
-        cand.join(F.broadcast(qr), ["query_id", "sub", "code"])
-        .join(F.broadcast(dlut), ["bucket", "sub", "code"])
-        .groupBy("query_id", "vec_id", "bucket")
-        .agg(F.sum("qrd").alias("qrsum"), F.sum("dpart").alias("den2"))
-    )
-    scored = s.join(F.broadcast(qclut), ["query_id", "bucket"]).withColumn(
-        "adc_cosine",
-        F.round(
-            (F.col("qcd") + F.col("qrsum")) / (F.col("qnorm") * F.sqrt(F.col("den2"))),
-            4,
-        ),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= _TOP_K)
-        .select("query_id", "vec_id", "adc_cosine")
-    )
+    return _residual_adc_serve_topk(codes, probes, qrlut, dlut, qclut)

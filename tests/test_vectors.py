@@ -427,6 +427,72 @@ def test_serve_recall_floor(spark, qs):
     assert combined >= 3 * random_baseline, f"combined served recall {combined:.3f}"
 
 
+def test_serve_recall_absolute_floor(spark, tmp_path):
+    """ABSOLUTE served-recall floor on geometry that permits one
+    (VERDICT r7 #3 / r8 missing #2 — the relative 3x-random pins above
+    check the machinery is wired, but a recall collapse from 0.9 to 0.1
+    on resolvable geometry would pass them). Plants the SEPARABLE
+    corpus from tools/bench_ann.py — tight ~10-vector clusters with
+    near-orthogonal centers, so each fresh query's exact top-10 IS its
+    cluster co-members and the label-mean codebook's cells resolve it —
+    and serves the fresh batch through the REGISTERED fresh-serve body
+    (`_serve_fresh_from_index`): recall@10 vs brute-force exact must be
+    >= 0.8 at >= 4 probes (bench_ann measures 0.9).
+
+    Also pins the STRADDLED variant (each spatial cluster split across
+    2 coarse labels): the curve must RISE from 1 probe to 4 — the
+    multi-probe lever doing the thing it exists for. A routing or
+    ADC-lookup regression breaks one of the two."""
+    from pyspark.sql import Window
+
+    from dataengineerchallenge_spark.queries.vectors import (
+        _FRESH_HI,
+        _FRESH_LO,
+        _TOP_K,
+        _serve_fresh_from_index,
+        _staged_fresh_query_batch,
+        _staged_ivfpq_index,
+    )
+    from tools.bench_ann import gen_separable
+
+    def recall_at(d: str, n_probes: int) -> float:
+        root = _staged_ivfpq_index(spark, d)
+        batch = spark.read.parquet(_staged_fresh_query_batch(spark, d))
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        q = emb.filter(
+            (F.col("vec_id") >= _FRESH_LO) & (F.col("vec_id") < _FRESH_HI)
+        ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+        pairs = F.broadcast(q).join(
+            emb, F.col("query_id") != F.col("vec_id")
+        ).select(
+            "query_id", "vec_id", V.cosine(F.col("qe"), F.col("embedding")).alias("cos")
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in pairs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= _TOP_K)
+            .collect()
+        }
+        served = {
+            (r.query_id, r.vec_id)
+            for r in _serve_fresh_from_index(spark, root, batch, n_probes=n_probes)
+            .collect()
+        }
+        return len(served & exact) / len(exact)
+
+    sep = str(tmp_path / "separable")
+    gen_separable(spark, sep, 1000)
+    r_sep = recall_at(sep, 4)
+    assert r_sep >= 0.8, f"separable served recall@10 collapsed: {r_sep:.3f}"
+
+    strad = str(tmp_path / "straddled")
+    gen_separable(spark, strad, 1000, 5, 2)
+    r1, r4 = recall_at(strad, 1), recall_at(strad, 4)
+    assert r4 > r1, f"straddled curve must rise with probes: p1={r1:.3f} p4={r4:.3f}"
+    assert r4 >= 0.8, f"straddled served recall@10 at 4 probes: {r4:.3f}"
+
+
 def test_serve_split_parity_on_random_corpora(spark, tmp_path):
     """The build/serve split must hold for ARBITRARY embedding tables,
     not just the driver fixture: random corpora (varying sizes, cluster

@@ -22,19 +22,24 @@ labels drive the stand-in codebooks exactly as on the fixtures.
 
 **Recall-vs-probes curve** (VERDICT r7 #3): `--recall-curve` serves the
 fresh batch at 1/2/4/8 probes through the REGISTERED serve code
-(`_serve_fresh_from_index`) against brute-force exact top-10, on TWO
+(`_serve_fresh_from_index`) against brute-force exact top-10, on THREE
 geometries:
 
 - ``separable`` — many TIGHT clusters of ~10 vectors (near-orthogonal
   hash-random centers, ±0.02 noise on ~4.6-norm bases), so each query's
   exact top-10 is its cluster co-members and the quantization cells
   resolve the true neighborhood. Geometry permits an ABSOLUTE floor
-  (pinned ≥0.8 in tests/test_vectors.py) — a real recall regression in
-  routing/ADC shows up as a hard drop, which the old 3x-random relative
-  pin could not catch.
+  (pinned ≥0.8 in tests/test_vectors.py::test_serve_recall_absolute_floor)
+  — a real recall regression in routing/ADC shows up as a hard drop,
+  which the old 3x-random relative pin could not catch.
+- ``straddled`` — the same tight clusters but each spatial cluster is
+  SPLIT across 2 coarse labels, so a query's true neighborhood spans two
+  inverted lists and single-probe serving structurally caps near half of
+  it. This is the geometry multi-probe exists for: the curve must RISE
+  from 1 to 2+ probes (pinned in the same test).
 - ``mild`` — the 10-broad-cluster default. Measured flat ~0.04 at every
   probe count: within-cluster ranking is noise the label-mean codebook
-  cannot see, so probe count buys nothing. The pair demonstrates the
+  cannot see, so probe count buys nothing. The trio demonstrates the
   real lever: CODEBOOK RESOLUTION (cells ≈ k vectors), not probes,
   bounds recall — with trained k-means codebooks at 100 TB the
   separable regime is the one you engineer for.
@@ -42,6 +47,11 @@ geometries:
 Usage:
     python tools/bench_ann.py [--sizes 100000,1000000] [--iters 3]
         [--driver-memory 8g] [--out BENCH_ann.json] [--recall-curve]
+        [--curve-rows 5000]
+
+``--curve-rows`` sizes the three recall-curve corpora (default 5000
+vectors each; the curve's brute-force anchor is batch-sized so this
+stays cheap).
 """
 
 from __future__ import annotations
