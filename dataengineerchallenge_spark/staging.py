@@ -22,6 +22,13 @@ Protocol (shared by every ``_staged_*`` helper):
 
 Lifecycle: slots accumulate one copy per (fixture, salt) content version;
 ``tools/stage_gc.py`` lists and expires stale tags.
+
+Session-catalog bucketed tables (``spark_graft_bkt_*`` — the SMJ-ready
+orders/lineitem pair and the dedup band store) also keep their data files
+under this root, but in per-session mkdtemp dirs rather than shared slots:
+their bucket metadata is catalog-scoped, so a shared deterministic path
+would let one session's overwrite clobber files under another session's
+live table. stage_gc excludes them from expiry by name.
 """
 
 from __future__ import annotations

@@ -524,3 +524,28 @@ def test_serve_split_parity_on_random_corpora(spark, tmp_path):
         inline = sorted(tuple(r) for r in ivf_pq_adc_topk(spark, str(d)).collect())
         served = sorted(tuple(r) for r in ivf_pq_serve_topk(spark, str(d)).collect())
         assert served == inline and len(served) > 0, f"case {case}"
+
+
+def test_stream_serve_fresh_parity_and_multibatch(spark, qs):
+    """ONLINE serve rung (VERDICT r8 missing #3): the fresh-query file
+    stream served per micro-batch through the staged IVF-PQ index must
+    (a) actually arrive as MULTIPLE micro-batches (one payload file per
+    trigger — a single-batch drain would prove nothing about the online
+    path), and (b) append EXACTLY the batch rung's rows to the sink —
+    per-query results are micro-batch-local, so slicing must not change
+    them."""
+    from dataengineerchallenge_spark.queries.vectors import (
+        _staged_fresh_query_stream,
+        _staged_ivfpq_index,
+        _stream_serve_fresh,
+    )
+
+    root = _staged_ivfpq_index(spark, SF_DIR)
+    payload = _staged_fresh_query_stream(spark, SF_DIR)
+    epochs: list = []
+    streamed = _stream_serve_fresh(spark, root, payload, epochs=epochs)
+    assert len(epochs) >= 2, f"expected a multi-micro-batch drain, got {epochs}"
+    batch = qs["ivf_pq_serve_fresh_topk"](spark, SF_DIR)
+    srows = sorted(tuple(r) for r in streamed.collect())
+    brows = sorted(tuple(r) for r in batch.collect())
+    assert srows == brows and len(srows) > 0

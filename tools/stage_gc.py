@@ -42,9 +42,15 @@ _SLOT_RE = re.compile(rf"^{SLOT_PREFIX}.+_[0-9a-f]{{16}}$")
 def _is_protocol_dir(name: str) -> bool:
     """True only for dirs the staging protocol owns: content-addressed
     slots (16-hex tag suffix) and builder scratch dirs. Anything else —
-    notably session-catalog bucketed-table paths (spark_graft_bkt_*) —
-    must never be GC'd from under a running session."""
+    notably session-catalog bucketed-table paths (spark_graft_bkt_*,
+    which as of r9 also live under the staging root) — must never be
+    GC'd from under a running session."""
     if not name.startswith(SLOT_PREFIX):
+        return False
+    # live session-catalog bucketed-table data dirs: excluded explicitly,
+    # not just by failing the 16-hex-tag pattern — their mkdtemp suffix is
+    # random and a future naming change must not make them GC-eligible
+    if name.startswith(f"{SLOT_PREFIX}bkt_"):
         return False
     return "_scratch_" in name or bool(_SLOT_RE.match(name))
 
