@@ -224,6 +224,14 @@ def main() -> None:
 
     spark = get_spark("bench-ann")
     spark.sparkContext.setLogLevel("ERROR")
+    # run-scoped staging root: build_s must time a COLD index build, not
+    # a directory stat against a slot a previous run left under the
+    # default persistent root (that reuse zeroed build_s once; serve
+    # numbers are unaffected — they are warm by design within the run)
+    import tempfile as _tf
+
+    stage_scratch = _tf.mkdtemp(prefix="spark_graft_bench_ann_stage_")
+    spark.conf.set("spark_graft.staging_root", stage_scratch)
     root = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".benchdata"
     )
@@ -284,6 +292,9 @@ def main() -> None:
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "results"}))
+    import shutil
+
+    shutil.rmtree(stage_scratch, ignore_errors=True)
 
 
 if __name__ == "__main__":
