@@ -22,7 +22,7 @@ labels drive the stand-in codebooks exactly as on the fixtures.
 
 **Recall-vs-probes curve** (VERDICT r7 #3): `--recall-curve` serves the
 fresh batch at 1/2/4/8 probes through the REGISTERED serve code
-(`_serve_fresh_from_index`) against brute-force exact top-10, on THREE
+(`_serve_fresh_from_index`) against brute-force exact top-10, on FOUR
 geometries:
 
 - ``separable`` — many TIGHT clusters of ~10 vectors (near-orthogonal
@@ -39,10 +39,16 @@ geometries:
   from 1 to 2+ probes (pinned in the same test).
 - ``mild`` — the 10-broad-cluster default. Measured flat ~0.04 at every
   probe count: within-cluster ranking is noise the label-mean codebook
-  cannot see, so probe count buys nothing. The trio demonstrates the
+  cannot see, so probe count buys nothing. The set demonstrates the
   real lever: CODEBOOK RESOLUTION (cells ≈ k vectors), not probes,
   bounds recall — with trained k-means codebooks at 100 TB the
   separable regime is the one you engineer for.
+- ``mild_trained`` — the SAME mild corpus with labels replaced by a
+  seeded k-means assignment at neighborhood grain (k = rows/10), so
+  the serve path's codebooks become trained quantizer cells: the
+  production fix for mild's flat line, measured through identical
+  serve code (the batch-side twin of the registered
+  ``pq_trained_adc_topk`` rung).
 
 Usage:
     python tools/bench_ann.py [--sizes 100000,1000000] [--iters 3]
@@ -141,6 +147,41 @@ def gen_separable(
         )
     )
     df.repartition(32).write.mode("overwrite").parquet(os.path.join(path, "embeddings.parquet"))
+    open(os.path.join(path, "_SUCCESS"), "w").close()
+
+
+def gen_mild_trained(spark, path: str, rows: int) -> None:
+    """The FIX for the mild geometry's flat ~0.04 recall: the identical
+    mild corpus, but with ``label`` REPLACED by a seeded k-means
+    assignment at neighborhood grain (k = rows/10, cells ~10 vectors).
+    The serve path's label-mean coarse centroids and per-label PQ
+    codebook entries then ARE trained quantizer cells — this is
+    "train your codebook down to neighborhood resolution" expressed
+    through the exact same staged-index serve code, so the curve
+    measures the codebook-resolution lever and nothing else."""
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    src = os.path.join(os.path.dirname(path), f"ann_mildsrc_{rows}")
+    _gen(spark, src, rows)
+    emb = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
+    feat = emb.select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    model = KMeans(
+        k=rows // 10, seed=42, maxIter=20, featuresCol="features", predictionCol="_c"
+    ).fit(feat)
+    (
+        model.transform(feat)
+        .select("vec_id", "embedding", F.col("_c").cast("int").alias("label"))
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "embeddings.parquet"))
+    )
     open(os.path.join(path, "_SUCCESS"), "w").close()
 
 
@@ -283,6 +324,7 @@ def main() -> None:
             ("separable", lambda s, d, r: gen_separable(s, d, r)),
             ("straddled", lambda s, d, r: gen_separable(s, d, r, 5, 2)),
             ("mild", _gen),
+            ("mild_trained", gen_mild_trained),
         )
         for geom, gen in geoms:
             d = os.path.join(root, f"ann_{geom}_{args.curve_rows}")

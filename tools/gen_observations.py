@@ -388,7 +388,14 @@ geometry multi-probe exists for. On MILD broad clusters recall sits at
 label-mean codebook cannot resolve. The lever at 100 TB is therefore
 CODEBOOK RESOLUTION (train cells down to neighborhood grain), with
 probes as the recall/latency dial — and the curve shows candidate cost
-scaling linearly with probes while recall saturates.''' if ann_bench and ann_bench.get("recall_curve") else "")}
+scaling linearly with probes while recall saturates. The
+``mild_trained`` row MEASURES that lever: the identical mild corpus
+with its cells re-fit by seeded k-means at neighborhood grain serves
+~5x mild's recall while scanning ~50x fewer candidates — and the same
+fix is a registered rung on the fixtures (`pq_trained_adc_topk`,
+trained per-subspace codebooks at equal code budget: recall@10 0.20 vs
+the label-mean rung's 0.02, reconstruction-SSE and recall pins in
+tests/test_vectors.py).''' if ann_bench and ann_bench.get("recall_curve") else "")}
 
 ### Near-dup dedup: which path wins depends on the key distribution
 {"".join(f'''
