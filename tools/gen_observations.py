@@ -96,6 +96,35 @@ def main() -> None:
     bench_var = load_artifact("BENCH_variance.json")
     langid_prof = load_artifact("BENCH_langid.json")
 
+    # r8-verdict-named drift rows, re-measured against the current
+    # sidecar window (same discipline as the r5/r6 table: a delta is a
+    # regression only if the recorded window excludes the old median)
+    r7_rows_para = ""
+    r7b = load_artifact("BENCH_r07.json")
+    det = load_artifact("BENCH_detail.json")
+    if r7b and det and "qmin" in det:
+        r7q = (r7b.get("parsed") or r7b)["queries"]
+        lines = []
+        for q in ("near_dup_incremental_minhash", "multimodal_synth_codec_audit"):
+            if q not in r7q or q not in det["queries"]:
+                continue
+            v7, med = r7q[q], det["queries"][q]
+            lo, hi = det["qmin"][q], det["qmax"][q]
+            verdict = (
+                "noise (old median inside the fresh window)"
+                if lo <= v7 <= hi or med <= v7 * 1.1
+                else f"elevated {med / v7:.2f}x, plan unchanged"
+            )
+            lines.append((q, v7, med, f"{lo}-{hi}", verdict))
+        if lines:
+            r7_rows_para = f"""
+The two rows the round-8 verdict flagged as next-round variance
+candidates, re-measured (fresh median-of-3 + actual sample window,
+`BENCH_detail.json`, vs the r7 medians):
+
+{md_table(lines, ["query", "r7 (s)", "fresh median (s)", "window (s)", "verdict"])}
+"""
+
     # doc_lang_id drift attribution (VERDICT r7 #5): stage-level split
     langid_para = ""
     if langid_prof:
@@ -480,7 +509,7 @@ verdict, re-measured:
 A future round-over-round delta is a regression only if it clears the
 recorded spread; inside it, it's the machine talking, not the code. The
 persistent rows above are the honest remainder — elevated beyond their
-spread vs r5, plans unchanged, and still far inside the 2× bar.''' if bench_var else "")}{langid_para}
+spread vs r5, plans unchanged, and still far inside the 2× bar.''' if bench_var else "")}{r7_rows_para}{langid_para}
 
 ## 6. What additional data would sharpen these conclusions
 
