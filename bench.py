@@ -57,6 +57,7 @@ HEADLINE = [
     "ivf_pq_residual_serve_fresh_topk",      # N3 residual (IVFADC) fresh serve (round 8)
     "near_dup_incremental_minhash_bigbatch", # N2 over-budget bucketed-SMJ dedup (round 8)
     "near_dup_second_delivery_minhash",      # N2 steady-state delivery N+1 (round 8)
+    "ivf_pq_trained_serve_topk",             # N3 all-trained index serve (round 9)
 ]
 
 

@@ -833,6 +833,102 @@ def pq_trained_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_score_topk(codes, cn, qdot, qn)
 
 
+def _staged_trained_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """ALL-TRAINED build half of the serving split: coarse cells from
+    the seeded k-means quantizer (``_staged_kmeans_quantizer``) and PQ
+    codebooks from the per-subspace k-means fits
+    (``_staged_trained_pq_codebook``) — the two trained artifacts the
+    label-mean index stands in for — with the corpus encoded ONCE
+    against the trained codebook and written as bucket-partitioned
+    inverted lists. Composition of already-staged state plus one encode
+    pass; nothing here is query-dependent:
+
+    - ``codes/``     (vec_id, sub, code) PARTITIONED BY bucket (the
+      k-means cell) — trained inverted lists, probe = directory seek;
+    - ``cn/``        (sub, code, cn2) trained-codebook entry norms;
+    - ``centroids/`` (clabel, pos, cv) trained COARSE codebook,
+      long-form for the shared ``_route_probes`` router;
+    - ``cb/``        (sub, code, pos, cv) trained PQ codebook for
+      query-time ADC lookup construction.
+
+    This is the production IVF-PQ shape (trained quantizers at every
+    level, public IVFADC design) expressed through the exact staging /
+    serve machinery the label-mean rungs pin."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        kq = _staged_kmeans_quantizer(spark, sf_dir)
+        cb = spark.read.parquet(
+            f"{_staged_trained_pq_codebook(spark, sf_dir)}/cb"
+        )
+        codes, cn, _, _ = _pq_parts_from_codebook(spark, sf_dir, cb)
+        assign = spark.read.parquet(f"{kq}/assign")
+        write_result(
+            codes.join(assign, "vec_id"), str(out / "codes"), partition_by=["bucket"]
+        )
+        write_result(cn, str(out / "cn"), coalesce_to=1)
+        cent_lf = spark.read.parquet(f"{kq}/centroids").select(
+            "clabel", F.posexplode("cv").alias("pos", "cv")
+        )
+        write_result(cent_lf, str(out / "centroids"), coalesce_to=1)
+        write_result(cb, str(out / "cb"), coalesce_to=1)
+
+    salt = f"ivfpqtrained:d{_PQ_DIM}:k{_PQ_TRAINED_K}:kmeans10s42"
+    return staged(
+        spark, "ivfpqtrained", Path(sf_dir) / "embeddings.parquet", salt, build
+    )
+
+
+def _trained_serve_from_index(
+    spark: SparkSession, root: str, batch: DataFrame, n_probes: int = 2
+) -> DataFrame:
+    """Query-time serve against the all-trained index: route the batch
+    on the trained coarse codebook (shared ``_route_probes``), build
+    the ADC lookup table from the trained PQ codebook + staged entry
+    norms (all batch-sized against broadcast staged state), then the
+    shared ``_adc_serve_topk`` DPP-pruned codes seek. Mirrors
+    ``_serve_fresh_from_index`` except coarse and PQ codebooks are
+    SEPARATE staged frames — in the label-mean design they coincide."""
+    cent = spark.read.parquet(f"{root}/centroids")
+    cb = spark.read.parquet(f"{root}/cb")
+    cn = spark.read.parquet(f"{root}/cn")
+    qlf = V.explode_vectors(batch, ["query_id"], "embedding").withColumn(
+        "sub", F.floor(F.col("pos") / _PQ_DIM)
+    )
+    probes = _route_probes(qlf, cent, n_probes)
+    qdot = (
+        qlf.join(F.broadcast(cb), ["sub", "pos"])
+        .groupBy("query_id", "sub", "code")
+        .agg(F.sum(F.col("v") * F.col("cv")).alias("qd"))
+    )
+    qn = qlf.groupBy("query_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("qnorm")
+    )
+    qlut = qdot.join(F.broadcast(cn), ["sub", "code"]).join(qn, "query_id")
+    codes = spark.read.parquet(f"{root}/codes")
+    return _adc_serve_topk(codes, probes, qlut)
+
+
+@register("ivf_pq_trained_serve_topk")
+def ivf_pq_trained_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 capstone — the PRODUCTION IVF-PQ: trained quantizers at both
+    levels (seeded k-means coarse cells + per-subspace k-means PQ
+    codebooks), staged once as bucket-partitioned inverted lists, and a
+    fresh query batch served with zero base-table scans (routing, ADC
+    lookups, and norms all computed batch-side from the broadcast
+    staged codebooks; corpus touched only via the DPP-pruned codes
+    seek — plan-pinned in tests/test_vectors.py, with exact parity
+    against the inline trained dataflow and recall at least the
+    label-mean serve rung's on the same batch). Rows-only per contract
+    (two k-means fits; same stance as ivf_kmeans_topk)."""
+    root = _staged_trained_ivfpq_index(spark, sf_dir)
+    batch = spark.read.parquet(_staged_fresh_query_batch(spark, sf_dir))
+    return _trained_serve_from_index(spark, root, batch)
+
+
 # Full IVF-PQ oracle, shared by ivf_pq_adc_topk (inline build),
 # ivf_pq_serve_topk (prebuilt index), and — with a different batch
 # predicate — ivf_pq_serve_fresh_topk: all compute the same math, so the

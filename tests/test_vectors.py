@@ -603,3 +603,100 @@ def test_trained_pq_beats_label_mean_codebook(spark, qs):
     r_lab = len(lab & exact) / len(exact)
     r_tr = len(tr & exact) / len(exact)
     assert r_tr >= r_lab and len(tr) > 0, f"trained {r_tr} < label-mean {r_lab}"
+
+
+def test_trained_serve_matches_inline_and_never_scans_base_table(spark, qs):
+    """The all-trained index (N3 capstone): (a) serving from the staged
+    bucket-partitioned trained inverted lists returns EXACTLY the rows
+    of the same trained dataflow run inline from the base table — the
+    parquet round-trip and bucket partitioning must not corrupt a code;
+    (b) the executed serve plan touches no base table and DPP-prunes
+    the codes seek; (c) recall@10 on the fresh batch is at least the
+    label-mean serve rung's on the same batch (measured 0.16 vs 0.10 —
+    trained cells route true neighbors into probed buckets the weak
+    labels miss)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataengineerchallenge_spark.queries.vectors import (
+        _FRESH_HI,
+        _FRESH_LO,
+        _TOP_K,
+        _pq_parts_from_codebook,
+        _route_probes,
+        _staged_kmeans_quantizer,
+        _staged_trained_pq_codebook,
+    )
+    from dataengineerchallenge_spark.sources.tables import load_table
+
+    kq = _staged_kmeans_quantizer(spark, SF_DIR)
+    cb = spark.read.parquet(_staged_trained_pq_codebook(spark, SF_DIR) + "/cb")
+    codes, cn, qdot, qn = _pq_parts_from_codebook(
+        spark, SF_DIR, cb, q_lo=_FRESH_LO, q_hi=_FRESH_HI
+    )
+    assign = spark.read.parquet(f"{kq}/assign").select(
+        "vec_id", F.col("bucket").alias("probe_label")
+    )
+    cent_lf = spark.read.parquet(f"{kq}/centroids").select(
+        "clabel", F.posexplode("cv").alias("pos", "cv")
+    )
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qlf = (
+        emb.filter((F.col("vec_id") >= _FRESH_LO) & (F.col("vec_id") < _FRESH_HI))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .select("query_id", F.posexplode("embedding").alias("pos", "_vf"))
+        .withColumn("v", F.col("_vf").cast("double"))
+    )
+    probes = _route_probes(qlf, cent_lf, 2)
+    cand = assign.join(F.broadcast(probes), "probe_label").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    s = (
+        cand.select("query_id", "vec_id")
+        .join(codes, "vec_id")
+        .join(F.broadcast(qdot), ["query_id", "sub", "code"])
+        .join(F.broadcast(cn), ["sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd").alias("num"), F.sum("cn2").alias("cn2sum"))
+    )
+    scored = s.join(F.broadcast(qn), "query_id").withColumn(
+        "adc_cosine",
+        F.round(F.col("num") / (F.col("qnorm") * F.sqrt(F.col("cn2sum"))), 4),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"), F.asc("vec_id"))
+    inline = sorted(
+        tuple(r)
+        for r in scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _TOP_K)
+        .select("query_id", "vec_id", "adc_cosine")
+        .collect()
+    )
+
+    df = qs["ivf_pq_trained_serve_topk"](spark, SF_DIR)
+    served = sorted(tuple(r) for r in df.collect())
+    assert served == inline and len(served) > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "embeddings" not in plan
+    assert "dynamicpruning" in plan.lower()
+
+    # (c) recall dominance over the label-mean serve on the same batch
+    q = emb.filter(
+        (F.col("vec_id") >= _FRESH_LO) & (F.col("vec_id") < _FRESH_HI)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    pairs = F.broadcast(q).join(emb, F.col("query_id") != F.col("vec_id")).select(
+        "query_id", "vec_id", V.cosine(F.col("q_emb"), F.col("embedding")).alias("cos")
+    )
+    wx = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in pairs.withColumn("_rn", F.row_number().over(wx))
+        .filter(F.col("_rn") <= _TOP_K)
+        .collect()
+    }
+    got = {(q_, v_) for q_, v_, _ in served}
+    lab = {
+        (r.query_id, r.vec_id)
+        for r in qs["ivf_pq_serve_fresh_topk"](spark, SF_DIR).collect()
+    }
+    assert len(got & exact) >= len(lab & exact)
