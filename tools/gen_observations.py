@@ -424,7 +424,12 @@ with its cells re-fit by seeded k-means at neighborhood grain serves
 fix is a registered rung on the fixtures (`pq_trained_adc_topk`,
 trained per-subspace codebooks at equal code budget: recall@10 0.20 vs
 the label-mean rung's 0.02, reconstruction-SSE and recall pins in
-tests/test_vectors.py).''' if ann_bench and ann_bench.get("recall_curve") else "")}
+tests/test_vectors.py) — and it reaches the serving path:
+`ivf_pq_trained_serve_topk` stages the all-trained production index
+(k-means coarse cells + k-means PQ codebooks, bucket-partitioned
+trained inverted lists) and serves the fresh batch with zero
+base-table scans, recall-dominant over the label-mean serve on the
+same batch (0.16 vs 0.10, parity/plan/recall pinned).''' if ann_bench and ann_bench.get("recall_curve") else "")}
 
 ### Near-dup dedup: which path wins depends on the key distribution
 {"".join(f'''
