@@ -1604,6 +1604,10 @@ def ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in codebooks are untrained means — with real k-means training
     the residual design's advantage is what makes IVFADC the standard —
     but the direction is the design's, and the dataflow is exact.
+    (The training claim is substantiated on the plain-PQ side:
+    ``pq_trained_adc_topk`` / ``ivf_pq_trained_serve_topk`` swap in
+    seeded k-means codebooks at equal code budget and measure 10x /
+    1.6x the label-mean recall — the same swap applies here.)
 
     ADC decomposes exactly into broadcast-sized lookup tables:
       numerator  q.v_hat        = qc[query, bucket] + sum_sub qr[query, sub, code]

@@ -605,16 +605,13 @@ def test_trained_pq_beats_label_mean_codebook(spark, qs):
     assert r_tr >= r_lab and len(tr) > 0, f"trained {r_tr} < label-mean {r_lab}"
 
 
-def test_trained_serve_matches_inline_and_never_scans_base_table(spark, qs):
-    """The all-trained index (N3 capstone): (a) serving from the staged
-    bucket-partitioned trained inverted lists returns EXACTLY the rows
-    of the same trained dataflow run inline from the base table — the
-    parquet round-trip and bucket partitioning must not corrupt a code;
-    (b) the executed serve plan touches no base table and DPP-prunes
-    the codes seek; (c) recall@10 on the fresh batch is at least the
-    label-mean serve rung's on the same batch (measured 0.16 vs 0.10 —
-    trained cells route true neighbors into probed buckets the weak
-    labels miss)."""
+def _trained_inline_topk(spark, d):
+    """The all-trained dataflow run INLINE from the base table of
+    corpus dir ``d`` (fresh batch, 2 probes): routes on the staged
+    k-means coarse centroids, encodes the corpus against the staged
+    trained PQ codebook inside the plan, ADC-scores probed candidates.
+    The parity anchor for ``ivf_pq_trained_serve_topk`` — shared by the
+    fixture test and the random-corpora property test."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -629,10 +626,10 @@ def test_trained_serve_matches_inline_and_never_scans_base_table(spark, qs):
     )
     from dataengineerchallenge_spark.sources.tables import load_table
 
-    kq = _staged_kmeans_quantizer(spark, SF_DIR)
-    cb = spark.read.parquet(_staged_trained_pq_codebook(spark, SF_DIR) + "/cb")
+    kq = _staged_kmeans_quantizer(spark, d)
+    cb = spark.read.parquet(_staged_trained_pq_codebook(spark, d) + "/cb")
     codes, cn, qdot, qn = _pq_parts_from_codebook(
-        spark, SF_DIR, cb, q_lo=_FRESH_LO, q_hi=_FRESH_HI
+        spark, d, cb, q_lo=_FRESH_LO, q_hi=_FRESH_HI
     )
     assign = spark.read.parquet(f"{kq}/assign").select(
         "vec_id", F.col("bucket").alias("probe_label")
@@ -640,7 +637,7 @@ def test_trained_serve_matches_inline_and_never_scans_base_table(spark, qs):
     cent_lf = spark.read.parquet(f"{kq}/centroids").select(
         "clabel", F.posexplode("cv").alias("pos", "cv")
     )
-    emb = load_table(spark, SF_DIR, "embeddings")
+    emb = load_table(spark, d, "embeddings")
     qlf = (
         emb.filter((F.col("vec_id") >= _FRESH_LO) & (F.col("vec_id") < _FRESH_HI))
         .select(F.col("vec_id").alias("query_id"), "embedding")
@@ -664,13 +661,37 @@ def test_trained_serve_matches_inline_and_never_scans_base_table(spark, qs):
         F.round(F.col("num") / (F.col("qnorm") * F.sqrt(F.col("cn2sum"))), 4),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"), F.asc("vec_id"))
-    inline = sorted(
+    return sorted(
         tuple(r)
         for r in scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= _TOP_K)
         .select("query_id", "vec_id", "adc_cosine")
         .collect()
     )
+
+
+def test_trained_serve_matches_inline_and_never_scans_base_table(spark, qs):
+    """The all-trained index (N3 capstone): (a) serving from the staged
+    bucket-partitioned trained inverted lists returns EXACTLY the rows
+    of the same trained dataflow run inline from the base table — the
+    parquet round-trip and bucket partitioning must not corrupt a code;
+    (b) the executed serve plan touches no base table and DPP-prunes
+    the codes seek; (c) recall@10 on the fresh batch is at least the
+    label-mean serve rung's on the same batch (measured 0.16 vs 0.10 —
+    trained cells route true neighbors into probed buckets the weak
+    labels miss)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataengineerchallenge_spark.queries.vectors import (
+        _FRESH_HI,
+        _FRESH_LO,
+        _TOP_K,
+    )
+    from dataengineerchallenge_spark.sources.tables import load_table
+
+    inline = _trained_inline_topk(spark, SF_DIR)
+    emb = load_table(spark, SF_DIR, "embeddings")
 
     df = qs["ivf_pq_trained_serve_topk"](spark, SF_DIR)
     served = sorted(tuple(r) for r in df.collect())
@@ -700,3 +721,42 @@ def test_trained_serve_matches_inline_and_never_scans_base_table(spark, qs):
         for r in qs["ivf_pq_serve_fresh_topk"](spark, SF_DIR).collect()
     }
     assert len(got & exact) >= len(lab & exact)
+
+
+def test_trained_serve_split_parity_on_random_corpora(spark, tmp_path):
+    """The all-trained build/serve split must hold for ARBITRARY
+    embedding tables, not just the driver fixture: random corpora
+    (varying sizes, duplicate vectors for ADC ties) staged into fresh
+    dirs must serve exactly the inline trained dataflow's rows."""
+    import random
+
+    from dataengineerchallenge_spark.queries.vectors import (
+        _staged_trained_ivfpq_index,
+        _trained_serve_from_index,
+    )
+
+    for case, (n, dup_every) in enumerate([(80, 0), (150, 7)]):
+        rng = random.Random(2000 + case)
+        rows = []
+        for i in range(n):
+            if dup_every and i % dup_every == 1 and i > 1:
+                vec = rows[i - 1][1]  # exact duplicate: ADC score ties
+            else:
+                vec = [rng.uniform(-1, 1) for _ in range(64)]
+            rows.append((i, vec, i % 5))
+        d = tmp_path / f"tcorpus{case}"
+        d.mkdir()
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+        inline = _trained_inline_topk(spark, str(d))
+        root = _staged_trained_ivfpq_index(spark, str(d))
+        batch = (
+            spark.read.parquet(str(d / "embeddings.parquet"))
+            .filter("vec_id >= 5 and vec_id < 10")
+            .selectExpr("vec_id as query_id", "embedding")
+        )
+        served = sorted(
+            tuple(r) for r in _trained_serve_from_index(spark, root, batch).collect()
+        )
+        assert served == inline and len(served) > 0, f"case {case}"
