@@ -24,9 +24,16 @@ is why the real window is preferred (ADVICE r7).
 
 Usage:
     python tools/bench_variance.py [--fresh fresh.json] [--out BENCH_variance.json]
+        [--rounds BENCH_r05.json,BENCH_r06.json]
 
 Without --fresh, runs ``bench.py`` as a subprocess at $SPARK_GRAFT_SF_DIR
-(default sf0.1) and uses its JSON line.
+(default sf0.1) and uses its JSON line. ``--rounds`` picks which two
+committed round artifacts anchor the comparison (earlier,later — the
+default replays the original r5/r6 question; future rounds can pass
+e.g. ``BENCH_r07.json,BENCH_r09.json``; a round whose artifact is
+unparseable, like BENCH_r08, simply cannot anchor). The output keys
+stay ``r5_s``/``r6_s``-shaped only for the default pair; other pairs
+emit ``<stem>_s`` keys derived from the filenames.
 """
 
 from __future__ import annotations
@@ -70,6 +77,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--fresh", default=None, help="path to a bench.py JSON output; runs bench.py if omitted")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_variance.json"))
+    ap.add_argument(
+        "--rounds",
+        default="BENCH_r05.json,BENCH_r06.json",
+        help="earlier,later committed round artifacts to anchor against",
+    )
     args = ap.parse_args()
 
     if args.fresh:
@@ -94,7 +106,20 @@ def main() -> None:
                 for k in ("spread", "qmin", "qmax"):
                     fresh.setdefault(k, det.get(k, {}))
 
-    r5, r6 = _load("BENCH_r05.json"), _load("BENCH_r06.json")
+    name_a, name_b = (s.strip() for s in args.rounds.split(","))
+    r5, r6 = _load(name_a), _load(name_b)
+    if not (r5 and r6 and "queries" in r5 and "queries" in r6):
+        raise SystemExit(
+            f"anchor artifact unparseable ({name_a} / {name_b}) — pick rounds "
+            "whose BENCH_r*.json has a non-null 'parsed' payload"
+        )
+    # default pair keeps the historical r5_s/r6_s keys gen_observations
+    # reads; other pairs key by filename stem (e.g. bench_r07_s)
+    if (name_a, name_b) == ("BENCH_r05.json", "BENCH_r06.json"):
+        key_a, key_b = "r5_s", "r6_s"
+    else:
+        key_a = name_a.rsplit(".", 1)[0].lower() + "_s"
+        key_b = name_b.rsplit(".", 1)[0].lower() + "_s"
     spread = fresh.get("spread", {})
     qmin, qmax = fresh.get("qmin", {}), fresh.get("qmax", {})
     rows = {}
@@ -104,14 +129,14 @@ def main() -> None:
         v5, v6, sp = r5["queries"][q], r6["queries"][q], spread.get(q, 0.0)
         lo, hi = qmin.get(q), qmax.get(q)
         rows[q] = {
-            "r5_s": v5,
-            "r6_s": v6,
+            key_a: v5,
+            key_b: v6,
             "fresh_median_s": med,
             "fresh_spread_s": sp,
             "fresh_min_s": lo,
             "fresh_max_s": hi,
-            "r6_over_r5": round(v6 / v5, 3) if v5 else None,
-            "fresh_over_r5": round(med / v5, 3) if v5 else None,
+            "later_over_earlier": round(v6 / v5, 3) if v5 else None,
+            "fresh_over_earlier": round(med / v5, 3) if v5 else None,
             "verdict": classify(v5, v6, med, sp, lo, hi),
         }
     common = sorted(rows)
@@ -119,9 +144,10 @@ def main() -> None:
         "metric": "bench_variance",
         "sf": fresh.get("sf"),
         "samples": fresh.get("samples"),
+        "rounds": [name_a, name_b],
         "fresh_total_s": round(sum(rows[q]["fresh_median_s"] for q in common), 3),
-        "r5_total_s": round(sum(rows[q]["r5_s"] for q in common), 3),
-        "r6_total_s": round(sum(rows[q]["r6_s"] for q in common), 3),
+        key_a.replace("_s", "_total_s"): round(sum(rows[q][key_a] for q in common), 3),
+        key_b.replace("_s", "_total_s"): round(sum(rows[q][key_b] for q in common), 3),
         "n_noise": sum(1 for q in common if rows[q]["verdict"] == "noise"),
         "n_persistent": sum(1 for q in common if rows[q]["verdict"] == "persistent"),
         "queries": rows,
