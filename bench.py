@@ -193,9 +193,25 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     line = json.dumps(result)
-    # hard guard: the driver-facing line must stay far inside the 2,000-
-    # byte tail capture, or the round ships with no parseable perf signal
-    assert len(line) < 1800, f"bench stdout line {len(line)}B >= 1800B"
+    # guard: the driver-facing line must stay far inside the 2,000-byte
+    # tail capture, or the round ships with no parseable perf signal.
+    # DEGRADE, don't die (ADVICE r9): if the headline list ever grows the
+    # line past the budget, the suite has already run and the sidecar is
+    # written — print a reduced-but-parseable line (totals + pointer)
+    # instead of crashing with no stdout JSON at all, which was the exact
+    # failure mode the sidecar split exists to prevent.
+    if len(line) >= 1800:
+        print(
+            f"WARNING: full bench line {len(line)}B >= 1800B budget; "
+            "emitting reduced line — per-query medians in BENCH_detail.json",
+            file=sys.stderr,
+        )
+        reduced = {
+            k: v for k, v in result.items() if k != "queries"
+        }
+        reduced["queries_in"] = "BENCH_detail.json"
+        reduced["n_queries"] = len(timings)
+        line = json.dumps(reduced)
     print(line)
 
 

@@ -1980,7 +1980,11 @@ def _stream_serve_fresh(
     multiple micro-batches and tools/bench_stream.py can record the
     per-micro-batch serve latency. The sink/checkpoint scratch is
     run-scoped (results, not a staged artifact — the staging root holds
-    only build-once state)."""
+    only build-once state) and REMOVED before returning (ADVICE r9:
+    every invocation otherwise leaks a top-k parquet + checkpoint into
+    tmp); the drained result — batch-sized, Q×k rows — is re-created as
+    a local DataFrame so nothing returned depends on the deleted files."""
+    import shutil
     import tempfile
     import time
 
@@ -2013,10 +2017,13 @@ def _stream_serve_fresh(
             raise TimeoutError(
                 f"stream serve did not drain availableNow input in {timeout_s}s"
             )
+        drained = spark.read.parquet(sink)
+        result = spark.createDataFrame(drained.collect(), drained.schema)
     finally:
         if q.isActive:
             q.stop()
-    return spark.read.parquet(sink)
+        shutil.rmtree(scratch, ignore_errors=True)
+    return result
 
 
 @register(

@@ -88,6 +88,28 @@ def test_delete_never_touches_bucketed_table_dirs(tmp_path):
     assert bkt.exists()
 
 
+def test_include_bkt_opts_bucketed_dirs_into_expiry(tmp_path):
+    """ADVICE r9: bkt dirs are orphaned when their session dies and
+    accumulate unboundedly; --include-bkt opts them into the mtime-age
+    sweep (kind 'bkt'), while the default scan still never lists them."""
+    old_bkt = _mk_slot(tmp_path, "spark_graft_bkt_mh_bands_x", 30.0)
+    fresh_bkt = _mk_slot(tmp_path, "spark_graft_bkt_orders_y", 0.1)
+    slot = _mk_slot(tmp_path, f"spark_graft_ivfpq_{_T1}", 30.0)
+
+    records = scan(tmp_path, include_bkt=True)
+    by_name = {r["name"]: r for r in records}
+    assert by_name["spark_graft_bkt_mh_bands_x"]["kind"] == "bkt"
+    assert by_name[f"spark_graft_ivfpq_{_T1}"]["kind"] == "slot"
+
+    expired = expire(records, expire_days=7, delete=True)
+    assert {r["name"] for r in expired} == {
+        "spark_graft_bkt_mh_bands_x",
+        f"spark_graft_ivfpq_{_T1}",
+    }
+    assert not old_bkt.exists() and not slot.exists()
+    assert fresh_bkt.exists()  # inside the cutoff: untouched
+
+
 def test_dir_size_survives_concurrent_removal(tmp_path):
     """A file vanishing between rglob and stat (concurrent GC/builder on
     a shared root) must be skipped, not crash the scan."""

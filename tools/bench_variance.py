@@ -3,18 +3,21 @@
 1.17× of r5 with unchanged plans, and a one-sample bench cannot say
 whether that was regression or machine noise).
 
-Reads the committed single-sample round artifacts (BENCH_r05.json,
-BENCH_r06.json) plus a FRESH median-of-3 run of bench.py (the r7
-methodology: artifacts pre-staged, three warm suite passes, per-query
-median + spread), and classifies every query common to all three:
+Reads two committed round bench artifacts (the ``--rounds`` anchors)
+plus a FRESH median-of-3 run of bench.py (the r7 methodology: artifacts
+pre-staged, three warm suite passes, per-query median + spread), and
+classifies every fresh headline query:
 
-- ``noise``      — the fresh median is back at (or below) the r5 level,
-                   or r5 sits inside the fresh sample window: the r6
-                   sample was session noise, the code is not slower.
-- ``persistent`` — the fresh median reproduces the r6 elevation while
-                   r5 falls outside the fresh window: something real
-                   (code or machine) changed since r5 and is still
-                   present.
+- ``noise``      — the fresh median is back at (or below) the earlier
+                   anchor's level, or the earlier number sits inside the
+                   fresh sample window: the later round's sample was
+                   session noise, the code is not slower.
+- ``persistent`` — the fresh median reproduces the later anchor's
+                   elevation while the earlier number falls outside the
+                   fresh window: something real (code or machine)
+                   changed between the anchors and is still present.
+- ``new``        — the query postdates both anchors; nothing to drift
+                   from yet.
 
 The "fresh window" is the ACTUAL per-query min..max when bench.py
 reports it (``qmin``/``qmax``, added r8); for older bench outputs
@@ -24,16 +27,23 @@ is why the real window is preferred (ADVICE r7).
 
 Usage:
     python tools/bench_variance.py [--fresh fresh.json] [--out BENCH_variance.json]
-        [--rounds BENCH_r05.json,BENCH_r06.json]
+        [--rounds BENCH_r07.json,BENCH_r09.json]
 
 Without --fresh, runs ``bench.py`` as a subprocess at $SPARK_GRAFT_SF_DIR
 (default sf0.1) and uses its JSON line. ``--rounds`` picks which two
 committed round artifacts anchor the comparison (earlier,later — the
-default replays the original r5/r6 question; future rounds can pass
-e.g. ``BENCH_r07.json,BENCH_r09.json``; a round whose artifact is
-unparseable, like BENCH_r08, simply cannot anchor). The output keys
-stay ``r5_s``/``r6_s``-shaped only for the default pair; other pairs
-emit ``<stem>_s`` keys derived from the filenames.
+default anchors the two most recent parseable rounds, r7/r9; a round
+whose artifact is unparseable, like BENCH_r08, simply cannot anchor).
+
+Output keys (ADVICE r9 — consumers must not hardcode a round pair):
+every per-query row carries GENERIC ``earlier_s``/``later_s`` keys and
+the top level carries ``earlier_total_s``/``later_total_s``, whatever
+the anchor pair; ``<stem>_s`` aliases derived from the filenames (e.g.
+``bench_r07_s``) ride along for humans. The ``rounds`` field names the
+anchors. Headline queries newer than the earlier anchor are still
+classified against the later one (``earlier_s: null``); queries newer
+than BOTH anchors get verdict ``new`` — first round measured, nothing
+to drift from.
 """
 
 from __future__ import annotations
@@ -55,8 +65,8 @@ def _load(name: str) -> dict:
 
 
 def classify(
-    r5: float,
-    r6: float,
+    earlier: float,
+    later: float,
     med: float,
     spread: float,
     lo: float | None = None,
@@ -66,11 +76,11 @@ def classify(
     # else the half-spread reconstruction (pre-r8 bench outputs)
     if lo is None or hi is None:
         lo, hi = med - spread / 2.0, med + spread / 2.0
-    if med <= r5 * 1.1 or lo <= r5 <= hi:
+    if med <= earlier * 1.1 or lo <= earlier <= hi:
         return "noise"
-    if lo <= r6 <= hi:
+    if lo <= later <= hi:
         return "persistent"
-    return "persistent" if med > r5 * 1.2 else "noise"
+    return "persistent" if med > earlier * 1.2 else "noise"
 
 
 def main() -> None:
@@ -79,8 +89,10 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_variance.json"))
     ap.add_argument(
         "--rounds",
-        default="BENCH_r05.json,BENCH_r06.json",
-        help="earlier,later committed round artifacts to anchor against",
+        default="BENCH_r07.json,BENCH_r09.json",
+        help="earlier,later committed round artifacts to anchor against "
+        "(default: the two most recent parseable rounds; BENCH_r08 "
+        "shipped parsed:null and cannot anchor)",
     )
     args = ap.parse_args()
 
@@ -97,59 +109,80 @@ def main() -> None:
 
     # as of r9 bench.py keeps the stdout line driver-sized and writes
     # spread/qmin/qmax to a sidecar (VERDICT r8 What's-wrong #1); merge
-    # the sidecar in when the line itself doesn't carry the window
-    if "qmin" not in fresh:
-        sidecar = os.path.join(REPO, "BENCH_detail.json")
-        if os.path.exists(sidecar):
-            det = json.load(open(sidecar))
-            if det.get("queries") == fresh.get("queries"):
-                for k in ("spread", "qmin", "qmax"):
-                    fresh.setdefault(k, det.get(k, {}))
+    # the sidecar in when the line itself doesn't carry the window. A
+    # reduced overflow line (ADVICE r9 degrade path) drops "queries"
+    # entirely — then the sidecar IS the fresh sample.
+    sidecar = os.path.join(REPO, "BENCH_detail.json")
+    if os.path.exists(sidecar):
+        det = json.load(open(sidecar))
+        if "queries" not in fresh and fresh.get("value") == det.get("value"):
+            fresh = det
+        elif "qmin" not in fresh and det.get("queries") == fresh.get("queries"):
+            for k in ("spread", "qmin", "qmax"):
+                fresh.setdefault(k, det.get(k, {}))
+    if "queries" not in fresh:
+        raise SystemExit("fresh bench output carries no per-query medians")
 
     name_a, name_b = (s.strip() for s in args.rounds.split(","))
-    r5, r6 = _load(name_a), _load(name_b)
-    if not (r5 and r6 and "queries" in r5 and "queries" in r6):
+    r_a, r_b = _load(name_a), _load(name_b)
+    if not (r_a and r_b and "queries" in r_a and "queries" in r_b):
         raise SystemExit(
             f"anchor artifact unparseable ({name_a} / {name_b}) — pick rounds "
             "whose BENCH_r*.json has a non-null 'parsed' payload"
         )
-    # default pair keeps the historical r5_s/r6_s keys gen_observations
-    # reads; other pairs key by filename stem (e.g. bench_r07_s)
-    if (name_a, name_b) == ("BENCH_r05.json", "BENCH_r06.json"):
-        key_a, key_b = "r5_s", "r6_s"
-    else:
-        key_a = name_a.rsplit(".", 1)[0].lower() + "_s"
-        key_b = name_b.rsplit(".", 1)[0].lower() + "_s"
+    # human-facing aliases key by filename stem (e.g. bench_r07_s); the
+    # machine-facing keys are the generic earlier_s/later_s (ADVICE r9:
+    # gen_observations.py crashed on a re-anchored artifact because the
+    # keys used to be pair-derived only)
+    key_a = name_a.rsplit(".", 1)[0].lower() + "_s"
+    key_b = name_b.rsplit(".", 1)[0].lower() + "_s"
     spread = fresh.get("spread", {})
     qmin, qmax = fresh.get("qmin", {}), fresh.get("qmax", {})
     rows = {}
     for q, med in fresh["queries"].items():
-        if q not in r5["queries"] or q not in r6["queries"]:
-            continue
-        v5, v6, sp = r5["queries"][q], r6["queries"][q], spread.get(q, 0.0)
+        va, vb = r_a["queries"].get(q), r_b["queries"].get(q)
+        sp = spread.get(q, 0.0)
         lo, hi = qmin.get(q), qmax.get(q)
+        if vb is None:
+            # newer than both anchors: first round measured, nothing to
+            # drift from — recorded so no headline query maps to nothing
+            verdict = "new"
+        elif va is None:
+            # newer than the earlier anchor: classify vs the later one
+            # (did the later-round number reproduce, or was it noise?)
+            verdict = classify(vb, vb, med, sp, lo, hi)
+        else:
+            verdict = classify(va, vb, med, sp, lo, hi)
         rows[q] = {
-            key_a: v5,
-            key_b: v6,
+            "earlier_s": va,
+            "later_s": vb,
+            key_a: va,
+            key_b: vb,
             "fresh_median_s": med,
             "fresh_spread_s": sp,
             "fresh_min_s": lo,
             "fresh_max_s": hi,
-            "later_over_earlier": round(v6 / v5, 3) if v5 else None,
-            "fresh_over_earlier": round(med / v5, 3) if v5 else None,
-            "verdict": classify(v5, v6, med, sp, lo, hi),
+            "later_over_earlier": round(vb / va, 3) if va and vb else None,
+            "fresh_over_earlier": round(med / va, 3) if va else None,
+            "verdict": verdict,
         }
-    common = sorted(rows)
+    common = sorted(q for q in rows if rows[q]["earlier_s"] is not None and rows[q]["later_s"] is not None)
+    tot_a = round(sum(rows[q]["earlier_s"] for q in common), 3)
+    tot_b = round(sum(rows[q]["later_s"] for q in common), 3)
     out = {
         "metric": "bench_variance",
         "sf": fresh.get("sf"),
         "samples": fresh.get("samples"),
         "rounds": [name_a, name_b],
+        "n_common": len(common),
         "fresh_total_s": round(sum(rows[q]["fresh_median_s"] for q in common), 3),
-        key_a.replace("_s", "_total_s"): round(sum(rows[q][key_a] for q in common), 3),
-        key_b.replace("_s", "_total_s"): round(sum(rows[q][key_b] for q in common), 3),
-        "n_noise": sum(1 for q in common if rows[q]["verdict"] == "noise"),
-        "n_persistent": sum(1 for q in common if rows[q]["verdict"] == "persistent"),
+        "earlier_total_s": tot_a,
+        "later_total_s": tot_b,
+        key_a.replace("_s", "_total_s"): tot_a,
+        key_b.replace("_s", "_total_s"): tot_b,
+        "n_noise": sum(1 for q in rows if rows[q]["verdict"] == "noise"),
+        "n_persistent": sum(1 for q in rows if rows[q]["verdict"] == "persistent"),
+        "n_new": sum(1 for q in rows if rows[q]["verdict"] == "new"),
         "queries": rows,
     }
     with open(args.out, "w") as f:

@@ -497,24 +497,28 @@ key adds ONE state row either way.
 ''' if stream_bench else chr(10) + "(BENCH_stream.json not present in this checkout.)" + chr(10))}{serve_stream_para}
 ### Is the bench telling the truth? (round-over-round variance)
 {"".join(f'''
-Round 6's single-sample bench read 1.17× of round 5's total with
-UNCHANGED executed plans — a number that could be regression or machine
-noise, and a one-sample bench cannot say which. The bench now runs each
-query as three warm whole-suite passes with pre-staged index artifacts
-and reports the median + spread; `tools/bench_variance.py` replays the
-r5/r6 artifacts against a fresh median-of-3 run (`BENCH_variance.json`,
-sf{bench_var["sf"]}): comparable total r5 {bench_var["r5_total_s"]} s /
-r6 {bench_var["r6_total_s"]} s / fresh median {bench_var["fresh_total_s"]} s —
-**{bench_var["n_noise"]} of {bench_var["n_noise"] + bench_var["n_persistent"]} queries classify as noise**
-({bench_var["n_persistent"]} persistent). The r6 "regressions" named in the
-verdict, re-measured:
+A single-sample bench cannot distinguish a real regression from machine
+noise (round 6 once read 1.17× of round 5 with unchanged executed
+plans). The bench now runs each query as three warm whole-suite passes
+with pre-staged index artifacts and reports the median + spread;
+`tools/bench_variance.py` replays the two most recent parseable round
+anchors ({bench_var["rounds"][0]} / {bench_var["rounds"][1]}) against a fresh
+median-of-3 run (`BENCH_variance.json`, sf{bench_var["sf"]}): comparable total
+earlier {bench_var["earlier_total_s"]} s / later {bench_var["later_total_s"]} s /
+fresh median {bench_var["fresh_total_s"]} s —
+**{bench_var["n_noise"]} of {bench_var["n_noise"] + bench_var["n_persistent"]} anchored queries classify as noise**
+({bench_var["n_persistent"]} persistent{f', {bench_var["n_new"]} too new to anchor' if bench_var.get("n_new") else ''}).
+Headline queries newer than the earlier anchor are classified against
+the later one alone, so every bench line has a watcher. The persistent
+rows, re-measured:
 
-{md_table([(q, bench_var["queries"][q]["r5_s"], bench_var["queries"][q]["r6_s"], bench_var["queries"][q]["fresh_median_s"], bench_var["queries"][q]["fresh_spread_s"], bench_var["queries"][q]["verdict"]) for q in ("dq_referential_integrity", "corpus_curation_pipeline", "sessionize", "elb_sessionize") if q in bench_var["queries"]] + [(q, v["r5_s"], v["r6_s"], v["fresh_median_s"], v["fresh_spread_s"], v["verdict"]) for q, v in sorted(bench_var["queries"].items()) if v["verdict"] == "persistent"], ["query", "r5 (s)", "r6 (s)", "median (s)", "spread (s)", "verdict"])}
+{md_table([(q, v["earlier_s"] if v["earlier_s"] is not None else "—", v["later_s"] if v["later_s"] is not None else "—", v["fresh_median_s"], v["fresh_spread_s"], v["verdict"]) for q, v in sorted(bench_var["queries"].items()) if v["verdict"] == "persistent"] or [("(none)", "—", "—", "—", "—", "all noise/new")], ["query", "earlier (s)", "later (s)", "median (s)", "spread (s)", "verdict"])}
 
 A future round-over-round delta is a regression only if it clears the
-recorded spread; inside it, it's the machine talking, not the code. The
+recorded spread; inside it, it's the machine talking, not the code. Any
 persistent rows above are the honest remainder — elevated beyond their
-spread vs r5, plans unchanged, and still far inside the 2× bar.''' if bench_var else "")}{r7_rows_para}{langid_para}
+spread vs the earlier anchor, plans unchanged, and still far inside the
+2× bar.''' if bench_var else "")}{r7_rows_para}{langid_para}
 
 ## 6. What additional data would sharpen these conclusions
 

@@ -20,7 +20,19 @@ naming are GC-able — ``spark_graft_<prefix>_<16-hex tag>`` slots and
 their ``*_scratch_*`` work dirs. Other ``spark_graft_*`` dirs under a
 shared tmp (e.g. the ``spark_graft_bkt_*`` paths backing live
 session-catalog bucketed tables, queries/formats.py) are explicitly
-outside the protocol and are never listed or deleted here.
+outside the protocol and are never listed or deleted by default.
+
+``--include-bkt`` (ADVICE r9) opts those bucketed-table data dirs into
+the sweep: they are per-session mkdtemps whose catalog metadata dies
+with the owning session (every bench.py ``_prestage`` run writes a
+fresh copy), so without a reclaim path staged bytes accumulate
+unboundedly. Catalog liveness cannot be checked from here, so the only
+safe signal is mtime age — the dirs are written once at staging and
+never touched again, meaning age == session age. Only combine
+``--include-bkt --delete`` with an ``--expire-days`` threshold safely
+above your longest plausible live session (e.g. 2+ days for a box that
+runs hour-scale benches); an aged-out dir belonging to a somehow-still-
+live session would break that session's bucketed table.
 """
 
 from __future__ import annotations
@@ -39,19 +51,30 @@ SLOT_PREFIX = "spark_graft_"
 _SLOT_RE = re.compile(rf"^{SLOT_PREFIX}.+_[0-9a-f]{{16}}$")
 
 
-def _is_protocol_dir(name: str) -> bool:
+def _is_bkt_dir(name: str) -> bool:
+    """Session-catalog bucketed-table data dirs (queries/formats.py,
+    queries/dedup.py): per-session mkdtemps under the staging root whose
+    catalog metadata dies with the owning session."""
+    return name.startswith(f"{SLOT_PREFIX}bkt_")
+
+
+def _is_protocol_dir(name: str, include_bkt: bool = False) -> bool:
     """True only for dirs the staging protocol owns: content-addressed
     slots (16-hex tag suffix) and builder scratch dirs. Anything else —
     notably session-catalog bucketed-table paths (spark_graft_bkt_*,
-    which as of r9 also live under the staging root) — must never be
-    GC'd from under a running session."""
+    which as of r9 also live under the staging root) — is excluded
+    unless the caller opts in with ``include_bkt`` (ADVICE r9: those
+    dirs are orphaned when the owning session dies and otherwise
+    accumulate unboundedly; see module docstring for the safety
+    contract)."""
     if not name.startswith(SLOT_PREFIX):
         return False
-    # live session-catalog bucketed-table data dirs: excluded explicitly,
-    # not just by failing the 16-hex-tag pattern — their mkdtemp suffix is
-    # random and a future naming change must not make them GC-eligible
-    if name.startswith(f"{SLOT_PREFIX}bkt_"):
-        return False
+    # live session-catalog bucketed-table data dirs: excluded explicitly
+    # by default, not just by failing the 16-hex-tag pattern — their
+    # mkdtemp suffix is random and a future naming change must not make
+    # them silently GC-eligible
+    if _is_bkt_dir(name):
+        return include_bkt
     return "_scratch_" in name or bool(_SLOT_RE.match(name))
 
 
@@ -77,21 +100,29 @@ def _slot_mtime(path: Path) -> float:
     return path.stat().st_mtime
 
 
-def scan(root: Path, now: float | None = None) -> list[dict]:
-    """One record per staging slot/scratch dir under ``root``."""
+def scan(
+    root: Path, now: float | None = None, include_bkt: bool = False
+) -> list[dict]:
+    """One record per staging slot/scratch dir under ``root`` (plus
+    bucketed-table data dirs, kind ``bkt``, when ``include_bkt``)."""
     now = time.time() if now is None else now
     records = []
     if not root.is_dir():
         return records
     for p in sorted(root.iterdir()):
-        if not p.is_dir() or not _is_protocol_dir(p.name):
+        if not p.is_dir() or not _is_protocol_dir(p.name, include_bkt):
             continue
         mtime = _slot_mtime(p)
+        kind = (
+            "bkt"
+            if _is_bkt_dir(p.name)
+            else ("scratch" if "_scratch_" in p.name else "slot")
+        )
         records.append(
             {
                 "path": str(p),
                 "name": p.name,
-                "kind": "scratch" if "_scratch_" in p.name else "slot",
+                "kind": kind,
                 "published": (p / "_SUCCESS").exists(),
                 "age_days": round((now - mtime) / 86400.0, 3),
                 "size_bytes": _dir_size(p),
@@ -134,9 +165,16 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="actually remove expired slots (default: dry run)",
     )
+    ap.add_argument(
+        "--include-bkt",
+        action="store_true",
+        help="opt bucketed-table data dirs (spark_graft_bkt_*) into the "
+        "sweep; only safe with an --expire-days threshold above your "
+        "longest plausible live session (see module docstring)",
+    )
     args = ap.parse_args(argv)
 
-    records = scan(Path(args.root))
+    records = scan(Path(args.root), include_bkt=args.include_bkt)
     expired: list[dict] = []
     if args.expire_days is not None:
         expired = expire(records, args.expire_days, delete=args.delete)
