@@ -58,6 +58,7 @@ HEADLINE = [
     "near_dup_incremental_minhash_bigbatch", # N2 over-budget bucketed-SMJ dedup (round 8)
     "near_dup_second_delivery_minhash",      # N2 steady-state delivery N+1 (round 8)
     "ivf_pq_trained_serve_topk",             # N3 all-trained index serve (round 9)
+    "ivf_pq_serve_rerank_topk",              # N3 exact re-rank final rung (round 10)
 ]
 
 
@@ -73,11 +74,15 @@ def _prestage(spark, sf_dir: str) -> None:
         _staged_fresh_query_batch,
         _staged_ivfpq_index,
         _staged_ivfpq_residual_index,
+        _staged_ivfpq_vectors,
+        _staged_trained_ivfpq_index,
     )
 
     for stage in (
         _staged_ivfpq_index,
         _staged_ivfpq_residual_index,
+        _staged_ivfpq_vectors,
+        _staged_trained_ivfpq_index,
         _staged_fresh_query_batch,
         _staged_minhash_bands,
         _staged_minhash_bands_appended,

@@ -932,8 +932,9 @@ def ivf_pq_trained_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Full IVF-PQ oracle, shared by ivf_pq_adc_topk (inline build),
 # ivf_pq_serve_topk (prebuilt index), and — with a different batch
 # predicate — ivf_pq_serve_fresh_topk: all compute the same math, so the
-# same SQL is the truth for all.
-def _oracle_ivf_pq(qpred: str) -> str:
+# same SQL is the truth for all. ``limit`` widens the per-query cut for
+# the exact re-rank rung's candidate stage (top-R, not top-k).
+def _oracle_ivf_pq(qpred: str, limit: int = _TOP_K) -> str:
     return (
         _oracle_pq(qpred)
         + f"""
@@ -973,7 +974,7 @@ def _oracle_ivf_pq(qpred: str) -> str:
            round(num / (qn.qnorm * sqrt(cn2sum)), 4) AS adc_cosine
     FROM s JOIN qn USING (query_id)
     QUALIFY row_number() OVER (PARTITION BY query_id
-             ORDER BY round(num / (qn.qnorm * sqrt(cn2sum)), 4) DESC, vec_id) <= {_TOP_K}
+             ORDER BY round(num / (qn.qnorm * sqrt(cn2sum)), 4) DESC, vec_id) <= {limit}
     """
     )
 
@@ -1082,12 +1083,17 @@ def _staged_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     return staged(spark, "ivfpq", Path(sf_dir) / "embeddings.parquet", salt, build)
 
 
-def _adc_serve_topk(codes: DataFrame, probes: DataFrame, qlut: DataFrame) -> DataFrame:
-    """The ADC serving tail shared by every serve rung: DPP-pruned
+def _adc_serve_candidates(
+    codes: DataFrame, probes: DataFrame, qlut: DataFrame, r: int
+) -> DataFrame:
+    """The ADC candidate generator shared by every serve rung: DPP-pruned
     inverted-list seek (broadcast probe join on the partition column) →
     one broadcast ADC lookup join → per-(query, candidate) sum → rounded
-    score → per-query top-k. Two shuffles total (scoring aggregate +
-    top-k window)."""
+    score → per-query top-``r`` cut. Two shuffles total (scoring
+    aggregate + window). Keeps ``bucket`` on each candidate row so the
+    exact re-rank rung can DPP-seek the candidate's float vector from
+    the bucket-partitioned staged copy (bucket is functionally dependent
+    on vec_id, so carrying it through the aggregate changes no row)."""
     cand = codes.join(
         F.broadcast(probes),
         (F.col("bucket") == F.col("probe_label"))
@@ -1095,7 +1101,7 @@ def _adc_serve_topk(codes: DataFrame, probes: DataFrame, qlut: DataFrame) -> Dat
     )
     s = (
         cand.join(F.broadcast(qlut), ["query_id", "sub", "code"])
-        .groupBy("query_id", "vec_id")
+        .groupBy("query_id", "vec_id", "bucket")
         .agg(
             F.sum("qd").alias("num"),
             F.sum("cn2").alias("cn2sum"),
@@ -1110,8 +1116,16 @@ def _adc_serve_topk(codes: DataFrame, probes: DataFrame, qlut: DataFrame) -> Dat
     w = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= _TOP_K)
-        .select("query_id", "vec_id", "adc_cosine")
+        .filter(F.col("_rn") <= r)
+        .select("query_id", "vec_id", "bucket", "adc_cosine")
+    )
+
+
+def _adc_serve_topk(codes: DataFrame, probes: DataFrame, qlut: DataFrame) -> DataFrame:
+    """The ADC serving tail shared by every non-reranked serve rung:
+    ``_adc_serve_candidates`` cut at top-k, bucket dropped."""
+    return _adc_serve_candidates(codes, probes, qlut, _TOP_K).select(
+        "query_id", "vec_id", "adc_cosine"
     )
 
 
@@ -1356,15 +1370,15 @@ def _route_probes(qlf: DataFrame, cent: DataFrame, n_probes: int) -> DataFrame:
     )
 
 
-def _serve_fresh_from_index(
-    spark: SparkSession, root: str, batch: DataFrame, n_probes: int = 2
-) -> DataFrame:
-    """Query-time routing + ADC-lookup construction for a fresh batch
-    against a staged IVF-PQ index (the body of
-    ``ivf_pq_serve_fresh_topk``, parameterized over the probe count so
-    the recall-vs-probes curve — tools/bench_ann.py --recall-curve,
-    absolute floor pinned in tests/test_vectors.py — exercises the SAME
-    serve code the registered query runs)."""
+def _fresh_query_luts(
+    spark: SparkSession, root: str, batch: DataFrame, n_probes: int
+) -> tuple[DataFrame, DataFrame]:
+    """Query-time (probes, qlut) for a fresh batch against a staged
+    label-mean IVF-PQ index: route on the staged ``centroids/`` codebook
+    (shared ``_route_probes``), then build the ADC lookup table — per-
+    query code dots, code norms, query norms — from the same centroids
+    viewed as the PQ codebook. All batch-sized against broadcast staged
+    state; shared by the plain fresh serve and the exact re-rank rung."""
     cent = spark.read.parquet(f"{root}/centroids")
     qlf = V.explode_vectors(batch, ["query_id"], "embedding").withColumn(
         "sub", F.floor(F.col("pos") / _PQ_DIM)
@@ -1387,8 +1401,139 @@ def _serve_fresh_from_index(
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("qnorm")
     )
     qlut = qdot.join(cn, ["sub", "code"]).join(qn, "query_id")
+    return probes, qlut
+
+
+def _serve_fresh_from_index(
+    spark: SparkSession, root: str, batch: DataFrame, n_probes: int = 2
+) -> DataFrame:
+    """Query-time routing + ADC-lookup construction for a fresh batch
+    against a staged IVF-PQ index (the body of
+    ``ivf_pq_serve_fresh_topk``, parameterized over the probe count so
+    the recall-vs-probes curve — tools/bench_ann.py --recall-curve,
+    absolute floor pinned in tests/test_vectors.py — exercises the SAME
+    serve code the registered query runs)."""
+    probes, qlut = _fresh_query_luts(spark, root, batch, n_probes)
     codes = spark.read.parquet(f"{root}/codes")
     return _adc_serve_topk(codes, probes, qlut)
+
+
+_RERANK_R = 50  # ADC candidates kept per query for the exact re-rank
+
+
+def _staged_ivfpq_vectors(spark: SparkSession, sf_dir: str) -> str:
+    """Bucket-partitioned float vectors — the RE-RANK half of the index
+    artifact (VERDICT r9 next #1): (vec_id, embedding) written
+    PARTITIONED BY the vector's assigned coarse cell, so fetching the
+    ADC top-R candidates' true vectors at query time is a DPP-pruned
+    directory seek into the probed cells, never a base-table scan. In a
+    production IVFADC stack this is the "raw vectors alongside the
+    inverted lists" layout every re-ranking tier keeps; at 100 TB the
+    per-query read is R float vectors from the probed partitions, not
+    the corpus."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        assign, _ = _probe_frames(spark, sf_dir)
+        write_result(
+            emb.select("vec_id", "embedding").join(assign, "vec_id"),
+            str(out / "vecs"),
+            partition_by=["bucket"],
+        )
+
+    # assignment is the parameter-free label-mean rank-1 bucket; content
+    # tag covers the fixture, salt pins the layout family
+    return staged(
+        spark, "ivfpq_vecs", Path(sf_dir) / "embeddings.parquet", "ivfvecs:r1", build
+    )
+
+
+def _rerank_from_index(
+    spark: SparkSession,
+    root: str,
+    vroot: str,
+    batch: DataFrame,
+    n_probes: int = 2,
+    r: int = _RERANK_R,
+) -> DataFrame:
+    """Exact re-rank serve body (parameterized over probe count and
+    candidate depth so tools/bench_ann.py can sweep it): generate the
+    ADC top-``r`` candidates with the SAME fresh-serve machinery as
+    ``ivf_pq_serve_fresh_topk`` (routing + ADC lookups batch-side, DPP
+    codes seek), then re-score ONLY those candidates with exact cosine
+    against their true float vectors — fetched from the bucket-
+    partitioned staged copy via a second DPP-pruned seek — and emit the
+    exact top-k. Per-query cost: the ADC pass plus R float-vector reads;
+    the corpus's float vectors are never scanned."""
+    probes, qlut = _fresh_query_luts(spark, root, batch, n_probes)
+    codes = spark.read.parquet(f"{root}/codes")
+    cand = _adc_serve_candidates(codes, probes, qlut, r)
+    vecs = spark.read.parquet(f"{vroot}/vecs")
+    q = batch.select("query_id", F.col("embedding").alias("q_emb"))
+    rr = (
+        vecs.join(F.broadcast(cand), ["bucket", "vec_id"])
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            V.cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        rr.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _TOP_K)
+        .select("query_id", "vec_id", F.round("cos", 4).alias("cosine"))
+    )
+
+
+# Exact re-rank oracle: the IVF-PQ oracle widened to top-R is the
+# candidate stage; exact cosine over those candidates, top-k. Raw-double
+# ordering on the exact score (the cosine_topk_exact discipline: fixture
+# margins dwarf <=1e-7 cross-engine drift), rounded for display.
+def _oracle_rerank(qpred: str, r: int = _RERANK_R) -> str:
+    return f"""
+    SELECT c.query_id, c.vec_id,
+           round(list_cosine_similarity(q.embedding, v.embedding), 4) AS cosine
+    FROM ({_oracle_ivf_pq(qpred, limit=r)}) c
+    JOIN embeddings q ON q.vec_id = c.query_id
+    JOIN embeddings v ON v.vec_id = c.vec_id
+    QUALIFY row_number() OVER (PARTITION BY c.query_id
+             ORDER BY list_cosine_similarity(q.embedding, v.embedding) DESC,
+                      c.vec_id) <= {_TOP_K}
+    """
+
+
+@register(
+    "ivf_pq_serve_rerank_topk",
+    oracle=_oracle_rerank(f"vec_id >= {_FRESH_LO} AND vec_id < {_FRESH_HI}"),
+)
+def ivf_pq_serve_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 final serving rung (VERDICT r9 next #1) — ADC + EXACT RE-RANK,
+    the standard last stage of the public IVFADC serving stack (retrieve
+    a generous top-R by 4-byte ADC scores, then buy back the recall the
+    codes lost by re-scoring just those R with exact distances): the
+    fresh batch is served to ADC top-{_RERANK_R} via the staged index
+    (routing + lookups batch-side, DPP codes seek), the candidates'
+    TRUE float vectors are fetched from the bucket-partitioned staged
+    copy (`_staged_ivfpq_vectors`) via a second DPP-pruned seek, and
+    exact cosine re-ranks them to top-{_TOP_K}.
+
+    Unlike every other recall lever in the ladder this one is fully
+    DETERMINISTIC (label-mean codebooks + exact arithmetic), so it is
+    hash-checked against a DuckDB oracle end-to-end — and measured in
+    BENCH_ann.json: recall at least the non-reranked serve's on the
+    same batch by construction whenever the true neighbors reach the
+    candidate set (the zero-base-scan stance holds: plan pinned in
+    tests/test_vectors.py, no ``embeddings`` scan, DPP on both seeks)."""
+    root = _staged_ivfpq_index(spark, sf_dir)
+    vroot = _staged_ivfpq_vectors(spark, sf_dir)
+    batch = spark.read.parquet(_staged_fresh_query_batch(spark, sf_dir))
+    return _rerank_from_index(spark, root, vroot, batch)
 
 
 @register(

@@ -551,6 +551,76 @@ def test_stream_serve_fresh_parity_and_multibatch(spark, qs):
     assert srows == brows and len(srows) > 0
 
 
+def test_rerank_serve_plan_recall_and_candidate_containment(spark, qs):
+    """Exact re-rank rung (VERDICT r9 next #1): (a) the executed plan
+    touches no base table and DPP-prunes BOTH staged seeks — the codes
+    inverted lists AND the bucket-partitioned float-vector copy; (b)
+    every reranked hit comes from the ADC top-R candidate set and its
+    cosine is the true exact cosine (re-ranking reorders candidates, it
+    never invents or rescores them wrongly); (c) recall@10 vs exact is
+    at least the non-reranked fresh serve's on the same batch — the
+    whole point of the rung."""
+    from pyspark.sql import Window
+
+    from dataengineerchallenge_spark.queries.vectors import (
+        _FRESH_HI,
+        _FRESH_LO,
+        _RERANK_R,
+        _TOP_K,
+        _adc_serve_candidates,
+        _fresh_query_luts,
+        _staged_fresh_query_batch,
+        _staged_ivfpq_index,
+    )
+    from dataengineerchallenge_spark.sources.tables import load_table
+
+    df = qs["ivf_pq_serve_rerank_topk"](spark, SF_DIR)
+    reranked = df.collect()
+    assert len(reranked) > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "embeddings" not in plan
+    assert plan.lower().count("dynamicpruningexpression") >= 2
+
+    # (b) containment in the ADC top-R + exact-cosine correctness
+    root = _staged_ivfpq_index(spark, SF_DIR)
+    batch = spark.read.parquet(_staged_fresh_query_batch(spark, SF_DIR))
+    probes, qlut = _fresh_query_luts(spark, root, batch, 2)
+    codes = spark.read.parquet(f"{root}/codes")
+    cand = {
+        (r.query_id, r.vec_id)
+        for r in _adc_serve_candidates(codes, probes, qlut, _RERANK_R).collect()
+    }
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(
+        (F.col("vec_id") >= _FRESH_LO) & (F.col("vec_id") < _FRESH_HI)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    pairs = F.broadcast(q).join(emb, F.col("query_id") != F.col("vec_id")).select(
+        "query_id", "vec_id", V.cosine(F.col("q_emb"), F.col("embedding")).alias("cos")
+    )
+    true_cos = {
+        (r.query_id, r.vec_id): round(r.cos, 4) for r in pairs.collect()
+    }
+    for r in reranked:
+        assert (r.query_id, r.vec_id) in cand
+        assert abs(true_cos[(r.query_id, r.vec_id)] - r.cosine) <= 1e-4
+
+    # (c) recall dominance over the non-reranked serve on the same batch
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _TOP_K)
+        .collect()
+    }
+    got = {(r.query_id, r.vec_id) for r in reranked}
+    plain = {
+        (r.query_id, r.vec_id)
+        for r in qs["ivf_pq_serve_fresh_topk"](spark, SF_DIR).collect()
+    }
+    assert len(got & exact) >= len(plain & exact)
+
+
 def test_trained_pq_beats_label_mean_codebook(spark, qs):
     """Trained per-subspace k-means codebooks (rung 4b) must beat the
     label-mean stand-in at EQUAL code budget (same m, same codes/sub):
