@@ -721,18 +721,23 @@ _PQ_TRAINED_K = 10  # trained codes per subspace — EQUAL to the fixture's
 # the codebook was fit differs)
 
 
-def _staged_trained_pq_codebook(spark: SparkSession, sf_dir: str) -> str:
+def _staged_trained_pq_codebook(
+    spark: SparkSession, sf_dir: str, k: int = _PQ_TRAINED_K
+) -> str:
     """Per-subspace PQ codebooks TRAINED with seeded k-means (the public
     PQ design: m independent k-means fits, one per sub-vector space —
     Jégou et al.'s product quantizer) instead of the deterministic
     label-mean stand-in. Staged once (content-addressed, salt carries
-    the family parameters) as ``cb/`` (sub, code, pos, cv) long-form —
-    a drop-in for the label-mean ``cb`` every PQ rung joins against.
+    the family parameters INCLUDING ``k`` — tools/bench_ann.py sweeps
+    the codebook resolution k∈{10,64,256} through this same builder)
+    as ``cb/`` (sub, code, pos, cv) long-form — a drop-in for the
+    label-mean ``cb`` every PQ rung joins against.
 
     Same 100 TB stance as ``_staged_kmeans_quantizer``: training runs
     ONCE on a sample (m fits of k centroids over ``_PQ_DIM``-dim
-    sub-vectors — model state is KB-sized), never inside a query plan;
-    the staged codebook broadcasts into encode/score joins."""
+    sub-vectors — model state is KB-sized even at the public-standard
+    k=256), never inside a query plan; the staged codebook broadcasts
+    into encode/score joins."""
     from pathlib import Path
 
     from pyspark.ml.clustering import KMeans
@@ -753,7 +758,7 @@ def _staged_trained_pq_codebook(spark: SparkSession, sf_dir: str) -> str:
                     )
                 ).alias("features")
             )
-            model = KMeans(k=_PQ_TRAINED_K, seed=42 + sub, maxIter=20).fit(feat)
+            model = KMeans(k=k, seed=42 + sub, maxIter=20).fit(feat)
             for code, c in enumerate(model.clusterCenters()):
                 rows.extend(
                     (sub, code, sub * _PQ_DIM + i, float(cv))
@@ -765,7 +770,7 @@ def _staged_trained_pq_codebook(spark: SparkSession, sf_dir: str) -> str:
             coalesce_to=1,
         )
 
-    salt = f"pqtrain:d{_PQ_DIM}:k{_PQ_TRAINED_K}:s42:i20"
+    salt = f"pqtrain:d{_PQ_DIM}:k{k}:s42:i20"
     return staged(
         spark, "pqtrained", Path(sf_dir) / "embeddings.parquet", salt, build
     )

@@ -793,6 +793,24 @@ def test_trained_serve_matches_inline_and_never_scans_base_table(spark, qs):
     assert len(got & exact) >= len(lab & exact)
 
 
+def test_trained_codebook_recall_monotone_in_k(spark, tmp_path):
+    """Codebook RESOLUTION is the recall bound on realistic mild
+    geometry (VERDICT r9 next #2: probes don't move mild recall — k
+    must): trained-PQ recall@10 through the registered builder/scoring
+    path must not DECREASE as codes-per-subspace rise 10 → 64 (measured
+    ~0.06 → ~0.18 at 2000 rows × 20 queries; the full 10/64/256 sweep
+    lives in BENCH_ann.json pq_k_sweep). 20 queries put the recall
+    quantum at 0.005, so a flat-or-rising assert is noise-safe."""
+    from tools.bench_ann import _gen, trained_pq_recall
+
+    d = str(tmp_path / "mild")
+    _gen(spark, d, 2000)
+    r10 = trained_pq_recall(spark, d, 10, n_queries=20)
+    r64 = trained_pq_recall(spark, d, 64, n_queries=20)
+    assert r64 >= r10, f"recall fell with codebook resolution: k10={r10:.3f} k64={r64:.3f}"
+    assert r64 > 0, "trained-PQ recall collapsed to zero"
+
+
 def test_trained_serve_split_parity_on_random_corpora(spark, tmp_path):
     """The all-trained build/serve split must hold for ARBITRARY
     embedding tables, not just the driver fixture: random corpora

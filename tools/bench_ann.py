@@ -13,6 +13,13 @@ IVF-PQ build/serve split (queries/vectors.py) is about:
   batch the build never saw, routed at query time from the staged
   centroids (the common real serving call; payload staged before
   timing, so the number is routing + ADC lookups + DPP seek);
+- **serve_rerank_s** (+ rerank_vecs_build_s): the exact re-rank rung
+  `ivf_pq_serve_rerank_topk` — ADC top-R then exact cosine over the
+  candidates' true vectors, DPP-seeked from the bucket-partitioned
+  staged copy;
+- **trained_build_s / trained_serve_s** (``--trained``): the
+  ALL-TRAINED index (`ivf_pq_trained_serve_topk`) through the same
+  build-once / flat-serve lens;
 - **inline_s**: what every lookup batch costs WITHOUT the split
   (`ivf_pq_adc_topk` rebuilds the index inside the query plan).
 
@@ -53,11 +60,16 @@ geometries:
 Usage:
     python tools/bench_ann.py [--sizes 100000,1000000] [--iters 3]
         [--driver-memory 8g] [--out BENCH_ann.json] [--recall-curve]
-        [--curve-rows 5000]
+        [--curve-rows 5000] [--curve-queries 20] [--trained]
+        [--pq-k-sweep [10,64,256]]
 
-``--curve-rows`` sizes the three recall-curve corpora (default 5000
+``--curve-rows`` sizes the four recall-curve corpora (default 5000
 vectors each; the curve's brute-force anchor is batch-sized so this
-stays cheap).
+stays cheap); ``--curve-queries`` sizes each measurement's query batch
+(each matched pair moves recall by 1/(queries*10), recorded as
+``recall_quantum``). ``--pq-k-sweep`` measures the codebook-resolution
+lever on mild geometry: trained-PQ recall@10 at k codes per subspace
+(default 10/64/256 — 256 is the public standard one byte per code).
 """
 
 from __future__ import annotations
@@ -185,43 +197,65 @@ def gen_mild_trained(spark, path: str, rows: int) -> None:
     open(os.path.join(path, "_SUCCESS"), "w").close()
 
 
-def recall_curve(spark, d: str, probes_list=(1, 2, 4, 8)) -> dict:
-    """Serve the fresh batch at each probe count through the REGISTERED
-    fresh-serve code path and score recall@10 against brute-force exact
-    top-10 (batch-sized, so the anchor is cheap). Returns
-    {probes: {recall_at_10, serve_s}} plus the corpus candidate fraction
-    per probe."""
+def _exact_topk_pairs(spark, d: str, q_lo: int, q_hi: int) -> set:
+    """Brute-force exact top-10 (query, neighbor) pairs for corpus
+    vec_ids [q_lo, q_hi) — the ground-truth anchor every recall number
+    here is scored against (batch-sized: Q queries broadcast)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from dataengineerchallenge_spark.functions import vectors as V
-    from dataengineerchallenge_spark.queries.vectors import (
-        _FRESH_HI,
-        _FRESH_LO,
-        _TOP_K,
-        _serve_fresh_from_index,
-        _staged_fresh_query_batch,
-        _staged_ivfpq_index,
-    )
+    from dataengineerchallenge_spark.queries.vectors import _TOP_K
 
-    root = _staged_ivfpq_index(spark, d)
-    batch = spark.read.parquet(_staged_fresh_query_batch(spark, d))
     emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
-    nlist = emb.select("label").distinct().count()
     q = emb.filter(
-        (F.col("vec_id") >= _FRESH_LO) & (F.col("vec_id") < _FRESH_HI)
+        (F.col("vec_id") >= q_lo) & (F.col("vec_id") < q_hi)
     ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
     pairs = F.broadcast(q).join(emb, F.col("query_id") != F.col("vec_id")).select(
         "query_id", "vec_id", V.cosine(F.col("q_emb"), F.col("embedding")).alias("cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    exact = {
+    return {
         (r.query_id, r.vec_id)
         for r in pairs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= _TOP_K)
         .collect()
     }
-    curve: dict = {"nlist": nlist}
+
+
+def recall_curve(spark, d: str, probes_list=(1, 2, 4, 8), n_queries: int = 20) -> dict:
+    """Serve a fresh batch at each probe count through the REGISTERED
+    fresh-serve code path and score recall@10 against brute-force exact
+    top-10 (batch-sized, so the anchor is cheap). ``n_queries`` sizes
+    the batch (VERDICT r9 next #3: at the old 5 queries x top-10 every
+    +-1 matched pair moved recall by 0.02, so single-run point
+    estimates sat inside each other's noise and the published
+    mild_trained row read non-monotone; 20 queries quarter the
+    quantum). Returns {probes: {recall_at_10, serve_s}} plus the corpus
+    candidate fraction per probe, the query count, and the recall
+    quantum (1 pair = this much recall)."""
+    from pyspark.sql import functions as F
+
+    from dataengineerchallenge_spark.queries.vectors import (
+        _FRESH_LO,
+        _TOP_K,
+        _serve_fresh_from_index,
+        _staged_ivfpq_index,
+    )
+
+    root = _staged_ivfpq_index(spark, d)
+    emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+    nlist = emb.select("label").distinct().count()
+    q_lo, q_hi = _FRESH_LO, _FRESH_LO + n_queries
+    batch = emb.filter(
+        (F.col("vec_id") >= q_lo) & (F.col("vec_id") < q_hi)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = _exact_topk_pairs(spark, d, q_lo, q_hi)
+    curve: dict = {
+        "nlist": nlist,
+        "n_queries": n_queries,
+        "recall_quantum": round(1.0 / (n_queries * _TOP_K), 4),
+    }
     for p in probes_list:
         t0 = time.time()
         served = {
@@ -236,6 +270,33 @@ def recall_curve(spark, d: str, probes_list=(1, 2, 4, 8)) -> dict:
     return curve
 
 
+def trained_pq_recall(spark, d: str, k: int, n_queries: int = 20) -> float:
+    """Recall@10 of pure trained-PQ ADC scoring (no coarse pruning — the
+    codebook-resolution lever in isolation) at ``k`` codes per subspace
+    over corpus dir ``d``: train per-subspace k-means codebooks through
+    the registered builder (`_staged_trained_pq_codebook`, salt carries
+    k), encode + ADC-score with the registered scoring tail, score
+    against brute-force exact. Shared by the --pq-k-sweep and the
+    monotone-in-k pytest pin (tests/test_vectors.py)."""
+    from dataengineerchallenge_spark.queries.vectors import (
+        _FRESH_LO,
+        _pq_parts_from_codebook,
+        _pq_score_topk,
+        _staged_trained_pq_codebook,
+    )
+
+    q_lo, q_hi = _FRESH_LO, _FRESH_LO + n_queries
+    root = _staged_trained_pq_codebook(spark, d, k=k)
+    cb = spark.read.parquet(f"{root}/cb")
+    codes, cn, qdot, qn = _pq_parts_from_codebook(spark, d, cb, q_lo=q_lo, q_hi=q_hi)
+    served = {
+        (r.query_id, r.vec_id)
+        for r in _pq_score_topk(codes, cn, qdot, qn).collect()
+    }
+    exact = _exact_topk_pairs(spark, d, q_lo, q_hi)
+    return len(served & exact) / len(exact)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="100000,1000000")
@@ -248,6 +309,28 @@ def main() -> None:
         help="also measure recall@10 vs probes on separable + mild geometry",
     )
     ap.add_argument("--curve-rows", type=int, default=5000)
+    ap.add_argument(
+        "--curve-queries",
+        type=int,
+        default=20,
+        help="queries per recall measurement (each matched pair moves "
+        "recall by 1/(queries*10) — 20 queries => 0.005 quantum)",
+    )
+    ap.add_argument(
+        "--pq-k-sweep",
+        default=None,
+        const="10,64,256",
+        nargs="?",
+        help="sweep trained-PQ codebook resolution (codes per subspace) "
+        "on the mild geometry and record recall@10 vs k "
+        "(default sweep: 10,64,256 — 256 is the public standard)",
+    )
+    ap.add_argument(
+        "--trained",
+        action="store_true",
+        help="also build/serve the ALL-TRAINED IVF-PQ index at each "
+        "--sizes rung (k-means coarse cells + trained PQ codebooks)",
+    )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",") if s]
 
@@ -257,9 +340,13 @@ def main() -> None:
     from dataengineerchallenge_spark.queries.vectors import (
         _staged_fresh_query_batch,
         _staged_ivfpq_index,
+        _staged_ivfpq_vectors,
+        _staged_trained_ivfpq_index,
         ivf_pq_adc_topk,
         ivf_pq_serve_fresh_topk,
+        ivf_pq_serve_rerank_topk,
         ivf_pq_serve_topk,
+        ivf_pq_trained_serve_topk,
     )
     from dataengineerchallenge_spark.session import get_spark
 
@@ -296,8 +383,12 @@ def main() -> None:
         serve_s, n_serve = best(ivf_pq_serve_topk)
         _staged_fresh_query_batch(spark, d)  # request payload, pre-staged
         serve_fresh_s, n_fresh = best(ivf_pq_serve_fresh_topk)
+        t0 = time.time()
+        _staged_ivfpq_vectors(spark, d)
+        vecs_build_s = round(time.time() - t0, 2)
+        rerank_s, n_rerank = best(ivf_pq_serve_rerank_topk)
         inline_s, n_inline = best(ivf_pq_adc_topk)
-        assert n_serve == n_inline > 0 and n_fresh > 0
+        assert n_serve == n_inline > 0 and n_fresh > 0 and n_rerank > 0
         idx_bytes = sum(
             os.path.getsize(os.path.join(dp, f))
             for dp, _, fs in os.walk(idx)
@@ -307,15 +398,34 @@ def main() -> None:
             "build_s": build_s,
             "serve_s": serve_s,
             "serve_fresh_s": serve_fresh_s,
+            "rerank_vecs_build_s": vecs_build_s,
+            "serve_rerank_s": rerank_s,
             "inline_s": inline_s,
             "serve_speedup": round(inline_s / serve_s, 1),
             "index_bytes": idx_bytes,
             "result_rows": n_serve,
         }
+        if args.trained:
+            # the all-trained capstone through the same flat-serve lens
+            # as the label-mean index (VERDICT r9 next #8): one-time
+            # trained build (two k-means levels + corpus encode), then
+            # per-batch serve cost over the staged trained lists
+            t0 = time.time()
+            _staged_trained_ivfpq_index(spark, d)
+            out["results"][str(rows)]["trained_build_s"] = round(time.time() - t0, 2)
+            tr_s, n_tr = best(ivf_pq_trained_serve_topk)
+            assert n_tr > 0
+            out["results"][str(rows)]["trained_serve_s"] = tr_s
         print(
             f"N={rows}: build {build_s}s once; serve {serve_s}s "
-            f"(fresh batch {serve_fresh_s}s) vs inline "
-            f"{inline_s}s ({out['results'][str(rows)]['serve_speedup']}x); "
+            f"(fresh batch {serve_fresh_s}s, rerank {rerank_s}s"
+            + (
+                f", trained {out['results'][str(rows)]['trained_serve_s']}s"
+                if args.trained
+                else ""
+            )
+            + f") vs inline {inline_s}s "
+            f"({out['results'][str(rows)]['serve_speedup']}x); "
             f"index {idx_bytes/1e6:.1f} MB"
         )
     if args.recall_curve:
@@ -329,8 +439,34 @@ def main() -> None:
         for geom, gen in geoms:
             d = os.path.join(root, f"ann_{geom}_{args.curve_rows}")
             gen(spark, d, args.curve_rows)
-            out["recall_curve"][geom] = recall_curve(spark, d)
+            out["recall_curve"][geom] = recall_curve(
+                spark, d, n_queries=args.curve_queries
+            )
             print(f"recall curve [{geom}]: ", out["recall_curve"][geom])
+    if args.pq_k_sweep:
+        # codebook RESOLUTION sweep on the realistic mild geometry
+        # (VERDICT r9 next #2): the curve above shows probes don't move
+        # mild recall — these rows show k does. Pure trained-PQ ADC (no
+        # coarse pruning) isolates the lever; the monotone-in-k shape is
+        # pinned in tests/test_vectors.py.
+        ks = [int(k) for k in args.pq_k_sweep.split(",") if k]
+        d = os.path.join(root, f"ann_mild_{args.curve_rows}")
+        _gen(spark, d, args.curve_rows)
+        sweep = {
+            "geometry": "mild",
+            "rows": args.curve_rows,
+            "n_queries": args.curve_queries,
+            "recall_quantum": round(1.0 / (args.curve_queries * 10), 4),
+        }
+        for k in ks:
+            t0 = time.time()
+            r = trained_pq_recall(spark, d, k, n_queries=args.curve_queries)
+            sweep[str(k)] = {
+                "recall_at_10": round(r, 3),
+                "train_encode_score_s": round(time.time() - t0, 2),
+            }
+            print(f"pq-k sweep k={k}: recall@10 {r:.3f}")
+        out["pq_k_sweep"] = sweep
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "results"}))
