@@ -428,6 +428,144 @@ def near_dup_second_delivery_minhash(spark: SparkSession, sf_dir: str) -> DataFr
     return D.verify_jaccard(docs, "doc_id", "text", cand, n=_MH_N, threshold=0.5)
 
 
+def _staged_delivery_stream(spark: SparkSession, sf_dir: str) -> str:
+    """The new delivery (the last ~20% of the corpus, the same batch
+    ``near_dup_incremental_minhash`` dedups) written as 3 hash-
+    partitioned files so a file-source tail with ``maxFilesPerTrigger=1``
+    drains it as a REAL multi-micro-batch stream — documents arriving as
+    an S3 prefix of per-interval drops (the dedup twin of
+    ``_staged_fresh_query_stream``, queries/vectors.py)."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        docs = spread(load_table(spark, sf_dir, "documents"))
+        split = _doc_split(docs, 4, 5)
+        write_result(
+            docs.filter(F.col("doc_id") >= split).repartition(3, "doc_id"),
+            str(out),
+        )
+
+    return staged(
+        spark,
+        "mh_delivs",
+        Path(sf_dir) / "documents.parquet",
+        _mh_salt("s4of5deliv:f3"),
+        build,
+    )
+
+
+def _stream_near_dup_serve(
+    spark: SparkSession,
+    store_path: str,
+    payload_dir: str,
+    docs: DataFrame,
+    epochs: list | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Drive the ONLINE dedup loop (VERDICT r9 next #4 — the dedup twin
+    of ``_stream_serve_fresh``): tail ``payload_dir`` as a file stream
+    (one delivery file per trigger) and run the full sign → dedup →
+    COMMIT lifecycle per micro-batch:
+
+    - SIGN: band the micro-batch's docs with the stateless seeded hash
+      family (batch-sized explode + min-aggregate);
+    - DEDUP: size-adaptive ``band_collision_pairs`` against the store-
+      so-far — the STAGED base band table plus every previously
+      committed micro-batch — plus the micro-batch's tiny self-join,
+      then exact-Jaccard verification touching only candidate docs;
+    - COMMIT: append the micro-batch's bands to the run-scoped committed
+      store so later micro-batches dedup against them (a new-new pair
+      split across micro-batches is found when its LATER doc arrives —
+      each qualifying pair lands in the sink exactly once).
+
+    Because the hash family is stateless, the union of micro-batch
+    outputs equals the batch rung's output for the same delivery
+    regardless of how the stream is sliced (parity pinned in
+    tests/test_dedup.py). The sink/checkpoint/committed scratch is
+    run-scoped and removed before returning; the drained result —
+    delivery-sized — is re-created as a local DataFrame."""
+    import glob
+    import shutil
+    import tempfile
+    import time
+
+    schema = spark.read.parquet(payload_dir).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(payload_dir)
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_graft_stream_dedup_")
+    sink, ckpt, committed = (
+        f"{scratch}/out",
+        f"{scratch}/ckpt",
+        f"{scratch}/committed",
+    )
+
+    def serve(mb: DataFrame, epoch_id: int) -> None:
+        t0 = time.time()
+        mb_bands = D.minhash_band_frame(
+            mb, "doc_id", "text", n=_MH_N,
+            num_hashes=_MH_HASHES, band_rows=_MH_BAND_ROWS,
+        )
+        store = spark.read.parquet(store_path)
+        if glob.glob(f"{committed}/*.parquet"):
+            store = store.unionByName(spark.read.parquet(committed))
+        batch_band_rows = mb.count() * (_MH_HASHES // _MH_BAND_ROWS)
+        cand = D.band_collision_pairs(
+            store, mb_bands, batch_band_rows=batch_band_rows
+        ).unionByName(D.band_collision_pairs(mb_bands))
+        out = D.verify_jaccard(docs, "doc_id", "text", cand, n=_MH_N, threshold=0.5)
+        out.write.mode("append").parquet(sink)
+        mb_bands.write.mode("append").parquet(committed)
+        if epochs is not None:
+            epochs.append((epoch_id, round(time.time() - t0, 3)))
+
+    q = (
+        sdf.writeStream.foreachBatch(serve)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"stream dedup did not drain availableNow input in {timeout_s}s"
+            )
+        drained = spark.read.parquet(sink)
+        result = spark.createDataFrame(drained.collect(), drained.schema)
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(scratch, ignore_errors=True)
+    return result
+
+
+@register("stream_near_dup_serve")
+def stream_near_dup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2×T6 STREAMING dedup serve (VERDICT r9 next #4): the online
+    surface of the incremental dedup split. Delivery documents arrive as
+    a tailed file stream (one file per trigger); every micro-batch runs
+    sign → dedup-against-store-so-far → commit via foreachBatch — the
+    size-adaptive ``band_collision_pairs`` against the STAGED base band
+    table plus previously committed micro-batches, exact-Jaccard
+    verification, then the micro-batch's bands commit so later arrivals
+    dedup against them. Emits every ≥0.5-Jaccard pair involving a new
+    doc exactly once; the union over micro-batches equals the batch rung
+    ``near_dup_incremental_minhash`` regardless of stream slicing
+    (parity + ≥2-micro-batch shape pinned in tests/test_dedup.py;
+    per-micro-batch latency measured in BENCH_stream.json). Rows-only
+    per contract (seeded xxhash64, same stance as every MinHash rung)."""
+    store = _staged_minhash_bands(spark, sf_dir)
+    payload = _staged_delivery_stream(spark, sf_dir)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return _stream_near_dup_serve(spark, store, payload, docs)
+
+
 @register("simhash_near_dups")
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N2 SimHash variant: 64-bit fingerprint, 16-bit band candidate join,

@@ -557,3 +557,33 @@ def test_committed_two_turn_store_equals_full_signing(spark):
         ).collect()
     }
     assert store == full and len(store) > 0
+
+
+def test_stream_near_dup_serve_parity_and_multibatch(spark, qs):
+    """ONLINE dedup serve (VERDICT r9 next #4): the delivery file stream
+    run through the sign → dedup → commit foreachBatch loop must (a)
+    actually arrive as MULTIPLE micro-batches (a single-batch drain
+    would prove nothing about the commit-between-batches path), and (b)
+    emit EXACTLY the batch rung's pairs — the stateless hash family
+    makes the union over micro-batches independent of stream slicing,
+    including new-new pairs split across micro-batches (found when the
+    later doc arrives against the committed store)."""
+    from dataengineerchallenge_spark.queries.dedup import (
+        _staged_delivery_stream,
+        _staged_minhash_bands,
+        _stream_near_dup_serve,
+    )
+    from dataengineerchallenge_spark.sources.tables import load_table, spread
+
+    store = _staged_minhash_bands(spark, SF_DIR)
+    payload = _staged_delivery_stream(spark, SF_DIR)
+    docs = spread(load_table(spark, SF_DIR, "documents"))
+    epochs: list = []
+    streamed = _stream_near_dup_serve(spark, store, payload, docs, epochs=epochs)
+    assert len(epochs) >= 2, f"expected a multi-micro-batch drain, got {epochs}"
+    srows = sorted(tuple(r) for r in streamed.collect())
+    brows = sorted(
+        tuple(r)
+        for r in qs["near_dup_incremental_minhash"](spark, SF_DIR).collect()
+    )
+    assert srows == brows and len(srows) > 0

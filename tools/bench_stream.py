@@ -26,10 +26,13 @@ state row but concentrates ~hot_pct% of every batch's rows into a
 single pandas group, so the Python path's batch time degrades with
 skew while the JVM session_window path absorbs it.
 
-Also records the ONLINE ANN serve rung (``ann_serve_fresh_stream``):
-the fresh-query payload drained as a one-file-per-trigger stream, each
+Also records the ONLINE serve rungs: ``ann_serve_fresh_stream`` (the
+fresh-query payload drained as a one-file-per-trigger stream, each
 micro-batch served against the staged IVF-PQ index via the registered
-``stream_serve_fresh_topk`` body, with per-micro-batch serve latency.
+``stream_serve_fresh_topk`` body) and ``near_dup_serve_stream`` (the
+delivery drained the same way through the registered
+``stream_near_dup_serve`` sign → dedup → commit loop against the staged
+band store), each with per-micro-batch serve latency.
 
 Usage:
     python tools/bench_stream.py [--rows 16000000] [--hot-pct 30]
@@ -233,6 +236,37 @@ def main() -> None:
     print(
         f"ann_serve_fresh_stream: {len(epochs)} micro-batches, per-batch "
         f"{[t for _, t in epochs]} s"
+    )
+
+    # ONLINE dedup serve rung (VERDICT r9 next #4): drain the delivery as
+    # a file stream and run the full sign → dedup-against-store-so-far →
+    # commit lifecycle per micro-batch against the STAGED base band table
+    # (store staged before timing; each number is one micro-batch's
+    # signing + size-adaptive candidate join + exact-Jaccard verify +
+    # sink/commit appends).
+    from dataengineerchallenge_spark.queries.dedup import (
+        _staged_delivery_stream,
+        _staged_minhash_bands,
+        _stream_near_dup_serve,
+    )
+    from dataengineerchallenge_spark.sources.tables import load_table, spread
+
+    store = _staged_minhash_bands(spark, sf_dir)
+    dpayload = _staged_delivery_stream(spark, sf_dir)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    depochs: list = []
+    t0 = time.time()
+    deduped = _stream_near_dup_serve(spark, store, dpayload, docs, epochs=depochs)
+    out["results"]["near_dup_serve_stream"] = {
+        "sf_dir": sf_dir,
+        "wall_s": round(time.time() - t0, 2),
+        "micro_batches": len(depochs),
+        "per_batch_serve_s": [t for _, t in depochs],
+        "result_rows": deduped.count(),
+    }
+    print(
+        f"near_dup_serve_stream: {len(depochs)} micro-batches, per-batch "
+        f"{[t for _, t in depochs]} s"
     )
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
