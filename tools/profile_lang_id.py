@@ -10,9 +10,10 @@ STAGE instead of hand-waved:
   the trainer and the scorer consume);
 - **train_s**: the (lang, word) count aggregate that IS the model,
   materialized exactly as the query does (lazy localCheckpoint);
-- **score_s**: token stream x |langs| broadcast joins + the
-  (doc_id, lang) log-likelihood aggregate — the only corpus-sized
-  shuffle;
+- **score_s**: the log-likelihood score frame through the REGISTERED
+  ``lang_id_scores`` body (as of r10 the tf-collapsed form: per-(doc,
+  word) term frequencies → ×|langs| matched inner join → (doc, lang)
+  aggregate − per-lang constant; see queries/text.py for the algebra);
 - **argmax_s**: the per-doc row_number window on the |docs| x |langs|
   score frame;
 - **full_s**: the registered query end-to-end (sanity: ~= the sum of
@@ -38,7 +39,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 
@@ -78,36 +78,15 @@ def main() -> None:
         )
 
     def scores(upto_window: bool):
-        # mirrors queries/text.py:lang_id_frame exactly, including the
-        # lazy localCheckpoint of the trained model
-        m = lw().localCheckpoint(eager=False)
-        ltot = m.groupBy("l").agg(F.sum("c").alias("n"))
-        vocab = m.agg(F.countDistinct("w").cast("double").alias("v"))
-        langs = m.select("l").distinct()
-        s = (
-            tok()
-            .crossJoin(F.broadcast(langs))
-            .join(F.broadcast(m), ["l", "w"], "left")
-            .join(F.broadcast(ltot), "l")
-            .crossJoin(F.broadcast(vocab))
-            .groupBy("doc_id", "l")
-            .agg(
-                F.sum(
-                    F.log(
-                        (F.coalesce(F.col("c"), F.lit(0.0)) + 1)
-                        / (F.col("n") + F.col("v"))
-                    )
-                ).alias("score")
-            )
+        # the REGISTERED dataflow, not a mirror (r10: the score stage was
+        # rewritten once already and a divergent copy here would profile
+        # the wrong plan)
+        from dataengineerchallenge_spark.queries.text import (
+            lang_id_frame,
+            lang_id_scores,
         )
-        if not upto_window:
-            return s
-        w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("l"))
-        return (
-            s.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("doc_id", F.col("l").alias("pred_lang"))
-        )
+
+        return lang_id_frame(docs) if upto_window else lang_id_scores(docs)
 
     # warm the scan cache once so every number below is a warm number
     docs.count()
