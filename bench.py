@@ -59,6 +59,7 @@ HEADLINE = [
     "near_dup_second_delivery_minhash",      # N2 steady-state delivery N+1 (round 8)
     "ivf_pq_trained_serve_topk",             # N3 all-trained index serve (round 9)
     "ivf_pq_serve_rerank_topk",              # N3 exact re-rank final rung (round 10)
+    "ivf_pq_trained_rerank_topk",            # N3 full production stack: trained + re-rank (round 10)
 ]
 
 
@@ -76,6 +77,7 @@ def _prestage(spark, sf_dir: str) -> None:
         _staged_ivfpq_residual_index,
         _staged_ivfpq_vectors,
         _staged_trained_ivfpq_index,
+        _staged_trained_ivfpq_vectors,
     )
 
     for stage in (
@@ -83,6 +85,7 @@ def _prestage(spark, sf_dir: str) -> None:
         _staged_ivfpq_residual_index,
         _staged_ivfpq_vectors,
         _staged_trained_ivfpq_index,
+        _staged_trained_ivfpq_vectors,
         _staged_fresh_query_batch,
         _staged_minhash_bands,
         _staged_minhash_bands_appended,

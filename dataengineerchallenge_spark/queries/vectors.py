@@ -686,13 +686,19 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_score_topk(
-    codes: DataFrame, cn: DataFrame, qdot: DataFrame, qn: DataFrame
+    codes: DataFrame,
+    cn: DataFrame,
+    qdot: DataFrame,
+    qn: DataFrame,
+    limit: int = _TOP_K,
 ) -> DataFrame:
     """Whole-corpus ADC scoring tail shared by the label-mean
     (``pq_adc_topk``) and trained-codebook (``pq_trained_adc_topk``)
     PQ rungs: broadcast the per-query lookup tables onto the code
     table, sum per (query, vec), normalize, rank top-k. Only the
-    codebook differs between callers — the scoring algebra must not."""
+    codebook differs between callers — the scoring algebra must not.
+    ``limit`` widens the cut to top-R when the caller is a re-rank
+    candidate stage (tools/bench_ann.py's resolution×re-rank sweep)."""
     s = (
         codes.join(F.broadcast(qdot), ["sub", "code"])
         .join(F.broadcast(cn), ["sub", "code"])
@@ -710,7 +716,7 @@ def _pq_score_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= _TOP_K)
+        .filter(F.col("_rn") <= limit)
         .select("query_id", "vec_id", "adc_cosine")
     )
 
@@ -887,16 +893,18 @@ def _staged_trained_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
-def _trained_serve_from_index(
+def _trained_serve_luts(
     spark: SparkSession, root: str, batch: DataFrame, n_probes: int = 2
-) -> DataFrame:
-    """Query-time serve against the all-trained index: route the batch
-    on the trained coarse codebook (shared ``_route_probes``), build
-    the ADC lookup table from the trained PQ codebook + staged entry
-    norms (all batch-sized against broadcast staged state), then the
-    shared ``_adc_serve_topk`` DPP-pruned codes seek. Mirrors
-    ``_serve_fresh_from_index`` except coarse and PQ codebooks are
-    SEPARATE staged frames — in the label-mean design they coincide."""
+):
+    """Query-time LUT stage against the all-trained index, shared by the
+    plain trained serve and the trained exact-re-rank rung: route the
+    batch on the trained coarse codebook (shared ``_route_probes``) and
+    build the ADC lookup table from the trained PQ codebook + staged
+    entry norms (all batch-sized against broadcast staged state).
+    Returns (codes, probes, qlut) ready for ``_adc_serve_topk`` /
+    ``_adc_serve_candidates``. Mirrors ``_fresh_query_luts`` except
+    coarse and PQ codebooks are SEPARATE staged frames — in the
+    label-mean design they coincide."""
     cent = spark.read.parquet(f"{root}/centroids")
     cb = spark.read.parquet(f"{root}/cb")
     cn = spark.read.parquet(f"{root}/cn")
@@ -914,6 +922,16 @@ def _trained_serve_from_index(
     )
     qlut = qdot.join(F.broadcast(cn), ["sub", "code"]).join(qn, "query_id")
     codes = spark.read.parquet(f"{root}/codes")
+    return codes, probes, qlut
+
+
+def _trained_serve_from_index(
+    spark: SparkSession, root: str, batch: DataFrame, n_probes: int = 2
+) -> DataFrame:
+    """Query-time serve against the all-trained index: the shared
+    trained LUT stage (`_trained_serve_luts`) feeding the shared
+    ``_adc_serve_topk`` DPP-pruned codes seek."""
+    codes, probes, qlut = _trained_serve_luts(spark, root, batch, n_probes)
     return _adc_serve_topk(codes, probes, qlut)
 
 
@@ -932,6 +950,68 @@ def ivf_pq_trained_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _staged_trained_ivfpq_index(spark, sf_dir)
     batch = spark.read.parquet(_staged_fresh_query_batch(spark, sf_dir))
     return _trained_serve_from_index(spark, root, batch)
+
+
+def _staged_trained_ivfpq_vectors(spark: SparkSession, sf_dir: str) -> str:
+    """RE-RANK half of the ALL-TRAINED index artifact: (vec_id,
+    embedding) written PARTITIONED BY the trained k-means cell (the
+    same ``assign`` frame the trained inverted lists are bucketed by),
+    so the trained re-rank rung's candidate-vector fetch is a
+    DPP-pruned directory seek into the probed trained cells — the twin
+    of `_staged_ivfpq_vectors` with the label-mean assignment swapped
+    for the trained quantizer's."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        kq = _staged_kmeans_quantizer(spark, sf_dir)
+        assign = spark.read.parquet(f"{kq}/assign")
+        write_result(
+            emb.select("vec_id", "embedding").join(assign, "vec_id"),
+            str(out / "vecs"),
+            partition_by=["bucket"],
+        )
+
+    return staged(
+        spark,
+        "ivfpqtrained_vecs",
+        Path(sf_dir) / "embeddings.parquet",
+        "ivfvecs:trained:kmeans10s42",
+        build,
+    )
+
+
+@register("ivf_pq_trained_rerank_topk")
+def ivf_pq_trained_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 FULL PRODUCTION STACK (round 10) — every rung composed: trained
+    quantizers at both levels (k-means coarse cells + per-subspace
+    k-means PQ codebooks), bucket-partitioned trained inverted lists,
+    fresh-batch routing and ADC lookups batch-side against broadcast
+    staged state, ADC top-{_RERANK_R} candidate generation via the
+    DPP-pruned codes seek, then EXACT cosine re-rank of just those
+    candidates from their true float vectors — DPP-seeked from the
+    trained-cell-partitioned staged copy (`_staged_trained_ivfpq_vectors`)
+    — emitting the exact top-{_TOP_K}. This is the public IVFADC serving
+    stack end-to-end as deployed: train once, encode once, serve each
+    batch with zero base-table scans and R float-vector reads per query.
+
+    Rows-only per contract (two k-means fits make the candidate set
+    oracle-inexpressible); pinned in tests/test_vectors.py: plan (no
+    ``embeddings`` scan, DPP on BOTH staged seeks), candidate
+    containment + exact-cosine correctness, and recall@10 dominance
+    over the non-reranked trained serve on the same batch. Measured in
+    BENCH_ann.json (`recall_curve` rerank columns + `pq_k_sweep`
+    `recall_at_10_rerank`): resolution × re-rank is the composition
+    that closes the mild-geometry recall gap the r9 curve exposed."""
+    root = _staged_trained_ivfpq_index(spark, sf_dir)
+    vroot = _staged_trained_ivfpq_vectors(spark, sf_dir)
+    batch = spark.read.parquet(_staged_fresh_query_batch(spark, sf_dir))
+    codes, probes, qlut = _trained_serve_luts(spark, root, batch)
+    cand = _adc_serve_candidates(codes, probes, qlut, _RERANK_R)
+    return _exact_rerank_tail(spark, vroot, batch, cand)
 
 
 # Full IVF-PQ oracle, shared by ivf_pq_adc_topk (inline build),
@@ -1477,6 +1557,17 @@ def _rerank_from_index(
     probes, qlut = _fresh_query_luts(spark, root, batch, n_probes)
     codes = spark.read.parquet(f"{root}/codes")
     cand = _adc_serve_candidates(codes, probes, qlut, r)
+    return _exact_rerank_tail(spark, vroot, batch, cand)
+
+
+def _exact_rerank_tail(
+    spark: SparkSession, vroot: str, batch: DataFrame, cand: DataFrame
+) -> DataFrame:
+    """The exact re-rank tail shared by the label-mean and all-trained
+    re-rank rungs: fetch the ADC candidates' TRUE float vectors from the
+    bucket-partitioned staged copy under ``vroot`` (broadcast candidate
+    join on the partition column → DPP directory seek, never a corpus
+    scan), re-score with exact cosine, emit the exact top-k."""
     vecs = spark.read.parquet(f"{vroot}/vecs")
     q = batch.select("query_id", F.col("embedding").alias("q_emb"))
     rr = (

@@ -69,7 +69,15 @@ stays cheap); ``--curve-queries`` sizes each measurement's query batch
 (each matched pair moves recall by 1/(queries*10), recorded as
 ``recall_quantum``). ``--pq-k-sweep`` measures the codebook-resolution
 lever on mild geometry: trained-PQ recall@10 at k codes per subspace
-(default 10/64/256 — 256 is the public standard one byte per code).
+(default 10/64/256 — 256 is the public standard one byte per code),
+each row also carrying ``recall_at_10_rerank`` (ADC top-R → exact
+re-rank: the resolution×re-rank composition the production stack
+serves). The recall-curve rows likewise carry ``recall_at_10_rerank``
+/ ``serve_rerank_s`` per probe count — the registered exact re-rank
+rung (`_rerank_from_index`) served on each geometry, so BENCH_ann.json
+measures re-ranking ≥ the plain ADC serve on the same batch (VERDICT
+r9 next #1's measurement clause; on mild_trained this is the FULL
+production stack: trained neighborhood-grain cells + exact re-rank).
 """
 
 from __future__ import annotations
@@ -223,7 +231,9 @@ def _exact_topk_pairs(spark, d: str, q_lo: int, q_hi: int) -> set:
     }
 
 
-def recall_curve(spark, d: str, probes_list=(1, 2, 4, 8), n_queries: int = 20) -> dict:
+def recall_curve(
+    spark, d: str, probes_list=(1, 2, 4, 8), n_queries: int = 20, rerank: bool = True
+) -> dict:
     """Serve a fresh batch at each probe count through the REGISTERED
     fresh-serve code path and score recall@10 against brute-force exact
     top-10 (batch-sized, so the anchor is cheap). ``n_queries`` sizes
@@ -231,19 +241,30 @@ def recall_curve(spark, d: str, probes_list=(1, 2, 4, 8), n_queries: int = 20) -
     +-1 matched pair moved recall by 0.02, so single-run point
     estimates sat inside each other's noise and the published
     mild_trained row read non-monotone; 20 queries quarter the
-    quantum). Returns {probes: {recall_at_10, serve_s}} plus the corpus
-    candidate fraction per probe, the query count, and the recall
-    quantum (1 pair = this much recall)."""
+    quantum). With ``rerank`` (VERDICT r9 next #1 "Done =" clause) each
+    probe row ALSO serves through the exact re-rank rung
+    (`_rerank_from_index`: same routing, ADC top-R candidates, exact
+    cosine over the candidates' DPP-seeked true vectors) and records
+    ``recall_at_10_rerank`` — the number that shows re-ranking buying
+    back the recall the 4-byte codes lose once routing reaches the true
+    neighborhood (on mild_trained this is the FULL production stack:
+    trained neighborhood-grain cells + exact re-rank). Returns
+    {probes: {recall_at_10[, recall_at_10_rerank], serve_s[,
+    serve_rerank_s]}} plus the corpus candidate fraction per probe, the
+    query count, and the recall quantum (1 pair = this much recall)."""
     from pyspark.sql import functions as F
 
     from dataengineerchallenge_spark.queries.vectors import (
         _FRESH_LO,
         _TOP_K,
+        _rerank_from_index,
         _serve_fresh_from_index,
         _staged_ivfpq_index,
+        _staged_ivfpq_vectors,
     )
 
     root = _staged_ivfpq_index(spark, d)
+    vroot = _staged_ivfpq_vectors(spark, d) if rerank else None
     emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
     nlist = emb.select("label").distinct().count()
     q_lo, q_hi = _FRESH_LO, _FRESH_LO + n_queries
@@ -267,19 +288,39 @@ def recall_curve(spark, d: str, probes_list=(1, 2, 4, 8), n_queries: int = 20) -
             "cand_frac": round(min(p, nlist) / nlist, 4),
             "serve_s": round(time.time() - t0, 3),
         }
+        if rerank:
+            t0 = time.time()
+            rr = {
+                (r.query_id, r.vec_id)
+                for r in _rerank_from_index(
+                    spark, root, vroot, batch, n_probes=p
+                ).collect()
+            }
+            curve[str(p)]["recall_at_10_rerank"] = round(
+                len(rr & exact) / len(exact), 3
+            )
+            curve[str(p)]["serve_rerank_s"] = round(time.time() - t0, 3)
     return curve
 
 
-def trained_pq_recall(spark, d: str, k: int, n_queries: int = 20) -> float:
+def trained_pq_recall(
+    spark, d: str, k: int, n_queries: int = 20, rerank: bool = False
+):
     """Recall@10 of pure trained-PQ ADC scoring (no coarse pruning — the
     codebook-resolution lever in isolation) at ``k`` codes per subspace
     over corpus dir ``d``: train per-subspace k-means codebooks through
     the registered builder (`_staged_trained_pq_codebook`, salt carries
     k), encode + ADC-score with the registered scoring tail, score
     against brute-force exact. Shared by the --pq-k-sweep and the
-    monotone-in-k pytest pin (tests/test_vectors.py)."""
+    monotone-in-k pytest pin (tests/test_vectors.py). With ``rerank``
+    returns (adc_recall, rerank_recall): the ADC cut widened to top-R
+    (_RERANK_R) and the candidates re-scored with exact cosine — the
+    resolution×re-rank composition, i.e. what the production stack
+    actually serves at each codebook size."""
     from dataengineerchallenge_spark.queries.vectors import (
         _FRESH_LO,
+        _RERANK_R,
+        _TOP_K,
         _pq_parts_from_codebook,
         _pq_score_topk,
         _staged_trained_pq_codebook,
@@ -294,7 +335,33 @@ def trained_pq_recall(spark, d: str, k: int, n_queries: int = 20) -> float:
         for r in _pq_score_topk(codes, cn, qdot, qn).collect()
     }
     exact = _exact_topk_pairs(spark, d, q_lo, q_hi)
-    return len(served & exact) / len(exact)
+    adc = len(served & exact) / len(exact)
+    if not rerank:
+        return adc
+    # widen to ADC top-R, exact-cosine re-rank the candidates (R*Q rows
+    # — bench-sized: the true vectors of just the candidate ids)
+    import math
+
+    cand = _pq_score_topk(codes, cn, qdot, qn, limit=_RERANK_R).collect()
+    emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+    ids = {r.vec_id for r in cand} | set(range(q_lo, q_hi))
+    vecs = {
+        r.vec_id: r.embedding
+        for r in emb.filter(F.col("vec_id").isin(list(ids))).collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    by_q: dict = {}
+    for r in cand:
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    rr = set()
+    for qid, cids in by_q.items():
+        ranked = sorted(cids, key=lambda v: (-cos(vecs[qid], vecs[v]), v))
+        rr |= {(qid, v) for v in ranked[:_TOP_K]}
+    return adc, len(rr & exact) / len(exact)
 
 
 def main() -> None:
@@ -460,12 +527,15 @@ def main() -> None:
         }
         for k in ks:
             t0 = time.time()
-            r = trained_pq_recall(spark, d, k, n_queries=args.curve_queries)
+            r, rrr = trained_pq_recall(
+                spark, d, k, n_queries=args.curve_queries, rerank=True
+            )
             sweep[str(k)] = {
                 "recall_at_10": round(r, 3),
+                "recall_at_10_rerank": round(rrr, 3),
                 "train_encode_score_s": round(time.time() - t0, 2),
             }
-            print(f"pq-k sweep k={k}: recall@10 {r:.3f}")
+            print(f"pq-k sweep k={k}: recall@10 {r:.3f} (rerank {rrr:.3f})")
         out["pq_k_sweep"] = sweep
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
