@@ -959,28 +959,15 @@ def _staged_trained_ivfpq_vectors(spark: SparkSession, sf_dir: str) -> str:
     so the trained re-rank rung's candidate-vector fetch is a
     DPP-pruned directory seek into the probed trained cells — the twin
     of `_staged_ivfpq_vectors` with the label-mean assignment swapped
-    for the trained quantizer's."""
-    from pathlib import Path
+    for the trained quantizer's (shared body:
+    `_staged_vectors_partitioned`, ADVICE r10 #3)."""
 
-    from dataengineerchallenge_spark.sources.sinks import write_result
-    from dataengineerchallenge_spark.staging import staged
-
-    def build(out: Path) -> None:
-        emb = load_table(spark, sf_dir, "embeddings")
+    def assign():
         kq = _staged_kmeans_quantizer(spark, sf_dir)
-        assign = spark.read.parquet(f"{kq}/assign")
-        write_result(
-            emb.select("vec_id", "embedding").join(assign, "vec_id"),
-            str(out / "vecs"),
-            partition_by=["bucket"],
-        )
+        return spark.read.parquet(f"{kq}/assign")
 
-    return staged(
-        spark,
-        "ivfpqtrained_vecs",
-        Path(sf_dir) / "embeddings.parquet",
-        "ivfvecs:trained:kmeans10s42",
-        build,
+    return _staged_vectors_partitioned(
+        spark, sf_dir, assign, "ivfpqtrained_vecs", "ivfvecs:trained:kmeans10s42"
     )
 
 
@@ -1506,6 +1493,32 @@ def _serve_fresh_from_index(
 _RERANK_R = 50  # ADC candidates kept per query for the exact re-rank
 
 
+def _staged_vectors_partitioned(
+    spark: SparkSession, sf_dir: str, assign_fn, name: str, salt: str
+) -> str:
+    """Stage (vec_id, embedding) PARTITIONED BY the coarse-cell
+    assignment ``assign_fn()`` returns (a (vec_id, bucket) frame) — the
+    RE-RANK half of an IVF index artifact, shared by the label-mean and
+    all-trained rungs (ADVICE r10 #3: the two staging functions were
+    verbatim twins differing only in the assignment frame and slot
+    name/salt). ``assign_fn`` is a thunk so a cache-hit on the staged
+    slot never computes the assignment at all."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        write_result(
+            emb.select("vec_id", "embedding").join(assign_fn(), "vec_id"),
+            str(out / "vecs"),
+            partition_by=["bucket"],
+        )
+
+    return staged(spark, name, Path(sf_dir) / "embeddings.parquet", salt, build)
+
+
 def _staged_ivfpq_vectors(spark: SparkSession, sf_dir: str) -> str:
     """Bucket-partitioned float vectors — the RE-RANK half of the index
     artifact (VERDICT r9 next #1): (vec_id, embedding) written
@@ -1516,24 +1529,14 @@ def _staged_ivfpq_vectors(spark: SparkSession, sf_dir: str) -> str:
     inverted lists" layout every re-ranking tier keeps; at 100 TB the
     per-query read is R float vectors from the probed partitions, not
     the corpus."""
-    from pathlib import Path
-
-    from dataengineerchallenge_spark.sources.sinks import write_result
-    from dataengineerchallenge_spark.staging import staged
-
-    def build(out: Path) -> None:
-        emb = load_table(spark, sf_dir, "embeddings")
-        assign, _ = _probe_frames(spark, sf_dir)
-        write_result(
-            emb.select("vec_id", "embedding").join(assign, "vec_id"),
-            str(out / "vecs"),
-            partition_by=["bucket"],
-        )
-
     # assignment is the parameter-free label-mean rank-1 bucket; content
     # tag covers the fixture, salt pins the layout family
-    return staged(
-        spark, "ivfpq_vecs", Path(sf_dir) / "embeddings.parquet", "ivfvecs:r1", build
+    return _staged_vectors_partitioned(
+        spark,
+        sf_dir,
+        lambda: _probe_frames(spark, sf_dir)[0],
+        "ivfpq_vecs",
+        "ivfvecs:r1",
     )
 
 

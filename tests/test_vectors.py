@@ -805,7 +805,7 @@ def test_trained_codebook_recall_monotone_in_k(spark, tmp_path):
 
     d = str(tmp_path / "mild")
     _gen(spark, d, 2000)
-    r10 = trained_pq_recall(spark, d, 10, n_queries=20)
+    r10, _ = trained_pq_recall(spark, d, 10, n_queries=20)
     r64, r64_rr = trained_pq_recall(spark, d, 64, n_queries=20, rerank=True)
     assert r64 >= r10, f"recall fell with codebook resolution: k10={r10:.3f} k64={r64:.3f}"
     assert r64 > 0, "trained-PQ recall collapsed to zero"

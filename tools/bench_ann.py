@@ -305,18 +305,25 @@ def recall_curve(
 
 def trained_pq_recall(
     spark, d: str, k: int, n_queries: int = 20, rerank: bool = False
-):
+) -> tuple:
     """Recall@10 of pure trained-PQ ADC scoring (no coarse pruning — the
     codebook-resolution lever in isolation) at ``k`` codes per subspace
     over corpus dir ``d``: train per-subspace k-means codebooks through
     the registered builder (`_staged_trained_pq_codebook`, salt carries
     k), encode + ADC-score with the registered scoring tail, score
     against brute-force exact. Shared by the --pq-k-sweep and the
-    monotone-in-k pytest pin (tests/test_vectors.py). With ``rerank``
-    returns (adc_recall, rerank_recall): the ADC cut widened to top-R
-    (_RERANK_R) and the candidates re-scored with exact cosine — the
-    resolution×re-rank composition, i.e. what the production stack
-    actually serves at each codebook size."""
+    monotone-in-k pytest pin (tests/test_vectors.py).
+
+    Always returns ``(adc_recall, rerank_recall)`` — ``rerank_recall``
+    is None unless ``rerank`` (ADVICE r10 #1: the old float-or-tuple
+    polymorphic return forced callers to special-case the shape). With
+    ``rerank`` the ADC cut is widened to top-R (_RERANK_R) and the
+    candidates re-scored with exact cosine — the resolution×re-rank
+    composition, i.e. what the production stack actually serves at each
+    codebook size."""
+    from pyspark.sql import Window
+
+    from dataengineerchallenge_spark.functions import vectors as V
     from dataengineerchallenge_spark.queries.vectors import (
         _FRESH_LO,
         _RERANK_R,
@@ -337,30 +344,33 @@ def trained_pq_recall(
     exact = _exact_topk_pairs(spark, d, q_lo, q_hi)
     adc = len(served & exact) / len(exact)
     if not rerank:
-        return adc
-    # widen to ADC top-R, exact-cosine re-rank the candidates (R*Q rows
-    # — bench-sized: the true vectors of just the candidate ids)
-    import math
-
-    cand = _pq_score_topk(codes, cn, qdot, qn, limit=_RERANK_R).collect()
+        return adc, None
+    # widen to ADC top-R, then re-score the candidate pairs with the
+    # SAME Spark V.cosine expression the exact anchor uses (ADVICE r10
+    # #2: a second Python-side cosine could disagree at the ULP on
+    # exact near-ties and flip a boundary pair) — bench-sized: R*Q
+    # candidate rows broadcast against the corpus
+    cand = _pq_score_topk(codes, cn, qdot, qn, limit=_RERANK_R).select(
+        "query_id", "vec_id"
+    )
     emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
-    ids = {r.vec_id for r in cand} | set(range(q_lo, q_hi))
-    vecs = {
-        r.vec_id: r.embedding
-        for r in emb.filter(F.col("vec_id").isin(list(ids))).collect()
+    q = emb.filter(
+        (F.col("vec_id") >= q_lo) & (F.col("vec_id") < q_hi)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    scored = (
+        emb.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id", "vec_id", V.cosine(F.col("q_emb"), F.col("embedding")).alias("cos")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    rr = {
+        (r.query_id, r.vec_id)
+        for r in scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _TOP_K)
+        .collect()
     }
-
-    def cos(a, b):
-        num = sum(x * y for x, y in zip(a, b))
-        return num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
-
-    by_q: dict = {}
-    for r in cand:
-        by_q.setdefault(r.query_id, []).append(r.vec_id)
-    rr = set()
-    for qid, cids in by_q.items():
-        ranked = sorted(cids, key=lambda v: (-cos(vecs[qid], vecs[v]), v))
-        rr |= {(qid, v) for v in ranked[:_TOP_K]}
     return adc, len(rr & exact) / len(exact)
 
 
