@@ -54,6 +54,9 @@ WITH raw AS (
     string_split(c11, ' ')[2] AS url,
     string_split(c11, ' ')[3] AS protocol,
     regexp_extract(string_split(c11, ' ')[2], '^[a-z]+://[^/]+(/[^?#]*)', 1) AS url_path,
+    try_cast(c4 AS DOUBLE) AS request_time,
+    try_cast(c5 AS DOUBLE) AS backend_time,
+    try_cast(c6 AS DOUBLE) AS response_time,
     try_cast(c7 AS INT)  AS elb_status,
     try_cast(c8 AS INT)  AS backend_status,
     try_cast(c10 AS BIGINT) AS sent_bytes,
@@ -324,3 +327,181 @@ def elb_bot_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.withColumn("req_per_s", F.round(rate, 4)).filter(
         (rate > 0.1) | (F.col("n_paths") >= 5)
     ).select("client_ip", "n_requests", "span_s", "req_per_s", "n_paths")
+
+
+# GeoIP-style block table for elb_geo_traffic: (cidr, region) — the tiny
+# deterministic stand-in for a MaxMind/RIR delegation dim. Prefix lengths
+# deliberately overlap so the lookup MUST be longest-prefix-match, not
+# first-match: 203.0.2.x is inside both the /21 anycast block and the
+# /24 pop block and must resolve to the /24.
+_GEO_BLOCKS = (
+    ("203.0.0.0/21", "apac-anycast"),
+    ("203.0.2.0/24", "sg-pop"),
+    ("203.0.3.0/24", "in-pop"),
+    ("203.0.4.0/23", "jp-pop"),
+    ("198.51.100.0/24", "test-net-2"),
+)
+
+
+def _cidr_rows():
+    """(region, prefix_len, ip_lo, ip_hi, octet1) rows from _GEO_BLOCKS —
+    one Python source of truth inlined into BOTH the Spark dim frame and
+    the DuckDB VALUES oracle."""
+    rows = []
+    for cidr, region in _GEO_BLOCKS:
+        base, plen = cidr.split("/")
+        plen = int(plen)
+        a, b, c, d = (int(x) for x in base.split("."))
+        lo = (a << 24) | (b << 16) | (c << 8) | d
+        hi = lo + (1 << (32 - plen)) - 1
+        rows.append((region, plen, lo, hi, a))
+    return rows
+
+
+@register(
+    "elb_geo_traffic",
+    oracle=_ORACLE_RAW
+    + ", blocks(region, prefix_len, ip_lo, ip_hi) AS (VALUES "
+    + ", ".join(f"('{r}', {p}, {lo}, {hi})" for r, p, lo, hi, _ in _cidr_rows())
+    + """)
+    , ips AS (
+      SELECT DISTINCT client_ip,
+             CAST(string_split(client_ip, '.')[1] AS BIGINT) * 16777216
+           + CAST(string_split(client_ip, '.')[2] AS BIGINT) * 65536
+           + CAST(string_split(client_ip, '.')[3] AS BIGINT) * 256
+           + CAST(string_split(client_ip, '.')[4] AS BIGINT) AS ip_int
+      FROM typed WHERE is_valid
+    ), lpm AS (
+      SELECT client_ip, region,
+             row_number() OVER (PARTITION BY client_ip
+                                ORDER BY prefix_len DESC, region) AS rn
+      FROM ips JOIN blocks ON ip_int BETWEEN ip_lo AND ip_hi
+    )
+    SELECT COALESCE(l.region, 'unrouted') AS region,
+           CAST(COUNT(*) AS BIGINT) AS n_requests,
+           CAST(COUNT(DISTINCT t.client_ip) AS BIGINT) AS n_clients,
+           CAST(SUM(t.sent_bytes) AS BIGINT) AS total_sent_bytes
+    FROM typed t
+    LEFT JOIN (SELECT client_ip, region FROM lpm WHERE rn = 1) l
+      USING (client_ip)
+    WHERE t.is_valid
+    GROUP BY 1
+    """,
+)
+def elb_geo_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo enrichment of client IPs — the FIRST item on the survey's own
+    "what additional data would sharpen this" list (OBSERVATIONS §6):
+    traffic rolled up by the origin network block, resolved by
+    longest-prefix-match against a CIDR dim (the GeoIP/RIR-delegation
+    lookup shape every log pipeline runs).
+
+    Spark-first LPM at scale: (1) enrich the DISTINCT-IP frame, never
+    the request stream — the expensive interval match runs once per IP,
+    then rejoins as a plain equi-join; (2) the block dim is broadcast
+    and pre-keyed by leading octet, so the interval join is a broadcast
+    HASH join on octet1 with a residual BETWEEN filter — no
+    nested-loop over the full dim (a real 4M-row MaxMind table would
+    explode blocks wider than /8 across their covered octets, same
+    trick); (3) overlapping prefixes resolve by a per-IP window on
+    prefix_len DESC — exactly the router's LPM rule, hash-checked
+    against the identical DuckDB formulation."""
+    from pyspark.sql import Window
+
+    blocks = spark.createDataFrame(
+        _cidr_rows(), "region string, prefix_len int, ip_lo long, ip_hi long, octet1 int"
+    )
+    parsed = valid_requests(parse_elb(read_elb_log(spark, SYNTH_LOG)))
+    oct_ = lambda i: F.get(F.split("client_ip", "\\."), i).cast("long")  # noqa: E731
+    ips = (
+        parsed.select("client_ip")
+        .distinct()
+        .withColumn(
+            "ip_int",
+            oct_(0) * 16777216 + oct_(1) * 65536 + oct_(2) * 256 + oct_(3),
+        )
+        .withColumn("octet1", oct_(0).cast("int"))
+    )
+    w = Window.partitionBy("client_ip").orderBy(
+        F.desc("prefix_len"), F.asc("region")
+    )
+    lpm = (
+        ips.join(
+            F.broadcast(blocks),
+            (ips.octet1 == blocks.octet1)
+            & F.col("ip_int").between(F.col("ip_lo"), F.col("ip_hi")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("client_ip", "region")
+    )
+    return (
+        parsed.join(lpm, "client_ip", "left")
+        .groupBy(F.coalesce("region", F.lit("unrouted")).alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.countDistinct("client_ip").cast("long").alias("n_clients"),
+            F.sum("sent_bytes").cast("long").alias("total_sent_bytes"),
+        )
+    )
+
+
+@register(
+    "elb_backend_latency_percentiles",
+    oracle=_ORACLE_RAW
+    + """
+    , lat AS (
+      SELECT url_path, backend_time,
+             row_number() OVER (PARTITION BY url_path ORDER BY backend_time) AS rn,
+             COUNT(*) OVER (PARTITION BY url_path) AS n
+      FROM typed
+      WHERE is_valid AND url_path IS NOT NULL AND backend_time >= 0
+    )
+    SELECT url_path,
+           CAST(MAX(n) AS BIGINT) AS n_requests,
+           MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN backend_time END) AS backend_p50_s,
+           MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN backend_time END) AS backend_p95_s,
+           MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN backend_time END) AS backend_p99_s,
+           MAX(backend_time) AS backend_max_s
+    FROM lat
+    GROUP BY url_path
+    """,
+)
+def elb_backend_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-planning observation the survey's closing question asks
+    for (OBSERVATIONS §6: "backend latency percentiles per path"):
+    nearest-rank p50/p95/p99 of the ELB entry's backend_processing_time
+    per URL path. Nearest-rank (k = ceil(p*n), computed as the pure
+    integer (n*P+99) DIV 100) returns an ACTUAL input datum — no
+    interpolation, no float rounding — so the result hash-matches DuckDB
+    bit-for-bit (interpolated quantile_cont vs F.percentile diverges on
+    shortest-decimal-repr rounding ties; an earlier draft hit 154.545 ms
+    rounding to .55 in Spark and .54 in DuckDB). The -1 sentinel ELB
+    writes when the backend never answered is excluded (availability
+    metric, not a latency sample). Rank selection is one window + one
+    aggregate, both shuffling on url_path — bounded by path cardinality,
+    not log size; at 100 TB the approx_percentile sketch
+    (`value_percentiles_by_type`'s scale note) is the mergeable
+    map-side form."""
+    from pyspark.sql import Window
+
+    parsed = valid_requests(parse_elb(read_elb_log(spark, SYNTH_LOG)))
+    lat = parsed.filter(
+        F.col("url_path").isNotNull() & (F.col("backend_time") >= 0)
+    ).select("url_path", "backend_time")
+    part = Window.partitionBy("url_path")
+    ranked = lat.withColumn(
+        "rn", F.row_number().over(part.orderBy("backend_time"))
+    ).withColumn("n", F.count(F.lit(1)).over(part))
+    at = lambda p: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == ((F.col("n") * p + 99) / 100).cast("long"),
+            F.col("backend_time"),
+        )
+    )
+    return ranked.groupBy("url_path").agg(
+        F.max("n").cast("long").alias("n_requests"),
+        at(50).alias("backend_p50_s"),
+        at(95).alias("backend_p95_s"),
+        at(99).alias("backend_p99_s"),
+        F.max("backend_time").alias("backend_max_s"),
+    )

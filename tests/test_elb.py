@@ -180,3 +180,74 @@ def test_pyds_stream_offsets_resume_across_restarts(spark, tmp_path):
     # drop a second file: exactly ITS lines append
     (drops / "drop2.log").write_text("\n".join(lines[100:150]) + "\n")
     assert run() == 150
+
+
+def test_geo_lpm_prefers_most_specific_block(spark):
+    """203.0.2.x sits inside BOTH the /21 anycast block and the /24
+    sg-pop block — the router's rule (and ours) is longest prefix wins.
+    Every routed region in the fixture must agree with a pure-Python
+    re-derivation of the same LPM over the same block list."""
+    from dataengineerchallenge_spark.queries.elb import (
+        SYNTH_LOG,
+        _cidr_rows,
+        elb_geo_traffic,
+    )
+    from dataengineerchallenge_spark.sources.elb import (
+        parse_elb,
+        read_elb_log,
+        valid_requests,
+    )
+
+    rows = {r["region"]: r for r in elb_geo_traffic(spark, "").collect()}
+    assert "sg-pop" in rows and "apac-anycast" in rows  # the /24 beat the /21
+
+    def lpm(ip: str) -> str:
+        o = [int(x) for x in ip.split(".")]
+        v = (o[0] << 24) | (o[1] << 16) | (o[2] << 8) | o[3]
+        best = max(
+            ((p, r) for r, p, lo, hi, _ in _cidr_rows() if lo <= v <= hi),
+            default=(None, "unrouted"),
+        )
+        return best[1]
+
+    parsed = valid_requests(parse_elb(read_elb_log(spark, SYNTH_LOG)))
+    ips = [r["client_ip"] for r in parsed.select("client_ip").distinct().collect()]
+    expect: dict = {}
+    for ip in ips:
+        expect[lpm(ip)] = expect.get(lpm(ip), 0) + 1
+    got = {r["region"]: r["n_clients"] for r in rows.values()}
+    assert got == expect
+    assert sum(r["n_requests"] for r in rows.values()) == parsed.count()
+
+
+def test_backend_latency_nearest_rank_selection(spark):
+    """Nearest-rank percentiles return actual input data: every reported
+    pXX is a member of its path's sample set, ranks follow the
+    ceil(p*n) definition against a sorted Python re-derivation, and the
+    -1 no-backend sentinel never leaks into a sample."""
+    from dataengineerchallenge_spark.queries.elb import (
+        SYNTH_LOG,
+        elb_backend_latency_percentiles,
+    )
+    from dataengineerchallenge_spark.sources.elb import (
+        parse_elb,
+        read_elb_log,
+        valid_requests,
+    )
+
+    parsed = valid_requests(parse_elb(read_elb_log(spark, SYNTH_LOG)))
+    samples: dict = {}
+    for r in parsed.filter("url_path is not null and backend_time >= 0").select(
+        "url_path", "backend_time"
+    ).collect():
+        samples.setdefault(r["url_path"], []).append(r["backend_time"])
+    out = elb_backend_latency_percentiles(spark, "").collect()
+    assert len(out) == len(samples)
+    for row in out:
+        vals = sorted(samples[row["url_path"]])
+        n = len(vals)
+        assert row["n_requests"] == n
+        for p, col in ((50, "backend_p50_s"), (95, "backend_p95_s"), (99, "backend_p99_s")):
+            k = (n * p + 99) // 100  # ceil(p*n) in integers
+            assert row[col] == vals[k - 1], (row["url_path"], p)
+        assert row["backend_max_s"] == vals[-1] and vals[0] >= 0
