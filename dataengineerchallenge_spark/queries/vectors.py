@@ -844,7 +844,9 @@ def pq_trained_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_score_topk(codes, cn, qdot, qn)
 
 
-def _staged_trained_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+def _staged_trained_ivfpq_index(
+    spark: SparkSession, sf_dir: str, k: int = _PQ_TRAINED_K
+) -> str:
     """ALL-TRAINED build half of the serving split: coarse cells from
     the seeded k-means quantizer (``_staged_kmeans_quantizer``) and PQ
     codebooks from the per-subspace k-means fits
@@ -873,7 +875,7 @@ def _staged_trained_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     def build(out: Path) -> None:
         kq = _staged_kmeans_quantizer(spark, sf_dir)
         cb = spark.read.parquet(
-            f"{_staged_trained_pq_codebook(spark, sf_dir)}/cb"
+            f"{_staged_trained_pq_codebook(spark, sf_dir, k)}/cb"
         )
         codes, cn, _, _ = _pq_parts_from_codebook(spark, sf_dir, cb)
         assign = spark.read.parquet(f"{kq}/assign")
@@ -887,7 +889,7 @@ def _staged_trained_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
         write_result(cent_lf, str(out / "centroids"), coalesce_to=1)
         write_result(cb, str(out / "cb"), coalesce_to=1)
 
-    salt = f"ivfpqtrained:d{_PQ_DIM}:k{_PQ_TRAINED_K}:kmeans10s42"
+    salt = f"ivfpqtrained:d{_PQ_DIM}:k{k}:kmeans10s42"
     return staged(
         spark, "ivfpqtrained", Path(sf_dir) / "embeddings.parquet", salt, build
     )
@@ -994,6 +996,40 @@ def ivf_pq_trained_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     `recall_at_10_rerank`): resolution × re-rank is the composition
     that closes the mild-geometry recall gap the r9 curve exposed."""
     root = _staged_trained_ivfpq_index(spark, sf_dir)
+    vroot = _staged_trained_ivfpq_vectors(spark, sf_dir)
+    batch = spark.read.parquet(_staged_fresh_query_batch(spark, sf_dir))
+    codes, probes, qlut = _trained_serve_luts(spark, root, batch)
+    cand = _adc_serve_candidates(codes, probes, qlut, _RERANK_R)
+    return _exact_rerank_tail(spark, vroot, batch, cand)
+
+
+_PQ_PROD_K = 64  # production-resolution codes per subspace for the
+# registered k64 rung. The public standard is 256 (one byte per code);
+# the fixture corpus is 500 vectors, and 256 centroids over 500 points
+# per subspace is a memorization fit, not a codebook — 64 is the
+# largest resolution the fixture can support honestly (tools/
+# bench_ann.py --pq-k-sweep measures k=256 on 5000-row corpora where
+# it IS meaningful).
+
+
+@register("ivf_pq_trained_rerank_k64_topk")
+def ivf_pq_trained_rerank_k64_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 production stack at PRODUCTION CODEBOOK RESOLUTION: the same
+    all-trained IVFADC + exact-re-rank composition as
+    ``ivf_pq_trained_rerank_topk`` with the per-subspace codebooks
+    trained at k={_PQ_PROD_K} codes instead of the equal-budget-vs-
+    label-means k=10 (that rung's k deliberately matches the label
+    count so trained-vs-label-mean is a fair fit-quality comparison;
+    THIS rung answers the r9 verdict's open bound — "nobody has turned
+    the codebook to production resolution" — inside the registered
+    engine, not just the bench sweep). Everything else is shared: the
+    coarse cells, the bucket-partitioned staged layouts, the serve
+    LUTs, the DPP-pruned seeks, and the re-rank tail; only the ``k``
+    flowing through the staged-index salt differs. Rows-only per
+    contract (k-means); recall dominance over the k=10 rerank rung on
+    the same batch pinned in tests/test_vectors.py; recall-vs-k
+    measured in BENCH_ann.json ``pq_k_sweep``."""
+    root = _staged_trained_ivfpq_index(spark, sf_dir, _PQ_PROD_K)
     vroot = _staged_trained_ivfpq_vectors(spark, sf_dir)
     batch = spark.read.parquet(_staged_fresh_query_batch(spark, sf_dir))
     codes, probes, qlut = _trained_serve_luts(spark, root, batch)

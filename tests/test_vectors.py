@@ -922,3 +922,46 @@ def test_trained_rerank_plan_recall_and_candidate_containment(spark, qs):
         for r in qs["ivf_pq_trained_serve_topk"](spark, SF_DIR).collect()
     }
     assert len(got & exact) >= len(plain & exact)
+
+
+def test_trained_rerank_k64_dominates_k10_and_keeps_serve_plan(spark, qs):
+    """Production-resolution rung (round 11): the k=64 trained codebook
+    composed with exact re-rank must (a) keep the zero-base-scan DPP
+    serve plan — resolution changes the staged artifact, never the
+    serve shape; (b) recall@10 vs exact at least the k=10 rerank
+    rung's on the same fresh batch (more codes per subspace = finer
+    ADC ranking = a candidate set at least as good, and the re-rank
+    tail is shared)."""
+    from pyspark.sql import Window
+
+    from dataengineerchallenge_spark.queries.vectors import _FRESH_HI, _FRESH_LO, _TOP_K
+    from dataengineerchallenge_spark.sources.tables import load_table
+
+    df = qs["ivf_pq_trained_rerank_k64_topk"](spark, SF_DIR)
+    k64 = df.collect()
+    assert len(k64) > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "embeddings" not in plan
+    assert plan.lower().count("dynamicpruningexpression") >= 2
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(
+        (F.col("vec_id") >= _FRESH_LO) & (F.col("vec_id") < _FRESH_HI)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    pairs = F.broadcast(q).join(emb, F.col("query_id") != F.col("vec_id")).select(
+        "query_id", "vec_id", V.cosine(F.col("q_emb"), F.col("embedding")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _TOP_K)
+        .collect()
+    }
+    got64 = {(r.query_id, r.vec_id) for r in k64}
+    got10 = {
+        (r.query_id, r.vec_id)
+        for r in qs["ivf_pq_trained_rerank_topk"](spark, SF_DIR).collect()
+    }
+    assert len(got64 & exact) >= len(got10 & exact)
