@@ -177,3 +177,39 @@ def test_incremental_minhash_candidate_joins_broadcast_new_side(spark, qs):
 
     smj_on_bands = re.search(r"SortMergeJoin.*band_hash", plan)
     assert smj_on_bands is None, plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_fact_dim_join(spark):
+    """Spark's runtime bloom-filter join pruning (SPARK-32268) must
+    fire on the engine's fact⋈selective-dim shape: a filtered dim side
+    joined to a fact on a non-partition key injects a
+    bloom_filter_agg / might_contain pair so the fact scan drops
+    non-qualifying rows BEFORE the shuffle. The feature is gated on
+    scan-size thresholds sized for clusters (10 GB application side),
+    so the pin lowers them for the fixture — what it proves is that
+    OUR join shape is eligible: an equi-join on a plain column with a
+    selective creation-side filter and no broadcast. At 100 TB this is
+    the difference between shuffling all of lineitem and shuffling the
+    ~1/25th that can match a filtered part dim."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        part = load_table(spark, SF_DIR, "part").filter(
+            F.col("p_brand") == "Brand#11"
+        )
+        li = load_table(spark, SF_DIR, "lineitem")
+        q = li.join(part, li.l_partkey == part.p_partkey).groupBy("p_brand").agg(
+            F.sum("l_quantity").alias("qty")
+        )
+        plan = explain_str(q, "extended")
+        assert "might_contain" in plan, plan[:2000]
+        assert len(q.collect()) >= 0
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
