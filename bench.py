@@ -60,6 +60,8 @@ HEADLINE = [
     "ivf_pq_trained_serve_topk",             # N3 all-trained index serve (round 9)
     "ivf_pq_serve_rerank_topk",              # N3 exact re-rank final rung (round 10)
     "ivf_pq_trained_rerank_topk",            # N3 full production stack: trained + re-rank (round 10)
+    "ivf_pq_trained_rerank_k64_topk",        # N3 production codebook resolution (round 11)
+    "elb_geo_traffic",                       # J6+ longest-prefix-match CIDR enrichment (round 11)
 ]
 
 
@@ -80,11 +82,14 @@ def _prestage(spark, sf_dir: str) -> None:
         _staged_trained_ivfpq_vectors,
     )
 
+    from dataengineerchallenge_spark.queries.vectors import _PQ_PROD_K
+
     for stage in (
         _staged_ivfpq_index,
         _staged_ivfpq_residual_index,
         _staged_ivfpq_vectors,
         _staged_trained_ivfpq_index,
+        lambda s, d: _staged_trained_ivfpq_index(s, d, _PQ_PROD_K),
         _staged_trained_ivfpq_vectors,
         _staged_fresh_query_batch,
         _staged_minhash_bands,
