@@ -188,3 +188,69 @@ def binned_interval_join(
         )
         return joined, quarantined
     return joined
+
+
+def lpm_join(
+    keys: DataFrame,
+    blocks: DataFrame,
+    key_int: str = "ip_int",
+    lo: str = "ip_lo",
+    hi: str = "ip_hi",
+    prefix_len: str = "prefix_len",
+    payload: Sequence[str] = ("region",),
+    how: str = "left",
+) -> DataFrame:
+    """Longest-prefix-match lookup join (J10): attach the MOST SPECIFIC
+    covering block's payload to each key — the GeoIP / RIR-delegation /
+    routing-table lookup every log pipeline runs on client IPs
+    (/root/reference/README.md:42's "what additional data" enrichment).
+
+    Blocks are (lo, hi, prefix_len, payload...) integer ranges (CIDR
+    ``a.b.c.d/p`` → [base, base + 2^(32-p) - 1]); overlapping prefixes
+    resolve by ``prefix_len`` DESC — the router's rule, so a /24 pop
+    block beats its covering /21 anycast block.
+
+    Spark-first at scale, composed from existing ops (no UDFs):
+
+    1. **Manufactured equi key**: every block is exploded across the
+       leading octets it covers (``sequence(lo>>24, hi>>24)`` — one row
+       per covered /8, so even a /0 bounds at 256 rows) and each key
+       hashes to exactly one octet. The interval join becomes a hash
+       join on the octet with a BETWEEN residual — never a
+       nested-loop over the full dim (same bin/bucket decomposition as
+       ``binned_interval_join``, with the /8 grid as the bins).
+    2. **Broadcast dim**: a real MaxMind/RIR table is ~4M blocks ≈ tens
+       of MB exploded — broadcast-sized; the fact side never shuffles.
+    3. **LPM window**: per-key ``row_number`` over ``prefix_len`` DESC
+       (payload columns, then ``lo``, break exact ties
+       deterministically), keep the first.
+
+    Call with the DISTINCT key frame (the per-key window assumes one
+    input row per key value), then equi-join the result back to the
+    fact stream — the match runs once per key, not once per event.
+    ``how='left'`` keeps unmatched keys with NULL payload (coalesce a
+    default downstream, e.g. 'unrouted')."""
+    payload = list(payload)
+    exploded = blocks.withColumn(
+        "_octet1", F.explode(F.sequence(F.shiftright(F.col(lo), 24), F.shiftright(F.col(hi), 24)))
+    )
+    keyed = keys.withColumn("_octet1", F.shiftright(F.col(key_int), 24))
+    w = Window.partitionBy(key_int).orderBy(
+        F.desc(prefix_len), *[F.asc(p) for p in payload], F.asc(lo)
+    )
+    matched = (
+        keyed.join(
+            F.broadcast(exploded),
+            on=[
+                keyed["_octet1"] == exploded["_octet1"],
+                F.col(key_int).between(F.col(lo), F.col(hi)),
+            ],
+            how="inner",
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(key_int, *payload)
+    )
+    if how == "inner":
+        return keys.join(matched, key_int, "inner")
+    return keys.join(matched, key_int, "left")

@@ -395,20 +395,22 @@ def elb_geo_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     longest-prefix-match against a CIDR dim (the GeoIP/RIR-delegation
     lookup shape every log pipeline runs).
 
-    Spark-first LPM at scale: (1) enrich the DISTINCT-IP frame, never
-    the request stream — the expensive interval match runs once per IP,
-    then rejoins as a plain equi-join; (2) the block dim is broadcast
-    and pre-keyed by leading octet, so the interval join is a broadcast
-    HASH join on octet1 with a residual BETWEEN filter — no
-    nested-loop over the full dim (a real 4M-row MaxMind table would
-    explode blocks wider than /8 across their covered octets, same
-    trick); (3) overlapping prefixes resolve by a per-IP window on
-    prefix_len DESC — exactly the router's LPM rule, hash-checked
-    against the identical DuckDB formulation."""
-    from pyspark.sql import Window
+    Spark-first LPM at scale (the general operator:
+    ``operators.joins.lpm_join``, hypothesis-tested against a pure-
+    Python LPM over random CIDR sets): (1) enrich the DISTINCT-IP
+    frame, never the request stream — the expensive interval match runs
+    once per IP, then rejoins as a plain equi-join; (2) the block dim
+    is broadcast and exploded across each block's covered leading
+    octets, so the interval join is a broadcast HASH join on the octet
+    with a residual BETWEEN filter — no nested-loop over the full dim;
+    (3) overlapping prefixes resolve by a per-IP window on prefix_len
+    DESC — exactly the router's LPM rule, hash-checked against the
+    identical DuckDB formulation."""
+    from dataengineerchallenge_spark.operators.joins import lpm_join
 
     blocks = spark.createDataFrame(
-        _cidr_rows(), "region string, prefix_len int, ip_lo long, ip_hi long, octet1 int"
+        [r[:4] for r in _cidr_rows()],
+        "region string, prefix_len int, ip_lo long, ip_hi long",
     )
     parsed = valid_requests(parse_elb(read_elb_log(spark, SYNTH_LOG)))
     oct_ = lambda i: F.get(F.split("client_ip", "\\."), i).cast("long")  # noqa: E731
@@ -419,21 +421,8 @@ def elb_geo_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ip_int",
             oct_(0) * 16777216 + oct_(1) * 65536 + oct_(2) * 256 + oct_(3),
         )
-        .withColumn("octet1", oct_(0).cast("int"))
     )
-    w = Window.partitionBy("client_ip").orderBy(
-        F.desc("prefix_len"), F.asc("region")
-    )
-    lpm = (
-        ips.join(
-            F.broadcast(blocks),
-            (ips.octet1 == blocks.octet1)
-            & F.col("ip_int").between(F.col("ip_lo"), F.col("ip_hi")),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("client_ip", "region")
-    )
+    lpm = lpm_join(ips, blocks).select("client_ip", "region")
     return (
         parsed.join(lpm, "client_ip", "left")
         .groupBy(F.coalesce("region", F.lit("unrouted")).alias("region"))

@@ -352,3 +352,46 @@ def test_binned_interval_join_fails_loud_on_wide_span_without_quarantine(spark):
         [(1, None, 50), (2, 200, 100)], "iid int, s long, e long"
     )
     assert binned_interval_join(p, corrupt, "ts", "s", "e", bin_s=60).count() == 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ips=st.lists(st.integers(0, 2**32 - 1), min_size=1, max_size=30, unique=True),
+    cidrs=st.lists(
+        st.tuples(st.integers(0, 2**32 - 1), st.integers(0, 32)),
+        min_size=1,
+        max_size=15,
+    ),
+)
+def test_lpm_join_matches_python_reference(spark, ips, cidrs):
+    """lpm_join must return the longest covering prefix's payload for
+    ANY key/block sets — including blocks wider than /8 (exploded
+    across covered octets), /0 catch-alls, /32 host routes, exact-tie
+    prefixes, and keys with no covering block (NULL payload on left
+    join)."""
+    from dataengineerchallenge_spark.operators.joins import lpm_join
+
+    blocks = []
+    for i, (base, plen) in enumerate(cidrs):
+        lo = base & ~((1 << (32 - plen)) - 1) if plen < 32 else base
+        hi = lo + (1 << (32 - plen)) - 1
+        blocks.append((f"b{i:03d}", plen, lo, hi))
+
+    def ref(v):
+        cover = [(p, name) for name, p, lo, hi in blocks if lo <= v <= hi]
+        if not cover:
+            return None
+        best_p = max(p for p, _ in cover)
+        # exact-tie prefixes resolve by payload ASC, the operator's
+        # deterministic tie-break
+        return min(name for p, name in cover if p == best_p)
+
+    kdf = spark.createDataFrame([(v,) for v in ips], "ip_int long")
+    bdf = spark.createDataFrame(
+        blocks, "region string, prefix_len int, ip_lo long, ip_hi long"
+    )
+    got = {
+        r["ip_int"]: r["region"]
+        for r in lpm_join(kdf, bdf).select("ip_int", "region").collect()
+    }
+    assert got == {v: ref(v) for v in ips}
