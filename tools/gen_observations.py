@@ -64,6 +64,11 @@ def main() -> None:
     agents = sorted(run("elb_user_agent_families"), key=lambda r: -r["n_requests"])
     bots = run("elb_bot_candidates")
     timeline = run("elb_status_timeline")
+    geo = sorted(run("elb_geo_traffic"), key=lambda r: -r["n_requests"])
+    lat_paths = sorted(
+        run("elb_backend_latency_percentiles"),
+        key=lambda r: -(r["backend_p99_s"] or 0),
+    )[:8]
     by_class: dict[int, int] = {}
     for r in timeline:
         by_class[r["status_class"]] = by_class.get(r["status_class"], 0) + r["n_requests"]
@@ -301,6 +306,22 @@ User-agent families:
 
 {md_table([(r["ua_family"] or "(no/blank agent)", r["n_requests"], r["n_clients"]) for r in agents], ["family", "requests", "IPs"])}
 
+Origin networks (longest-prefix-match against the CIDR block dim —
+`elb_geo_traffic`; a /24 pop block beats the covering /21 anycast
+block, the router's rule): traffic by resolved block shows whether the
+engagement rankings are dominated by one network's NAT fan-in before
+any per-IP conclusion is drawn.
+
+{md_table([(r["region"], r["n_requests"], r["n_clients"], r["total_sent_bytes"]) for r in geo], ["origin block", "requests", "distinct IPs", "bytes sent"])}
+
+Backend latency per path (`elb_backend_latency_percentiles`,
+nearest-rank percentiles — each number is an actual observed sample).
+The p99-vs-p50 spread per path is the capacity-planning signal; on this
+synthetic log the generator draws times i.i.d., so the flat profile
+below is itself the confirmation that no per-path effect was injected:
+
+{md_table([(r["url_path"], r["n_requests"], round(r["backend_p50_s"], 4), round(r["backend_p95_s"], 4), round(r["backend_p99_s"], 4)) for r in lat_paths], ["path", "n", "p50 (s)", "p95 (s)", "p99 (s)"], limit=8)}
+
 ### Bot triage
 
 Bot-candidate triage flags **{len(bots)} IPs** whose request cadence
@@ -529,13 +550,20 @@ spread vs the earlier anchor, plans unchanged, and still far inside the
 
 (the reference's own closing question, README.md:42)
 
-- **Geo/ASN enrichment of client IPs** — separates CDN/proxy fan-in from
-  genuine multi-user NAT before ranking engagement.
+- **Geo/ASN enrichment of client IPs** — the OPERATOR now exists
+  (`elb_geo_traffic`, §3's origin-network table: longest-prefix-match
+  against a CIDR dim); what real data would add is the dim itself — a
+  current RIR-delegation / MaxMind table instead of the deterministic
+  stand-in blocks, separating CDN/proxy fan-in from genuine multi-user
+  NAT before ranking engagement.
 - **Login/user-id joins** — IP-as-user breaks exactly where the bot
   section above shows it breaking.
-- **Backend latency percentiles per path** (the request/backend/response
-  time triplet is parsed but the synthetic generator draws them i.i.d.) —
-  on real logs the p99 per path is the capacity-planning number.
+- **Backend latency percentiles per path** — the OPERATOR now exists
+  (`elb_backend_latency_percentiles`, §3's latency table); what real
+  data would add is non-i.i.d. times (the synthetic generator draws
+  the request/backend/response triplet i.i.d., so per-path p99 is flat
+  by construction) — on real logs that p99 is the capacity-planning
+  number.
 """
     with open(out_path, "w") as f:
         f.write(doc)
