@@ -494,3 +494,29 @@ def elb_backend_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFra
         at(99).alias("backend_p99_s"),
         F.max("backend_time").alias("backend_max_s"),
     )
+
+
+@register("elb_backend_latency_percentiles_approx")
+def elb_backend_latency_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of `elb_backend_latency_percentiles`: Spark's
+    `percentile_approx` (Greenwald-Khanna sketch) is MERGEABLE — each
+    partition builds a bounded sketch and the shuffle moves sketches,
+    not the per-group value lists the exact nearest-rank needs gathered.
+    Same columns as the exact query so the two are diffable. Rows-only
+    by contract (DuckDB's approx_quantile is a different sketch — the
+    two engines' approximations agree only within error); accuracy vs
+    the exact nearest-rank answer is pinned in tests/test_elb.py
+    (rank-distance ≤ 1 at the fixture's accuracy setting)."""
+    parsed = valid_requests(parse_elb(read_elb_log(spark, SYNTH_LOG)))
+    ap = lambda p: F.percentile_approx("backend_time", p, 10000)  # noqa: E731
+    return (
+        parsed.filter(F.col("url_path").isNotNull() & (F.col("backend_time") >= 0))
+        .groupBy("url_path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_requests"),
+            ap(0.5).alias("backend_p50_s"),
+            ap(0.95).alias("backend_p95_s"),
+            ap(0.99).alias("backend_p99_s"),
+            F.max("backend_time").alias("backend_max_s"),
+        )
+    )

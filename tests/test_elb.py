@@ -251,3 +251,38 @@ def test_backend_latency_nearest_rank_selection(spark):
             k = (n * p + 99) // 100  # ceil(p*n) in integers
             assert row[col] == vals[k - 1], (row["url_path"], p)
         assert row["backend_max_s"] == vals[-1] and vals[0] >= 0
+
+
+def test_backend_latency_approx_sketch_tracks_exact(spark):
+    """The mergeable percentile_approx twin must return values from the
+    sample set within rank distance 1 of the exact nearest-rank answer
+    at the fixture's accuracy setting — the sketch trades exactness for
+    map-side mergeability, not correctness."""
+    from dataengineerchallenge_spark.queries.elb import (
+        SYNTH_LOG,
+        elb_backend_latency_percentiles_approx,
+    )
+    from dataengineerchallenge_spark.sources.elb import (
+        parse_elb,
+        read_elb_log,
+        valid_requests,
+    )
+
+    parsed = valid_requests(parse_elb(read_elb_log(spark, SYNTH_LOG)))
+    samples: dict = {}
+    for r in parsed.filter("url_path is not null and backend_time >= 0").select(
+        "url_path", "backend_time"
+    ).collect():
+        samples.setdefault(r["url_path"], []).append(r["backend_time"])
+    out = elb_backend_latency_percentiles_approx(spark, "").collect()
+    assert len(out) == len(samples)
+    for row in out:
+        vals = sorted(samples[row["url_path"]])
+        n = len(vals)
+        assert row["n_requests"] == n
+        for p, col in ((50, "backend_p50_s"), (95, "backend_p95_s"), (99, "backend_p99_s")):
+            got = row[col]
+            assert got in vals, (row["url_path"], col)  # sketch returns a datum
+            k_exact = (n * p + 99) // 100
+            k_got = vals.index(got) + 1
+            assert abs(k_got - k_exact) <= 1, (row["url_path"], p, k_got, k_exact)
