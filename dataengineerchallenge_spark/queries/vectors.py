@@ -2246,11 +2246,15 @@ def _stream_serve_fresh(
     n_probes: int = 2,
     epochs: list | None = None,
     timeout_s: int = 300,
+    serve_body=None,
 ) -> DataFrame:
     """Drive the ONLINE serving loop: tail ``payload_dir`` as a file
     stream (one file per trigger), serve each micro-batch of fresh
     query vectors through the SAME ``_serve_fresh_from_index`` body the
-    batch rung runs — routing + ADC lookups computed micro-batch-side
+    batch rung runs (or ``serve_body`` — any ``(spark, root, batch,
+    n_probes) -> DataFrame`` serving tail; the trained rung passes
+    ``_trained_serve_from_index`` so the one harness drives both
+    indexes) — routing + ADC lookups computed micro-batch-side
     from the staged codebooks, corpus touched only via the DPP-pruned
     codes seek — and append each micro-batch's top-k to a parquet sink
     (executor-side write; no driver collect). Returns the drained sink.
@@ -2277,9 +2281,11 @@ def _stream_serve_fresh(
     scratch = tempfile.mkdtemp(prefix="spark_graft_stream_serve_")
     sink, ckpt = f"{scratch}/out", f"{scratch}/ckpt"
 
+    body = serve_body or _serve_fresh_from_index
+
     def serve(mb: DataFrame, epoch_id: int) -> None:
         t0 = time.time()
-        _serve_fresh_from_index(spark, root, mb, n_probes=n_probes).write.mode(
+        body(spark, root, mb, n_probes=n_probes).write.mode(
             "append"
         ).parquet(sink)
         if epochs is not None:
@@ -2327,3 +2333,23 @@ def stream_serve_fresh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _staged_ivfpq_index(spark, sf_dir)
     payload = _staged_fresh_query_stream(spark, sf_dir)
     return _stream_serve_fresh(spark, root, payload)
+
+
+@register("stream_serve_trained_topk")
+def stream_serve_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3×T6 at the PRODUCTION index (round 11): the same online
+    serving loop as ``stream_serve_fresh_topk`` — fresh query payload
+    tailed one file per trigger, foreachBatch serve, executor-side sink
+    append — but every micro-batch is served against the ALL-TRAINED
+    IVF-PQ index (k-means coarse cells + trained PQ codebooks) through
+    the shared ``_trained_serve_from_index`` tail. One harness, two
+    indexes: the ``serve_body`` parameter is the only difference, so
+    the online story holds at the index the production stack actually
+    ships. Rows-only per contract (two k-means fits, same stance as
+    ``ivf_pq_trained_serve_topk``); stream-vs-batch parity against that
+    batch rung is pinned in tests/test_vectors.py."""
+    root = _staged_trained_ivfpq_index(spark, sf_dir)
+    payload = _staged_fresh_query_stream(spark, sf_dir)
+    return _stream_serve_fresh(
+        spark, root, payload, serve_body=_trained_serve_from_index
+    )

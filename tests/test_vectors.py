@@ -965,3 +965,28 @@ def test_trained_rerank_k64_dominates_k10_and_keeps_serve_plan(spark, qs):
         for r in qs["ivf_pq_trained_rerank_topk"](spark, SF_DIR).collect()
     }
     assert len(got64 & exact) >= len(got10 & exact)
+
+
+def test_stream_serve_trained_parity_and_multibatch(spark, qs):
+    """Round-11 online rung at the production index: the trained
+    streaming serve must drain as multiple micro-batches and append
+    EXACTLY the trained batch rung's rows — the shared harness with
+    only the serve body swapped cannot change results."""
+    from dataengineerchallenge_spark.queries.vectors import (
+        _staged_fresh_query_stream,
+        _staged_trained_ivfpq_index,
+        _stream_serve_fresh,
+        _trained_serve_from_index,
+    )
+
+    root = _staged_trained_ivfpq_index(spark, SF_DIR)
+    payload = _staged_fresh_query_stream(spark, SF_DIR)
+    epochs: list = []
+    streamed = _stream_serve_fresh(
+        spark, root, payload, epochs=epochs, serve_body=_trained_serve_from_index
+    )
+    assert len(epochs) >= 2, f"expected a multi-micro-batch drain, got {epochs}"
+    batch = qs["ivf_pq_trained_serve_topk"](spark, SF_DIR)
+    srows = sorted(tuple(r) for r in streamed.collect())
+    brows = sorted(tuple(r) for r in batch.collect())
+    assert srows == brows and len(srows) > 0
