@@ -251,6 +251,4 @@ def lpm_join(
         .filter(F.col("_rn") == 1)
         .select(key_int, *payload)
     )
-    if how == "inner":
-        return keys.join(matched, key_int, "inner")
-    return keys.join(matched, key_int, "left")
+    return keys.join(matched, key_int, how)

@@ -353,8 +353,12 @@ def _cidr_rows():
         plen = int(plen)
         a, b, c, d = (int(x) for x in base.split("."))
         lo = (a << 24) | (b << 16) | (c << 8) | d
+        # mask host bits so a non-canonical base (203.0.2.5/24) can't
+        # yield a range straddling block boundaries
+        if plen < 32:
+            lo &= ~((1 << (32 - plen)) - 1)
         hi = lo + (1 << (32 - plen)) - 1
-        rows.append((region, plen, lo, hi, a))
+        rows.append((region, plen, lo, hi, lo >> 24))
     return rows
 
 

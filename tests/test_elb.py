@@ -204,11 +204,12 @@ def test_geo_lpm_prefers_most_specific_block(spark):
     def lpm(ip: str) -> str:
         o = [int(x) for x in ip.split(".")]
         v = (o[0] << 24) | (o[1] << 16) | (o[2] << 8) | o[3]
-        best = max(
-            ((p, r) for r, p, lo, hi, _ in _cidr_rows() if lo <= v <= hi),
-            default=(None, "unrouted"),
-        )
-        return best[1]
+        cover = [(p, r) for r, p, lo, hi, _ in _cidr_rows() if lo <= v <= hi]
+        if not cover:
+            return "unrouted"
+        best_p = max(p for p, _ in cover)
+        # equal-prefix ties resolve payload ASC, the operator's rule
+        return min(r for p, r in cover if p == best_p)
 
     parsed = valid_requests(parse_elb(read_elb_log(spark, SYNTH_LOG)))
     ips = [r["client_ip"] for r in parsed.select("client_ip").distinct().collect()]
@@ -284,5 +285,9 @@ def test_backend_latency_approx_sketch_tracks_exact(spark):
             got = row[col]
             assert got in vals, (row["url_path"], col)  # sketch returns a datum
             k_exact = (n * p + 99) // 100
-            k_got = vals.index(got) + 1
-            assert abs(k_got - k_exact) <= 1, (row["url_path"], p, k_got, k_exact)
+            # duplicated values occupy a rank RANGE; the sketch is
+            # within tolerance if any of those ranks is
+            ranks = [i + 1 for i, v in enumerate(vals) if v == got]
+            assert min(abs(k - k_exact) for k in ranks) <= 1, (
+                row["url_path"], p, ranks, k_exact,
+            )
