@@ -238,6 +238,34 @@ def main() -> None:
         f"{[t for _, t in epochs]} s"
     )
 
+    # Same loop at the PRODUCTION index (round 11): micro-batches served
+    # against the all-trained IVF-PQ (k-means coarse cells + trained PQ
+    # codebooks) through the shared harness with only the serve body
+    # swapped — the per-micro-batch cost of the index the production
+    # stack actually ships.
+    from dataengineerchallenge_spark.queries.vectors import (
+        _staged_trained_ivfpq_index,
+        _trained_serve_from_index,
+    )
+
+    tr_root = _staged_trained_ivfpq_index(spark, sf_dir)
+    tepochs: list = []
+    t0 = time.time()
+    tserved = _stream_serve_fresh(
+        spark, tr_root, payload, epochs=tepochs, serve_body=_trained_serve_from_index
+    )
+    out["results"]["ann_serve_trained_stream"] = {
+        "sf_dir": sf_dir,
+        "wall_s": round(time.time() - t0, 2),
+        "micro_batches": len(tepochs),
+        "per_batch_serve_s": [t for _, t in tepochs],
+        "result_rows": tserved.count(),
+    }
+    print(
+        f"ann_serve_trained_stream: {len(tepochs)} micro-batches, per-batch "
+        f"{[t for _, t in tepochs]} s"
+    )
+
     # ONLINE dedup serve rung (VERDICT r9 next #4): drain the delivery as
     # a file stream and run the full sign → dedup-against-store-so-far →
     # commit lifecycle per micro-batch against the STAGED base band table
