@@ -302,3 +302,88 @@ def sessionize_native_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_s",
         "end_s",
     ).select("skey", "session_id", "n_hits", "duration_s", "n_unique_urls", "start_s", "end_s")
+
+
+_GAP_SWEEP = (300, 900, 1800, 3600)
+
+
+@register(
+    "session_gap_sensitivity",
+    oracle=f"""
+WITH gaps(gap_s) AS (VALUES {", ".join(f"({g})" for g in _GAP_SWEEP)}),
+hits AS (
+    SELECT g.gap_s, e.user_id, e.event_id,
+           CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_s
+    FROM events e CROSS JOIN gaps g
+), flagged AS (
+    SELECT *,
+           CASE WHEN lag(ts_s) OVER w IS NULL
+                  OR ts_s - lag(ts_s) OVER w > gap_s THEN 1 ELSE 0 END AS is_new
+    FROM hits
+    WINDOW w AS (PARTITION BY gap_s, user_id ORDER BY ts_s, event_id)
+), sess AS (
+    SELECT *,
+           SUM(is_new) OVER (PARTITION BY gap_s, user_id ORDER BY ts_s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+), sessions AS (
+    SELECT gap_s, user_id, session_id,
+           COUNT(*) AS n_hits,
+           MAX(ts_s) - MIN(ts_s) AS duration_s
+    FROM sess GROUP BY gap_s, user_id, session_id
+)
+SELECT gap_s,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       ROUND(AVG(duration_s), 4) AS avg_session_s,
+       ROUND(AVG(n_hits), 4) AS avg_hits_per_session,
+       ROUND(AVG(CASE WHEN n_hits = 1 THEN 1 ELSE 0 END), 4) AS single_hit_share
+FROM sessions
+GROUP BY gap_s
+""",
+)
+def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2+ gap tuning — the DIRECT answer to the reference's own
+    challenge question ("determine the best session window time on your
+    own", /root/reference/README.md:43): the same sessionizer swept
+    across candidate inactivity gaps {300, 900, 1800, 3600}s in ONE
+    plan, reporting per-gap session count, mean duration, mean
+    hits/session, and the single-hit share. Read together these locate
+    the knee: too small a gap shatters visits (single-hit share spikes,
+    durations collapse); too large a gap fuses distinct visits (session
+    count keeps falling while durations balloon). `inter_hit_gaps` is
+    the per-visitor raw input; this is the decision table.
+
+    Scale shape: the gap candidates are EXPLODED onto the hits before
+    the session window, so all |G| sessionizations share one hash
+    exchange on (gap_s, user_id) — |G|× rows through 1 shuffle instead
+    of |G| scans + |G| shuffles, and the 4× blow-up partitions
+    perfectly (gap_s is in the key)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    g = ev.withColumn(
+        "gap_s", F.explode(F.array(*[F.lit(x) for x in _GAP_SWEEP]))
+    )
+    w = Window.partitionBy("gap_s", "user_id").orderBy("ts_s", "event_id")
+    flagged = g.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_s").over(w).isNull()
+            | (F.col("ts_s") - F.lag("ts_s").over(w) > F.col("gap_s")),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per_session = sess.groupBy("gap_s", "user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        (F.max("ts_s") - F.min("ts_s")).alias("duration_s"),
+    )
+    return per_session.groupBy("gap_s").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("duration_s"), 4).alias("avg_session_s"),
+        F.round(F.avg("n_hits"), 4).alias("avg_hits_per_session"),
+        F.round(F.avg((F.col("n_hits") == 1).cast("int")), 4).alias("single_hit_share"),
+    )

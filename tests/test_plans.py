@@ -213,3 +213,14 @@ def test_runtime_bloom_filter_injects_on_selective_fact_dim_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_gap_sweep_shares_one_sessionization_exchange(spark, qs):
+    """session_gap_sensitivity explodes the gap candidates BEFORE the
+    session window so all |G| sessionizations ride one hash exchange on
+    (gap_s, user_id); the per-session aggregate reuses that partitioning
+    (grouping keys are a superset), leaving only the final 4-row rollup
+    as a second, trivially small exchange. 2 total — |G| separate runs
+    would cost |G| scans + |G| shuffles."""
+    plan = explain_str(qs["session_gap_sensitivity"](spark, SF_DIR), "simple")
+    assert plan.count("Exchange") == 2, plan
