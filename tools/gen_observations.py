@@ -83,6 +83,7 @@ def main() -> None:
     load = run("per_minute_load")
     peak = max(load, key=lambda r: r["n_requests"])
     avg_load = sum(r["n_requests"] for r in load) / len(load)
+    gap_rows = sorted(run("session_gap_sensitivity"), key=lambda r: r["gap_s"])
 
     # --- §6 engineering-tradeoff evidence (VERDICT r5 #8) ---
     import json
@@ -291,6 +292,15 @@ Longest sessions (the "most engaged" shortlist):
 By *total* time on site per IP:
 
 {md_table([(ip, s) for ip, s in top_ips], ["client_ip", "total_session_s"])}
+
+### Is 15 minutes the right gap? (README.md:43's own question)
+
+The gap sweep (`session_gap_sensitivity`, run on the {sf_dir} events
+table — all four sessionizations share one shuffle) puts numbers on the
+trade-off; pick the knee where session count stabilizes but durations
+have not yet fused distinct visits:
+
+{md_table([(r["gap_s"], r["n_sessions"], r["avg_session_s"], r["avg_hits_per_session"], r["single_hit_share"]) for r in gap_rows], ["gap (s)", "sessions", "avg duration (s)", "avg hits", "single-hit share"])}
 
 ## 3. Traffic shape
 
