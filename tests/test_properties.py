@@ -395,3 +395,23 @@ def test_lpm_join_matches_python_reference(spark, ips, cidrs):
         for r in lpm_join(kdf, bdf).select("ip_int", "region").collect()
     }
     assert got == {v: ref(v) for v in ips}
+
+
+def test_lpm_join_how_passthrough(spark):
+    """how='inner' must drop uncovered keys (the left default keeps them
+    with NULL payload), and an invalid how must fail loud — not silently
+    degrade to a left join (round-11 review fix)."""
+    from dataengineerchallenge_spark.operators.joins import lpm_join
+
+    kdf = spark.createDataFrame([(10,), (999,)], "ip_int long")
+    bdf = spark.createDataFrame(
+        [("a", 24, 0, 255)], "region string, prefix_len int, ip_lo long, ip_hi long"
+    )
+    left = {r["ip_int"]: r["region"] for r in lpm_join(kdf, bdf).collect()}
+    assert left == {10: "a", 999: None}
+    inner = {r["ip_int"]: r["region"] for r in lpm_join(kdf, bdf, how="inner").collect()}
+    assert inner == {10: "a"}
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        lpm_join(kdf, bdf, how="bogus").collect()
