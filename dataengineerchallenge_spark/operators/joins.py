@@ -199,6 +199,8 @@ def lpm_join(
     prefix_len: str = "prefix_len",
     payload: Sequence[str] = ("region",),
     how: str = "left",
+    mode: str = "keyed",
+    naive_budget_rows: int = 4096,
 ) -> DataFrame:
     """Longest-prefix-match lookup join (J10): attach the MOST SPECIFIC
     covering block's payload to each key — the GeoIP / RIR-delegation /
@@ -229,17 +231,41 @@ def lpm_join(
     input row per key value), then equi-join the result back to the
     fact stream — the match runs once per key, not once per event.
     ``how='left'`` keeps unmatched keys with NULL payload (coalesce a
-    default downstream, e.g. 'unrouted')."""
+    default downstream, e.g. 'unrouted').
+
+    ``mode`` (measured crossover, BENCH_lpm.json — the same
+    size-adaptive stance as the dedup candidate join): ``'keyed'`` is
+    the scale default above; ``'naive'`` skips the octet key and lets
+    Catalyst plan the BETWEEN as a BroadcastNestedLoopJoin — FASTER for
+    toy dims (0.42 s vs 0.59 s at 100k keys × 1k blocks: the explode +
+    equi-hash overhead outweighs ~1e8 trivial comparisons) but
+    O(keys × blocks) after that (2.96 s vs 1.36 s at 1M × 10k, hopeless
+    at a 4M-block real table where keyed runs 4.8 s); ``'auto'`` counts
+    the dim (dimension-sized by contract, so the driver-side count is
+    one tiny job) and picks naive only under ``naive_budget_rows``.
+    Both formulations return identical rows (asserted per-run in
+    tools/bench_lpm.py and pinned in tests)."""
     payload = list(payload)
-    exploded = blocks.withColumn(
-        "_octet1", F.explode(F.sequence(F.shiftright(F.col(lo), 24), F.shiftright(F.col(hi), 24)))
-    )
-    keyed = keys.withColumn("_octet1", F.shiftright(F.col(key_int), 24))
+    if mode not in ("keyed", "naive", "auto"):
+        raise ValueError(f"lpm_join mode must be keyed|naive|auto, got {mode!r}")
+    if mode == "auto":
+        mode = "naive" if blocks.count() <= naive_budget_rows else "keyed"
     w = Window.partitionBy(key_int).orderBy(
         F.desc(prefix_len), *[F.asc(p) for p in payload], F.asc(lo)
     )
-    matched = (
-        keyed.join(
+    if mode == "naive":
+        pairs = keys.join(
+            F.broadcast(blocks),
+            F.col(key_int).between(F.col(lo), F.col(hi)),
+            "inner",
+        )
+    else:
+        exploded = blocks.withColumn(
+            "_octet1",
+            F.explode(F.sequence(F.shiftright(F.col(lo), 24), F.shiftright(F.col(hi), 24))),
+        )
+        keyed = keys.withColumn("_octet1", F.shiftright(F.col(key_int), 24))
+        pairs = keyed.join(
             F.broadcast(exploded),
             on=[
                 keyed["_octet1"] == exploded["_octet1"],
@@ -247,7 +273,8 @@ def lpm_join(
             ],
             how="inner",
         )
-        .withColumn("_rn", F.row_number().over(w))
+    matched = (
+        pairs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(key_int, *payload)
     )

@@ -415,3 +415,36 @@ def test_lpm_join_how_passthrough(spark):
 
     with _pytest.raises(Exception):
         lpm_join(kdf, bdf, how="bogus").collect()
+
+
+def test_lpm_join_modes_agree_and_auto_flips_on_dim_size(spark):
+    """naive (BNLJ) and keyed (octet-exploded hash) formulations must
+    return identical rows — mode is a physical choice, never a semantic
+    one — and auto must pick naive under the budget, keyed above it
+    (BENCH_lpm.json's measured crossover)."""
+    from dataengineerchallenge_spark.operators.joins import lpm_join
+
+    kdf = spark.createDataFrame(
+        [(v,) for v in (0, 10, 255, 256, 1 << 24, (203 << 24) | 513, 2**32 - 1)],
+        "ip_int long",
+    )
+    bdf = spark.createDataFrame(
+        [
+            ("wide", 6, 0, (1 << 26) - 1),          # wider than /8: octet explode
+            ("v24", 24, 203 << 24 | 512, 203 << 24 | 767),
+            ("all", 0, 0, 2**32 - 1),
+        ],
+        "region string, prefix_len int, ip_lo long, ip_hi long",
+    )
+    res = {}
+    for mode in ("keyed", "naive"):
+        res[mode] = sorted(
+            tuple(r) for r in lpm_join(kdf, bdf, mode=mode).collect()
+        )
+    assert res["keyed"] == res["naive"] and len(res["keyed"]) == 7
+
+    # auto: tiny dim → BNLJ plan; over budget → hash join on the octet
+    tiny = lpm_join(kdf, bdf, mode="auto")
+    assert "BroadcastNestedLoopJoin" in tiny._jdf.queryExecution().executedPlan().toString()
+    forced = lpm_join(kdf, bdf, mode="auto", naive_budget_rows=2)
+    assert "BroadcastNestedLoopJoin" not in forced._jdf.queryExecution().executedPlan().toString()

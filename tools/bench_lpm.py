@@ -78,22 +78,10 @@ def main() -> None:
         )
 
     def naive_lpm(keys, blocks):
-        # the formulation without the manufactured equi key: Catalyst
-        # has only the BETWEEN theta predicate → BroadcastNestedLoopJoin
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("ip_int").orderBy(
-            F.desc("prefix_len"), F.asc("region"), F.asc("ip_lo")
-        )
-        return (
-            keys.join(
-                F.broadcast(blocks),
-                F.col("ip_int").between(F.col("ip_lo"), F.col("ip_hi")),
-                "inner",
-            )
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("ip_int", "region")
+        # the operator's own naive mode: BETWEEN with no equi key →
+        # Catalyst plans a BroadcastNestedLoopJoin
+        return lpm_join(keys, blocks, how="inner", mode="naive").select(
+            "ip_int", "region"
         )
 
     def run(df):
