@@ -58,3 +58,25 @@ def test_cli_unknown_query_fails_loud():
     )
     assert out.returncode == 2
     assert "unknown query" in out.stderr
+
+
+def test_cli_sql_lane_runs_over_views():
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "dataengineerchallenge_spark",
+            "sql",
+            "SELECT r_name, count(*) AS n FROM region GROUP BY r_name ORDER BY r_name",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--show",
+            "2",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "AFRICA" in out.stdout
