@@ -20,6 +20,122 @@ from pyspark.sql import functions as F
 from dataengineerchallenge_spark.registry import register
 from dataengineerchallenge_spark.sources.tables import load_table
 
+# Count-min sketch geometry (Cormode & Muthukrishnan 2005): d pairwise-
+# independent rows of w counters, h_i(x) = ((a_i*x + b_i) mod p) mod w
+# with p = 2^31 - 1 Mersenne prime and fixed odd coefficients. The
+# hashes are explicit integer arithmetic (no engine-specific hash
+# builtin), so — unlike the HLL/KLL rows above — the whole sketch is
+# reproducible in ANSI SQL and the query is HASH-CHECKED against DuckDB.
+_CM_P = 2147483647
+_CM_W = 512
+_CM_ROWS = [  # (row, a, b)
+    (0, 1299721, 104729),
+    (1, 7919, 1299709),
+    (2, 104729, 7907),
+    (3, 15485863, 32452843),
+]
+
+
+def cm_cells(keyed: DataFrame, keycol: str, weight=None) -> DataFrame:
+    """The count-min sketch as a (row, bucket, cnt) cell table — d×w rows
+    regardless of input size. Built with ONE hash aggregate after a d-way
+    row explode; cells are mergeable by summing cnt (used by the weekly
+    rollup below exactly like hll_weekly_actives merges day sketches)."""
+    a = F.array(*[F.lit(r[1]) for r in _CM_ROWS])
+    b = F.array(*[F.lit(r[2]) for r in _CM_ROWS])
+    key = F.col(keycol).cast("long") % _CM_P
+    exploded = keyed.select(
+        F.col(keycol),
+        F.lit(1).cast("long").alias("_w") if weight is None else weight.alias("_w"),
+        F.explode(F.sequence(F.lit(0), F.lit(len(_CM_ROWS) - 1))).alias("row"),
+    ).select(
+        "row",
+        (
+            (F.get(a, F.col("row")) * key + F.get(b, F.col("row"))) % _CM_P % _CM_W
+        ).alias("bucket"),
+        "_w",
+    )
+    return exploded.groupBy("row", "bucket").agg(F.sum("_w").alias("cnt"))
+
+
+def cm_estimate(keys: DataFrame, keycol: str, cells: DataFrame) -> DataFrame:
+    """Point-query the sketch for every key in ``keys``: recompute the d
+    buckets per key, join the (broadcast, ≤ d×w-row) cell table, take the
+    row-wise MIN. Never underestimates; overestimate ≤ εN w.h.p."""
+    a = F.array(*[F.lit(r[1]) for r in _CM_ROWS])
+    b = F.array(*[F.lit(r[2]) for r in _CM_ROWS])
+    key = F.col(keycol).cast("long") % _CM_P
+    probes = keys.select(
+        F.col(keycol),
+        F.explode(F.sequence(F.lit(0), F.lit(len(_CM_ROWS) - 1))).alias("row"),
+    ).select(
+        keycol,
+        "row",
+        (
+            (F.get(a, F.col("row")) * key + F.get(b, F.col("row"))) % _CM_P % _CM_W
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["row", "bucket"], "inner")
+        .groupBy(keycol)
+        .agg(F.min("cnt").alias("cm_est"))
+    )
+
+
+_CM_PARAMS_SQL = "(VALUES {}) AS prm(r, a, b)".format(
+    ", ".join(f"({r}, {a}, {b})" for r, a, b in _CM_ROWS)
+)
+
+
+@register(
+    "cm_heavy_hitters",
+    oracle=f"""
+WITH ex AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT prm.r,
+         ((prm.a * (e.user_id % {_CM_P}) + prm.b) % {_CM_P}) % {_CM_W} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events e CROSS JOIN {_CM_PARAMS_SQL}
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT k.user_id, MIN(c.cnt) AS cm_est
+  FROM (SELECT DISTINCT user_id FROM events) k
+  CROSS JOIN {_CM_PARAMS_SQL}
+  JOIN cells c
+    ON c.r = prm.r
+   AND c.bucket = ((prm.a * (k.user_id % {_CM_P}) + prm.b) % {_CM_P}) % {_CM_W}
+  GROUP BY 1
+)
+SELECT est.user_id, est.cm_est, ex.exact_n
+FROM est JOIN ex ON est.user_id = ex.user_id
+ORDER BY est.cm_est DESC, est.user_id
+LIMIT 20
+""",
+)
+def cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+ frequency sketch: top-20 heavy hitters by count-min estimate,
+    with the exact count alongside. The sketch is d=4 × w=512 counters
+    (16 KiB) built in ONE map-side-combinable aggregate — at 100 TB the
+    cell table is still 2,048 rows, the estimate join is a broadcast, and
+    cells merge across partitions/days by summing. Explicit (a·x+b mod p)
+    hashes make it the one sketch in this module that is hash-checked
+    against a DuckDB twin rather than rows-only. Never-underestimate and
+    ε-overestimate bounds pinned in tests/test_sketches.py."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = cm_cells(ev, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = cm_estimate(ev.select("user_id").distinct(), "user_id", cells)
+    return (
+        est.join(exact, "user_id")
+        .orderBy(F.desc("cm_est"), F.asc("user_id"))
+        .limit(20)
+        .select("user_id", "cm_est", "exact_n")
+    )
+
 
 def daily_user_sketches(ev: DataFrame) -> DataFrame:
     """Per-day HLL sketch of active user_ids — the materializable

@@ -119,3 +119,79 @@ def test_kll_merge_equals_direct_sketch(spark, qs):
         scale = max(1.0, abs(exact[et]))
         assert abs(direct[et] - via_merge[et]) <= 0.1 * scale, (
             et, direct[et], via_merge[et])
+
+
+def test_cm_never_underestimates_and_bounded(spark, qs):
+    """Count-min guarantees: est >= exact for EVERY key (each counter
+    only ever adds), and est <= exact + eps*N with prob 1-delta where
+    eps = e/w. With w=512 and N=1000 (sf0.001 events) eps*N ~ 5.3; allow
+    the full bound on every key and require the typical overestimate to
+    be far smaller (collisions spread across 512 buckets)."""
+    from dataengineerchallenge_spark.queries.sketches import _CM_W
+
+    rows = qs["cm_heavy_hitters"](spark, SF_DIR).collect()
+    assert 1 <= len(rows) <= 20  # sf0.001 has only 15 distinct user_ids
+    ev = load_table(spark, SF_DIR, "events")
+    n_total = ev.count()
+    eps_n = 2.718281828 * n_total / _CM_W
+    overs = []
+    for r in rows:
+        assert r["cm_est"] >= r["exact_n"], (r["user_id"], r["cm_est"], r["exact_n"])
+        assert r["cm_est"] - r["exact_n"] <= eps_n, (r["user_id"], r["cm_est"], r["exact_n"])
+        overs.append(r["cm_est"] - r["exact_n"])
+    assert sum(overs) / len(overs) <= eps_n / 2
+
+
+def test_cm_cells_merge_parity(spark):
+    """Mergeability: per-day cell tables summed per (row, bucket) must be
+    cell-for-cell IDENTICAL to the sketch built directly over the whole
+    table — counts are algebraic, so the merged sketch is exact, not
+    approximate (the property that lets a day-grain sketch table answer
+    any rollup)."""
+    from dataengineerchallenge_spark.queries.sketches import cm_cells
+
+    ev = load_table(spark, SF_DIR, "events")
+    direct = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cm_cells(ev, "user_id").collect()
+    }
+    # build per-day cells by filtering per day and summing the cell frames
+    days = [r["day_s"] for r in ev.select(
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_s")
+    ).distinct().collect()]
+    merged: dict = {}
+    for d in days[:5]:  # 5 days is enough to exercise the merge
+        part = ev.filter(F.unix_timestamp(F.date_trunc("day", F.col("ts"))) == d)
+        for r in cm_cells(part, "user_id").collect():
+            merged[(r["row"], r["bucket"])] = merged.get((r["row"], r["bucket"]), 0) + r["cnt"]
+    rest = ev.filter(
+        ~F.unix_timestamp(F.date_trunc("day", F.col("ts"))).isin(days[:5])
+    )
+    for r in cm_cells(rest, "user_id").collect():
+        merged[(r["row"], r["bucket"])] = merged.get((r["row"], r["bucket"]), 0) + r["cnt"]
+    assert merged == direct
+
+
+def test_cm_collisions_synthetic(spark):
+    """At 5,000 distinct keys over w=512 buckets collisions are
+    guaranteed (pigeonhole ~10 keys/bucket): the estimate must still
+    never underestimate, the heavy key must surface exactly, and every
+    overestimate must respect the eps*N bound."""
+    from dataengineerchallenge_spark.queries.sketches import _CM_W, cm_cells, cm_estimate
+
+    base = spark.range(5000).select(F.col("id").alias("k"))
+    heavy = spark.range(500).select(F.lit(123456789).alias("k"))
+    df = base.unionAll(heavy)
+    cells = cm_cells(df, "k")
+    exact = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    est = {r["k"]: r["cm_est"] for r in cm_estimate(df.select("k").distinct(), "k", cells).collect()}
+    n_total = 5500
+    eps_n = 2.718281828 * n_total / _CM_W  # ~29
+    n_over = 0
+    for k, n in exact.items():
+        assert est[k] >= n, (k, est[k], n)
+        assert est[k] - n <= eps_n, (k, est[k], n)
+        n_over += est[k] > n
+    assert n_over > 0  # collisions actually happened at this density
+    top = max(est, key=lambda k: (est[k], -k))
+    assert top == 123456789
