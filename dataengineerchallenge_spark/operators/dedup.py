@@ -599,3 +599,83 @@ def edit_distance_join(
         .filter(F.col("edit_dist") <= k)
         .select(F.col("_blk").alias("block"), "id_a", "id_b", "edit_dist")
     )
+
+
+# --- Bloom-filter membership (N1 at the incremental-delivery scale) ----
+#
+# A staged, KB-scale bit array answering "was this content hash ever seen
+# in the corpus?" with zero false NEGATIVES: a new delivery is prefiltered
+# against the broadcast filter, and only the (FPR-bounded) "maybe" rows
+# pay the exact verification join against corpus history. At 100 TB the
+# history side is never re-scanned per delivery — the filter is built once
+# (one explode + one bit_or aggregate, mergeable by OR-ing word tables)
+# and each word row is just (word_idx, int64).
+#
+# Double hashing (Kirsch & Mitzenmacher 2006): pos_i = h1 + i*h2 mod m
+# from two independent xxhash64 seeds — k positions from 2 hash passes.
+
+_BLOOM_SEED2 = "\x01bloom2"
+
+
+def _bloom_positions(key: Column, m_bits: int, k: int) -> Column:
+    """array<long> of the k bit positions for one key.
+
+    Both hashes are reduced mod m BEFORE combining so i*h2 stays far from
+    int64 range under ANSI overflow checking (i*h2m ≤ k·m ≪ 2^63); the
+    scheme is unchanged: (h1 + i·h2) mod m == (h1 mod m + i·(h2 mod m)) mod m.
+    """
+    m = F.lit(m_bits).cast("long")
+    h1 = F.pmod(F.xxhash64(key), m)
+    h2 = F.pmod(F.xxhash64(key, F.lit(_BLOOM_SEED2)), m)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.pmod(h1 + i.cast("long") * h2, m),
+    )
+
+
+def bloom_build(keys: DataFrame, keycol: str, m_bits: int = 1 << 16, k: int = 4) -> DataFrame:
+    """Build the filter as a (word_idx, word) table — ≤ m_bits/64 rows.
+
+    One narrow explode + one hash aggregate; word tables from disjoint key
+    sets merge with ``groupBy(word_idx).agg(bit_or(word))`` (same
+    mergeability contract as the sketch cells in queries/sketches.py).
+    """
+    pos = keys.select(
+        F.explode(_bloom_positions(F.col(keycol), m_bits, k)).alias("pos")
+    )
+    return (
+        pos.select(
+            (F.col("pos") / 64).cast("long").alias("word_idx"),
+            (F.col("pos") % 64).cast("int").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("word"))
+    )
+
+
+def bloom_maybe_contains(
+    keys: DataFrame, keycol: str, words: DataFrame, m_bits: int = 1 << 16, k: int = 4
+) -> DataFrame:
+    """(keycol, maybe) — maybe=false is DEFINITE absence (no false
+    negatives); maybe=true is presence up to the filter's FPR.
+
+    The word table is broadcast (KB-scale regardless of corpus size); a
+    word_idx with no set bits is absent from it, hence the left join +
+    coalesce(false).
+    """
+    probes = keys.select(
+        F.col(keycol),
+        F.posexplode(_bloom_positions(F.col(keycol), m_bits, k)),
+    ).select(
+        keycol,
+        (F.col("col") / 64).cast("long").alias("word_idx"),
+        (F.col("col") % 64).cast("int").alias("bit"),
+    )
+    hit = F.coalesce(
+        F.expr("(word & shiftleft(CAST(1 AS BIGINT), bit)) != 0"), F.lit(False)
+    )
+    return (
+        probes.join(F.broadcast(words), "word_idx", "left")
+        .groupBy(keycol)
+        .agg(F.bool_and(hit).alias("maybe"))
+    )

@@ -876,3 +876,67 @@ def decontaminate_train_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n", F.lit(0)) > 0).cast("int").alias("contaminated"),
         )
     )
+
+
+@register(
+    "exact_dedup_bloom_prefilter",
+    oracle="""
+    WITH corpus AS (
+      SELECT sha256(text) AS s FROM documents WHERE doc_id % 5 <> 4
+    ),
+    delivery AS (
+      SELECT doc_id, sha256(text) AS content_sha
+      FROM documents WHERE doc_id % 5 = 4
+      UNION ALL
+      SELECT doc_id + 1000000, sha256(text)
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT d.doc_id, d.content_sha
+    FROM delivery d
+    WHERE d.content_sha NOT IN (SELECT s FROM corpus)
+    """,
+)
+def exact_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1 at incremental-delivery scale: a new delivery (20% fresh texts +
+    a re-delivered 20% slice of the corpus under new doc_ids, the
+    README.md:44 re-delivered-partition shape) is exact-deduped against
+    corpus HISTORY through a staged Bloom filter instead of a full join.
+
+    Path: build the (word_idx, word) filter over corpus content hashes
+    (bloom_build — one aggregate, 8 KiB at m=2^16), broadcast it, split
+    the delivery into definitely-new (some probe bit unset — emitted with
+    NO corpus access) and maybe-present (all k bits set — only these pay
+    the exact anti-join). No false negatives, so the result is EXACTLY
+    the plain anti-join and the query stays hash-checked; the FPR bound
+    and the prefilter's join-shrink are pinned in tests/test_dedup.py.
+    At 100 TB: history is touched once to build/merge word tables
+    (OR-mergeable across partitions/days); each delivery joins only its
+    FPR-sized maybe set.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_sha = (
+        docs.filter(F.col("doc_id") % 5 != 4)
+        .select(D.content_hash("text").alias("s"))
+        .distinct()
+    )
+    delivery = (
+        docs.filter(F.col("doc_id") % 5 == 4)
+        .select("doc_id", D.content_hash("text").alias("content_sha"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                D.content_hash("text").alias("content_sha"),
+            )
+        )
+    )
+    words = D.bloom_build(corpus_sha, "s")
+    flags = D.bloom_maybe_contains(
+        delivery.select("content_sha").distinct(), "content_sha", words
+    )
+    flagged = delivery.join(flags, "content_sha")
+    definitely_new = flagged.filter(~F.col("maybe"))
+    verified_new = (
+        flagged.filter(F.col("maybe"))
+        .join(corpus_sha, flagged["content_sha"] == corpus_sha["s"], "left_anti")
+    )
+    return definitely_new.unionByName(verified_new).select("doc_id", "content_sha")

@@ -587,3 +587,83 @@ def test_stream_near_dup_serve_parity_and_multibatch(spark, qs):
         for r in qs["near_dup_incremental_minhash"](spark, SF_DIR).collect()
     )
     assert srows == brows and len(srows) > 0
+
+
+def test_bloom_no_false_negatives_and_fpr(spark):
+    """Bloom membership guarantees on a synthetic key set sized to force
+    false positives (m=1024 bits, k=4, n=500 → theoretical FPR ≈ 0.55):
+    every inserted key must probe maybe=True (no false negatives, the
+    property the dedup correctness rests on), and the observed FPR on
+    disjoint non-members must stay within ~1.3x of theory."""
+    import math
+
+    from dataengineerchallenge_spark.operators.dedup import bloom_build, bloom_maybe_contains
+
+    m_bits, k, n = 1 << 10, 4, 500
+    members = spark.range(n).select(F.concat(F.lit("key-"), F.col("id")).alias("s"))
+    outsiders = spark.range(n, 5 * n).select(F.concat(F.lit("key-"), F.col("id")).alias("s"))
+    words = bloom_build(members, "s", m_bits=m_bits, k=k)
+    in_flags = bloom_maybe_contains(members, "s", words, m_bits=m_bits, k=k)
+    assert in_flags.filter(~F.col("maybe")).count() == 0
+    out_flags = bloom_maybe_contains(outsiders, "s", words, m_bits=m_bits, k=k)
+    fpr = out_flags.filter(F.col("maybe")).count() / (4 * n)
+    theory = (1.0 - math.exp(-k * n / m_bits)) ** k
+    assert fpr <= 1.3 * theory, (fpr, theory)
+    assert fpr >= 0.2 * theory  # and the filter is not trivially full/empty
+
+
+def test_bloom_word_tables_merge_by_or(spark):
+    """Mergeability: filters built over disjoint key halves OR-merge into
+    exactly the filter built over the union — the property that lets
+    per-delivery word tables accumulate into one corpus filter."""
+    from dataengineerchallenge_spark.operators.dedup import bloom_build
+
+    a = spark.range(0, 300).select(F.concat(F.lit("k"), F.col("id")).alias("s"))
+    b = spark.range(300, 600).select(F.concat(F.lit("k"), F.col("id")).alias("s"))
+    direct = {
+        r["word_idx"]: r["word"] for r in bloom_build(a.unionAll(b), "s").collect()
+    }
+    wa = bloom_build(a, "s")
+    wb = bloom_build(b, "s")
+    merged = {
+        r["word_idx"]: r["word"]
+        for r in wa.unionByName(wb)
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(word)").alias("word"))
+        .collect()
+    }
+    assert merged == direct
+
+
+def test_bloom_prefilter_shrinks_verification_join(spark, qs):
+    """The prefilter must actually prefilter: on the fixture delivery the
+    maybe set contains every true duplicate (no false negatives) and the
+    definitely-new shortcut skips the corpus join for most fresh texts."""
+    from dataengineerchallenge_spark.operators.dedup import bloom_build, bloom_maybe_contains
+    from dataengineerchallenge_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus_sha = (
+        docs.filter(F.col("doc_id") % 5 != 4)
+        .select(D.content_hash("text").alias("s"))
+        .distinct()
+    )
+    fresh = docs.filter(F.col("doc_id") % 5 == 4).select(D.content_hash("text").alias("content_sha"))
+    dup = docs.filter(F.col("doc_id") % 5 == 0).select(D.content_hash("text").alias("content_sha"))
+    words = bloom_build(corpus_sha, "s")
+    delivery = fresh.unionByName(dup).distinct()
+    flags = bloom_maybe_contains(delivery, "content_sha", words)
+    n_delivery = delivery.count()
+    n_dup = dup.distinct().count()
+    n_maybe = flags.filter(F.col("maybe")).count()
+    # every true duplicate is maybe (no false negatives) ...
+    fn = (
+        flags.join(dup.distinct(), "content_sha", "left_semi")
+        .filter(~F.col("maybe"))
+        .count()
+    )
+    assert fn == 0
+    # ... and the verification join sees only maybe rows: far fewer than
+    # the delivery (at m=2^16 the FPR on fresh texts is ~0)
+    assert n_dup <= n_maybe < n_delivery
+    assert n_maybe - n_dup <= max(2, 0.01 * n_delivery)
