@@ -87,9 +87,7 @@ _CM_PARAMS_SQL = "(VALUES {}) AS prm(r, a, b)".format(
 )
 
 
-@register(
-    "cm_heavy_hitters",
-    oracle=f"""
+_CM_HH_ORACLE = f"""
 WITH ex AS (
   SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
   FROM events GROUP BY user_id
@@ -114,8 +112,10 @@ SELECT est.user_id, est.cm_est, ex.exact_n
 FROM est JOIN ex ON est.user_id = ex.user_id
 ORDER BY est.cm_est DESC, est.user_id
 LIMIT 20
-""",
-)
+"""
+
+
+@register("cm_heavy_hitters", oracle=_CM_HH_ORACLE)
 def cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6+ frequency sketch: top-20 heavy hitters by count-min estimate,
     with the exact count alongside. The sketch is d=4 × w=512 counters
@@ -227,3 +227,100 @@ def kll_value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.9)), 4).alias("p90"),
         F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.99)), 4).alias("p99"),
     )
+
+
+def _staged_event_key_stream(spark: SparkSession, sf_dir: str) -> str:
+    """The events table's (event_id, user_id) keys written as 4
+    hash-partitioned files so a file-source tail with
+    ``maxFilesPerTrigger=1`` replays it as a real multi-micro-batch
+    stream (same staging shape as the dedup delivery stream,
+    queries/dedup.py:_staged_delivery_stream)."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        write_result(
+            ev.select("event_id", "user_id").repartition(4, "event_id"),
+            str(out),
+        )
+
+    return staged(
+        spark,
+        "cm_events",
+        Path(sf_dir) / "events.parquet",
+        f"cmkeys:f4:w{_CM_W}",
+        build,
+    )
+
+
+@register("stream_cm_heavy_hitters", oracle=_CM_HH_ORACLE)
+def stream_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+×T6 ONLINE frequency sketch: events arrive as a tailed file
+    stream (one file per trigger) and every micro-batch folds its OWN
+    d×w cell table and per-key partial counts into run-scoped stores via
+    foreachBatch — the sketch-maintenance loop a 100 TB ingest runs,
+    where history is never re-scanned and per-batch state is two tiny
+    algebraic appends. Because cell counts and key counts are both sums,
+    the drained stores merge to EXACTLY the batch sketch regardless of
+    stream slicing, so this streaming query shares ``cm_heavy_hitters``'s
+    DuckDB oracle hash-for-hash (the same stream≡batch contract as
+    ``stream_serve_fresh_topk``); slicing-invariance and ≥2-micro-batch
+    shape are pinned in tests/test_sketches.py."""
+    import shutil
+    import tempfile
+
+    payload = _staged_event_key_stream(spark, sf_dir)
+    schema = spark.read.parquet(payload).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(payload)
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_graft_stream_cm_")
+    cells_dir, counts_dir, ckpt = (
+        f"{scratch}/cells",
+        f"{scratch}/counts",
+        f"{scratch}/ckpt",
+    )
+
+    def update(mb: DataFrame, epoch_id: int) -> None:
+        cm_cells(mb, "user_id").write.mode("append").parquet(cells_dir)
+        mb.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).write.mode(
+            "append"
+        ).parquet(counts_dir)
+
+    q = (
+        sdf.writeStream.foreachBatch(update)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("stream cm did not drain availableNow input in 300s")
+        cells = (
+            spark.read.parquet(cells_dir)
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        exact = (
+            spark.read.parquet(counts_dir)
+            .groupBy("user_id")
+            .agg(F.sum("n").alias("exact_n"))
+        )
+        est = cm_estimate(exact.select("user_id"), "user_id", cells)
+        out = (
+            est.join(exact, "user_id")
+            .orderBy(F.desc("cm_est"), F.asc("user_id"))
+            .limit(20)
+            .select("user_id", "cm_est", "exact_n")
+        )
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(scratch, ignore_errors=True)
+    return result

@@ -195,3 +195,19 @@ def test_cm_collisions_synthetic(spark):
     assert n_over > 0  # collisions actually happened at this density
     top = max(est, key=lambda k: (est[k], -k))
     assert top == 123456789
+
+
+def test_stream_cm_equals_batch(spark, qs):
+    """Stream≡batch: the drained streaming sketch must reproduce the
+    batch heavy-hitter rows exactly (cell and key counts are sums, so
+    micro-batch slicing cannot change the merged state), and the staged
+    payload must actually slice into ≥2 micro-batch files."""
+    import glob
+
+    from dataengineerchallenge_spark.queries.sketches import _staged_event_key_stream
+
+    payload = _staged_event_key_stream(spark, SF_DIR)
+    assert len(glob.glob(f"{payload}/part-*.parquet")) >= 2
+    batch = sorted(map(tuple, qs["cm_heavy_hitters"](spark, SF_DIR).collect()))
+    stream = sorted(map(tuple, qs["stream_cm_heavy_hitters"](spark, SF_DIR).collect()))
+    assert stream == batch
