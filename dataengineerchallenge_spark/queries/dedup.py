@@ -88,13 +88,12 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(doubled, content_cols=["text"], order_col="doc_id")
 
 
-@register(
-    "near_dup_jaccard",
-    # Inverted-index (blocked) twin of the Spark plan — lossless vs the
-    # naive all-pairs join (Jaccard >= 0.5 needs >= 1 common shingle, and
-    # |A∩B| via the shingle equi-join equals list_intersect on distinct
-    # shingle sets), measured 30x faster and sf0.1-feasible.
-    oracle="""
+# Inverted-index (blocked) twin of the Spark plan — lossless vs the
+# naive all-pairs join (Jaccard >= 0.5 needs >= 1 common shingle, and
+# |A∩B| via the shingle equi-join equals list_intersect on distinct
+# shingle sets), measured 30x faster and sf0.1-feasible. Shared by the
+# plain inverted-index query and the prefix-filtered one (both exact).
+_JACCARD_ORACLE = """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     s AS (SELECT doc_id,
                  list_distinct([array_to_string(ws[i:i+2], ' ')
@@ -111,13 +110,33 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sz sa ON sa.doc_id = cd.id_a
     JOIN sz sb ON sb.doc_id = cd.id_b
     WHERE cd.common::DOUBLE / (sa.n + sb.n - cd.common) >= 0.5
-    """,
-)
+    """
+
+
+@register("near_dup_jaccard", oracle=_JACCARD_ORACLE)
 def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N2 exact anchor: 3-word-shingle Jaccard ≥ 0.5 via inverted-index
     self-join (hash join on the shingle key — no crossJoin anywhere)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.shingle_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register("near_dup_jaccard_prefix", oracle=_JACCARD_ORACLE)
+def near_dup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 exact anchor, PREFIX-FILTERED (AllPairs/PPJoin, Bayardo et al.
+    WWW'07 / Xiao et al. WWW'08 — public designs): candidate pairs come
+    only from docs sharing a shingle inside each other's frequency-
+    ordered PREFIX (the |s| - ceil(t·|s|) + 1 globally-rarest shingles),
+    which is lossless for Jaccard ≥ t by pigeonhole — so the query
+    shares ``near_dup_jaccard``'s oracle hash-for-hash. Measured on this
+    corpus: 11.8x fewer candidate pairs at sf0.01, 2.8x at sf0.1 vs the
+    plain inverted index (the lexicographic variant documented in
+    shingle_jaccard_pairs does NOT pay; ordering by global document
+    frequency is what makes the prefix selective). Equality with the
+    plain anchor and the candidate reduction are pinned in
+    tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.shingle_jaccard_pairs_prefix(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
 @register(

@@ -667,3 +667,35 @@ def test_bloom_prefilter_shrinks_verification_join(spark, qs):
     # the delivery (at m=2^16 the FPR on fresh texts is ~0)
     assert n_dup <= n_maybe < n_delivery
     assert n_maybe - n_dup <= max(2, 0.01 * n_delivery)
+
+
+def test_prefix_jaccard_equals_plain_and_prunes(spark, qs):
+    """The AllPairs prefix-filtered join must be LOSSLESS (identical rows
+    to the plain inverted-index anchor) while generating strictly fewer
+    candidate pairs — the whole point of ordering prefixes by global
+    shingle rarity."""
+    from dataengineerchallenge_spark.operators.dedup import (
+        prefix_filter_candidates,
+        word_shingles,
+    )
+    from dataengineerchallenge_spark.sources import load_table
+
+    plain = sorted(map(tuple, qs["near_dup_jaccard"](spark, SF_DIR).collect()))
+    pref = sorted(map(tuple, qs["near_dup_jaccard_prefix"](spark, SF_DIR).collect()))
+    assert pref == plain and len(pref) > 0
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("_id"), F.explode(word_shingles("text", 3)).alias("_sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    n_plain = (
+        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
+        .select("a._id", "b._id")
+        .distinct()
+        .count()
+    )
+    n_pref = prefix_filter_candidates(sh, 0.5).count()
+    assert n_pref < n_plain
+    # every emitted pair was a candidate (sanity on the pruning direction)
+    assert n_pref >= len(pref)
