@@ -62,6 +62,12 @@ HEADLINE = [
     "ivf_pq_trained_rerank_topk",            # N3 full production stack: trained + re-rank (round 10)
     "ivf_pq_trained_rerank_k64_topk",        # N3 production codebook resolution (round 11)
     "elb_geo_traffic",                       # J6+ longest-prefix-match CIDR enrichment (round 11)
+    "cm_heavy_hitters",                      # A6+ count-min frequency sketch (round 12)
+    "exact_dedup_bloom_prefilter",           # N1+ Bloom membership prefilter (round 12)
+    # near_dup_jaccard_prefix is deliberately NOT a headline line: on the
+    # fixture's uniform-vocab corpus the prefix plan's extra shuffles cost
+    # more than the candidate reduction saves (its regime is Zipfian hot
+    # shingles — crossover measured in BENCH_dedup.json prefix_zipf_*).
 ]
 
 

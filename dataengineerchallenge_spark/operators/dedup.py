@@ -195,20 +195,25 @@ def shingle_jaccard_pairs_prefix(
         F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, n)).alias("_sh")
     )
     cand = prefix_filter_candidates(sh, threshold)
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
-    common = (
-        cand.join(sh.select(F.col("_id").alias("id_a"), "_sh"), "id_a")
-        .join(sh.select(F.col("_id").alias("id_b"), "_sh"), ["id_b", "_sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("_common"))
+    # verify per CANDIDATE pair on whole shingle SETS (two candidate-sized
+    # joins + array_intersect), not by re-exploding the inverted index —
+    # post-filter the candidate volume is small, the per-doc sets are not
+    sets = sh.groupBy("_id").agg(
+        F.sort_array(F.collect_list("_sh")).alias("_set"),
+        F.count("*").alias("_n"),
     )
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    sa = sets.select(
+        F.col("_id").alias("id_a"), F.col("_set").alias("_sa"), F.col("_n").alias("_na")
+    )
+    sb = sets.select(
+        F.col("_id").alias("id_b"), F.col("_set").alias("_sb"), F.col("_n").alias("_nb")
+    )
+    common = F.size(F.array_intersect("_sa", "_sb"))
     return (
-        common.join(sa, "id_a")
+        cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
-            "jaccard", F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common"))
+            "jaccard", common / (F.col("_na") + F.col("_nb") - common)
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))

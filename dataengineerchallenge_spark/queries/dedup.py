@@ -922,15 +922,20 @@ def exact_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus HISTORY through a staged Bloom filter instead of a full join.
 
     Path: build the (word_idx, word) filter over corpus content hashes
-    (bloom_build — one aggregate, 8 KiB at m=2^16), broadcast it, split
-    the delivery into definitely-new (some probe bit unset — emitted with
-    NO corpus access) and maybe-present (all k bits set — only these pay
-    the exact anti-join). No false negatives, so the result is EXACTLY
-    the plain anti-join and the query stays hash-checked; the FPR bound
-    and the prefilter's join-shrink are pinned in tests/test_dedup.py.
-    At 100 TB: history is touched once to build/merge word tables
-    (OR-mergeable across partitions/days); each delivery joins only its
-    FPR-sized maybe set.
+    (bloom_build — one aggregate, 8 KiB at m=2^16), broadcast it, and
+    flag each delivery hash maybe-present (all k bits set) or
+    definitely-new. Verification then touches the corpus exactly once
+    and NEVER SHUFFLES it: confirmed duplicates = corpus semi-joined
+    against the broadcast maybe set (map-side), and the result is the
+    delivery anti-joined against the broadcast confirmed set. No false
+    negatives, so the output is EXACTLY the plain anti-join and the
+    query stays hash-checked; FPR bound and maybe-set shrink are pinned
+    in tests/test_dedup.py, and the plain-SMJ vs broadcast-semi vs
+    bloom crossover is measured in BENCH_dedup.json (bloom_* rungs).
+    At 100 TB: word tables build once and OR-merge across deliveries;
+    each delivery's corpus pass is a scan with a broadcast filter (and
+    is skippable outright when the maybe set is empty), not a corpus-
+    wide exchange.
     """
     docs = load_table(spark, sf_dir, "documents")
     corpus_sha = (
@@ -952,10 +957,12 @@ def exact_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = D.bloom_maybe_contains(
         delivery.select("content_sha").distinct(), "content_sha", words
     )
-    flagged = delivery.join(flags, "content_sha")
-    definitely_new = flagged.filter(~F.col("maybe"))
-    verified_new = (
-        flagged.filter(F.col("maybe"))
-        .join(corpus_sha, flagged["content_sha"] == corpus_sha["s"], "left_anti")
+    maybe_keys = flags.filter(F.col("maybe")).select("content_sha")
+    confirmed = corpus_sha.join(
+        F.broadcast(maybe_keys),
+        corpus_sha["s"] == maybe_keys["content_sha"],
+        "left_semi",
+    ).select(F.col("s").alias("content_sha"))
+    return delivery.join(F.broadcast(confirmed), "content_sha", "left_anti").select(
+        "doc_id", "content_sha"
     )
-    return definitely_new.unionByName(verified_new).select("doc_id", "content_sha")

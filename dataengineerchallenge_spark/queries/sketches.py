@@ -6,10 +6,11 @@ The point of sketches at scale is not one approximate number — it is
 that partial sketches are mergeable, so a per-day sketch table replaces
 re-scanning raw events for every rollup window (the same
 partial/final-aggregate contract Catalyst applies within one query,
-lifted to between-query materialization). Sketch binaries are
-implementation-specific (Apache DataSketches in Spark), so these are
-rows-only per contract; pytest pins the estimates against exact counts
-within the sketch's documented error envelope.
+lifted to between-query materialization). HLL/KLL sketch binaries are
+implementation-specific (Apache DataSketches in Spark), so those are
+rows-only per contract with pytest error-envelope pins; the count-min
+sketch below is built from EXPLICIT integer hashes instead, so it (and
+its streaming twin) is fully DuckDB-hash-checked.
 """
 
 from __future__ import annotations

@@ -47,7 +47,22 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from contextlib import contextmanager  # noqa: E402
+
 from pyspark.sql import functions as F  # noqa: E402
+
+
+@contextmanager
+def _no_broadcast(spark):
+    """Force the shuffle formulation (the naive baseline) regardless of
+    frame-size estimates."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
 
 DOC_WORDS = 60
 VOCAB = 20_000
@@ -110,6 +125,19 @@ def main() -> None:
         action="store_true",
         help="re-run only the incremental rung, merging into an existing artifact",
     )
+    ap.add_argument(
+        "--only-bloom",
+        action="store_true",
+        help="re-run only the Bloom-prefilter rung, merging into an existing artifact",
+    )
+    ap.add_argument("--bloom-sizes", default="1000000,4000000")
+    ap.add_argument("--bloom-batch", type=int, default=20_000)
+    ap.add_argument(
+        "--only-prefix",
+        action="store_true",
+        help="re-run only the AllPairs-prefix-vs-plain Zipf rung, merging",
+    )
+    ap.add_argument("--prefix-sizes", default="100000,200000")
     ap.add_argument("--driver-memory", default="8g")
     ap.add_argument("--out", default="BENCH_dedup.json")
     args = ap.parse_args()
@@ -135,9 +163,10 @@ def main() -> None:
         "mut_pct": MUT_PCT,
         "results": {},
     }
-    if args.only_incr and os.path.exists(args.out):
+    only_flags = args.only_incr or args.only_bloom or args.only_prefix
+    if only_flags and os.path.exists(args.out):
         out["results"] = json.load(open(args.out)).get("results", {})
-    for dist in ("uniform", "zipf") if not args.only_incr else ():
+    for dist in ("uniform", "zipf") if not only_flags else ():
         for rows in sizes:
             d = os.path.join(root, f"dedup_{dist}_{rows}")
             _gen(spark, d, rows, dist=dist)
@@ -189,7 +218,7 @@ def main() -> None:
     import shutil
     import tempfile
 
-    for rows in sizes:
+    for rows in sizes if not (args.only_bloom or args.only_prefix) else ():
         d = os.path.join(root, f"dedup_uniform_{rows}")
         _gen(spark, d, rows)  # idempotent; --only-incr skips the loop above
         docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
@@ -276,6 +305,163 @@ def main() -> None:
         shutil.rmtree(stage_dir, ignore_errors=True)
         shutil.rmtree(f"{stage_dir}_bkt", ignore_errors=True)
         print(f"incr N={rows}: {json.dumps(res)}")
+
+    # ---- AllPairs prefix filter vs plain inverted index (Zipf) --------
+    # The prefix plan's regime: hot-shingle fanout. On uniform corpora
+    # its extra shuffles (df aggregate + per-doc window) cost more than
+    # the candidate cut saves; on Zipfian text the plain self-join goes
+    # superlinear and the prefix stays ahead (lossless — pair sets equal).
+    if not (args.only_incr or args.only_bloom):
+        for rows in [int(s) for s in args.prefix_sizes.split(",") if s]:
+            d = os.path.join(root, f"dedup_zipf_{rows}")
+            _gen(spark, d, rows, dist="zipf")
+            zdocs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+
+            def best_n(build):
+                b, n = float("inf"), None
+                for _ in range(args.iters):
+                    t0 = time.time()
+                    pairs = {(r["id_a"], r["id_b"]) for r in build().collect()}
+                    b = min(b, time.time() - t0)
+                return round(b, 2), pairs
+
+            ex_s, ex_pairs = best_n(
+                lambda: D.shingle_jaccard_pairs(zdocs, "doc_id", "text", n=3, threshold=0.5)
+            )
+            pf_s, pf_pairs = best_n(
+                lambda: D.shingle_jaccard_pairs_prefix(
+                    zdocs, "doc_id", "text", n=3, threshold=0.5
+                )
+            )
+            out["results"][f"prefix_zipf_{rows}"] = res = {
+                "corpus": rows,
+                "exact_s": ex_s,
+                "exact_prefix_s": pf_s,
+                "pairs": len(ex_pairs),
+                "parity": ex_pairs == pf_pairs,
+            }
+            print(f"prefix zipf N={rows}: {json.dumps(res)}")
+
+    # ---- Bloom membership prefilter: delivery vs corpus HISTORY -------
+    # N1 at delivery scale (exact_dedup_bloom_prefilter's design space).
+    # Three exact-identical-output paths per (corpus, dup-share) point:
+    #   plain_smj_s    delivery LEFT ANTI corpus — the naive formulation;
+    #                  corpus shuffled+sorted EVERY delivery (broadcast
+    #                  disabled to keep the join honest at bench sizes)
+    #   bcast_semi_s   confirmed = corpus SEMI broadcast(delivery keys);
+    #                  new = delivery ANTI broadcast(confirmed) — corpus
+    #                  scanned once map-side, never shuffled (the strong
+    #                  no-sketch baseline)
+    #   bloom_s        same shape, but the broadcast probe set is the
+    #                  Bloom maybe set instead of the whole delivery —
+    #                  dup_share + FPR of the batch, and the corpus pass
+    #                  is skippable when it is empty
+    # bloom_build_s is the once-per-corpus staged cost (word table).
+    if not args.only_incr:
+        bloom_sizes = [int(s) for s in args.bloom_sizes.split(",") if s]
+        m_bits, k = 1 << 24, 4  # m/n = 16.8 at 1M keys → FPR ≈ 0.24%
+        nb = args.bloom_batch
+        for rows in bloom_sizes:
+            cdir = os.path.join(root, f"bloomcorpus_{rows}")
+            if not os.path.exists(os.path.join(cdir, "_SUCCESS")):
+                spark.range(rows).select(
+                    F.sha2(F.concat(F.lit("corp"), F.col("id").cast("string")), 256).alias("s")
+                ).write.mode("overwrite").parquet(cdir)
+                open(os.path.join(cdir, "_SUCCESS"), "w").close()
+            corpus = spark.read.parquet(cdir)
+
+            t = time.time()
+            wdir = os.path.join(root, f"bloomwords_{rows}")
+            D.bloom_build(corpus, "s", m_bits=m_bits, k=k).write.mode(
+                "overwrite"
+            ).parquet(wdir)
+            build_s = round(time.time() - t, 2)
+            words = spark.read.parquet(wdir)
+
+            for dup_share in (0.5, 0.01):
+                n_dup = int(nb * dup_share)
+                delivery = (
+                    spark.range(n_dup)
+                    .select(
+                        F.sha2(
+                            F.concat(F.lit("corp"), F.col("id").cast("string")), 256
+                        ).alias("s")
+                    )
+                    .unionAll(
+                        spark.range(nb - n_dup).select(
+                            F.sha2(
+                                F.concat(F.lit("new"), F.col("id").cast("string")), 256
+                            ).alias("s")
+                        )
+                    )
+                    .cache()
+                )
+                delivery.count()
+
+                def run_plain_smj():
+                    with _no_broadcast(spark):
+                        return {
+                            r["s"]
+                            for r in delivery.join(corpus, "s", "left_anti").collect()
+                        }
+
+                def run_bcast_semi():
+                    confirmed = corpus.join(
+                        F.broadcast(delivery.select("s")), "s", "left_semi"
+                    )
+                    return {
+                        r["s"]
+                        for r in delivery.join(
+                            F.broadcast(confirmed), "s", "left_anti"
+                        ).collect()
+                    }
+
+                maybe_n = [0]
+
+                def run_bloom():
+                    flags = D.bloom_maybe_contains(
+                        delivery, "s", words, m_bits=m_bits, k=k
+                    )
+                    maybe = flags.filter(F.col("maybe")).select("s").cache()
+                    maybe_n[0] = maybe.count()
+                    confirmed = corpus.join(F.broadcast(maybe), "s", "left_semi")
+                    res = {
+                        r["s"]
+                        for r in delivery.join(
+                            F.broadcast(confirmed), "s", "left_anti"
+                        ).collect()
+                    }
+                    maybe.unpersist()
+                    return res
+
+                def best_set(fn):
+                    b, res_set = float("inf"), None
+                    for _ in range(args.iters):
+                        t0 = time.time()
+                        res_set = fn()
+                        b = min(b, time.time() - t0)
+                    return round(b, 2), res_set
+
+                plain_s, plain = best_set(run_plain_smj)
+                semi_s, semi = best_set(run_bcast_semi)
+                bloom_s, bloom = best_set(run_bloom)
+                fpr = (maybe_n[0] - n_dup) / max(nb - n_dup, 1)
+                out["results"][f"bloom_{rows}_dup{int(dup_share*100)}"] = res = {
+                    "corpus": rows,
+                    "batch": nb,
+                    "dup_share": dup_share,
+                    "m_bits": m_bits,
+                    "k": k,
+                    "bloom_build_s": build_s,
+                    "plain_smj_s": plain_s,
+                    "bcast_semi_s": semi_s,
+                    "bloom_s": bloom_s,
+                    "n_maybe": maybe_n[0],
+                    "fpr_observed": round(fpr, 6),
+                    "parity": plain == semi == bloom and len(plain) == nb - n_dup,
+                }
+                delivery.unpersist()
+                print(f"bloom N={rows} dup={dup_share}: {json.dumps(res)}")
 
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)

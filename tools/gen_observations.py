@@ -227,6 +227,55 @@ dedups delivery N+1 against the COMMITTED store of everything before it
 (signing only itself), with two-turn store-append == full-signing parity
 pinned in tests/test_dedup.py."""
 
+    # round-12 dedup rungs — artifact-gated like bigbatch_para
+    prefix_entries = {
+        k: v
+        for k, v in (dedup_bench or {}).get("results", {}).items()
+        if k.startswith("prefix_zipf_")
+    }
+    prefix_para = ""
+    if prefix_entries:
+        prefix_para = f"""
+
+The exact join also carries a LOSSLESS fanout lever now: AllPairs
+frequency-ordered prefix filtering (`near_dup_jaccard_prefix`) joins
+only on each doc's globally-rarest shingles — hot shingles are pushed
+out of every prefix, so candidate volume stops tracking the square of
+hot-key fanout, and unlike the stop-shingle cap the pair set is
+IDENTICAL to the plain join's (pigeonhole argument; equality pinned).
+Its regime is exactly the Zipf column above:
+
+{md_table([(f"{v['corpus']:,}", v["exact_s"], v["exact_prefix_s"], "yes" if v["parity"] else "NO") for k, v in sorted(prefix_entries.items(), key=lambda kv: kv[1]["corpus"])], ["corpus (zipf)", "plain exact (s)", "prefix exact (s)", "pairs equal"])}
+
+On the uniform fixture corpus the prefix plan's extra shuffles cost
+more than the candidate cut saves (4.4 s vs 1.6 s at sf0.1 — why it is
+not a bench headline line); on Zipfian text the plain join grows
+superlinearly and the prefix pulls ahead."""
+
+    bloom_entries = {
+        k: v
+        for k, v in (dedup_bench or {}).get("results", {}).items()
+        if k.startswith("bloom_")
+    }
+    bloom_para = ""
+    if bloom_entries:
+        bloom_para = f"""
+
+### Exact dedup against history: the Bloom membership prefilter
+
+A delivery deduped against corpus HISTORY (`exact_dedup_bloom_prefilter`
+design space, `BENCH_dedup.json bloom_*`): the naive anti-join shuffles
+the whole corpus every delivery; the broadcast-semi formulation scans
+it map-side instead; the Bloom path shrinks the broadcast probe set to
+dup-share + FPR of the batch and can skip the corpus pass when empty:
+
+{md_table([(f"{v['corpus']:,}", v["dup_share"], v["plain_smj_s"], v["bcast_semi_s"], v["bloom_s"], v["n_maybe"], v["fpr_observed"], "yes" if v["parity"] else "NO") for k, v in sorted(bloom_entries.items(), key=lambda kv: (kv[1]["corpus"], -kv[1]["dup_share"]))], ["corpus", "dup share", "anti-SMJ (s)", "bcast-semi (s)", "bloom (s)", "maybe rows", "FPR", "parity"])}
+
+All three paths return the identical new-document set (no false
+negatives — the property pinned in tests/test_dedup.py); the word
+table is {(1 << 24) // 8 // 1024} KiB at m=2²⁴ and OR-merges across deliveries, so
+history is compressed once and never re-joined wholesale."""
+
     # online ANN serve rung paragraph — when BENCH_stream carries it
     serve_stream_para = ""
     svs = (stream_bench or {}).get("results", {}).get("ann_serve_fresh_stream")
@@ -499,7 +548,7 @@ while the full recompute grows with it:
 Parity is exact, not approximate: the hash family is stateless and
 seeded, so batch signatures are bit-identical to a full recompute's
 (pinned in tests/test_dedup.py) — the N2 mirror of the ANN side's
-frozen-codebook append.{bigbatch_para}''' if dedup_bench and any(k.startswith("incr_") for k in dedup_bench["results"]) else "")}
+frozen-codebook append.{bigbatch_para}''' if dedup_bench and any(k.startswith("incr_") for k in dedup_bench["results"]) else "")}{prefix_para}{bloom_para}
 
 ### Hot-key skew: where each escape hatch starts paying
 {"".join(f'''
