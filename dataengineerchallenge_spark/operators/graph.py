@@ -1,0 +1,86 @@
+"""Iterative graph algorithms as DataFrame joins (the class on top of
+``operators/dedup.py:connected_components``): PageRank by power
+iteration.
+
+Spark has no native graph operator set, but PageRank's update is pure
+relational algebra — one join (current ranks onto out-edges) and one
+aggregation (sum contributions per destination) per iteration — so the
+whole computation stays inside Catalyst/Tungsten with zero Python in
+the hot path. The driver-side ``for`` loop only *builds* the plan; no
+data touches the driver.
+
+Scale shape (100 TB edge set):
+- Edges are the big side and are touched once per iteration; ranks are
+  |V| rows. Each iteration shuffles contributions on ``dst`` and joins
+  ranks on ``src`` — pre-partitioning edges by ``src`` (bucketed edge
+  store) makes the rank join co-located so only the dst-sum shuffles.
+- Plan depth grows linearly with iterations; past ~10 iterations
+  checkpoint/localCheckpoint the rank frame to cut lineage (here the
+  fixed 5 iterations stay well within planner comfort).
+- Dangling nodes (no out-edges) leak rank mass; callers that need
+  strict mass conservation must redistribute the dangling sum each
+  iteration. For the symmetric co-occurrence graphs this repo feeds in
+  (every node has in == out degree >= 1) there is no dangling mass by
+  construction, so the plain update suffices and total mass stays |V|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list, returning
+    (node, pr) where pr is the |V|-SCALED rank (mean 1.0, i.e. classic
+    rank x N) — the scaled form keeps values O(1) so a fixed decimal
+    rounding downstream doesn't erase the signal.
+
+    Update rule per iteration (scaled form):
+        pr'(v) = (1 - damping) + damping * sum_{u -> v} pr(u) / outdeg(u)
+
+    ``edges`` must not contain duplicate (src, dst) rows if an unweighted
+    graph is intended — duplicates act as parallel edges (weight 2).
+    Nodes are the union of src and dst values; a node with no out-edges
+    contributes nothing (see dangling note in the module docstring).
+    """
+    from pyspark import StorageLevel
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # out-edges annotated once with the constant outdegree; reused every
+    # iteration so the per-iteration work is join + sum only.
+    # Persist the loop invariants: without this every iteration's plan
+    # subtree re-runs the upstream edge build (observed: 44 file scans /
+    # 65 exchanges for 5 iterations on the co-purchase graph), which at
+    # 100 TB means re-shuffling the raw fact table once per iteration.
+    # MEMORY_AND_DISK so an edge set bigger than executor memory spills
+    # instead of failing; both frames are lazy until the first action.
+    eo = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+
+    ranks = nodes.select("node", F.lit(1.0).alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            eo.join(ranks, eo["src"] == ranks["node"])
+            .select("dst", (F.col("pr") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
+            "node",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    return ranks

@@ -552,3 +552,117 @@ def per_minute_load_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").cast("long").alias("n_requests"),
         F.floor(num / den * 10000 + F.lit(0.5)).cast("long").alias("ewma_e4"),
     )
+
+
+@register(
+    "hourly_load_anomalies_mad",
+    oracle="""
+    WITH bounds AS (
+      SELECT (CAST(floor(epoch(min(ts))) AS BIGINT) // 3600) * 3600 AS lo,
+             (CAST(floor(epoch(max(ts))) AS BIGINT) // 3600) * 3600 AS hi
+      FROM events
+    ), spine AS (
+      SELECT unnest(range(lo, hi + 3600, 3600)) AS hour_epoch_s FROM bounds
+    ), agg AS (
+      SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_epoch_s,
+             count(*) AS n
+      FROM events GROUP BY 1
+    ), series AS (
+      SELECT s.hour_epoch_s, CAST(COALESCE(a.n, 0) AS BIGINT) AS x
+      FROM spine s LEFT JOIN agg a USING (hour_epoch_s)
+    ), hist AS (
+      SELECT x, count(*) AS cnt FROM series GROUP BY x
+    ), cum AS (
+      SELECT x, SUM(cnt) OVER (ORDER BY x) AS cum,
+             SUM(cnt) OVER () AS n_total
+      FROM hist
+    ), med AS (
+      SELECT MIN(x) AS med FROM cum WHERE cum >= (n_total * 50 + 99) // 100
+    ), dev AS (
+      SELECT s.hour_epoch_s, s.x, ABS(s.x - m.med) AS d, m.med
+      FROM series s CROSS JOIN med m
+    ), dhist AS (
+      SELECT d, count(*) AS cnt FROM dev GROUP BY d
+    ), dcum AS (
+      SELECT d, SUM(cnt) OVER (ORDER BY d) AS cum,
+             SUM(cnt) OVER () AS n_total
+      FROM dhist
+    ), mad AS (
+      SELECT MIN(d) AS mad FROM dcum WHERE cum >= (n_total * 50 + 99) // 100
+    )
+    SELECT v.hour_epoch_s,
+           v.x AS n_requests,
+           v.med AS median_load,
+           a.mad AS mad_load,
+           v.d AS abs_deviation
+    FROM dev v CROSS JOIN mad a
+    WHERE v.d > 3 * a.mad
+    """,
+)
+def hourly_load_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) anomaly detection over the zero-filled
+    per-hour load series: flag hours whose load deviates from the
+    global median by more than 3 median-absolute-deviations. Everything
+    is INTEGER arithmetic — the nearest-rank median of an integer series
+    is an actual datum, the MAD is the nearest-rank median of integer
+    deviations, and the 3*MAD threshold compares integers — so the query
+    hash-matches DuckDB bit-for-bit with no float discipline needed
+    (mean/stddev z-scores would drag sum-order double drift in).
+
+    Scale shape: both medians come from VALUE HISTOGRAMS (group the
+    series by its value, cumulative-sum the counts, pick the first value
+    whose running count reaches ceil(n/2)) — the sorted set is the
+    distinct-value histogram (bounded by max load, not hours), so
+    nothing ever global-sorts the raw series; the spine explode and the
+    two histogram windows are the same shapes per_minute_load_gapfilled
+    and the nearest-rank percentile queries already carry at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    minute = (F.unix_timestamp("ts") / 3600).cast("long") * 3600
+    agg = ev.groupBy(minute.alias("hour_epoch_s")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = ev.agg(
+        ((F.unix_timestamp(F.min("ts")) / 3600).cast("long") * 3600).alias("lo"),
+        ((F.unix_timestamp(F.max("ts")) / 3600).cast("long") * 3600).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(3600))).alias(
+            "hour_epoch_s"
+        )
+    )
+    series = spine.join(agg, "hour_epoch_s", "left").select(
+        "hour_epoch_s", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("x")
+    )
+
+    def _nearest_rank_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        """1-row frame: nearest-rank median of an integer column via its
+        value histogram (no global sort of the raw rows)."""
+        hist = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        cum = hist.select(
+            F.col(col),
+            F.sum("cnt").over(w).alias("cum"),
+            F.sum("cnt").over(Window.partitionBy()).alias("n_total"),
+        )
+        k = ((F.col("n_total") * 50 + 99) / 100).cast("long")
+        return cum.filter(F.col("cum") >= k).agg(F.min(col).alias(out))
+
+    med = _nearest_rank_median(series, "x", "med")
+    dev = series.crossJoin(F.broadcast(med)).select(
+        "hour_epoch_s",
+        "x",
+        F.col("med"),
+        F.abs(F.col("x") - F.col("med")).alias("d"),
+    )
+    mad = _nearest_rank_median(dev, "d", "mad")
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .filter(F.col("d") > 3 * F.col("mad"))
+        .select(
+            "hour_epoch_s",
+            F.col("x").alias("n_requests"),
+            F.col("med").alias("median_load"),
+            F.col("mad").alias("mad_load"),
+            F.col("d").alias("abs_deviation"),
+        )
+    )

@@ -145,3 +145,88 @@ def cdc_upsert_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = profile(ev.filter(ts_s < split_s))
     updates = profile(ev.filter(ts_s >= split_s))
     return cdc_upsert(target, updates, "user_id")
+
+
+@register(
+    "snapshot_reconcile_daily_users",
+    oracle="""
+    WITH d1 AS (
+      SELECT user_id,
+             count(*) AS n_events,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events
+      WHERE CAST(floor(epoch(ts)) AS BIGINT) >= 1704844800
+        AND CAST(floor(epoch(ts)) AS BIGINT) <  1704931200
+      GROUP BY user_id
+    ), d2 AS (
+      SELECT user_id,
+             count(*) AS n_events,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events
+      WHERE CAST(floor(epoch(ts)) AS BIGINT) >= 1704931200
+        AND CAST(floor(epoch(ts)) AS BIGINT) <  1705017600
+      GROUP BY user_id
+    )
+    SELECT COALESCE(d1.user_id, d2.user_id) AS user_id,
+           CASE WHEN d1.user_id IS NULL THEN 'added'
+                WHEN d2.user_id IS NULL THEN 'removed'
+                WHEN d1.n_events <> d2.n_events OR d1.cents <> d2.cents
+                     THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(d1.n_events AS BIGINT) AS n_events_prev,
+           CAST(d2.n_events AS BIGINT) AS n_events_curr,
+           d1.cents AS cents_prev,
+           d2.cents AS cents_curr
+    FROM d1 FULL OUTER JOIN d2 ON d1.user_id = d2.user_id
+    """,
+)
+def snapshot_reconcile_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation via FULL OUTER join: diff two consecutive
+    daily per-user activity snapshots (2024-01-10 vs 2024-01-11 UTC,
+    fixed epoch bounds) and classify every key as added / removed /
+    changed / unchanged — the audit shape behind every CDC pipeline
+    cutover check ("does the rebuilt table match yesterday plus the
+    deltas?"). Money compares in integer cents (the repo's exact-cents
+    discipline), so 'changed' is drift-free.
+
+    Scale: both snapshots aggregate map-side before the join, so the
+    full-outer shuffle carries one row per (user, day), not raw events;
+    at 100 TB the two sides would be bucketed on user_id so the diff is
+    exchange-free. Nulls on either side ARE the signal (added/removed),
+    which is why this is the one join class where neither semi/anti nor
+    inner can substitute."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def snap(lo: int, hi: int) -> DataFrame:
+        return (
+            ev.filter((F.col("ts_s") >= lo) & (F.col("ts_s") < hi))
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").alias("cents"),
+            )
+        )
+
+    d1 = snap(1704844800, 1704931200).alias("d1")  # 2024-01-10 UTC
+    d2 = snap(1704931200, 1705017600).alias("d2")  # 2024-01-11 UTC
+    joined = d1.join(d2, F.col("d1.user_id") == F.col("d2.user_id"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("d1.user_id"), F.col("d2.user_id")).alias("user_id"),
+        F.when(F.col("d1.user_id").isNull(), F.lit("added"))
+        .when(F.col("d2.user_id").isNull(), F.lit("removed"))
+        .when(
+            (F.col("d1.n_events") != F.col("d2.n_events"))
+            | (F.col("d1.cents") != F.col("d2.cents")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        F.col("d1.n_events").alias("n_events_prev"),
+        F.col("d2.n_events").alias("n_events_curr"),
+        F.col("d1.cents").alias("cents_prev"),
+        F.col("d2.cents").alias("cents_curr"),
+    )

@@ -1,0 +1,68 @@
+"""PageRank operator (operators/graph.py): closed-form pins on tiny
+graphs plus structural invariants the power iteration must keep."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _ranks(spark, edges, **kw):
+    from dataengineerchallenge_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["pr"] for r in pagerank(df, **kw).collect()}
+
+
+def test_symmetric_pair_is_uniform(spark):
+    # two nodes linked both ways: every iteration maps (1,1)->(1,1)
+    r = _ranks(spark, [(1, 2), (2, 1)], iters=5)
+    assert r == {1: pytest.approx(1.0), 2: pytest.approx(1.0)}
+
+
+def test_directed_star_closed_form(spark):
+    # hub 0 -> leaves 1..3, leaves -> hub. Symmetric in/out so mass is
+    # conserved; the hub accumulates: fixed point (scaled, d=0.85)
+    # satisfies hub = 0.15 + 0.85*3*leaf ; leaf = 0.15 + 0.85*hub/3.
+    edges = [(0, 1), (0, 2), (0, 3), (1, 0), (2, 0), (3, 0)]
+    hub_fp = 0.15 * (1 + 3 * 0.85) / (1 - 0.85 * 0.85)
+    leaf_fp = 0.15 + 0.85 * hub_fp / 3
+    # geometric convergence at rate 0.85^2 per iteration pair: 30 iters
+    # lands within ~1e-2, and the error must CONTRACT vs 10 iters
+    r10 = _ranks(spark, edges, iters=10)
+    r = _ranks(spark, edges, iters=30)
+    assert r[0] == pytest.approx(hub_fp, abs=2e-2)
+    for leaf in (1, 2, 3):
+        assert r[leaf] == pytest.approx(leaf_fp, abs=2e-2)
+    assert abs(r[0] - hub_fp) < abs(r10[0] - hub_fp) / 10
+
+
+def test_mass_conserved_on_symmetric_graph(spark):
+    # undirected (symmetrized) graph: no dangling mass, so scaled ranks
+    # sum to |V| at every iteration count
+    und = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    edges = und + [(b, a) for a, b in und]
+    for iters in (1, 3, 7):
+        r = _ranks(spark, edges, iters=iters)
+        assert sum(r.values()) == pytest.approx(len(r), rel=1e-9)
+
+
+def test_higher_degree_ranks_higher(spark):
+    # node 1 has degree 3, node 4 degree 1 in the symmetrized graph
+    und = [(1, 2), (1, 3), (1, 4)]
+    edges = und + [(b, a) for a, b in und]
+    r = _ranks(spark, edges, iters=10)
+    assert r[1] > r[2] == pytest.approx(r[3]) and r[2] > 0
+
+
+def test_registered_query_shape(spark):
+    from dataengineerchallenge_spark.queries.graph import part_copurchase_pagerank
+
+    out = part_copurchase_pagerank(spark, SF_SMOKE)
+    rows = out.collect()
+    assert rows and set(out.columns) == {"part_key", "pr"}
+    # co-purchase graph is symmetric -> scaled mass == node count,
+    # up to the 4-decimal rounding the contract applies per node
+    total = sum(r["pr"] for r in rows)
+    assert total == pytest.approx(len(rows), abs=len(rows) * 1e-4 + 0.01)
