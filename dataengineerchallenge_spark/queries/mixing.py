@@ -12,7 +12,7 @@ broadcast back into the row predicate)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dataengineerchallenge_spark.queries.text import quality_frame
@@ -124,3 +124,89 @@ def corpus_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr(_SPARK_BUCKET) / 256.0 < F.col("r"))
         .select("doc_id", "source")
     )
+
+
+# 32-bit uniform from the first 8 md5 nibbles of the doc key — the
+# Efraimidis-Spirakis draw needs more resolution than the 1-byte
+# acceptance bucket above (ties in an 8-bit u would make top-k order
+# depend on the tie-break far too often)
+_SPARK_U32 = "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"
+_DUCK_U32 = " + ".join(
+    f"(strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) "
+    f"* {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+_ES_K = 100
+
+
+@register(
+    "weighted_sample_docs",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_words,
+             round(len(list_filter(string_split(text, ' '),
+                       w -> list_contains(['the', 'a'], w)))::DOUBLE
+                   / len(string_split(text, ' ')), 4) AS stopword_ratio,
+             round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                   / len(string_split(text, ' ')), 4) AS type_token_ratio
+      FROM documents
+    ), q AS (
+      SELECT doc_id, source,
+             round(0.4 * least(n_words / 50.0, 1.0)
+                   + 0.3 * type_token_ratio
+                   + 0.3 * (1.0 - stopword_ratio), 5) AS quality
+      FROM m
+    ), keyed AS (
+      SELECT doc_id, source, quality,
+             round(ln((({_DUCK_U32}) + 0.5) / 4294967296.0) / quality, 8) AS es_key
+      FROM q
+    )
+    SELECT doc_id, source, quality,
+           CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS BIGINT)
+             AS sel_rank
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT {_ES_K}
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exact sample size k=100:
+    the Efraimidis-Spirakis exponential race (each doc draws priority
+    u^(1/w) — equivalently ln(u)/w — and the k largest priorities are the
+    sample, inclusion probability proportional to weight w = quality).
+    The uniform u is the doc's first-8-md5-nibbles integer, so the draw
+    is bit-reproducible across engines/reruns/partitionings like every
+    sampler in this module; priorities are rounded to 8 decimals BEFORE
+    ranking (ln() may differ between libms in the last ulp; the 1e-8 grid
+    snaps both engines to the same order) with doc_id as the total-order
+    tie-break.
+
+    Scale: the plan is a per-row map + TakeOrderedAndProject — each
+    partition keeps its local top-k and only k-row heaps reach the
+    driver-side merge; no global sort, no shuffle of the corpus. This is
+    the exact-k complement to ``importance_resample_by_quality``'s
+    acceptance sampling (which keeps probability exact but only the
+    EXPECTED sample size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_frame(docs).select("doc_id", "source", "quality")
+    return es_weighted_sample(q, "doc_id", "quality", _ES_K).select(
+        "doc_id", "source", "quality", "sel_rank"
+    )
+
+
+def es_weighted_sample(df: DataFrame, id_col: str, weight_col: str, k: int) -> DataFrame:
+    """Efraimidis-Spirakis exact-k weighted sample of ``df`` (weights
+    must be > 0): appends ``es_key`` (rounded priority) and ``sel_rank``
+    (1..k) to the k selected rows. Deterministic in the id column alone —
+    the uniform draw is md5-derived, the ranking grid-snapped, ties
+    broken by id."""
+    u32 = _SPARK_U32.replace("doc_id", id_col)
+    u = (F.expr(u32) + 0.5) / F.lit(4294967296.0)
+    keyed = df.withColumn(
+        "es_key", F.round(F.log(u) / F.col(weight_col), 8)
+    )
+    topk = keyed.orderBy(F.desc("es_key"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("es_key"), F.asc(id_col))
+    return topk.withColumn("sel_rank", F.row_number().over(w).cast("long"))

@@ -59,3 +59,31 @@ def test_snapshot_reconcile_plans_full_outer_equi_join(spark):
     plan = snapshot_reconcile_daily_users(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "FullOuter" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_es_weighted_sample_is_exact_k_biased_and_deterministic(spark):
+    """Efraimidis-Spirakis sampler: exact k, weight-proportional
+    inclusion (heavy group overrepresented on a strong 100:1 weight
+    split), partitioning-invariant."""
+    from dataengineerchallenge_spark.queries.mixing import es_weighted_sample
+
+    rows = [(i, 100.0 if i < 100 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = es_weighted_sample(df, "doc_id", "w", 100).collect()
+    assert len(out) == 100
+    assert sorted(r["sel_rank"] for r in out) == list(range(1, 101))
+    heavy = sum(1 for r in out if r["doc_id"] < 100)
+    # uniform sampling would include ~10 heavy docs; weight 100:1 must
+    # pull in the vast majority of the heavy group
+    assert heavy > 60
+    # same sample whatever the physical partitioning
+    again = es_weighted_sample(df.repartition(7), "doc_id", "w", 100).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)
+
+
+def test_weighted_sample_query_plans_topk_not_global_sort(spark):
+    from dataengineerchallenge_spark.queries.mixing import weighted_sample_docs
+
+    df = weighted_sample_docs(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
