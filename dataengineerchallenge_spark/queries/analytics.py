@@ -554,9 +554,7 @@ def per_minute_load_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "hourly_load_anomalies_mad",
-    oracle="""
+_MAD_ORACLE = """
     WITH bounds AS (
       SELECT (CAST(floor(epoch(min(ts))) AS BIGINT) // 3600) * 3600 AS lo,
              (CAST(floor(epoch(max(ts))) AS BIGINT) // 3600) * 3600 AS hi
@@ -597,8 +595,10 @@ def per_minute_load_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
            v.d AS abs_deviation
     FROM dev v CROSS JOIN mad a
     WHERE v.d > 3 * a.mad
-    """,
-)
+    """
+
+
+@register("hourly_load_anomalies_mad", oracle=_MAD_ORACLE)
 def hourly_load_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust (median/MAD) anomaly detection over the zero-filled
     per-hour load series: flag hours whose load deviates from the
@@ -617,36 +617,48 @@ def hourly_load_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     two histogram windows are the same shapes per_minute_load_gapfilled
     and the nearest-rank percentile queries already carry at 100 TB."""
     ev = load_table(spark, sf_dir, "events")
-    minute = (F.unix_timestamp("ts") / 3600).cast("long") * 3600
-    agg = ev.groupBy(minute.alias("hour_epoch_s")).agg(
+    hour = (F.unix_timestamp("ts") / 3600).cast("long") * 3600
+    agg = ev.groupBy(hour.alias("hour_epoch_s")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    bounds = ev.agg(
-        ((F.unix_timestamp(F.min("ts")) / 3600).cast("long") * 3600).alias("lo"),
-        ((F.unix_timestamp(F.max("ts")) / 3600).cast("long") * 3600).alias("hi"),
+    return _mad_anomalies(_hour_spine_series(agg))
+
+
+def _hour_spine_series(agg: DataFrame) -> DataFrame:
+    """(hour_epoch_s, n) partial-count frame -> the zero-filled complete
+    series (hour_epoch_s, x). Bounds come from the aggregate itself (the
+    first/last hour each contain >= 1 event by construction, so this
+    equals raw-timestamp bounds)."""
+    bounds = agg.agg(
+        F.min("hour_epoch_s").alias("lo"), F.max("hour_epoch_s").alias("hi")
     )
     spine = bounds.select(
         F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(3600))).alias(
             "hour_epoch_s"
         )
     )
-    series = spine.join(agg, "hour_epoch_s", "left").select(
+    return spine.join(agg, "hour_epoch_s", "left").select(
         "hour_epoch_s", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("x")
     )
 
-    def _nearest_rank_median(df: DataFrame, col: str, out: str) -> DataFrame:
-        """1-row frame: nearest-rank median of an integer column via its
-        value histogram (no global sort of the raw rows)."""
-        hist = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
-        cum = hist.select(
-            F.col(col),
-            F.sum("cnt").over(w).alias("cum"),
-            F.sum("cnt").over(Window.partitionBy()).alias("n_total"),
-        )
-        k = ((F.col("n_total") * 50 + 99) / 100).cast("long")
-        return cum.filter(F.col("cum") >= k).agg(F.min(col).alias(out))
 
+def _nearest_rank_median(df: DataFrame, col: str, out: str) -> DataFrame:
+    """1-row frame: nearest-rank median of an integer column via its
+    value histogram (no global sort of the raw rows)."""
+    hist = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        F.col(col),
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n_total"),
+    )
+    k = ((F.col("n_total") * 50 + 99) / 100).cast("long")
+    return cum.filter(F.col("cum") >= k).agg(F.min(col).alias(out))
+
+
+def _mad_anomalies(series: DataFrame) -> DataFrame:
+    """(hour_epoch_s, x) series -> hours where |x - median| > 3 * MAD,
+    medians nearest-rank over value histograms (all-integer, drift-free)."""
     med = _nearest_rank_median(series, "x", "med")
     dev = series.crossJoin(F.broadcast(med)).select(
         "hour_epoch_s",
@@ -666,3 +678,86 @@ def hourly_load_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").alias("abs_deviation"),
         )
     )
+
+
+def _staged_event_hour_stream(spark: SparkSession, sf_dir: str) -> str:
+    """events reduced to (event_id, hour_epoch_s) and written as 4
+    hash-partitioned files so maxFilesPerTrigger=1 replays a real
+    multi-micro-batch stream (same staging shape as
+    sketches._staged_event_key_stream)."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        hours = ev.select(
+            "event_id",
+            ((F.unix_timestamp("ts") / 3600).cast("long") * 3600).alias(
+                "hour_epoch_s"
+            ),
+        )
+        write_result(hours.repartition(4, "event_id"), str(out))
+
+    return staged(
+        spark,
+        "mad_hours",
+        Path(sf_dir) / "events.parquet",
+        "mad_hours",
+        build,
+    )
+
+
+@register("stream_hourly_anomalies_mad", oracle=_MAD_ORACLE)
+def stream_hourly_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE twin of ``hourly_load_anomalies_mad``: events arrive as a
+    tailed file stream (one file per trigger) and each micro-batch folds
+    only its OWN per-hour partial counts into a run-scoped store via
+    foreachBatch — the monitoring loop a production pipeline runs, where
+    history is never re-scanned and per-batch state is one tiny algebraic
+    append (rows = hours present in the batch). Because hour counts are
+    sums, the drained store merges to EXACTLY the batch series whatever
+    the stream slicing, so the final median/MAD anomaly screen shares the
+    batch query's DuckDB oracle hash-for-hash (the same stream==batch
+    contract as ``stream_cm_heavy_hitters``); stream-vs-batch parity is
+    pinned in tests/test_analytics_r12.py."""
+    import shutil
+    import tempfile
+
+    payload = _staged_event_hour_stream(spark, sf_dir)
+    schema = spark.read.parquet(payload).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(payload)
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_graft_stream_mad_")
+    hours_dir, ckpt = f"{scratch}/hours", f"{scratch}/ckpt"
+
+    def update(mb: DataFrame, epoch_id: int) -> None:
+        mb.groupBy("hour_epoch_s").agg(F.count(F.lit(1)).alias("n")).write.mode(
+            "append"
+        ).parquet(hours_dir)
+
+    q = (
+        sdf.writeStream.foreachBatch(update)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("stream mad did not drain availableNow input in 300s")
+        merged = (
+            spark.read.parquet(hours_dir)
+            .groupBy("hour_epoch_s")
+            .agg(F.sum("n").alias("n"))
+        )
+        out = _mad_anomalies(_hour_spine_series(merged))
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(scratch, ignore_errors=True)
+    return result

@@ -87,3 +87,22 @@ def test_weighted_sample_query_plans_topk_not_global_sort(spark):
     df = weighted_sample_docs(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_stream_mad_twin_matches_batch(spark):
+    """Stream==batch contract: the foreachBatch-folded hour store must
+    merge to exactly the batch anomaly set regardless of slicing (the
+    payload stages 4 files -> 4 micro-batches at maxFilesPerTrigger=1)."""
+    import glob
+
+    from dataengineerchallenge_spark.queries.analytics import (
+        _staged_event_hour_stream,
+        hourly_load_anomalies_mad,
+        stream_hourly_anomalies_mad,
+    )
+
+    payload = _staged_event_hour_stream(spark, SF_SMOKE)
+    assert len(glob.glob(f"{payload}/part-*")) == 4
+    got = sorted(map(tuple, stream_hourly_anomalies_mad(spark, SF_SMOKE).collect()))
+    want = sorted(map(tuple, hourly_load_anomalies_mad(spark, SF_SMOKE).collect()))
+    assert got == want
