@@ -82,3 +82,24 @@ def test_compact_files_hits_target_count(spark, tmp_path):
     n = len(glob.glob(dst + "/part-*.parquet"))
     assert 2 <= n <= 8, n  # stats estimate ≈ disk bytes; exactness not promised
     assert spark.read.parquet(dst).count() == ev.count()
+
+
+def test_layout_bench_artifact_shows_zorder_scan_reduction():
+    """Artifact-gated (like the variance pins): the measured two-dim
+    probe must scan strictly less through the Z-ordered layout than the
+    best single-column sort, and the gap must not be noise (>=2x at the
+    largest rung)."""
+    import json
+    import os
+
+    import pytest
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_layout.json")
+    if not os.path.exists(path):
+        pytest.skip("BENCH_layout.json not generated on this machine")
+    res = json.load(open(path))["results"]
+    biggest = max(res.values(), key=lambda r: r["rows"])
+    assert biggest["zorder_scan_rows"] < min(
+        biggest["linear_t_scan_rows"], biggest["linear_u_scan_rows"]
+    )
+    assert biggest["zorder_scan_reduction_vs_best_linear"] >= 2.0
