@@ -325,3 +325,136 @@ def stream_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result
+
+
+# ---------------------------------------------------------------------------
+# Explicit-hash HyperLogLog (Flajolet-Fusy-Gandouet-Meunier 2007), built —
+# like the count-min sketch above — from explicit integer arithmetic so the
+# WHOLE estimator is reproducible in ANSI SQL and hash-checked against
+# DuckDB, unlike the DataSketches-binary HLL rows above. Geometry: b=8 bits
+# -> m=256 registers; the 32-bit hash is the key's first-8-md5-nibbles
+# integer (top 8 bits route to a register, the low 24 bits' leading-zero
+# rank is the register value). Float discipline: every 2^-M term is an
+# exact multiple of 2^-25 and the register sum stays < 2^9, so the sum of
+# 256 doubles is EXACT in any order — the one float reduction in the
+# estimator has zero accumulation drift by construction.
+_HLL_M = 256
+_HLL_ALPHA = round(0.7213 / (1 + 1.079 / _HLL_M), 10)  # identical literal both engines
+
+_HEX = "0123456789abcdef"
+_HLL_SPARK_H = (
+    "cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint)"
+)
+_HLL_DUCK_H = " + ".join(
+    f"(strpos('{_HEX}', substr(md5(CAST(user_id AS VARCHAR)), {i + 1}, 1)) - 1) "
+    f"* {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+def _rho_case_sql(w: str) -> str:
+    """CASE chain: 1 + leading zeros of the 24-bit suffix (25 when 0) —
+    integer-exact rank, no float log2 that could off-by-one at powers."""
+    whens = " ".join(
+        f"WHEN {w} >= {1 << (23 - i)} THEN {i + 1}" for i in range(24)
+    )
+    return f"CASE {whens} ELSE 25 END"
+
+
+_HLL_ORACLE = f"""
+WITH hashed AS (
+  SELECT ev.event_type,
+         ({_HLL_DUCK_H}) // 16777216 AS bucket,
+         ({_HLL_DUCK_H}) % 16777216 AS w
+  FROM (SELECT DISTINCT event_type, user_id FROM events) ev
+), regs AS (
+  SELECT event_type, bucket, MAX({_rho_case_sql('w')}) AS m_j
+  FROM hashed GROUP BY event_type, bucket
+), spine AS (
+  SELECT t.event_type, s.bucket
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(range(0, {_HLL_M})) AS bucket) s
+), filled AS (
+  SELECT s.event_type, COALESCE(r.m_j, 0) AS m_j
+  FROM spine s LEFT JOIN regs r
+    ON s.event_type = r.event_type AND s.bucket = r.bucket
+), est AS (
+  SELECT event_type,
+         {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / SUM(POWER(2.0, -m_j)) AS e_raw,
+         SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS v_zero
+  FROM filled GROUP BY event_type
+), ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY event_type
+)
+SELECT est.event_type,
+       ROUND(CASE WHEN est.e_raw <= 2.5 * {_HLL_M} AND est.v_zero > 0
+                  THEN {_HLL_M} * LN({_HLL_M} / est.v_zero::DOUBLE)
+                  ELSE est.e_raw END, 4) AS hll_users,
+       ex.exact_users
+FROM est JOIN ex ON est.event_type = ex.event_type
+"""
+
+
+@register("hll_explicit_user_counts", oracle=_HLL_ORACLE)
+def hll_explicit_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 with FULL value verification: distinct users per event type via
+    a from-scratch HyperLogLog over explicit md5-derived hashes — the
+    first approx-distinct in the registry whose ESTIMATE hash-matches the
+    DuckDB twin (the DataSketches rows are rows-only because their sketch
+    binary is engine-specific). Small-range linear counting correction
+    applied exactly as published.
+
+    Scale shape: one distinct-collapse then one (type, bucket) aggregate —
+    registers are MERGEABLE by max, so per-partition partial registers
+    combine map-side and a day-grain register table would roll up to any
+    window by the same max, exactly like cm_cells/hll_weekly_actives. The
+    register sum is drift-free: every 2^-M term is a multiple of 2^-25
+    and the total < 2^9, so 256-term double addition is exact in any
+    order (the reason this estimator CAN be hash-checked)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    h = F.expr(_HLL_SPARK_H)
+    hashed = ev.select(
+        "event_type",
+        (h / 16777216).cast("long").alias("bucket"),
+        (h % 16777216).alias("w"),
+    )
+    rho = F.when(F.col("w") >= (1 << 23), 1)
+    for i in range(1, 24):
+        rho = rho.when(F.col("w") >= (1 << (23 - i)), i + 1)
+    rho = rho.otherwise(25)
+    regs = hashed.groupBy("event_type", "bucket").agg(F.max(rho).alias("m_j"))
+    spine = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(_HLL_M).select(F.col("id").alias("bucket"))
+        )
+    )
+    filled = spine.join(regs, ["event_type", "bucket"], "left").select(
+        "event_type", F.coalesce("m_j", F.lit(0)).alias("m_j")
+    )
+    est = filled.groupBy("event_type").agg(
+        (
+            F.lit(_HLL_ALPHA)
+            * _HLL_M
+            * _HLL_M
+            / F.sum(F.pow(F.lit(2.0), -F.col("m_j")))
+        ).alias("e_raw"),
+        F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0)).alias("v_zero"),
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    corrected = F.when(
+        (F.col("e_raw") <= 2.5 * _HLL_M) & (F.col("v_zero") > 0),
+        _HLL_M * F.log(_HLL_M / F.col("v_zero").cast("double")),
+    ).otherwise(F.col("e_raw"))
+    return est.join(exact, "event_type").select(
+        "event_type",
+        F.round(corrected, 4).alias("hll_users"),
+        F.col("exact_users").cast("long").alias("exact_users"),
+    )

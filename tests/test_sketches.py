@@ -211,3 +211,16 @@ def test_stream_cm_equals_batch(spark, qs):
     batch = sorted(map(tuple, qs["cm_heavy_hitters"](spark, SF_DIR).collect()))
     stream = sorted(map(tuple, qs["stream_cm_heavy_hitters"](spark, SF_DIR).collect()))
     assert stream == batch
+
+
+def test_hll_explicit_estimate_within_published_error(spark):
+    """From-scratch HLL (m=256): estimate must land within ~3 sigma of
+    the published standard error (1.04/sqrt(m) ~ 6.5%) of the exact
+    distinct count for every group."""
+    from dataengineerchallenge_spark.queries.sketches import hll_explicit_user_counts
+
+    rows = hll_explicit_user_counts(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        rel = abs(r["hll_users"] - r["exact_users"]) / r["exact_users"]
+        assert rel < 0.20, (r["event_type"], r["hll_users"], r["exact_users"])
