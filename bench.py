@@ -64,6 +64,9 @@ HEADLINE = [
     "elb_geo_traffic",                       # J6+ longest-prefix-match CIDR enrichment (round 11)
     "cm_heavy_hitters",                      # A6+ count-min frequency sketch (round 12)
     "exact_dedup_bloom_prefilter",           # N1+ Bloom membership prefilter (round 12)
+    "part_copurchase_pagerank",              # G1 iterative graph power iteration (round 12)
+    "hll_explicit_user_counts",              # A6+ hash-verified HyperLogLog (round 12)
+    "hourly_load_anomalies_mad",             # A+ robust anomaly screen (round 12)
     # near_dup_jaccard_prefix is deliberately NOT a headline line: on the
     # fixture's uniform-vocab corpus the prefix plan's extra shuffles cost
     # more than the candidate reduction saves (its regime is Zipfian hot

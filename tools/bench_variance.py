@@ -89,12 +89,30 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_variance.json"))
     ap.add_argument(
         "--rounds",
-        default="BENCH_r07.json,BENCH_r09.json",
+        default=None,
         help="earlier,later committed round artifacts to anchor against "
-        "(default: the two most recent parseable rounds; BENCH_r08 "
-        "shipped parsed:null and cannot anchor)",
+        "(default: the two most recent parseable rounds; a round that "
+        "shipped parsed:null, like BENCH_r08, cannot anchor)",
     )
     args = ap.parse_args()
+
+    if args.rounds is None:
+        # actually scan for the two most recent parseable rounds — the
+        # old hardcoded r7/r9 default silently went stale every round
+        import glob as _glob
+
+        cands = []
+        for f in sorted(_glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+            try:
+                d = json.load(open(f))
+            except Exception:
+                continue
+            parsed = d.get("parsed", d)
+            if isinstance(parsed, dict) and "queries" in parsed:
+                cands.append(os.path.basename(f))
+        if len(cands) < 2:
+            raise SystemExit(f"need two parseable round artifacts, found {cands}")
+        args.rounds = ",".join(cands[-2:])
 
     if args.fresh:
         fresh = json.load(open(args.fresh))
