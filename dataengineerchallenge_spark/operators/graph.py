@@ -63,6 +63,11 @@ def pagerank(
     # subtree re-runs the upstream edge build (observed: 44 file scans /
     # 65 exchanges for 5 iterations on the co-purchase graph), which at
     # 100 TB means re-shuffling the raw fact table once per iteration.
+    # Measured (BENCH_graph.json): the persist pays in proportion to the
+    # upstream build cost — 3.1x on the co-purchase query (edges derive
+    # from a lineitem self-join + distinct), 1.5x at 16M pre-materialized
+    # edges, and LOSES ~25% at 1M pre-materialized edges where the cache
+    # write costs more than the bare re-scan it saves.
     # MEMORY_AND_DISK so an edge set bigger than executor memory spills
     # instead of failing; both frames are lazy until the first action.
     eo = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
