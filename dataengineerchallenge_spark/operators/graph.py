@@ -89,3 +89,58 @@ def pagerank(
             ).alias("pr"),
         )
     return ranks
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts of an UNDIRECTED graph
+    (``edges`` may carry one or both directions; pairs are canonicalized
+    and deduplicated first). Returns (node, n_triangles) for nodes in at
+    least one triangle.
+
+    Algorithm: degree-ordered edge orientation (the standard wedge-bound
+    trick — each undirected edge points from the lower-(degree, id) rank
+    endpoint to the higher): every triangle is generated exactly once as
+    a wedge at its LOWEST-rank corner plus one closing-edge hash join.
+    Orienting by degree instead of raw id bounds a hub's out-degree by
+    O(sqrt(|E|)) on any graph, so wedge fanout never explodes on the
+    skewed degree distributions real graphs have — with raw-id
+    orientation a hot hub with degree d contributes C(d, 2) wedges.
+    Per-node counts are orientation-invariant (a triangle is a node
+    SET), which also lets the DuckDB oracle use the simpler raw-id
+    orientation and still match value-for-value.
+    """
+    canon = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"),
+    ).filter(F.col("a") != F.col("b")).distinct()
+    und = canon.union(canon.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # rank = (degree, id): total order, deterministic
+    ranked = (
+        und.join(deg.withColumnRenamed("a", "_n").withColumnRenamed("deg", "dega"),
+                 F.col("a") == F.col("_n")).drop("_n")
+        .join(deg.withColumnRenamed("a", "_n").withColumnRenamed("deg", "degb"),
+              F.col("b") == F.col("_n")).drop("_n")
+    )
+    oriented = ranked.filter(
+        (F.col("dega") < F.col("degb"))
+        | ((F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b")))
+    ).select(F.col("a").alias("u"), F.col("b").alias("v"))
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    wedges = e1.join(e2, F.col("e1.u") == F.col("e2.u")).filter(
+        F.col("e1.v") < F.col("e2.v")
+    ).select(
+        F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
+    )
+    # close the wedge: (y, z) must be an edge in EITHER orientation
+    closer = oriented.select(
+        F.col("u").alias("y"), F.col("v").alias("z")
+    ).union(oriented.select(F.col("v").alias("y"), F.col("u").alias("z")))
+    tris = wedges.join(closer.distinct(), ["y", "z"])
+    members = (
+        tris.select(F.col("x").alias("node"))
+        .union(tris.select(F.col("y").alias("node")))
+        .union(tris.select(F.col("z").alias("node")))
+    )
+    return members.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -84,3 +84,64 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, iters=_ITERS, damping=_DAMPING)
     return ranks.select(F.col("node").alias("part_key"), F.round("pr", 4).alias("pr"))
+
+
+@register(
+    "part_copurchase_triangles",
+    oracle="""
+    WITH e AS (
+      SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
+             GREATEST(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ), tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM e e1
+      JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    ), members AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT node AS part_key, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM members GROUP BY node
+    """,
+)
+def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (per-node participation) on the co-purchase
+    graph — the local-clustering primitive behind community detection
+    and recommendation diversity screens. The Spark side orients edges
+    by DEGREE rank (wedge fanout bounded O(sqrt(E)) per node, the trick
+    that survives hub-skewed real graphs); the oracle uses the simpler
+    raw-id orientation — per-node counts are orientation-invariant, so
+    they hash-match anyway (operators/graph.py:triangle_counts).
+
+    Edges carry a SUPPORT >= 2 threshold (pairs co-purchased in at least
+    two orders — the standard market-basket cut): the raw co-occurrence
+    graph is quadratically dense in order size (1.2M pairs at sf0.1,
+    average degree ~90, wedge fanout OOMs a default-heap local run and
+    would be a shuffle bomb at 100 TB), while the supported graph stays
+    ~4k edges at EVERY fixture scale because repeated co-purchase is a
+    genuine signal, not combinatorial noise."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .drop("support")
+    )
+    from dataengineerchallenge_spark.operators.graph import triangle_counts
+
+    out = triangle_counts(edges)
+    return out.select(
+        F.col("node").alias("part_key"), F.col("n_triangles").cast("long").alias("n_triangles")
+    )

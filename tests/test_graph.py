@@ -87,3 +87,21 @@ def test_graph_bench_artifact_persist_pays_at_scale():
     assert biggest["persist_speedup"] >= 1.2
     for r in res.values():
         assert r["rank_mass_rel_err"] < 1e-9
+
+
+def test_triangle_counts_closed_forms(spark):
+    from dataengineerchallenge_spark.operators.graph import triangle_counts
+
+    def tc(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+
+    # K4: 4 triangles, every node in exactly 3; input deliberately noisy
+    # (both directions + duplicates + self-loop) to exercise canonicalization
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b] + [(0, 0), (1, 2)]
+    assert tc(k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+    # path graph: no triangles at all
+    assert tc([(1, 2), (2, 3), (3, 4)]) == {}
+    # two triangles sharing an edge (bowtie-ish): shared nodes count 2
+    two = [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)]
+    assert tc(two) == {1: 1, 2: 2, 3: 2, 4: 1}
