@@ -458,3 +458,124 @@ def hll_explicit_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(corrected, 4).alias("hll_users"),
         F.col("exact_users").cast("long").alias("exact_users"),
     )
+
+
+def _staged_event_type_user_stream(spark: SparkSession, sf_dir: str) -> str:
+    """(event_type, user_id) written as 4 hash-partitioned files for the
+    multi-micro-batch replay (same shape as _staged_event_key_stream)."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        write_result(
+            ev.select("event_type", "user_id").repartition(4, "user_id"), str(out)
+        )
+
+    return staged(
+        spark,
+        "hll_events",
+        Path(sf_dir) / "events.parquet",
+        "hll_events",
+        build,
+    )
+
+
+@register("stream_hll_user_counts", oracle=_HLL_ORACLE)
+def stream_hll_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE twin of ``hll_explicit_user_counts`` (the third online
+    sketch next to stream_cm_heavy_hitters and
+    stream_hourly_anomalies_mad): each micro-batch folds its OWN
+    (event_type, bucket) -> max-rho partial registers into a run-scoped
+    store via foreachBatch — per-batch state is bounded by types x 256
+    registers, never by history. Registers merge by MAX, so the drained
+    store collapses to EXACTLY the batch register table under any stream
+    slicing and the estimator output shares the batch query's DuckDB
+    oracle hash-for-hash. The exact comparison column is folded the same
+    way (per-batch distinct pairs, exact count-distinct at drain — a
+    distinct-union is slicing-invariant too)."""
+    import shutil
+    import tempfile
+
+    payload = _staged_event_type_user_stream(spark, sf_dir)
+    schema = spark.read.parquet(payload).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(payload)
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_graft_stream_hll_")
+    regs_dir, pairs_dir, ckpt = (
+        f"{scratch}/regs",
+        f"{scratch}/pairs",
+        f"{scratch}/ckpt",
+    )
+
+    h = F.expr(_HLL_SPARK_H)
+    rho = F.when(F.col("w") >= (1 << 23), 1)
+    for i in range(1, 24):
+        rho = rho.when(F.col("w") >= (1 << (23 - i)), i + 1)
+    rho = rho.otherwise(25)
+
+    def update(mb: DataFrame, epoch_id: int) -> None:
+        pairs = mb.select("event_type", "user_id").distinct()
+        hashed = pairs.select(
+            "event_type",
+            (h / 16777216).cast("long").alias("bucket"),
+            (h % 16777216).alias("w"),
+        )
+        hashed.groupBy("event_type", "bucket").agg(F.max(rho).alias("m_j")).write.mode(
+            "append"
+        ).parquet(regs_dir)
+        pairs.write.mode("append").parquet(pairs_dir)
+
+    q = (
+        sdf.writeStream.foreachBatch(update)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("stream hll did not drain availableNow input in 300s")
+        regs = (
+            spark.read.parquet(regs_dir)
+            .groupBy("event_type", "bucket")
+            .agg(F.max("m_j").alias("m_j"))
+        )
+        types = spark.read.parquet(pairs_dir).select("event_type").distinct()
+        spine = types.crossJoin(spark.range(_HLL_M).select(F.col("id").alias("bucket")))
+        filled = spine.join(regs, ["event_type", "bucket"], "left").select(
+            "event_type", F.coalesce("m_j", F.lit(0)).alias("m_j")
+        )
+        est = filled.groupBy("event_type").agg(
+            (
+                F.lit(_HLL_ALPHA)
+                * _HLL_M
+                * _HLL_M
+                / F.sum(F.pow(F.lit(2.0), -F.col("m_j")))
+            ).alias("e_raw"),
+            F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0)).alias("v_zero"),
+        )
+        exact = (
+            spark.read.parquet(pairs_dir)
+            .groupBy("event_type")
+            .agg(F.count_distinct("user_id").alias("exact_users"))
+        )
+        corrected = F.when(
+            (F.col("e_raw") <= 2.5 * _HLL_M) & (F.col("v_zero") > 0),
+            _HLL_M * F.log(_HLL_M / F.col("v_zero").cast("double")),
+        ).otherwise(F.col("e_raw"))
+        out = est.join(exact, "event_type").select(
+            "event_type",
+            F.round(corrected, 4).alias("hll_users"),
+            F.col("exact_users").cast("long").alias("exact_users"),
+        )
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(scratch, ignore_errors=True)
+    return result

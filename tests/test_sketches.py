@@ -224,3 +224,23 @@ def test_hll_explicit_estimate_within_published_error(spark):
     for r in rows:
         rel = abs(r["hll_users"] - r["exact_users"]) / r["exact_users"]
         assert rel < 0.20, (r["event_type"], r["hll_users"], r["exact_users"])
+
+
+def test_stream_hll_twin_matches_batch(spark):
+    """Stream==batch contract for the explicit HLL: per-micro-batch
+    max-folded registers must collapse to the batch register table under
+    the 4-file replay, so the estimator outputs are identical."""
+    import glob
+
+    from dataengineerchallenge_spark.queries.sketches import (
+        _staged_event_type_user_stream,
+        hll_explicit_user_counts,
+        stream_hll_user_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    payload = _staged_event_type_user_stream(spark, sf)
+    assert len(glob.glob(f"{payload}/part-*")) == 4
+    got = sorted(map(tuple, stream_hll_user_counts(spark, sf).collect()))
+    want = sorted(map(tuple, hll_explicit_user_counts(spark, sf).collect()))
+    assert got == want
