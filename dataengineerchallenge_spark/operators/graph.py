@@ -144,3 +144,56 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .union(tris.select(F.col("z").alias("node")))
     )
     return members.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def hop_distances(
+    edges: DataFrame,
+    source,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, hops) BFS distances from ``source`` over a DIRECTED edge
+    list, bounded at ``max_hops`` (unreached nodes are absent). Classic
+    iterative frontier expansion as joins: each round joins the frontier
+    onto out-edges, anti-joins already-visited nodes, and unions into the
+    visited set — hop counts are integers, so results are deterministic
+    and exactly SQL-reproducible (recursive CTE with a depth bound).
+
+    Scale shape: round k shuffles only FRONTIER x out-edges (the
+    expanding wave), never visited x edges — the anti-join keeps the
+    probe side at the new wave. Like pagerank, the edge list is the
+    loop invariant and is persisted; the visited set is rebuilt per
+    round (at 100 TB checkpoint it every few hops to cut lineage).
+    """
+    from pyspark import StorageLevel
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    visited = e.sparkSession.createDataFrame(
+        [(source, 0)], "node long, hops int"
+    )
+    frontier = visited
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(k).alias("hops"))
+        )
+        # materialize the wave and TRUNCATE its lineage: each round's
+        # emptiness check is an action, and without the checkpoint round
+        # k's plan re-executes rounds 1..k-1 (the union/anti-join chain
+        # compounds and OOMed a default-heap run at a few thousand
+        # edges). localCheckpoint is the local-mode form; a cluster run
+        # with lossy executors would use reliable checkpoint() instead.
+        nxt = nxt.localCheckpoint()
+        # driver-side emptiness check ends the loop early: one tiny
+        # action per round, the standard BFS termination
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt)
+        frontier = nxt
+    return visited

@@ -145,3 +145,60 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("node").alias("part_key"), F.col("n_triangles").cast("long").alias("n_triangles")
     )
+
+
+@register(
+    "part_copurchase_hops",
+    oracle="""
+    WITH RECURSIVE e0 AS (
+      SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
+             GREATEST(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ), e AS (
+      SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+    ), reach(node, hops) AS (
+      SELECT (SELECT MIN(u) FROM e), 0
+      UNION
+      SELECT e.v, r.hops + 1
+      FROM reach r JOIN e ON e.u = r.node
+      WHERE r.hops < 6
+    )
+    SELECT node AS part_key, CAST(MIN(hops) AS INT) AS hops
+    FROM reach GROUP BY node
+    """,
+)
+def part_copurchase_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances from the lowest-id part over the support>=2
+    co-purchase graph (<= 6 hops) — 'how far is everything from this
+    product in repeated-co-purchase space', the neighborhood primitive
+    under related-item carousels. Iterative frontier-expansion joins
+    with early termination (operators/graph.py:hop_distances); the
+    oracle is a depth-bounded recursive CTE whose UNION-dedup keeps the
+    row space nodes x hops, with MIN(hops) collapsing re-reaches to the
+    BFS distance."""
+    from dataengineerchallenge_spark.operators.graph import hop_distances
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    canon = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .drop("support")
+    )
+    edges = canon.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).union(canon.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    source = edges.agg(F.min("src")).collect()[0][0]
+    out = hop_distances(edges, source, max_hops=6)
+    return out.select(
+        F.col("node").alias("part_key"), F.col("hops").cast("int").alias("hops")
+    )

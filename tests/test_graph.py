@@ -105,3 +105,20 @@ def test_triangle_counts_closed_forms(spark):
     # two triangles sharing an edge (bowtie-ish): shared nodes count 2
     two = [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)]
     assert tc(two) == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_hop_distances_closed_forms(spark):
+    from dataengineerchallenge_spark.operators.graph import hop_distances
+
+    def hd(edges, source, **kw):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {r["node"]: r["hops"] for r in hop_distances(df, source, **kw).collect()}
+
+    # directed path 1->2->3->4: exact hop counts, early termination at 3
+    path = [(1, 2), (2, 3), (3, 4)]
+    assert hd(path, 1) == {1: 0, 2: 1, 3: 2, 4: 3}
+    # max_hops bound truncates the far tail
+    assert hd(path, 1, max_hops=2) == {1: 0, 2: 1, 3: 2}
+    # cycle: BFS takes the SHORT way around; disconnected node absent
+    cyc = [(1, 2), (2, 3), (3, 1), (1, 3), (7, 8)]
+    assert hd(cyc, 1) == {1: 0, 2: 1, 3: 1}
