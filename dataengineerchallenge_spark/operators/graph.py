@@ -88,6 +88,14 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
             ).alias("pr"),
         )
+    # materialize the final ranks (localCheckpoint truncates lineage and,
+    # unlike persist, is GC'd with the frame), then RELEASE the loop
+    # invariants: without the unpersist every call leaves two cached
+    # copies of the edge frame pinned for the session lifetime — a
+    # 200-query registry sweep would accrete them all
+    ranks = ranks.localCheckpoint()
+    eo.unpersist()
+    nodes.unpersist()
     return ranks
 
 
@@ -137,7 +145,10 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     closer = oriented.select(
         F.col("u").alias("y"), F.col("v").alias("z")
     ).union(oriented.select(F.col("v").alias("y"), F.col("u").alias("z")))
-    tris = wedges.join(closer.distinct(), ["y", "z"])
+    # no distinct needed: `oriented` holds each unordered pair exactly
+    # once in exactly one direction, so the two-reversal union is
+    # duplicate-free by construction
+    tris = wedges.join(closer, ["y", "z"])
     members = (
         tris.select(F.col("x").alias("node"))
         .union(tris.select(F.col("y").alias("node")))
@@ -148,7 +159,7 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
 
 def hop_distances(
     edges: DataFrame,
-    source,
+    source=None,
     max_hops: int = 6,
     src: str = "src",
     dst: str = "dst",
@@ -171,8 +182,15 @@ def hop_distances(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if source is None:
+        # default source = minimum src value, read from the (now cached)
+        # edge frame so the caller never has to build the edges twice
+        source = e.agg(F.min("src")).collect()[0][0]
+    # seed schema derives from the edge column's actual type — node ids
+    # may be long, int or string depending on the graph
+    seed_t = edges.schema[src].dataType.simpleString()
     visited = e.sparkSession.createDataFrame(
-        [(source, 0)], "node long, hops int"
+        [(source, 0)], f"node {seed_t}, hops int"
     )
     frontier = visited
     for k in range(1, max_hops + 1):
@@ -196,4 +214,7 @@ def hop_distances(
             break
         visited = visited.union(nxt)
         frontier = nxt
+    # every wave is localCheckpoint-ed, so the result no longer depends
+    # on the cached edge frame — release it (see pagerank note)
+    e.unpersist()
     return visited

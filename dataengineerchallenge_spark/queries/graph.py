@@ -197,8 +197,10 @@ def part_copurchase_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = canon.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).union(canon.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-    source = edges.agg(F.min("src")).collect()[0][0]
-    out = hop_distances(edges, source, max_hops=6)
+    # source defaults to min(src) INSIDE hop_distances, read from its
+    # cached edge frame — computing it here would run the self-join
+    # edge build twice
+    out = hop_distances(edges, max_hops=6)
     return out.select(
         F.col("node").alias("part_key"), F.col("hops").cast("int").alias("hops")
     )

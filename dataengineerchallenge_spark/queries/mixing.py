@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dataengineerchallenge_spark.functions.hashing import duck_u32, spark_u32
 from dataengineerchallenge_spark.queries.text import quality_frame
 from dataengineerchallenge_spark.registry import register
 from dataengineerchallenge_spark.sources.tables import load_table
@@ -129,13 +130,9 @@ def corpus_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 32-bit uniform from the first 8 md5 nibbles of the doc key — the
 # Efraimidis-Spirakis draw needs more resolution than the 1-byte
 # acceptance bucket above (ties in an 8-bit u would make top-k order
-# depend on the tie-break far too often)
-_SPARK_U32 = "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"
-_DUCK_U32 = " + ".join(
-    f"(strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) "
-    f"* {16 ** (7 - i)}"
-    for i in range(8)
-)
+# depend on the tie-break far too often). Shared construct:
+# functions/hashing.py (the HLL sketch draws from the same well).
+_DUCK_U32 = duck_u32("doc_id")
 
 _ES_K = 100
 
@@ -202,8 +199,7 @@ def es_weighted_sample(df: DataFrame, id_col: str, weight_col: str, k: int) -> D
     (1..k) to the k selected rows. Deterministic in the id column alone —
     the uniform draw is md5-derived, the ranking grid-snapped, ties
     broken by id."""
-    u32 = _SPARK_U32.replace("doc_id", id_col)
-    u = (F.expr(u32) + 0.5) / F.lit(4294967296.0)
+    u = (F.expr(spark_u32(id_col)) + 0.5) / F.lit(4294967296.0)
     keyed = df.withColumn(
         "es_key", F.round(F.log(u) / F.col(weight_col), 8)
     )

@@ -341,15 +341,10 @@ def stream_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HLL_M = 256
 _HLL_ALPHA = round(0.7213 / (1 + 1.079 / _HLL_M), 10)  # identical literal both engines
 
-_HEX = "0123456789abcdef"
-_HLL_SPARK_H = (
-    "cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint)"
-)
-_HLL_DUCK_H = " + ".join(
-    f"(strpos('{_HEX}', substr(md5(CAST(user_id AS VARCHAR)), {i + 1}, 1)) - 1) "
-    f"* {16 ** (7 - i)}"
-    for i in range(8)
-)
+from dataengineerchallenge_spark.functions.hashing import duck_u32, spark_u32
+
+_HLL_SPARK_H = spark_u32("user_id")
+_HLL_DUCK_H = duck_u32("user_id")
 
 
 def _rho_case_sql(w: str) -> str:
@@ -396,6 +391,55 @@ FROM est JOIN ex ON est.event_type = ex.event_type
 """
 
 
+def _hll_rho():
+    """1 + leading zeros of the 24-bit hash suffix column ``w`` (25 when
+    zero) — the integer-exact register rank, shared by both twins."""
+    rho = F.when(F.col("w") >= (1 << 23), 1)
+    for i in range(1, 24):
+        rho = rho.when(F.col("w") >= (1 << (23 - i)), i + 1)
+    return rho.otherwise(25)
+
+
+def _hll_registers(pairs: DataFrame) -> DataFrame:
+    """(event_type, user_id) pairs -> (event_type, bucket, m_j) max-rho
+    register table (mergeable by max)."""
+    h = F.expr(_HLL_SPARK_H)
+    hashed = pairs.select(
+        "event_type",
+        (h / 16777216).cast("long").alias("bucket"),
+        (h % 16777216).alias("w"),
+    )
+    return hashed.groupBy("event_type", "bucket").agg(F.max(_hll_rho()).alias("m_j"))
+
+
+def _hll_estimate(spark: SparkSession, regs: DataFrame, types: DataFrame, exact: DataFrame) -> DataFrame:
+    """Register table + type spine + exact comparison column -> the
+    corrected estimator output (shared by the batch query and the
+    streaming twin so the two can never diverge)."""
+    spine = types.crossJoin(spark.range(_HLL_M).select(F.col("id").alias("bucket")))
+    filled = spine.join(regs, ["event_type", "bucket"], "left").select(
+        "event_type", F.coalesce("m_j", F.lit(0)).alias("m_j")
+    )
+    est = filled.groupBy("event_type").agg(
+        (
+            F.lit(_HLL_ALPHA)
+            * _HLL_M
+            * _HLL_M
+            / F.sum(F.pow(F.lit(2.0), -F.col("m_j")))
+        ).alias("e_raw"),
+        F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0)).alias("v_zero"),
+    )
+    corrected = F.when(
+        (F.col("e_raw") <= 2.5 * _HLL_M) & (F.col("v_zero") > 0),
+        _HLL_M * F.log(_HLL_M / F.col("v_zero").cast("double")),
+    ).otherwise(F.col("e_raw"))
+    return est.join(exact, "event_type").select(
+        "event_type",
+        F.round(corrected, 4).alias("hll_users"),
+        F.col("exact_users").cast("long").alias("exact_users"),
+    )
+
+
 @register("hll_explicit_user_counts", oracle=_HLL_ORACLE)
 def hll_explicit_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 with FULL value verification: distinct users per event type via
@@ -412,52 +456,14 @@ def hll_explicit_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     register sum is drift-free: every 2^-M term is a multiple of 2^-25
     and the total < 2^9, so 256-term double addition is exact in any
     order (the reason this estimator CAN be hash-checked)."""
-    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id").distinct()
-    h = F.expr(_HLL_SPARK_H)
-    hashed = ev.select(
-        "event_type",
-        (h / 16777216).cast("long").alias("bucket"),
-        (h % 16777216).alias("w"),
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select("event_type", "user_id").distinct()
+    regs = _hll_registers(pairs)
+    types = ev.select("event_type").distinct()
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
     )
-    rho = F.when(F.col("w") >= (1 << 23), 1)
-    for i in range(1, 24):
-        rho = rho.when(F.col("w") >= (1 << (23 - i)), i + 1)
-    rho = rho.otherwise(25)
-    regs = hashed.groupBy("event_type", "bucket").agg(F.max(rho).alias("m_j"))
-    spine = (
-        load_table(spark, sf_dir, "events")
-        .select("event_type")
-        .distinct()
-        .crossJoin(
-            spark.range(_HLL_M).select(F.col("id").alias("bucket"))
-        )
-    )
-    filled = spine.join(regs, ["event_type", "bucket"], "left").select(
-        "event_type", F.coalesce("m_j", F.lit(0)).alias("m_j")
-    )
-    est = filled.groupBy("event_type").agg(
-        (
-            F.lit(_HLL_ALPHA)
-            * _HLL_M
-            * _HLL_M
-            / F.sum(F.pow(F.lit(2.0), -F.col("m_j")))
-        ).alias("e_raw"),
-        F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0)).alias("v_zero"),
-    )
-    exact = (
-        load_table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(F.count_distinct("user_id").alias("exact_users"))
-    )
-    corrected = F.when(
-        (F.col("e_raw") <= 2.5 * _HLL_M) & (F.col("v_zero") > 0),
-        _HLL_M * F.log(_HLL_M / F.col("v_zero").cast("double")),
-    ).otherwise(F.col("e_raw"))
-    return est.join(exact, "event_type").select(
-        "event_type",
-        F.round(corrected, 4).alias("hll_users"),
-        F.col("exact_users").cast("long").alias("exact_users"),
-    )
+    return _hll_estimate(spark, regs, types, exact)
 
 
 def _staged_event_type_user_stream(spark: SparkSession, sf_dir: str) -> str:
@@ -513,22 +519,9 @@ def stream_hll_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{scratch}/ckpt",
     )
 
-    h = F.expr(_HLL_SPARK_H)
-    rho = F.when(F.col("w") >= (1 << 23), 1)
-    for i in range(1, 24):
-        rho = rho.when(F.col("w") >= (1 << (23 - i)), i + 1)
-    rho = rho.otherwise(25)
-
     def update(mb: DataFrame, epoch_id: int) -> None:
         pairs = mb.select("event_type", "user_id").distinct()
-        hashed = pairs.select(
-            "event_type",
-            (h / 16777216).cast("long").alias("bucket"),
-            (h % 16777216).alias("w"),
-        )
-        hashed.groupBy("event_type", "bucket").agg(F.max(rho).alias("m_j")).write.mode(
-            "append"
-        ).parquet(regs_dir)
+        _hll_registers(pairs).write.mode("append").parquet(regs_dir)
         pairs.write.mode("append").parquet(pairs_dir)
 
     q = (
@@ -546,33 +539,12 @@ def stream_hll_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("m_j").alias("m_j"))
         )
         types = spark.read.parquet(pairs_dir).select("event_type").distinct()
-        spine = types.crossJoin(spark.range(_HLL_M).select(F.col("id").alias("bucket")))
-        filled = spine.join(regs, ["event_type", "bucket"], "left").select(
-            "event_type", F.coalesce("m_j", F.lit(0)).alias("m_j")
-        )
-        est = filled.groupBy("event_type").agg(
-            (
-                F.lit(_HLL_ALPHA)
-                * _HLL_M
-                * _HLL_M
-                / F.sum(F.pow(F.lit(2.0), -F.col("m_j")))
-            ).alias("e_raw"),
-            F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0)).alias("v_zero"),
-        )
         exact = (
             spark.read.parquet(pairs_dir)
             .groupBy("event_type")
             .agg(F.count_distinct("user_id").alias("exact_users"))
         )
-        corrected = F.when(
-            (F.col("e_raw") <= 2.5 * _HLL_M) & (F.col("v_zero") > 0),
-            _HLL_M * F.log(_HLL_M / F.col("v_zero").cast("double")),
-        ).otherwise(F.col("e_raw"))
-        out = est.join(exact, "event_type").select(
-            "event_type",
-            F.round(corrected, 4).alias("hll_users"),
-            F.col("exact_users").cast("long").alias("exact_users"),
-        )
+        out = _hll_estimate(spark, regs, types, exact)
         result = spark.createDataFrame(out.collect(), out.schema)
     finally:
         if q.isActive:

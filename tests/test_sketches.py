@@ -219,7 +219,7 @@ def test_hll_explicit_estimate_within_published_error(spark):
     distinct count for every group."""
     from dataengineerchallenge_spark.queries.sketches import hll_explicit_user_counts
 
-    rows = hll_explicit_user_counts(spark, "/root/testdata/sf0.001").collect()
+    rows = hll_explicit_user_counts(spark, SF_DIR).collect()
     assert rows
     for r in rows:
         rel = abs(r["hll_users"] - r["exact_users"]) / r["exact_users"]
@@ -238,7 +238,7 @@ def test_stream_hll_twin_matches_batch(spark):
         stream_hll_user_counts,
     )
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF_DIR
     payload = _staged_event_type_user_stream(spark, sf)
     assert len(glob.glob(f"{payload}/part-*")) == 4
     got = sorted(map(tuple, stream_hll_user_counts(spark, sf).collect()))

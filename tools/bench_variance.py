@@ -101,18 +101,25 @@ def main() -> None:
         # old hardcoded r7/r9 default silently went stale every round
         import glob as _glob
 
+        import re as _re
+
         cands = []
-        for f in sorted(_glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+        for f in _glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+            m = _re.search(r"BENCH_r(\d+)\.json$", f)
+            if not m:
+                continue
             try:
                 d = json.load(open(f))
+                parsed = d.get("parsed", d) if isinstance(d, dict) else None
             except Exception:
                 continue
-            parsed = d.get("parsed", d)
             if isinstance(parsed, dict) and "queries" in parsed:
-                cands.append(os.path.basename(f))
+                # sort by ROUND NUMBER, not filename: lexicographic order
+                # breaks at r100 (sorts before r99)
+                cands.append((int(m.group(1)), os.path.basename(f)))
         if len(cands) < 2:
             raise SystemExit(f"need two parseable round artifacts, found {cands}")
-        args.rounds = ",".join(cands[-2:])
+        args.rounds = ",".join(n for _, n in sorted(cands)[-2:])
 
     if args.fresh:
         fresh = json.load(open(args.fresh))
