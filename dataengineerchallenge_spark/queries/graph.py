@@ -204,3 +204,74 @@ def part_copurchase_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("node").alias("part_key"), F.col("hops").cast("int").alias("hops")
     )
+
+
+@register(
+    "part_pair_affinity",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op
+    ), freq AS (
+      SELECT l_partkey, count(*) AS f FROM op GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS supp
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT p.u, p.v, CAST(p.supp AS BIGINT) AS supp,
+           ROUND(p.supp * n.n_orders / (fa.f * CAST(fb.f AS DOUBLE)), 4) AS lift
+    FROM pairs p
+    JOIN freq fa ON fa.l_partkey = p.u
+    JOIN freq fb ON fb.l_partkey = p.v
+    CROSS JOIN n
+    """,
+)
+def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair affinity: support (orders containing both
+    parts, >= 2) and LIFT (observed co-occurrence over the independence
+    expectation) for every repeatedly co-purchased pair — the scoring
+    layer on the same supported-pair graph the triangle/BFS queries
+    walk. Lift > 1 = genuinely associated, < 1 = co-occurring less than
+    chance; the integer support and exact integer frequencies make the
+    one float expression identical on both engines (ROUND 4).
+
+    Scale: (order, part) distinct-collapse, the self-join shuffles on
+    l_orderkey with per-order bounded fanout, frequencies broadcast back
+    onto the pair frame — no step carries more than the pair set."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = op.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    freq = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= 2)
+    )
+    fa = freq.select(F.col("l_partkey").alias("u"), F.col("f").alias("fa"))
+    fb = freq.select(F.col("l_partkey").alias("v"), F.col("f").alias("fb"))
+    return (
+        pairs.join(F.broadcast(fa), "u")
+        .join(F.broadcast(fb), "v")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "u",
+            "v",
+            F.col("supp").cast("long").alias("supp"),
+            F.round(
+                F.col("supp") * F.col("n_orders")
+                / (F.col("fa") * F.col("fb").cast("double")),
+                4,
+            ).alias("lift"),
+        )
+    )
