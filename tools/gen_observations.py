@@ -301,6 +301,19 @@ micro-batch, with stream-vs-batch row parity pinned in pytest.
     top_decile_share = 100.0 * by_decile.get(10, 0) / total_time
     top2_decile_share = 100.0 * (by_decile.get(10, 0) + by_decile.get(9, 0)) / total_time
 
+    # --- co-purchase structure (round-12 graph/affinity family) ---
+    aff = sorted(run("part_pair_affinity"), key=lambda r: (-r["lift"], r["u"], r["v"]))
+    pr = run("part_copurchase_pagerank")
+    pr_sorted = sorted(pr, key=lambda r: -r["pr"])
+    pr_total = sum(r["pr"] for r in pr) or 1
+    pr_top10_share = 100.0 * sum(r["pr"] for r in pr_sorted[: max(1, len(pr) // 10)]) / pr_total
+    tri = run("part_copurchase_triangles")
+    hops = run("part_copurchase_hops")
+    hop_hist: dict[int, int] = {}
+    for r in hops:
+        hop_hist[r["hops"]] = hop_hist.get(r["hops"], 0) + 1
+    graph_bench = load_artifact("BENCH_graph.json")
+
     doc = f"""# Analytical observations
 
 Generated by `tools/gen_observations.py` on {datetime.now(timezone.utc):%Y-%m-%d}
@@ -428,6 +441,34 @@ session is 0 s). Two product consequences: (a) mean-based engagement
 metrics describe almost nobody — the median user and the decile cutoffs
 are the stable summary; (b) any A/B metric on "time on site" needs the
 zero-duration mass modeled explicitly, not averaged away.
+
+### Co-purchase structure (graph queries over the order fact)
+
+Parts repeatedly bought together (support ≥ 2 orders) form a graph the
+round-12 family walks end-to-end — association scores, centrality,
+local clustering and reachability, every query oracle-checked:
+
+- **Strongest associations** (`part_pair_affinity`; lift = observed
+  co-occurrence over the independence expectation):
+
+{md_table([(r["u"], r["v"], r["supp"], r["lift"]) for r in aff[:6]], ["part u", "part v", "orders together", "lift"], limit=6)}
+
+- **Centrality** (`part_copurchase_pagerank`, 5 power iterations): the
+  top decile of parts holds {pr_top10_share:.0f}% of total rank mass over
+  {len(pr):,} parts — barely above the 10% a uniform graph would give,
+  i.e. the synthetic fixture has no hub structure. That is itself the
+  observation: rank concentration is the hub DETECTOR, and on real
+  co-purchase data (where it typically lands far above uniform) it is
+  what tells a "customers also bought" carousel it needs a diversity
+  term.
+- **Local clustering** (`part_copurchase_triangles`): {len(tri):,} parts
+  participate in at least one repeated-co-purchase triangle — these
+  closed triples are bundle candidates, not just pairwise add-ons.
+- **Reachability** (`part_copurchase_hops`, BFS from the lowest-id
+  part): hop histogram {dict(sorted(hop_hist.items()))} — how much of
+  the supported graph one product's neighborhood can reach in ≤ 6 hops.
+
+{"PageRank itself is benched (`BENCH_graph.json`): the loop-invariant persist loses " + str(round((1 - graph_bench["results"]["pr_1000000"]["persist_speedup"]) * 100)) + "% at 1M pre-materialized edges and wins " + str(graph_bench["results"][f"pr_{graph_bench['edge_sizes'][-1]}"]["persist_speedup"]) + "x at " + f"{graph_bench['edge_sizes'][-1]:,}" + " — the crossover every iterative-join operator should publish." if graph_bench else ""}
 
 ## 5. Engineering trade-offs, measured
 
