@@ -103,3 +103,19 @@ def test_layout_bench_artifact_shows_zorder_scan_reduction():
         biggest["linear_t_scan_rows"], biggest["linear_u_scan_rows"]
     )
     assert biggest["zorder_scan_reduction_vs_best_linear"] >= 2.0
+
+
+def test_layout_bench_artifact_compaction_pays():
+    import json
+    import os
+
+    import pytest
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_layout.json")
+    if not os.path.exists(path):
+        pytest.skip("BENCH_layout.json not generated on this machine")
+    comp = json.load(open(path)).get("compaction")
+    if not comp:
+        pytest.skip("compaction rung not present in this artifact")
+    assert comp["n_files_compacted"] < comp["n_files_fragmented"] / 50
+    assert comp["speedup"] >= 1.5

@@ -190,6 +190,55 @@ def main() -> None:
         out["results"][f"probe_{rows}"] = res
         print(json.dumps({f"probe_{rows}": res}))
 
+    # --- small-file tax & compaction (sources/layout.py:compact_files) ---
+    # the OTHER layout pathology: a streaming sink / over-parallel writer
+    # leaves thousands of tiny files; measure the full-scan tax and what
+    # one round-robin compaction rewrite buys back
+    from dataengineerchallenge_spark.sources.layout import compact_files
+
+    rows = sizes[-1]
+    base = os.path.join(root, f"layout_base_{rows}")
+    src = spark.read.parquet(base)
+    frag = os.path.join(root, f"layout_frag_{rows}")
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        src.repartition(2000).write.mode("overwrite").parquet(frag)
+    comp = os.path.join(root, f"layout_comp_{rows}")
+    if not os.path.exists(os.path.join(comp, "_SUCCESS")):
+        compact_files(spark.read.parquet(frag), 64 * 1024 * 1024).write.mode(
+            "overwrite"
+        ).parquet(comp)
+
+    def scan_agg(path):
+        return (
+            spark.read.parquet(path)
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+            .collect()[0]
+        )
+
+    a_frag = scan_agg(frag)
+    a_comp = scan_agg(comp)
+    assert tuple(a_frag) == tuple(a_comp), "compaction changed the answer"
+    import glob as _glob
+
+    tf = float("inf")
+    tc = float("inf")
+    for _ in range(args.iters):
+        t0 = time.time()
+        scan_agg(frag)
+        tf = min(tf, time.time() - t0)
+        t0 = time.time()
+        scan_agg(comp)
+        tc = min(tc, time.time() - t0)
+    out["compaction"] = {
+        "rows": rows,
+        "n_files_fragmented": len(_glob.glob(os.path.join(frag, "part-*"))),
+        "n_files_compacted": len(_glob.glob(os.path.join(comp, "part-*"))),
+        "full_scan_fragmented_s": round(tf, 3),
+        "full_scan_compacted_s": round(tc, 3),
+        "speedup": round(tf / tc, 2),
+    }
+    print(json.dumps({"compaction": out["compaction"]}))
+
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {args.out}")
