@@ -12,8 +12,14 @@ data touches the driver.
 Scale shape (100 TB edge set):
 - Edges are the big side and are touched once per iteration; ranks are
   |V| rows. Each iteration shuffles contributions on ``dst`` and joins
-  ranks on ``src`` — pre-partitioning edges by ``src`` (bucketed edge
-  store) makes the rank join co-located so only the dst-sum shuffles.
+  ranks on ``src`` — AQE broadcasts the |V|-row rank frame, so the join
+  leg is already map-side. Pre-partitioning the cached edges by ``dst``
+  to make the contribution sum exchange-free was tried and measured
+  SLOWER at 2.4M edges / 20k nodes (18.8 s vs 13.8 s: the upfront
+  repartition of the full edge list costs more than five partial-agg
+  shuffles of ~|V|-per-partition combined rows save); it becomes the
+  right trade only when per-iteration shuffled volume, not the one-time
+  layout pass, dominates — i.e. much larger |V| or many more iterations.
 - Plan depth grows linearly with iterations; past ~10 iterations
   checkpoint/localCheckpoint the rank frame to cut lineage (here the
   fixed 5 iterations stay well within planner comfort).
