@@ -710,10 +710,14 @@ def _bloom_positions(key: Column, m_bits: int, k: int) -> Column:
     Both hashes are reduced mod m BEFORE combining so i*h2 stays far from
     int64 range under ANSI overflow checking (i*h2m ≤ k·m ≪ 2^63); the
     scheme is unchanged: (h1 + i·h2) mod m == (h1 mod m + i·(h2 mod m)) mod m.
+
+    The step h2 is forced into [1, m-1]: if h2 reduced to 0 every probe
+    would collapse onto h1 and the filter would silently degrade to k=1
+    (no-false-negative guarantee unaffected, FPR not) — ADVICE r12.
     """
     m = F.lit(m_bits).cast("long")
     h1 = F.pmod(F.xxhash64(key), m)
-    h2 = F.pmod(F.xxhash64(key, F.lit(_BLOOM_SEED2)), m)
+    h2 = F.lit(1) + F.pmod(F.xxhash64(key, F.lit(_BLOOM_SEED2)), m - F.lit(1))
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.pmod(h1 + i.cast("long") * h2, m),

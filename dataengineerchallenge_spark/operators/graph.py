@@ -140,6 +140,17 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         (F.col("dega") < F.col("degb"))
         | ((F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b")))
     ).select(F.col("a").alias("u"), F.col("b").alias("v"))
+    # `oriented` is consumed THREE times in one plan (both wedge legs and
+    # the closing-edge union) and itself sits on the canon/degree joins —
+    # without the persist each consumption re-derives that whole subtree
+    # (VERDICT r12 flagged the executed plan at 13 exchanges: Catalyst's
+    # ReusedExchange absorbed some triplication, but that reuse is
+    # fragile under AQE replanning and at 100x each re-derivation is a
+    # re-shuffle of the fact table the edges came from). Same loop-
+    # invariant hygiene as pagerank's eo/nodes; released before return.
+    from pyspark import StorageLevel
+
+    oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
     wedges = e1.join(e2, F.col("e1.u") == F.col("e2.u")).filter(
@@ -160,7 +171,13 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .union(tris.select(F.col("y").alias("node")))
         .union(tris.select(F.col("z").alias("node")))
     )
-    return members.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    counts = members.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    # materialize (localCheckpoint is eager and truncates lineage), then
+    # RELEASE the persisted invariant — mirrors pagerank's unpersist
+    # discipline so a registry sweep never accretes cached edge frames
+    counts = counts.localCheckpoint()
+    oriented.unpersist()
+    return counts
 
 
 def hop_distances(

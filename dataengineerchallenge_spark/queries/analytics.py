@@ -736,9 +736,12 @@ def stream_hourly_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     hours_dir, ckpt = f"{scratch}/hours", f"{scratch}/ckpt"
 
     def update(mb: DataFrame, epoch_id: int) -> None:
+        # epoch_id-keyed overwrite: a retried micro-batch rewrites its
+        # own partition instead of double-counting the sum-merged hour
+        # counts (ADVICE r12).
         mb.groupBy("hour_epoch_s").agg(F.count(F.lit(1)).alias("n")).write.mode(
-            "append"
-        ).parquet(hours_dir)
+            "overwrite"
+        ).parquet(f"{hours_dir}/epoch_id={epoch_id}")
 
     q = (
         sdf.writeStream.foreachBatch(update)

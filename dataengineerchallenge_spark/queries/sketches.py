@@ -62,7 +62,13 @@ def cm_cells(keyed: DataFrame, keycol: str, weight=None) -> DataFrame:
 def cm_estimate(keys: DataFrame, keycol: str, cells: DataFrame) -> DataFrame:
     """Point-query the sketch for every key in ``keys``: recompute the d
     buckets per key, join the (broadcast, ≤ d×w-row) cell table, take the
-    row-wise MIN. Never underestimates; overestimate ≤ εN w.h.p."""
+    row-wise MIN. Never underestimates; overestimate ≤ εN w.h.p.
+
+    The cell attach is a LEFT join with coalesce(cnt, 0): a probe key
+    never inserted may land in buckets absent from the cell table, and
+    an inner join would silently drop it (or min over a cell subset)
+    instead of answering cm_est=0 — ADVICE r12. Registered callers only
+    probe inserted keys, so their hashes are unchanged."""
     a = F.array(*[F.lit(r[1]) for r in _CM_ROWS])
     b = F.array(*[F.lit(r[2]) for r in _CM_ROWS])
     key = F.col(keycol).cast("long") % _CM_P
@@ -77,9 +83,9 @@ def cm_estimate(keys: DataFrame, keycol: str, cells: DataFrame) -> DataFrame:
         ).alias("bucket"),
     )
     return (
-        probes.join(F.broadcast(cells), ["row", "bucket"], "inner")
+        probes.join(F.broadcast(cells), ["row", "bucket"], "left")
         .groupBy(keycol)
-        .agg(F.min("cnt").alias("cm_est"))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cm_est"))
     )
 
 
@@ -288,10 +294,16 @@ def stream_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def update(mb: DataFrame, epoch_id: int) -> None:
-        cm_cells(mb, "user_id").write.mode("append").parquet(cells_dir)
+        # epoch_id-keyed overwrite makes the fold IDEMPOTENT under
+        # micro-batch retry: a replayed epoch rewrites its own partition
+        # instead of append-double-counting the sum-merged state
+        # (ADVICE r12). Reads below go through partition discovery.
+        cm_cells(mb, "user_id").write.mode("overwrite").parquet(
+            f"{cells_dir}/epoch_id={epoch_id}"
+        )
         mb.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).write.mode(
-            "append"
-        ).parquet(counts_dir)
+            "overwrite"
+        ).parquet(f"{counts_dir}/epoch_id={epoch_id}")
 
     q = (
         sdf.writeStream.foreachBatch(update)
@@ -520,9 +532,14 @@ def stream_hll_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def update(mb: DataFrame, epoch_id: int) -> None:
+        # epoch_id-keyed overwrite: idempotent under micro-batch retry
+        # (ADVICE r12) — max-merged registers and distinct-unioned pairs
+        # would both survive a replay, but only because of this keying.
         pairs = mb.select("event_type", "user_id").distinct()
-        _hll_registers(pairs).write.mode("append").parquet(regs_dir)
-        pairs.write.mode("append").parquet(pairs_dir)
+        _hll_registers(pairs).write.mode("overwrite").parquet(
+            f"{regs_dir}/epoch_id={epoch_id}"
+        )
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/epoch_id={epoch_id}")
 
     q = (
         sdf.writeStream.foreachBatch(update)
