@@ -320,6 +320,102 @@ def minhash_band_frame(
     )
 
 
+# --- Explicit-hash MinHash (cross-engine reproducible, VERDICT r12 #1) --
+#
+# The seeded xxhash64 family above is deterministic but has no DuckDB
+# twin, so every query built on it is rows-only. This family replaces the
+# engine hash with the repo's cross-engine construct (functions/hashing
+# spark_u32/duck_u32: first-8-md5-nibbles of the shingle as a 32-bit int)
+# composed with explicit affine permutations h_i(u) = (a_i·u + b_i) mod p,
+# p = 2^31-1 — the same published-construction discipline as the count-min
+# and explicit-HLL sketches (queries/sketches.py), which made THOSE the
+# first hash-verified approximate operators in the registry. Coefficients
+# come from a fixed LCG so both engines embed identical literals; all
+# arithmetic stays strictly inside int64 ((p-1)² < 2^63).
+
+_MHX_P = 2147483647
+
+
+def _mhx_coeffs(num_hashes: int, seed: int = 977) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) affine-permutation coefficients, a_i in
+    [1, p-1], b_i in [0, p-1], from a fixed 31-bit LCG — pure literals,
+    embedded identically in the Spark expressions and the oracle SQL."""
+    x = seed
+    out = []
+    for _ in range(num_hashes):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a = x % (_MHX_P - 1) + 1
+        x = (1103515245 * x + 12345) % (1 << 31)
+        out.append((a, x % _MHX_P))
+    return out
+
+
+MHX_COEFFS = _mhx_coeffs(64)
+
+
+def minhash_band_frame_explicit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    band_rows: int = 4,
+) -> DataFrame:
+    """(id, band, band_hash): banded MinHash signatures from the EXPLICIT
+    md5+affine hash family — same stateless append-equals-rebuild contract
+    as ``minhash_band_frame`` (signatures for a batch are bit-identical to
+    a full recompute's), plus ANSI-SQL reproducibility: the DuckDB oracle
+    replays every register bit-for-bit, so queries on this frame are
+    hash-checked rather than rows-only.
+
+    Plan shape is identical to the seeded frame: explode distinct
+    shingles → ONE u32 projection per shingle (the md5 is computed once,
+    not once per permutation) → ``num_hashes`` codegen'd min-aggregates in
+    one hash aggregate → band assembly as a projection. ``band_hash`` is
+    the comma-joined minima string (exactly what the oracle's ordered
+    string_agg produces) — collision semantics are full sub-signature
+    equality, same as hashing the tuple."""
+    if num_hashes % band_rows != 0:
+        raise ValueError(f"band_rows={band_rows} must divide num_hashes={num_hashes}")
+    if num_hashes > len(MHX_COEFFS):
+        raise ValueError(f"at most {len(MHX_COEFFS)} explicit permutations available")
+    from dataengineerchallenge_spark.functions.hashing import spark_u32
+
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, n)).alias("_sh")
+    ).select("_id", (F.expr(spark_u32("_sh")) % _MHX_P).alias("_u"))
+    mins = sh.groupBy("_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("_u") + F.lit(b)) % _MHX_P).alias(f"_h{i}")
+            for i, (a, b) in enumerate(MHX_COEFFS[:num_hashes])
+        ]
+    )
+    n_bands = num_hashes // band_rows
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"_h{b * band_rows + r}").cast("string")
+                        for r in range(band_rows)
+                    ],
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return (
+        mins.select(F.col("_id"), F.explode(bands).alias("_b"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_b.band").alias("band"),
+            F.col("_b.band_hash").alias("band_hash"),
+        )
+    )
+
+
 # Conservative on-heap estimate of one band row (long id + int band +
 # long hash + row overhead) for the broadcast-vs-shuffle decision below.
 BAND_ROW_EST_BYTES = 48

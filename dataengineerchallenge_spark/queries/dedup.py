@@ -447,6 +447,164 @@ def near_dup_second_delivery_minhash(spark: SparkSession, sf_dir: str) -> DataFr
     return D.verify_jaccard(docs, "doc_id", "text", cand, n=_MH_N, threshold=0.5)
 
 
+# --- Explicit-hash MinHash twins (VERDICT r12 next-round #1) -----------
+#
+# Same banding semantics as the seeded family above, but the hash family
+# is the cross-engine md5+affine construction (operators/dedup.py
+# MHX_COEFFS), so the DuckDB oracle replays signatures → bands →
+# candidates → exact verification bit-for-bit and the near-dup ladder's
+# largest rows-only block gains fully value-verified rungs.
+
+_MHX_VALUES_SQL = "(VALUES {}) AS prm(i, a, b)".format(
+    ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(D.MHX_COEFFS))
+)
+
+
+def _duck_u32_of(col: str) -> str:
+    """DuckDB polynomial rendering a stored md5-hex column's first 8
+    nibbles as the same 32-bit integer functions/hashing.duck_u32 builds —
+    split out so the md5 is computed ONCE per shingle, not once per
+    nibble term."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+def _mhx_oracle(new_only: bool) -> str:
+    """Oracle for the explicit-hash banded near-dup: full-corpus explicit
+    MinHash banding → band-collision candidates → exact Jaccard ≥ 0.5.
+    With ``new_only`` the pair set is restricted to pairs involving a
+    delivery doc (doc_id ≥ 4/5 of the corpus) — by the hash family's
+    statelessness that EQUALS the incremental sign-batch-only plan."""
+    scope = (
+        """
+    CROSS JOIN (SELECT count(*) * 4 // 5 AS split FROM documents) sp
+    WHERE c.id_a >= sp.split OR c.id_b >= sp.split"""
+        if new_only
+        else ""
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s AS (SELECT doc_id,
+                 list_distinct([array_to_string(ws[i:i+2], ' ')
+                                FOR i IN range(1, len(ws)-1)]) AS sh
+          FROM t),
+    inv AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    hx AS (SELECT doc_id, md5(g) AS m FROM inv),
+    u AS (SELECT doc_id, ({_duck_u32_of('m')}) % {D._MHX_P} AS up FROM hx),
+    mins AS (
+      SELECT u.doc_id, prm.i, MIN((prm.a * u.up + prm.b) % {D._MHX_P}) AS mn
+      FROM u CROSS JOIN {_MHX_VALUES_SQL}
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, i // {_MH_BAND_ROWS} AS band,
+             string_agg(CAST(mn AS VARCHAR), ',' ORDER BY i) AS sig
+      FROM mins GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    scoped AS (
+      SELECT c.id_a, c.id_b FROM cand c{scope}
+    ),
+    ver AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(sa.sh, sb.sh)) AS common,
+             len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS un
+      FROM scoped c
+      JOIN s sa ON sa.doc_id = c.id_a
+      JOIN s sb ON sb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, round(common::DOUBLE / un, 4) AS jaccard
+    FROM ver WHERE un > 0 AND common::DOUBLE / un >= 0.5
+    """
+
+
+@register("near_dup_banded_minhash_explicit", oracle=_mhx_oracle(new_only=False))
+def near_dup_banded_minhash_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 banded-MinHash near-dup with FULL value verification — the
+    seeded rung's cross-engine twin: md5+affine explicit permutations
+    (operators/dedup.py minhash_band_frame_explicit) → 16-band collision
+    candidates → exact Jaccard ≥ 0.5 verification. The DuckDB oracle
+    recomputes every signature, band, candidate and verified pair, so the
+    whole approximate pipeline (not just its output's row count) is
+    hash-checked — the r12 cm/hll pattern closing the MinHash family's
+    rows-only gap. Plan shape identical to ``near_dup_banded_minhash``
+    (one signing aggregate, equi-join candidates, verify touches only
+    candidates); band-level parity with the seeded family is pinned in
+    tests/test_dedup_r13.py."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bands = D.minhash_band_frame_explicit(
+        docs, "doc_id", "text", n=_MH_N,
+        num_hashes=_MH_HASHES, band_rows=_MH_BAND_ROWS,
+    )
+    cand = D.band_collision_pairs(bands)
+    return D.verify_jaccard(docs, "doc_id", "text", cand, n=_MH_N, threshold=0.5)
+
+
+def _staged_minhash_bands_explicit(spark: SparkSession, sf_dir: str) -> str:
+    """Staged explicit-hash band table of the BASE corpus (doc_id below
+    4/5) — the build-once half of the hash-verified incremental rung,
+    mirroring ``_staged_minhash_bands`` under its own parameter salt."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        docs = spread(load_table(spark, sf_dir, "documents"))
+        split = _doc_split(docs, 4, 5)
+        base = docs.filter(F.col("doc_id") < split)
+        write_result(
+            D.minhash_band_frame_explicit(
+                base, "doc_id", "text", n=_MH_N,
+                num_hashes=_MH_HASHES, band_rows=_MH_BAND_ROWS,
+            ),
+            str(out),
+        )
+
+    return staged(
+        spark,
+        "mhx_bands",
+        Path(sf_dir) / "documents.parquet",
+        _mh_salt("xs4of5"),
+        build,
+    )
+
+
+@register("near_dup_incremental_minhash_explicit", oracle=_mhx_oracle(new_only=True))
+def near_dup_incremental_minhash_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 INCREMENTAL near-dup, hash-verified: sign ONLY the ~20%
+    delivery with the explicit family, join its bands against the staged
+    base-corpus band table (broadcast under the byte budget) plus the
+    batch's own self-join, exact-verify candidates — identical
+    incremental plan to ``near_dup_incremental_minhash``, but because the
+    explicit family is both stateless AND ANSI-reproducible, the DuckDB
+    oracle (full-corpus banding restricted to pairs involving a delivery
+    doc) must match hash-for-hash: a green row here PROVES
+    append-equals-rebuild on real data every round, where the seeded rung
+    could only pin it in pytest."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n_docs = docs.count()
+    split = n_docs * 4 // 5
+    new = docs.filter(F.col("doc_id") >= split)
+    new_bands = D.minhash_band_frame_explicit(
+        new, "doc_id", "text", n=_MH_N,
+        num_hashes=_MH_HASHES, band_rows=_MH_BAND_ROWS,
+    )
+    staged_bands = spark.read.parquet(_staged_minhash_bands_explicit(spark, sf_dir))
+    batch_band_rows = (n_docs - split) * (_MH_HASHES // _MH_BAND_ROWS)
+    cand = D.band_collision_pairs(
+        staged_bands, new_bands, batch_band_rows=batch_band_rows
+    ).unionByName(D.band_collision_pairs(new_bands))
+    return D.verify_jaccard(docs, "doc_id", "text", cand, n=_MH_N, threshold=0.5)
+
+
 def _staged_delivery_stream(spark: SparkSession, sf_dir: str) -> str:
     """The new delivery (the last ~20% of the corpus, the same batch
     ``near_dup_incremental_minhash`` dedups) written as 3 hash-
