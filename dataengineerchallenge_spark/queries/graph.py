@@ -207,6 +207,66 @@ def part_copurchase_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "copurchase_components",
+    oracle="""
+    WITH RECURSIVE e0 AS (
+      SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
+             GREATEST(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ), e AS (
+      SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+    ), reach(node, comp) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+      UNION
+      SELECT e.v, r.comp
+      FROM reach r JOIN e ON e.u = r.node
+    )
+    SELECT node AS part_key, CAST(MIN(comp) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the support>=2 co-purchase graph via
+    alternating large-star/small-star contraction (operators/graph.py
+    connected_components_star) — 'which parts belong to the same
+    repeatedly-bought-together cluster', the graph capstone the dedup
+    clustering family needs at 100 TB where min-label's
+    diameter-proportional rounds are the bottleneck. Component id = the
+    minimum part key in the component, so the result is deterministic
+    and the oracle is a recursive-CTE reachability fixpoint: every node
+    keeps the MIN node id it can reach, which over an undirected edge
+    set is exactly the component min. O(log n) round convergence and
+    min-label/union-find parity are pinned in tests/test_graph.py; the
+    chain-graph scaling crossover vs min-label is measured in
+    BENCH_graph.json."""
+    from dataengineerchallenge_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .drop("support")
+    )
+    out = connected_components_star(edges)
+    return out.select(
+        F.col("node").alias("part_key"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+@register(
     "part_pair_affinity",
     oracle="""
     WITH op AS (

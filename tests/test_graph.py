@@ -122,3 +122,120 @@ def test_hop_distances_closed_forms(spark):
     # cycle: BFS takes the SHORT way around; disconnected node absent
     cyc = [(1, 2), (2, 3), (3, 1), (1, 3), (7, 8)]
     assert hd(cyc, 1) == {1: 0, 2: 1, 3: 1}
+
+
+# --- connected_components_star (round 13) --------------------------------
+
+
+def _star_labels(spark, edges, **kw):
+    from dataengineerchallenge_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        (r["node"], r["component"])
+        for r in connected_components_star(df, **kw).collect()
+    }
+
+
+def _uf_labels(edges):
+    """Exact union-find reference, labeled by component min."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    from collections import defaultdict
+
+    groups = defaultdict(set)
+    for n in parent:
+        groups[find(n)].add(n)
+    out = set()
+    for ns in groups.values():
+        m = min(ns)
+        out |= {(n, m) for n in ns}
+    return out
+
+
+def test_star_cc_closed_forms(spark):
+    # chain, hub, two components, K4+bowtie
+    assert _star_labels(spark, [(1, 2), (2, 3), (3, 4)]) == {
+        (1, 1), (2, 1), (3, 1), (4, 1)
+    }
+    hub = [(0, i) for i in range(1, 8)]
+    assert _star_labels(spark, hub) == {(i, 0) for i in range(8)}
+    two = [(1, 2), (2, 3), (10, 11), (11, 12)]
+    assert _star_labels(spark, two) == {
+        (1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)
+    }
+
+
+def test_star_cc_matches_union_find_on_random_graphs(spark):
+    import random
+
+    random.seed(41)
+    for _ in range(3):
+        n = 250
+        edges = [
+            (random.randrange(n), random.randrange(n)) for _ in range(260)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        assert _star_labels(spark, edges) == _uf_labels(edges)
+
+
+def test_star_cc_converges_log_rounds_beyond_min_label_reach(spark):
+    """The reason this operator exists: a 512-node chain has diameter 511
+    — min-label at its default 25-round cap CANNOT finish it, while star
+    contraction must land every node in component 1 within ~2·log2(n)
+    alternations (the Kiveris bound; measured 7-9 on chains)."""
+    stats: dict = {}
+    edges = [(i, i + 1) for i in range(1, 512)]
+    labels = _star_labels(spark, edges, stats=stats)
+    assert labels == {(i, 1) for i in range(1, 513)}
+    assert stats["rounds"] <= 20, f"star CC took {stats['rounds']} rounds"
+
+
+def test_star_cc_orientation_and_duplicate_invariance(spark):
+    """Reversed, duplicated, and self-loop-polluted edge lists must
+    produce identical labels (the operator canonicalizes first)."""
+    base = [(1, 2), (2, 3), (3, 4), (5, 6)]
+    messy = [(b, a) for a, b in base] + base + [(2, 2), (5, 5)]
+    assert _star_labels(spark, messy) == _star_labels(spark, base)
+
+
+def test_star_cc_agrees_with_min_label_on_near_dup_graph(spark):
+    """Drop-in parity with the dedup clustering backbone: on the actual
+    near-dup pair graph (where min-label's small-diameter assumption
+    holds) both operators emit identical (node, component) labels."""
+    from dataengineerchallenge_spark.operators.dedup import (
+        connected_components,
+    )
+    from dataengineerchallenge_spark.registry import queries
+
+    pairs = queries()["near_dup_jaccard"](spark, SF_SMOKE).select("id_a", "id_b")
+    ml = {
+        (r["node"], r["comp"]) for r in connected_components(pairs).collect()
+    }
+    star = {
+        (r["node"], r["component"])
+        for r in _star_from_pairs(spark, pairs).collect()
+    }
+    assert star == ml
+    assert len(star) > 0
+
+
+def _star_from_pairs(spark, pairs):
+    from dataengineerchallenge_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    return connected_components_star(pairs, src="id_a", dst="id_b")

@@ -87,9 +87,84 @@ def _pagerank_no_persist(edges, iters: int, damping: float = 0.85):
     return ranks
 
 
+def _bench_cc(spark, out: dict, chain_sizes: list[int]) -> None:
+    """Star-contraction vs min-label on LONG CHAINS — the adversarial
+    high-diameter topology where min-label's diameter-proportional
+    rounds are the 100 TB bottleneck (VERDICT r12 what's-missing #2).
+    Star must converge in O(log n) alternations with every node labeled
+    by the chain head (asserted); min-label is timed for a FIXED 8-round
+    prefix and its full cost projected as diameter x per-round, because
+    actually running 64k rounds is the point of not using it."""
+    from dataengineerchallenge_spark.operators.dedup import connected_components
+    from dataengineerchallenge_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    for n in chain_sizes:
+        chain = spark.range(1, n).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        ).repartition(16).localCheckpoint()
+        stats: dict = {}
+        t0 = time.time()
+        labels = connected_components_star(chain, stats=stats)
+        agg = labels.agg(
+            F.count(F.lit(1)).alias("cnt"), F.max("component").alias("mx")
+        ).collect()[0]
+        star_s = time.time() - t0
+        assert agg["cnt"] == n and agg["mx"] == 1, f"star CC wrong on chain {n}"
+        probe_rounds = 8
+        t0 = time.time()
+        connected_components(
+            chain.select(F.col("src").alias("id_a"), F.col("dst").alias("id_b")),
+            max_iter=probe_rounds,
+        ).count()
+        ml_probe_s = time.time() - t0
+        per_round = ml_probe_s / probe_rounds
+        res = {
+            "chain_nodes": n,
+            "star_s": round(star_s, 2),
+            "star_rounds": stats["rounds"],
+            "min_label_probe_rounds": probe_rounds,
+            "min_label_probe_s": round(ml_probe_s, 2),
+            "min_label_projected_s": round(per_round * (n - 1), 1),
+            "projected_speedup": round(per_round * (n - 1) / star_s, 1),
+        }
+        out["results"][f"cc_chain_{n}"] = res
+        print(json.dumps({f"cc_chain_{n}": res}))
+
+
+def _bench_triangles(spark, out: dict, root: str, sizes: list[int]) -> None:
+    """Triangle counting wall time on the generated hub-skewed graphs —
+    the degree-oriented wedge plan with the r13 persisted `oriented`
+    invariant (one edge-build subtree instead of three)."""
+    from dataengineerchallenge_spark.operators.graph import triangle_counts
+
+    for edges in sizes:
+        path = os.path.join(root, f"graph_{edges}")
+        _gen(spark, path, edges)
+        e = spark.read.parquet(path)
+        t0 = time.time()
+        tc = triangle_counts(e)
+        row = tc.agg(
+            F.count(F.lit(1)).alias("nodes_in_tris"),
+            F.sum("n_triangles").alias("memberships"),
+        ).collect()[0]
+        secs = time.time() - t0
+        res = {
+            "edges": edges,
+            "nodes_in_triangles": int(row["nodes_in_tris"]),
+            "triangle_memberships": int(row["memberships"] or 0),
+            "seconds": round(secs, 2),
+        }
+        out["results"][f"tri_{edges}"] = res
+        print(json.dumps({f"tri_{edges}": res}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", default="1000000,4000000,16000000")
+    ap.add_argument("--chains", default="4096,16384,65536")
+    ap.add_argument("--tri-edges", default="1000000,4000000")
     ap.add_argument("--iters-bench", type=int, default=2)
     ap.add_argument("--out", default="BENCH_graph.json")
     args = ap.parse_args()
@@ -150,6 +225,11 @@ def main() -> None:
         }
         out["results"][f"pr_{edges}"] = res
         print(json.dumps({f"pr_{edges}": res}))
+
+    _bench_cc(spark, out, [int(s) for s in str(args.chains).split(",") if s])
+    _bench_triangles(
+        spark, out, root, [int(s) for s in str(args.tri_edges).split(",") if s]
+    )
 
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
