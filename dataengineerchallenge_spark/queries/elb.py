@@ -438,9 +438,8 @@ def elb_geo_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "elb_backend_latency_percentiles",
-    oracle=_ORACLE_RAW
+_PCTL_ORACLE = (
+    _ORACLE_RAW
     + """
     , lat AS (
       SELECT url_path, backend_time,
@@ -457,8 +456,11 @@ def elb_geo_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(backend_time) AS backend_max_s
     FROM lat
     GROUP BY url_path
-    """,
+    """
 )
+
+
+@register("elb_backend_latency_percentiles", oracle=_PCTL_ORACLE)
 def elb_backend_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capacity-planning observation the survey's closing question asks
     for (OBSERVATIONS §6: "backend latency percentiles per path"):
@@ -500,17 +502,24 @@ def elb_backend_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@register("elb_backend_latency_percentiles_approx")
+@register("elb_backend_latency_percentiles_approx", oracle=_PCTL_ORACLE)
 def elb_backend_latency_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB form of `elb_backend_latency_percentiles`: Spark's
     `percentile_approx` (Greenwald-Khanna sketch) is MERGEABLE — each
     partition builds a bounded sketch and the shuffle moves sketches,
     not the per-group value lists the exact nearest-rank needs gathered.
-    Same columns as the exact query so the two are diffable. Rows-only
-    by contract (DuckDB's approx_quantile is a different sketch — the
-    two engines' approximations agree only within error); accuracy vs
-    the exact nearest-rank answer is pinned in tests/test_elb.py
-    (rank-distance ≤ 1 at the fixture's accuracy setting)."""
+    Same columns as the exact query so the two are diffable.
+
+    HASH-CHECKED against the exact nearest-rank oracle (r13, clearing
+    the driver's one `no_oracle` row): in the fixture regime every
+    group's sample count (max 106) is far below the 10000 accuracy, so
+    the Greenwald-Khanna summary never compresses — it holds every
+    sample and query(p) returns EXACTLY the ceil(p·n)-rank datum the
+    exact query selects, deterministically under any partition merge
+    order (verified identical across runs and against all 300 groups).
+    At production scale compression kicks in and the answer becomes
+    genuinely approximate; the rank-distance ≤ 1 accuracy pin in
+    tests/test_elb.py covers that contract."""
     parsed = valid_requests(parse_elb(read_elb_log(spark, SYNTH_LOG)))
     ap = lambda p: F.percentile_approx("backend_time", p, 10000)  # noqa: E731
     return (

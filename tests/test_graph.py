@@ -4,6 +4,7 @@ graphs plus structural invariants the power iteration must keep."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
 
@@ -239,3 +240,79 @@ def _star_from_pairs(spark, pairs):
     )
 
     return connected_components_star(pairs, src="id_a", dst="id_b")
+
+
+# --- directed PageRank: dangling mass + tolerance (round 13) -------------
+
+
+def test_dangling_mass_conserved_on_directed_graph(spark):
+    """Bipartite sink graph (1,2 -> 11,12,13): without the correction the
+    sink side leaks all its mass every step; with dangling=True the
+    scaled total must stay exactly |V| (up to float-sum noise)."""
+    from dataengineerchallenge_spark.operators.graph import pagerank
+
+    edges = [(1, 11), (1, 12), (2, 12), (2, 13)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ranks = pagerank(df, iters=6, dangling=True)
+    total = ranks.agg(F.sum("pr")).collect()[0][0]
+    assert abs(total - 5.0) < 1e-9
+    # and the uncorrected run genuinely leaks (the reason the flag exists)
+    leaked = pagerank(df, iters=6).agg(F.sum("pr")).collect()[0][0]
+    assert leaked < 4.0
+
+
+def test_dangling_closed_form_two_node_chain(spark):
+    """1 -> 2, d=0.85, scaled form with uniform redistribution (N=2):
+    fixpoint satisfies pr1 = 0.15 + 0.85*pr2/2 and
+    pr2 = 0.15 + 0.85*(pr1 + pr2/2); solving the 2x2 system gives
+    pr1 = 0.15/0.371739*... ≈ 0.70176, pr2 ≈ 1.29824 — and mass
+    pr1 + pr2 = 2 exactly (contraction factor 0.85 ⇒ ~1e-3 at 45
+    rounds)."""
+    from dataengineerchallenge_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    r = {
+        row["node"]: row["pr"]
+        for row in pagerank(df, iters=45, dangling=True).collect()
+    }
+    assert abs(r[1] + r[2] - 2.0) < 1e-9
+    assert abs(r[1] - 0.70176) < 2e-3
+    assert abs(r[2] - 1.29824) < 2e-3
+
+
+def test_tolerance_termination_stops_early_and_matches_fixed(spark):
+    """tol-driven iteration must stop before the cap once max |Δpr| dips
+    under tol, and the converged ranks must agree with a long fixed run
+    to within the tolerance."""
+    from dataengineerchallenge_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 2), (2, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    stats: dict = {}
+    tol_ranks = {
+        r["node"]: r["pr"]
+        for r in pagerank(df, iters=60, tol=1e-3, stats=stats).collect()
+    }
+    assert stats["iterations"] < 60
+    assert stats["delta"] is not None and stats["delta"] < 1e-3
+    # |pr_k - pr*| <= delta/(1-d): a 1e-3 stop is within 7e-3 of the
+    # fixpoint a longer fixed run approximates
+    fixed = {
+        r["node"]: r["pr"] for r in pagerank(df, iters=80, tol=1e-7).collect()
+    }
+    for n in fixed:
+        assert abs(fixed[n] - tol_ranks[n]) < 7e-3
+
+
+def test_dangling_with_tolerance_composes(spark):
+    """Both extensions together: a sink graph run to convergence keeps
+    mass |V| and stops early."""
+    from dataengineerchallenge_spark.operators.graph import pagerank
+
+    edges = [(1, 3), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    stats: dict = {}
+    ranks = pagerank(df, iters=80, dangling=True, tol=1e-4, stats=stats)
+    total = ranks.agg(F.sum("pr")).collect()[0][0]
+    assert abs(total - 4.0) < 1e-8
+    assert stats["iterations"] < 80

@@ -11,6 +11,15 @@ audited plan is the FINAL adaptive plan (AQE's actual broadcast
 demotions / coalesced reads, real WholeStageCodegen spans) and a
 wall-time column is added — slower, but the truth.
 
+Executed-mode metrics come from the session's SQLAppStatusStore: every
+SQL execution the query triggers between build and collect is counted —
+including the localCheckpoint materializations iterative operators
+(pagerank, BFS, star CC) run inside the build. Reading only the final
+frame's plan undercounts those to near zero (VERDICT r12 what's-wrong
+#2: the pagerank row showed "0 shuffles, 0.05 s" because everything ran
+before the audited frame existed); wall time likewise wraps the BUILD
+call, not just the terminal collect.
+
 Streaming queries (writeStream-driven) and ML fits are skipped — their
 execution is not a single batch plan.
 """
@@ -37,29 +46,70 @@ def audit(sf_dir: str, out_path: str, execute: bool = False) -> None:
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
 
+    def _last_execution_id() -> int:
+        lst = spark._jsparkSession.sharedState().statusStore().executionsList()
+        return lst.apply(lst.size() - 1).executionId() if lst.size() > 0 else -1
+
+    def _plans_since(watermark: int) -> str:
+        """Concatenated FINAL-plan descriptions of every SQL execution
+        after ``watermark`` — the union of plans the query actually ran
+        (one per localCheckpoint/action plus the terminal collect)."""
+        lst = spark._jsparkSession.sharedState().statusStore().executionsList()
+        trees, details = [], []
+        for i in range(lst.size()):
+            ex = lst.apply(i)
+            if ex.executionId() > watermark:
+                desc = ex.physicalPlanDescription()
+                # tree section(s): final plan only (the == Initial Plan ==
+                # tree repeats every node pre-AQE); the detail section
+                # below the trees carries PushedFilters / codegen ids
+                head, _, rest = desc.partition("== Initial Plan ==")
+                trees.append(head)
+                details.append(rest)
+        return "\n".join(trees), "\n".join(details)
+
     rows = []
     for name, fn in sorted(e.queries().items()):
         if name.startswith(SKIP_PREFIXES) or name in SKIP_NAMES:
             continue
         try:
-            df = fn(spark, sf_dir)
             secs = ""
+            detail = ""
             if execute:
+                # time the BUILD too: iterative operators execute their
+                # rounds inside fn() via localCheckpoint, and those jobs
+                # are the query's real cost
+                wm = _last_execution_id()
+                t0 = time.time()
+                df = fn(spark, sf_dir)
                 # collect() (not a noop write) so the FRAME'S OWN query
                 # execution finalizes — a write spawns a separate one and
                 # leaves this plan isFinalPlan=false
-                t0 = time.time()
                 df.collect()
                 secs = f"{time.time() - t0:.2f}"
-            qe = df._jdf.queryExecution()
-            plan = qe.executedPlan().toString()
-            # an executed adaptive plan prints Final AND Initial sections;
-            # count nodes from the final one only
-            plan = plan.split("== Initial Plan ==")[0]
+                plan, detail = _plans_since(wm)
+            else:
+                df = fn(spark, sf_dir)
+                qe = df._jdf.queryExecution()
+                plan = qe.executedPlan().toString()
+                # an adaptive plan prints Final AND Initial sections;
+                # count nodes from the final one only
+                plan = plan.split("== Initial Plan ==")[0]
         except Exception as ex:  # pragma: no cover - audit robustness
             rows.append((name, "ERROR", str(ex)[:80], "", "", "", ""))
             continue
-        n_exchange = len(re.findall(r"Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition|Exchange RoundRobin", plan))
+        if execute:
+            # description-format trees: nodes print as "Exchange (45)" /
+            # "Scan parquet (1)"; codegen ids live in the detail section
+            n_exchange = len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan))
+            n_scan = len(re.findall(r"Scan (?:parquet|text|csv|json|ExistingRDD)", plan))
+            n_codegen = len(set(re.findall(r"\[codegen id : (\d+)\]", detail)))
+            pushed = "y" if re.search(r"PushedFilters: \[[^\]]", plan + detail) else ""
+        else:
+            n_exchange = len(re.findall(r"Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition|Exchange RoundRobin", plan))
+            n_scan = plan.count("FileScan") + plan.count("BatchScan")
+            n_codegen = len(set(re.findall(r"\*\((\d+)\)", plan)))
+            pushed = "y" if re.search(r"PushedFilters: \[[^\]]", plan) else ""
         n_bcast = plan.count("BroadcastExchange")
         joins = "+".join(
             sorted(
@@ -75,9 +125,6 @@ def audit(sf_dir: str, out_path: str, execute: bool = False) -> None:
                 }
             )
         )
-        n_scan = plan.count("FileScan") + plan.count("BatchScan")
-        pushed = "y" if re.search(r"PushedFilters: \[[^\]]", plan) else ""
-        n_codegen = len(set(re.findall(r"\*\((\d+)\)", plan)))
         rows.append(
             (name, str(n_exchange), str(n_bcast), joins,
              f"{n_scan}{'+pf' if pushed else ''}", str(n_codegen), secs)
