@@ -990,3 +990,63 @@ def test_stream_serve_trained_parity_and_multibatch(spark, qs):
     srows = sorted(tuple(r) for r in streamed.collect())
     brows = sorted(tuple(r) for r in batch.collect())
     assert srows == brows and len(srows) > 0
+
+
+def test_trained_rerank_k256_synth_dominates_k64_same_corpus(spark, qs):
+    """Round-13 full-resolution rung: on the staged synthetic 5000-vector
+    separable corpus (the smallest that trains 256 centroids per
+    subspace honestly), the k=256 stack must (a) keep the zero-base-scan
+    DPP serve shape; (b) hit recall@10 >= the k=64 stack built over the
+    SAME corpus and batch (finer ADC ranking => a candidate set at least
+    as good, shared re-rank tail); (c) clear an absolute floor the
+    separable geometry promises (each query's true top-10 is its tight
+    co-cluster, which 2-probe + R=50 re-rank must recover)."""
+    from pyspark.sql import Window
+
+    from dataengineerchallenge_spark.queries.vectors import (
+        _RERANK_R,
+        _TOP_K,
+        _adc_serve_candidates,
+        _exact_rerank_tail,
+        _staged_fresh_query_batch,
+        _staged_synth_ann_corpus_dir,
+        _staged_trained_ivfpq_index,
+        _staged_trained_ivfpq_vectors,
+        _trained_serve_luts,
+    )
+
+    df = qs["ivf_pq_trained_rerank_k256_synth_topk"](spark, SF_DIR)
+    k256 = df.collect()
+    assert len(k256) > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "embeddings" not in plan
+    assert plan.lower().count("dynamicpruningexpression") >= 2
+
+    synth = _staged_synth_ann_corpus_dir(spark, SF_DIR)
+    emb = spark.read.parquet(f"{synth}/embeddings.parquet")
+    batch = spark.read.parquet(_staged_fresh_query_batch(spark, synth))
+    q = batch.select("query_id", F.col("embedding").alias("q_emb"))
+    pairs = F.broadcast(q).join(emb, F.col("query_id") != F.col("vec_id")).select(
+        "query_id", "vec_id", V.cosine(F.col("q_emb"), F.col("embedding")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _TOP_K)
+        .collect()
+    }
+    # k=64 stack over the SAME synthetic corpus and batch
+    root64 = _staged_trained_ivfpq_index(spark, synth, 64)
+    vroot = _staged_trained_ivfpq_vectors(spark, synth)
+    codes, probes, qlut = _trained_serve_luts(spark, root64, batch)
+    cand = _adc_serve_candidates(codes, probes, qlut, _RERANK_R)
+    k64 = _exact_rerank_tail(spark, vroot, batch, cand).collect()
+
+    got256 = {(r.query_id, r.vec_id) for r in k256}
+    got64 = {(r.query_id, r.vec_id) for r in k64}
+    r256 = len(got256 & exact) / len(exact)
+    r64 = len(got64 & exact) / len(exact)
+    assert r256 >= r64, f"k256 recall {r256:.2f} below k64 {r64:.2f}"
+    assert r256 >= 0.9, f"k256 recall {r256:.2f} under the separable floor"
