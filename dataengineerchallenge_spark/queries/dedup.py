@@ -641,6 +641,7 @@ def _stream_near_dup_serve(
     docs: DataFrame,
     epochs: list | None = None,
     timeout_s: int = 300,
+    band_fn=None,
 ) -> DataFrame:
     """Drive the ONLINE dedup loop (VERDICT r9 next #4 — the dedup twin
     of ``_stream_serve_fresh``): tail ``payload_dir`` as a file stream
@@ -663,11 +664,25 @@ def _stream_near_dup_serve(
     regardless of how the stream is sliced (parity pinned in
     tests/test_dedup.py). The sink/checkpoint/committed scratch is
     run-scoped and removed before returning; the drained result —
-    delivery-sized — is re-created as a local DataFrame."""
+    delivery-sized — is re-created as a local DataFrame.
+
+    ``band_fn(df)`` supplies the signing family (default: the seeded
+    xxhash64 frame; the explicit md5+affine family makes the whole loop
+    DuckDB-hash-verifiable). Sink and committed-store writes are
+    epoch_id-keyed overwrites, so a retried micro-batch rewrites its own
+    partition instead of double-committing bands or duplicating output
+    pairs (the ADVICE r12 idempotency discipline)."""
     import glob
     import shutil
     import tempfile
     import time
+
+    if band_fn is None:
+        def band_fn(df):
+            return D.minhash_band_frame(
+                df, "doc_id", "text", n=_MH_N,
+                num_hashes=_MH_HASHES, band_rows=_MH_BAND_ROWS,
+            )
 
     schema = spark.read.parquet(payload_dir).schema
     sdf = (
@@ -684,20 +699,19 @@ def _stream_near_dup_serve(
 
     def serve(mb: DataFrame, epoch_id: int) -> None:
         t0 = time.time()
-        mb_bands = D.minhash_band_frame(
-            mb, "doc_id", "text", n=_MH_N,
-            num_hashes=_MH_HASHES, band_rows=_MH_BAND_ROWS,
-        )
+        mb_bands = band_fn(mb)
         store = spark.read.parquet(store_path)
-        if glob.glob(f"{committed}/*.parquet"):
-            store = store.unionByName(spark.read.parquet(committed))
+        if glob.glob(f"{committed}/epoch_id=*"):
+            store = store.unionByName(
+                spark.read.parquet(committed).select("doc_id", "band", "band_hash")
+            )
         batch_band_rows = mb.count() * (_MH_HASHES // _MH_BAND_ROWS)
         cand = D.band_collision_pairs(
             store, mb_bands, batch_band_rows=batch_band_rows
         ).unionByName(D.band_collision_pairs(mb_bands))
         out = D.verify_jaccard(docs, "doc_id", "text", cand, n=_MH_N, threshold=0.5)
-        out.write.mode("append").parquet(sink)
-        mb_bands.write.mode("append").parquet(committed)
+        out.write.mode("overwrite").parquet(f"{sink}/epoch_id={epoch_id}")
+        mb_bands.write.mode("overwrite").parquet(f"{committed}/epoch_id={epoch_id}")
         if epochs is not None:
             epochs.append((epoch_id, round(time.time() - t0, 3)))
 
@@ -713,7 +727,7 @@ def _stream_near_dup_serve(
             raise TimeoutError(
                 f"stream dedup did not drain availableNow input in {timeout_s}s"
             )
-        drained = spark.read.parquet(sink)
+        drained = spark.read.parquet(sink).select("id_a", "id_b", "jaccard")
         result = spark.createDataFrame(drained.collect(), drained.schema)
     finally:
         if q.isActive:
@@ -741,6 +755,33 @@ def stream_near_dup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = _staged_delivery_stream(spark, sf_dir)
     docs = spread(load_table(spark, sf_dir, "documents"))
     return _stream_near_dup_serve(spark, store, payload, docs)
+
+
+@register("stream_near_dup_serve_explicit", oracle=_mhx_oracle(new_only=True))
+def stream_near_dup_serve_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2×T6 streaming dedup serve, HASH-VERIFIED — the first
+    value-verified streaming near-dup in the registry: the same online
+    sign → dedup-against-store-so-far → commit loop as
+    ``stream_near_dup_serve``, signing with the explicit md5+affine
+    family instead of seeded xxhash64. Statelessness gives stream≡batch
+    parity under any slicing, and ANSI-reproducibility lets the DuckDB
+    oracle (full-corpus explicit banding restricted to pairs involving a
+    delivery doc — shared verbatim with
+    ``near_dup_incremental_minhash_explicit``) value-check every pair a
+    multi-micro-batch run emits: the r12 'every sketch ships batch AND
+    streaming, both green' discipline extended to the near-dup family.
+    Epoch-keyed sink/commit writes make the loop retry-idempotent."""
+    store = _staged_minhash_bands_explicit(spark, sf_dir)
+    payload = _staged_delivery_stream(spark, sf_dir)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def band_fn(df):
+        return D.minhash_band_frame_explicit(
+            df, "doc_id", "text", n=_MH_N,
+            num_hashes=_MH_HASHES, band_rows=_MH_BAND_ROWS,
+        )
+
+    return _stream_near_dup_serve(spark, store, payload, docs, band_fn=band_fn)
 
 
 @register("simhash_near_dups")

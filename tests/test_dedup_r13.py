@@ -103,3 +103,43 @@ def test_explicit_coeffs_are_valid_permutation_params():
     for a, b in D.MHX_COEFFS:
         assert 1 <= a < D._MHX_P
         assert 0 <= b < D._MHX_P
+
+
+def test_explicit_stream_serve_multibatch_parity(spark, qs):
+    """The hash-verified online loop must genuinely drain as multiple
+    micro-batches AND emit exactly the explicit incremental batch rung's
+    pairs — stream≡batch under real slicing, the same contract the
+    seeded family pins, now value-checkable end to end."""
+    from dataengineerchallenge_spark.operators import dedup as D
+    from dataengineerchallenge_spark.queries.dedup import (
+        _MH_BAND_ROWS,
+        _MH_HASHES,
+        _MH_N,
+        _staged_delivery_stream,
+        _staged_minhash_bands_explicit,
+        _stream_near_dup_serve,
+    )
+    from dataengineerchallenge_spark.sources.tables import load_table, spread
+
+    store = _staged_minhash_bands_explicit(spark, SF_DIR)
+    payload = _staged_delivery_stream(spark, SF_DIR)
+    docs = spread(load_table(spark, SF_DIR, "documents"))
+    epochs: list = []
+
+    def band_fn(df):
+        return D.minhash_band_frame_explicit(
+            df, "doc_id", "text", n=_MH_N,
+            num_hashes=_MH_HASHES, band_rows=_MH_BAND_ROWS,
+        )
+
+    streamed = _stream_near_dup_serve(
+        spark, store, payload, docs, epochs=epochs, band_fn=band_fn
+    )
+    assert len(epochs) >= 2, f"expected multi-micro-batch drain, got {epochs}"
+    got = {tuple(r) for r in streamed.collect()}
+    want = {
+        tuple(r)
+        for r in qs["near_dup_incremental_minhash_explicit"](spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert len(got) > 0
