@@ -559,6 +559,100 @@ def simhash_frame(df: DataFrame, id_col: str, tokens: Column, id_salt: int = 0) 
     return votes.select(F.col("_id").alias(id_col), sim.alias("simhash"))
 
 
+def simhash_frame_explicit(df: DataFrame, id_col: str, tokens: Column) -> DataFrame:
+    """(id, fa, fb) EXPLICIT SimHash — the md5 twin of ``simhash_frame``
+    (same bit-vote plan, cross-engine hash): each token's 64 bits are the
+    first 16 md5 nibbles split into two 32-bit halves, votes are ±1 sums
+    per bit, and the fingerprint is kept as TWO 32-bit halves (fa = high,
+    fb = low) so the DuckDB oracle never composes a 64-bit value that
+    could overflow signed arithmetic. A vote of 0 (even token count,
+    split bits) maps to bit 0 in both engines."""
+    m = "md5(cast(_t as string))"
+    tok = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens).alias("_t")
+    ).select(
+        "_id",
+        F.expr(f"cast(conv(substring({m}, 1, 8), 16, 10) as bigint)").alias("_ua"),
+        F.expr(f"cast(conv(substring({m}, 9, 8), 16, 10) as bigint)").alias("_ub"),
+    )
+    votes = tok.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
+            ).alias(f"_{nm}{b}")
+            for nm, h in (("a", F.col("_ua")), ("b", F.col("_ub")))
+            for b in range(32)
+        ]
+    )
+    fa = sum(
+        (F.col(f"_a{b}") > 0).cast("long") * F.lit(1 << b) for b in range(32)
+    )
+    fb = sum(
+        (F.col(f"_b{b}") > 0).cast("long") * F.lit(1 << b) for b in range(32)
+    )
+    return votes.select(F.col("_id").alias(id_col), fa.alias("fa"), fb.alias("fb"))
+
+
+def simhash_near_dup_pairs_explicit(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, n: int = 3
+) -> DataFrame:
+    """Explicit-SimHash near-dup self-join: 16-bit banding over the two
+    32-bit fingerprint halves (4 bands — LOSSLESS for hamming ≤ 3 by
+    pigeonhole), hamming verified as the sum of the two halves'
+    bit_count(xor). Same plan as the seeded variant; every value is
+    ANSI-reproducible, so the DuckDB oracle can be the NAIVE all-pairs
+    hamming join — hash equality then also proves the banding lossless
+    on real data (the fuzzy_part_name_matches anchor discipline)."""
+    sh = simhash_frame_explicit(spread(df), id_col, word_shingles(text_col, n)).select(
+        F.col(id_col).alias("_id"), "fa", "fb"
+    )
+    pieces = [
+        (0, F.col("fa").bitwiseAND(F.lit(0xFFFF))),
+        (1, F.shiftrightunsigned("fa", 16).bitwiseAND(F.lit(0xFFFF))),
+        (2, F.col("fb").bitwiseAND(F.lit(0xFFFF))),
+        (3, F.shiftrightunsigned("fb", 16).bitwiseAND(F.lit(0xFFFF))),
+    ]
+    bands = sh.select(
+        "_id",
+        "fa",
+        "fb",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), v.alias("val"))
+                    for i, v in pieces
+                ]
+            )
+        ).alias("_band"),
+    ).select("_id", "fa", "fb", "_band.band", "_band.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.fa").alias("_faa"),
+            F.col("a.fb").alias("_fba"),
+            F.col("b.fa").alias("_fab"),
+            F.col("b.fb").alias("_fbb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("_faa").bitwiseXOR(F.col("_fab"))) + F.bit_count(
+        F.col("_fba").bitwiseXOR(F.col("_fbb"))
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8, n: int = 3
 ) -> DataFrame:

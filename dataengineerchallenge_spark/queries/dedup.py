@@ -460,13 +460,14 @@ _MHX_VALUES_SQL = "(VALUES {}) AS prm(i, a, b)".format(
 )
 
 
-def _duck_u32_of(col: str) -> str:
-    """DuckDB polynomial rendering a stored md5-hex column's first 8
-    nibbles as the same 32-bit integer functions/hashing.duck_u32 builds —
-    split out so the md5 is computed ONCE per shingle, not once per
-    nibble term."""
+def _duck_u32_of(col: str, offset: int = 0) -> str:
+    """DuckDB polynomial rendering 8 nibbles of a stored md5-hex column
+    (starting after ``offset`` nibbles) as the same 32-bit integer
+    functions/hashing.duck_u32 builds — split out so the md5 is computed
+    ONCE per shingle, not once per nibble term; offset=8 reads the
+    second half the explicit SimHash uses."""
     return " + ".join(
-        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1)"
+        f"(strpos('0123456789abcdef', substr({col}, {offset + i + 1}, 1)) - 1)"
         f" * {16 ** (7 - i)}"
         for i in range(8)
     )
@@ -782,6 +783,56 @@ def stream_near_dup_serve_explicit(spark: SparkSession, sf_dir: str) -> DataFram
         )
 
     return _stream_near_dup_serve(spark, store, payload, docs, band_fn=band_fn)
+
+
+_SIMHASH_X_ORACLE = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s AS (SELECT doc_id,
+                 list_distinct([array_to_string(ws[i:i+2], ' ')
+                                FOR i IN range(1, len(ws)-1)]) AS sh
+          FROM t),
+    inv AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    hx AS (SELECT doc_id, md5(g) AS m FROM inv),
+    u AS (SELECT doc_id,
+                 {_duck_u32_of('m')} AS ua,
+                 {_duck_u32_of('m', 8)} AS ub
+          FROM hx),
+    w AS (SELECT unnest(range(0, 32)) AS b),
+    votes AS (
+      SELECT u.doc_id, w.b,
+             SUM(CASE WHEN (ua // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END) AS va,
+             SUM(CASE WHEN (ub // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END) AS vb
+      FROM u CROSS JOIN w
+      GROUP BY 1, 2
+    ),
+    fp AS (
+      SELECT doc_id,
+             SUM(CASE WHEN va > 0 THEN (1::BIGINT << b) ELSE 0 END) AS fa,
+             SUM(CASE WHEN vb > 0 THEN (1::BIGINT << b) ELSE 0 END) AS fb
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fa, b.fa)) + bit_count(xor(a.fb, b.fb)) AS INT)
+             AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fa, b.fa)) + bit_count(xor(a.fb, b.fb)) <= 3
+    """
+
+
+@register("simhash_near_dups_explicit", oracle=_SIMHASH_X_ORACLE)
+def simhash_near_dups_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 SimHash with FULL value verification — the second near-dup
+    hash family converted by the explicit-hash pattern (after MinHash
+    banding above): token bits come from md5 nibbles instead of
+    xxhash64, fingerprints are two 32-bit halves, candidates from
+    16-bit banding (lossless at hamming ≤ 3 by pigeonhole), hamming
+    verified by bit_count(xor). The DuckDB oracle is the NAIVE
+    all-pairs hamming join over recomputed fingerprints, so a green
+    hash row simultaneously value-checks every fingerprint bit AND
+    proves the banding lossless on real data — the Spark plan stays
+    the banded hash join, never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_dup_pairs_explicit(docs, "doc_id", "text", max_hamming=3)
 
 
 @register("simhash_near_dups")

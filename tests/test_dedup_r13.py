@@ -143,3 +143,42 @@ def test_explicit_stream_serve_multibatch_parity(spark, qs):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_explicit_simhash_identical_texts_and_precision(spark, qs):
+    """Structural parity with the seeded SimHash family: identical texts
+    fingerprint identically (hamming 0) in the explicit family, and
+    every reported pair is genuinely similar — also an exact
+    shingle-Jaccard >= 0.3 pair (the seeded rung's precision check,
+    looser than the 0.5 near-dup bar because hamming and Jaccard are
+    different similarity geometries)."""
+    from dataengineerchallenge_spark.operators.dedup import (
+        simhash_near_dup_pairs_explicit,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dup_pairs_explicit(df, "doc_id", "text").collect()
+    }
+    assert (1, 2, 0) in got
+    assert all(h == 0 or (a, b) != (1, 2) for a, b, h in got)
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in qs["simhash_near_dups_explicit"](spark, SF_DIR).collect()
+    }
+    loose = {
+        (r["id_a"], r["id_b"])
+        for r in D.shingle_jaccard_pairs(
+            load_table(spark, SF_DIR, "documents"), "doc_id", "text",
+            n=3, threshold=0.3,
+        ).collect()
+    }
+    assert len(pairs) > 0
+    assert pairs <= loose, f"low-precision simhash pairs: {sorted(pairs - loose)[:5]}"
