@@ -67,6 +67,13 @@ HEADLINE = [
     "part_copurchase_pagerank",              # G1 iterative graph power iteration (round 12)
     "hll_explicit_user_counts",              # A6+ hash-verified HyperLogLog (round 12)
     "hourly_load_anomalies_mad",             # A+ robust anomaly screen (round 12)
+    "part_copurchase_triangles",             # G2 degree-oriented triangles, persisted invariant (round 13)
+    "part_copurchase_hops",                  # G3 BFS frontier expansion (round 13)
+    "part_pair_affinity",                    # G+ market-basket lift scoring (round 13)
+    "copurchase_components",                 # G4 large-star/small-star components (round 13)
+    "directed_purchase_pagerank",            # G1+ dangling-corrected directed PageRank (round 13)
+    "near_dup_banded_minhash_explicit",      # N2 hash-verified MinHash banding (round 13)
+    "simhash_near_dups_explicit",            # N2 hash-verified SimHash (round 13)
     # near_dup_jaccard_prefix is deliberately NOT a headline line: on the
     # fixture's uniform-vocab corpus the prefix plan's extra shuffles cost
     # more than the candidate reduction saves (its regime is Zipfian hot
