@@ -84,10 +84,20 @@ def test_graph_bench_artifact_persist_pays_at_scale():
     if not os.path.exists(path):
         pytest.skip("BENCH_graph.json not generated on this machine")
     res = json.load(open(path))["results"]
-    biggest = max(res.values(), key=lambda r: r["edges"])
+    # the artifact also carries cc_chain_*/tri_* rungs (r13); the
+    # persist crossover claim is about the pr_* rows only
+    pr = [r for k, r in res.items() if k.startswith("pr_")]
+    assert pr, "BENCH_graph.json has no pagerank rungs"
+    biggest = max(pr, key=lambda r: r["edges"])
     assert biggest["persist_speedup"] >= 1.2
-    for r in res.values():
+    for r in pr:
         assert r["rank_mass_rel_err"] < 1e-9
+    # r13 star-CC rungs: log-round convergence on chains (rounds must
+    # grow like log2(n), nowhere near the diameter)
+    chains = {k: r for k, r in res.items() if k.startswith("cc_chain_")}
+    for r in chains.values():
+        assert r["star_rounds"] <= 25
+        assert r["projected_speedup"] > 10
 
 
 def test_triangle_counts_closed_forms(spark):

@@ -313,6 +313,20 @@ micro-batch, with stream-vs-batch row parity pinned in pytest.
     for r in hops:
         hop_hist[r["hops"]] = hop_hist.get(r["hops"], 0) + 1
     graph_bench = load_artifact("BENCH_graph.json")
+    # r13 star-contraction components: describe the component-size shape
+    cc = run("copurchase_components")
+    comp_sizes: dict = {}
+    for r in cc:
+        comp_sizes[r["component"]] = comp_sizes.get(r["component"], 0) + 1
+    cc_biggest = max(comp_sizes.values()) if comp_sizes else 0
+    cc_chain = None
+    if graph_bench:
+        chain_keys = sorted(
+            (k for k in graph_bench["results"] if k.startswith("cc_chain_")),
+            key=lambda k: int(k.rsplit("_", 1)[1]),
+        )
+        if chain_keys:
+            cc_chain = graph_bench["results"][chain_keys[-1]]
 
     compaction_para = ""
     comp = (layout_bench or {}).get("compaction")
@@ -482,6 +496,12 @@ local clustering and reachability, every query oracle-checked:
 - **Reachability** (`part_copurchase_hops`, BFS from the lowest-id
   part): hop histogram {dict(sorted(hop_hist.items()))} — how much of
   the supported graph one product's neighborhood can reach in ≤ 6 hops.
+- **Components** (`copurchase_components`, r13 large-star/small-star
+  contraction): {len(comp_sizes):,} components over {len(cc):,} parts,
+  largest {cc_biggest:,} — whether the co-purchase universe is one
+  connected market or many niches is the first segmentation question,
+  and the star operator answers it in O(log n) rounds where min-label
+  propagation needs diameter rounds{f" (measured on a {cc_chain['chain_nodes']:,}-node chain: {cc_chain['star_rounds']} star rounds / {cc_chain['star_s']} s vs a projected {cc_chain['min_label_projected_s']:,} s for min-label — {cc_chain['projected_speedup']}x)" if cc_chain else ""}.
 
 {"PageRank itself is benched (`BENCH_graph.json`): the loop-invariant persist loses " + str(round((1 - graph_bench["results"]["pr_1000000"]["persist_speedup"]) * 100)) + "% at 1M pre-materialized edges and wins " + str(graph_bench["results"][f"pr_{graph_bench['edge_sizes'][-1]}"]["persist_speedup"]) + "x at " + f"{graph_bench['edge_sizes'][-1]:,}" + " — the crossover every iterative-join operator should publish." if graph_bench else ""}
 
