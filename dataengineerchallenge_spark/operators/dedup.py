@@ -559,6 +559,90 @@ def simhash_frame(df: DataFrame, id_col: str, tokens: Column, id_salt: int = 0) 
     return votes.select(F.col("_id").alias(id_col), sim.alias("simhash"))
 
 
+def dup_span_doc_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span-level exact dedup (the Lee et al. 2022 'Deduplicating
+    Training Data' signal at word granularity): find every positional
+    n-word gram that occurs in >= ``min_docs`` DISTINCT documents, mark
+    the word positions those grams cover, and emit per-doc coverage
+    stats plus the TRIMMED text (covered words removed, original order
+    preserved). Doc-level dedup (exact_dedup/near_dup_*) drops whole
+    documents; this catches the boilerplate/license-header/quoted-block
+    duplication that survives it — the remaining chunk of duplicated
+    training tokens a corpus-curation pipeline must account for.
+
+    Plan (all JVM-side, one pass over the text):
+    - positional grams via sequence→transform→slice (the word_shingles
+      machinery kept positional, NOT distinct — position matters here);
+    - gram doc-frequency = count_distinct(doc) per gram, equi-joined
+      back (inverted-index join on the gram key, the same shape as the
+      shingle Jaccard join — never all-pairs, fanout bounded by the
+      gram's doc list);
+    - covered positions = explode(sequence(start, start+n-1)), distinct;
+    - trim = posexplode words, anti-join covered, array_sort(collect) —
+      per-doc grouped reconstruction, shuffle keyed on the doc id.
+
+    Within-doc repeats do NOT count (df is distinct-doc); docs shorter
+    than ``n`` words have no grams and come back untrimmed with
+    dup_fraction 0. Returns (id, n_words, n_dup_grams, covered_words,
+    dup_fraction, trimmed_text)."""
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+    words = F.split(F.col("_txt"), " ")
+    k = F.size(words) - F.lit(n - 1)
+    gram_at = lambda i: F.struct(  # noqa: E731
+        i.alias("start"), F.concat_ws(" ", F.slice(words, i + 1, n)).alias("g")
+    )
+    grams = F.when(
+        k > 0, F.transform(F.sequence(F.lit(0), k - 1), gram_at)
+    ).otherwise(F.array().cast("array<struct<start:int,g:string>>"))
+    sh = base.select("_id", F.explode(grams).alias("_s")).select(
+        "_id", F.col("_s.start").alias("start"), F.col("_s.g").alias("g")
+    )
+    dup_grams = (
+        sh.groupBy("g")
+        .agg(F.count_distinct("_id").alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("g")
+    )
+    hits = sh.join(dup_grams, "g")
+    covered = hits.select(
+        "_id", F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias("pos")
+    ).distinct()
+    n_dup = hits.groupBy("_id").agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    n_cov = covered.groupBy("_id").agg(F.count(F.lit(1)).alias("covered_words"))
+    toks = base.select("_id", F.posexplode(F.split(F.col("_txt"), " ")).alias("pos", "w"))
+    kept = toks.join(covered, ["_id", "pos"], "left_anti")
+    trimmed = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda x: x["w"]
+            ),
+            " ",
+        ).alias("trimmed_text")
+    )
+    return (
+        base.select("_id", F.size(F.split(F.col("_txt"), " ")).alias("n_words"))
+        .join(n_dup, "_id", "left")
+        .join(n_cov, "_id", "left")
+        .join(trimmed, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_words").cast("long").alias("n_words"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce("covered_words", F.lit(0)).cast("long").alias("covered_words"),
+            F.round(
+                F.coalesce("covered_words", F.lit(0)) / F.col("n_words"), 4
+            ).alias("dup_fraction"),
+            F.coalesce("trimmed_text", F.lit("")).alias("trimmed_text"),
+        )
+    )
+
+
 def simhash_frame_explicit(df: DataFrame, id_col: str, tokens: Column) -> DataFrame:
     """(id, fa, fb) EXPLICIT SimHash — the md5 twin of ``simhash_frame``
     (same bit-vote plan, cross-engine hash): each token's 64 bits are the

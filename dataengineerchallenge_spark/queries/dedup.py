@@ -785,6 +785,68 @@ def stream_near_dup_serve_explicit(spark: SparkSession, sf_dir: str) -> DataFram
     return _stream_near_dup_serve(spark, store, payload, docs, band_fn=band_fn)
 
 
+_DUP_SPAN_ORACLE = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    st AS (SELECT doc_id, ws,
+                  unnest(range(0, greatest(len(ws) - 4, 0))) AS start
+           FROM t),
+    g AS (SELECT doc_id, start,
+                 array_to_string(ws[start + 1 : start + 5], ' ') AS g
+          FROM st),
+    dupg AS (
+      SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT g.doc_id, g.start FROM g JOIN dupg USING (g)),
+    covered AS (
+      SELECT DISTINCT doc_id, unnest(range(start, start + 5)) AS pos
+      FROM hits
+    ),
+    toks AS (SELECT doc_id, unnest(range(0, len(ws))) AS pos, ws FROM t),
+    kept AS (
+      SELECT tk.doc_id, tk.pos, tk.ws[tk.pos + 1] AS w
+      FROM toks tk LEFT JOIN covered c
+        ON c.doc_id = tk.doc_id AND c.pos = tk.pos
+      WHERE c.pos IS NULL
+    ),
+    trimmed AS (
+      SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS trimmed_text
+      FROM kept GROUP BY doc_id
+    ),
+    ndup AS (SELECT doc_id, count(*) AS n_dup_grams FROM hits GROUP BY doc_id),
+    ncov AS (SELECT doc_id, count(*) AS covered_words FROM covered GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.ws) AS BIGINT) AS n_words,
+           CAST(COALESCE(ndup.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(COALESCE(ncov.covered_words, 0) AS BIGINT) AS covered_words,
+           ROUND(COALESCE(ncov.covered_words, 0) / CAST(len(t.ws) AS DOUBLE), 4)
+             AS dup_fraction,
+           COALESCE(trimmed.trimmed_text, '') AS trimmed_text
+    FROM t
+    LEFT JOIN ndup USING (doc_id)
+    LEFT JOIN ncov USING (doc_id)
+    LEFT JOIN trimmed USING (doc_id)
+    """
+
+
+@register("dup_span_trim_docs", oracle=_DUP_SPAN_ORACLE)
+def dup_span_trim_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1++ SPAN-level exact dedup (r13; the Lee et al. 2022
+    'Deduplicating Training Data' signal at word granularity): every
+    positional 5-word gram occurring in >= 2 distinct documents marks
+    its span duplicated; per doc the query reports gram/word coverage,
+    the duplicated-token fraction, and the TRIMMED text with covered
+    words removed in original order. Doc-level dedup drops whole
+    near-copies; this is the complementary operator that quantifies and
+    strips the boilerplate/quoted-block duplication surviving it — at
+    100 TB the duplicated-span token count is a first-class corpus
+    metric, not a curiosity. Fully hash-verified including the
+    reconstructed trimmed strings (operators/dedup.py
+    dup_span_doc_frame; inverted-index join on the gram key, never
+    all-pairs)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return D.dup_span_doc_frame(docs, "doc_id", "text", n=5, min_docs=2)
+
+
 _SIMHASH_X_ORACLE = f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     s AS (SELECT doc_id,
