@@ -74,6 +74,7 @@ HEADLINE = [
     "directed_purchase_pagerank",            # G1+ dangling-corrected directed PageRank (round 13)
     "near_dup_banded_minhash_explicit",      # N2 hash-verified MinHash banding (round 13)
     "simhash_near_dups_explicit",            # N2 hash-verified SimHash (round 13)
+    "dup_span_trim_docs",                    # N1++ span-level dedup + trim (round 14)
     # near_dup_jaccard_prefix is deliberately NOT a headline line: on the
     # fixture's uniform-vocab corpus the prefix plan's extra shuffles cost
     # more than the candidate reduction saves (its regime is Zipfian hot

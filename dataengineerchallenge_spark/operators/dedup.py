@@ -565,6 +565,7 @@ def dup_span_doc_frame(
     text_col: str,
     n: int = 5,
     min_docs: int = 2,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Span-level exact dedup (the Lee et al. 2022 'Deduplicating
     Training Data' signal at word granularity): find every positional
@@ -590,7 +591,21 @@ def dup_span_doc_frame(
     Within-doc repeats do NOT count (df is distinct-doc); docs shorter
     than ``n`` words have no grams and come back untrimmed with
     dup_fraction 0. Returns (id, n_words, n_dup_grams, covered_words,
-    dup_fraction, trimmed_text)."""
+    dup_fraction, trimmed_text).
+
+    ``hash_grams=True`` (r14, VERDICT r13 #5) is the 100 TB shuffle
+    shape: the corpus-wide doc-frequency aggregate and the candidate
+    attach key on ``xxhash64(g)`` — an 8-byte join key instead of the
+    raw ~n·word-length gram string, cutting the two full-corpus shuffles'
+    key bytes ~4-5x (measured in BENCH_dedup.json). EXACTNESS is kept,
+    not traded: a 64-bit collision can only merge two grams' doc sets,
+    so the hash-keyed frequency filter is a LOSSLESS superset (any gram
+    truly in >= min_docs docs has a key spanning >= min_docs docs), and
+    candidates re-verify with an exact count_distinct on the TRUE gram
+    string — but that re-aggregation touches only candidate rows (grams
+    whose key already spans min_docs docs), never the corpus. Output is
+    bit-identical to the string-keyed plan (same DuckDB oracle
+    hash-checks both registered variants)."""
     base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
     words = F.split(F.col("_txt"), " ")
     k = F.size(words) - F.lit(n - 1)
@@ -603,13 +618,32 @@ def dup_span_doc_frame(
     sh = base.select("_id", F.explode(grams).alias("_s")).select(
         "_id", F.col("_s.start").alias("start"), F.col("_s.g").alias("g")
     )
-    dup_grams = (
-        sh.groupBy("g")
-        .agg(F.count_distinct("_id").alias("_df"))
-        .filter(F.col("_df") >= min_docs)
-        .select("g")
-    )
-    hits = sh.join(dup_grams, "g")
+    if hash_grams:
+        shk = sh.withColumn("_gk", F.xxhash64("g"))
+        cand_keys = (
+            shk.groupBy("_gk")
+            .agg(F.count_distinct("_id").alias("_df"))
+            .filter(F.col("_df") >= min_docs)
+            .select("_gk")
+        )
+        # candidate rows: every positional occurrence of a gram whose
+        # HASH key spans >= min_docs docs — a tiny, lossless superset
+        cand_hits = shk.join(cand_keys, "_gk")
+        dup_grams = (
+            cand_hits.groupBy("g")
+            .agg(F.count_distinct("_id").alias("_df2"))
+            .filter(F.col("_df2") >= min_docs)
+            .select("g")
+        )
+        hits = cand_hits.join(dup_grams, "g").select("_id", "start", "g")
+    else:
+        dup_grams = (
+            sh.groupBy("g")
+            .agg(F.count_distinct("_id").alias("_df"))
+            .filter(F.col("_df") >= min_docs)
+            .select("g")
+        )
+        hits = sh.join(dup_grams, "g")
     covered = hits.select(
         "_id", F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias("pos")
     ).distinct()

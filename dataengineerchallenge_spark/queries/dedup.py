@@ -606,6 +606,142 @@ def near_dup_incremental_minhash_explicit(spark: SparkSession, sf_dir: str) -> D
     return D.verify_jaccard(docs, "doc_id", "text", cand, n=_MH_N, threshold=0.5)
 
 
+def _staged_minhash_bands_explicit_appended(
+    spark: SparkSession, sf_dir: str
+) -> str:
+    """Explicit-family twin of ``_staged_minhash_bands_appended``: the
+    committed store after delivery 1 — the staged BASE bands (doc_id
+    below 3/5) plus a batch-only explicit signing of [3/5, 4/5)
+    mode-appended into the same layout. Statelessness makes the appended
+    store byte-equivalent to re-signing doc_id < 4/5 from scratch, which
+    is exactly what the hash-green oracle of the second-delivery query
+    below proves ON DATA every round."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        docs = spread(load_table(spark, sf_dir, "documents"))
+        lo, hi = _doc_split(docs, 3, 5), _doc_split(docs, 4, 5)
+        base = docs.filter(F.col("doc_id") < lo)
+        D.minhash_band_frame_explicit(
+            base, "doc_id", "text", n=_MH_N,
+            num_hashes=_MH_HASHES, band_rows=_MH_BAND_ROWS,
+        ).write.parquet(str(out))
+        deliv1 = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        D.minhash_band_frame_explicit(
+            deliv1, "doc_id", "text", n=_MH_N,
+            num_hashes=_MH_HASHES, band_rows=_MH_BAND_ROWS,
+        ).write.mode("append").parquet(str(out))
+
+    return staged(
+        spark,
+        "mhx_bands_app",
+        Path(sf_dir) / "documents.parquet",
+        _mh_salt("xs3of5to4of5app"),
+        build,
+    )
+
+
+@register(
+    "near_dup_second_delivery_minhash_explicit", oracle=_mhx_oracle(new_only=True)
+)
+def near_dup_second_delivery_minhash_explicit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """N2 STEADY-STATE incremental dedup, hash-verified (VERDICT r13 #3):
+    delivery N+1 against the COMMITTED explicit-family store. Same
+    three-way split as ``near_dup_second_delivery_minhash`` (base < 60%,
+    delivery1 = [60%, 80%) committed by append, delivery2 = [80%, 100%) =
+    this batch), same plan (sign the batch only → broadcast-join against
+    the appended store plus the batch's self-join → exact verify), but
+    with the md5+affine family the DuckDB oracle — a FULL-corpus banding
+    restricted to pairs involving a delivery2 doc — must match
+    hash-for-hash. A green row therefore proves the whole store
+    lifecycle (sign → commit → next delivery joins base+delivery1,
+    nothing re-signed) equals a from-scratch rebuild on real data every
+    round, not just in pytest."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n_docs = docs.count()
+    split2 = n_docs * 4 // 5
+    new = docs.filter(F.col("doc_id") >= split2)
+    new_bands = D.minhash_band_frame_explicit(
+        new, "doc_id", "text", n=_MH_N,
+        num_hashes=_MH_HASHES, band_rows=_MH_BAND_ROWS,
+    )
+    store = spark.read.parquet(
+        _staged_minhash_bands_explicit_appended(spark, sf_dir)
+    )
+    batch_band_rows = (n_docs - split2) * (_MH_HASHES // _MH_BAND_ROWS)
+    cand = D.band_collision_pairs(
+        store, new_bands, batch_band_rows=batch_band_rows
+    ).unionByName(D.band_collision_pairs(new_bands))
+    return D.verify_jaccard(docs, "doc_id", "text", cand, n=_MH_N, threshold=0.5)
+
+
+def stage_bucketed_band_store_explicit(spark: SparkSession, sf_dir: str) -> str:
+    """Explicit-family twin of ``stage_bucketed_band_store``: the base
+    corpus's explicit bands as an 8-bucket table clustered and sorted on
+    (band, band_hash) — the zero-exchange staged side for the
+    over-threshold delivery path (band_hash here is the comma-joined
+    minima STRING; bucketing hashes it like any other key column)."""
+    import tempfile
+
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.staging import content_tag, staging_root
+
+    tag = content_tag(
+        Path(sf_dir) / "documents.parquet", _mh_salt("xs4of5bkt")
+    )
+    name = f"spark_graft_bkt_mhx_bands_{tag}"
+    if not spark.catalog.tableExists(name):
+        tmp = tempfile.mkdtemp(
+            dir=staging_root(spark), prefix="spark_graft_bktx_"
+        )
+        bands = spark.read.parquet(_staged_minhash_bands_explicit(spark, sf_dir))
+        (
+            bands.write.bucketBy(8, "band", "band_hash")
+            .sortBy("band", "band_hash")
+            .option("path", f"{tmp}/mhx_bands")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    return name
+
+
+@register(
+    "near_dup_incremental_minhash_bigbatch_explicit",
+    oracle=_mhx_oracle(new_only=True),
+)
+def near_dup_incremental_minhash_bigbatch_explicit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """N2 incremental near-dup, OVER-THRESHOLD delivery path,
+    hash-verified (VERDICT r13 #3): the shuffle-mode degrade of
+    ``near_dup_incremental_minhash_explicit`` — the candidate join reads
+    the (band, band_hash)-bucketed explicit store bucket-aligned with
+    zero staged-side exchange; only the batch's bands shuffle into the
+    store's layout. Because THIS row and the broadcast-mode row share
+    one oracle, both of ``band_collision_pairs``'s attach modes are now
+    value-verified against the same ground truth every round — the
+    size-adaptive mode flip (auto → shuffle past
+    BROADCAST_BATCH_MAX_BYTES) can no longer silently change results,
+    which pytest's plan pin alone could not prove on data."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    split = docs.count() * 4 // 5
+    new = docs.filter(F.col("doc_id") >= split)
+    new_bands = D.minhash_band_frame_explicit(
+        new, "doc_id", "text", n=_MH_N,
+        num_hashes=_MH_HASHES, band_rows=_MH_BAND_ROWS,
+    )
+    store = spark.table(stage_bucketed_band_store_explicit(spark, sf_dir))
+    cand = D.band_collision_pairs(store, new_bands, mode="shuffle").unionByName(
+        D.band_collision_pairs(new_bands)
+    )
+    return D.verify_jaccard(docs, "doc_id", "text", cand, n=_MH_N, threshold=0.5)
+
+
 def _staged_delivery_stream(spark: SparkSession, sf_dir: str) -> str:
     """The new delivery (the last ~20% of the corpus, the same batch
     ``near_dup_incremental_minhash`` dedups) written as 3 hash-
@@ -847,6 +983,23 @@ def dup_span_trim_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dup_span_doc_frame(docs, "doc_id", "text", n=5, min_docs=2)
 
 
+@register("dup_span_trim_docs_hashed", oracle=_DUP_SPAN_ORACLE)
+def dup_span_trim_docs_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1++ span dedup, GRAM-HASH shuffle shape (r14, VERDICT r13 #5):
+    semantically identical to ``dup_span_trim_docs`` — it shares that
+    row's oracle hash-for-hash — but the corpus-wide doc-frequency
+    aggregate and candidate attach key on ``xxhash64(gram)`` (8 bytes)
+    instead of the raw 5-word string (~30 bytes), the join-key diet that
+    matters when the gram explode is petabyte-scale. Exactness is kept
+    by an exact string-keyed re-verify over candidate rows only (see
+    dup_span_doc_frame); key-byte reduction measured in
+    BENCH_dedup.json."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return D.dup_span_doc_frame(
+        docs, "doc_id", "text", n=5, min_docs=2, hash_grams=True
+    )
+
+
 _SIMHASH_X_ORACLE = f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     s AS (SELECT doc_id,
@@ -1033,9 +1186,28 @@ _CLUSTER_CTES = """
 
 
 def _near_dup_components(spark: SparkSession, sf_dir: str):
+    """docs + (node, comp) labels of the exact near-dup pair graph.
+
+    r14 (VERDICT r13 #1): the clustering backbone is the O(log n)-round
+    large-star/small-star contraction (operators/graph.py
+    connected_components_star) — min-label propagation needs rounds
+    proportional to component DIAMETER, which BENCH_graph.json projects
+    766x slower on a 16k-node chain of re-delivered near-dups; at 100 TB
+    the dedup graph is exactly where such chains appear. Labels are
+    identical by construction (component = min doc_id; parity pinned in
+    tests/test_graph.py and by the unchanged recursive-CTE oracles on
+    every consumer); min-label stays available as the small-diameter
+    comparison rung measured in BENCH_graph.json."""
+    from dataengineerchallenge_spark.operators.graph import (
+        connected_components_star,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.shingle_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
-    return docs, D.connected_components(pairs)
+    comp = connected_components_star(pairs, src="id_a", dst="id_b").select(
+        "node", F.col("component").alias("comp")
+    )
+    return docs, comp
 
 
 @register(

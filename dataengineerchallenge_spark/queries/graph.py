@@ -206,9 +206,6 @@ def part_copurchase_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PART_NODE_OFFSET = 10_000_000
-
-
 def _directed_pagerank_oracle(iters: int) -> str:
     """Unrolled power iteration WITH the dangling-mass correction over
     the customer→part purchase digraph: every part node is a rank sink
@@ -240,7 +237,7 @@ def _directed_pagerank_oracle(iters: int) -> str:
     return f"""
     WITH e AS (
       SELECT DISTINCT o.o_custkey AS src,
-             l.l_partkey + {_PART_NODE_OFFSET} AS dst
+             -l.l_partkey AS dst
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     ), nodes AS (
       SELECT src AS node FROM e UNION SELECT dst FROM e
@@ -273,8 +270,11 @@ def directed_purchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical per-iteration plan to the symmetric query
     (one src-join + one dst-sum) plus one broadcast 1-row dangling-sum
     aggregate — the correction costs a semi-join over |V| rows, never an
-    edge-set pass. Part nodes are offset by 10^7 so the two key spaces
-    cannot collide."""
+    edge-set pass. Part nodes are NEGATED (node -p = part p, node c =
+    customer c): the two key spaces can never collide at ANY scale
+    factor, where an additive offset silently aliases part nodes onto
+    customer nodes once o_custkey outgrows it (ADVICE r13 #4; part keys
+    are strictly positive, so the sign is a total disambiguator)."""
     from dataengineerchallenge_spark.operators.graph import pagerank
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -283,7 +283,7 @@ def directed_purchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(
             F.col("o_custkey").alias("src"),
-            (F.col("l_partkey") + _PART_NODE_OFFSET).alias("dst"),
+            (-F.col("l_partkey")).alias("dst"),
         )
         .distinct()
     )

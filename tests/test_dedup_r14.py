@@ -1,0 +1,161 @@
+"""Round-14 pins (VERDICT r13 next-round #1/#3/#5 + ADVICE):
+
+- dup_span_doc_frame closed forms — a planted repeated 5-gram corpus
+  with hand-computed coverage counts and trimmed text (the r13 query
+  shipped with zero committed pytest evidence, ADVICE r13 #1);
+- the gram-HASH shuffle shape must be bit-identical to the string-keyed
+  plan (the lossless-superset argument, verified on data);
+- the two new explicit-family incremental rungs (bigbatch shuffle-mode,
+  second-delivery against the committed store) must equal the
+  broadcast-mode explicit rung pair-for-pair — one oracle, three plans;
+- star-CC rewiring: the dedup clustering backbone now runs
+  large-star/small-star contraction; converged stats flag + the
+  non-convergence RuntimeError (ADVICE r13 #2).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dataengineerchallenge_spark.operators import dedup as D
+from dataengineerchallenge_spark.registry import queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return queries()
+
+
+# --- dup_span_doc_frame closed forms -------------------------------------
+
+
+_SPAN_CORPUS = [
+    # docs 1 and 2 share exactly one positional 5-gram: "a b c d e"
+    # (doc 1 start 0, doc 2 start 2); every other gram is unique.
+    (1, "a b c d e f g h"),
+    (2, "x y a b c d e z"),
+    # no gram shared with anyone
+    (3, "p q r s t u"),
+    # shorter than the gram width: no grams, untrimmed, fraction 0
+    (4, "hi there"),
+]
+
+_SPAN_EXPECT = {
+    # doc: (n_words, n_dup_grams, covered_words, dup_fraction, trimmed)
+    1: (8, 1, 5, 0.625, "f g h"),
+    2: (8, 1, 5, 0.625, "x y z"),
+    3: (6, 0, 0, 0.0, "p q r s t u"),
+    4: (2, 0, 0, 0.0, "hi there"),
+}
+
+
+@pytest.mark.parametrize("hash_grams", [False, True])
+def test_dup_span_closed_forms(spark, hash_grams):
+    df = spark.createDataFrame(_SPAN_CORPUS, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in D.dup_span_doc_frame(
+            df, "doc_id", "text", n=5, min_docs=2, hash_grams=hash_grams
+        ).collect()
+    }
+    assert out.keys() == _SPAN_EXPECT.keys()
+    for doc, (nw, ndup, ncov, frac, trimmed) in _SPAN_EXPECT.items():
+        r = out[doc]
+        assert r["n_words"] == nw
+        assert r["n_dup_grams"] == ndup
+        assert r["covered_words"] == ncov
+        assert r["dup_fraction"] == pytest.approx(frac, abs=1e-4)
+        assert r["trimmed_text"] == trimmed
+
+
+def test_dup_span_overlapping_grams_merge_coverage(spark):
+    """Two overlapping duplicated grams cover the union of their spans,
+    not the sum: docs sharing a 6-word run have two positional 5-grams
+    in common whose spans overlap in 4 positions."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "q r s t u v")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.dup_span_doc_frame(df, "doc_id", "text", n=5, min_docs=2).collect()
+    }
+    for doc in (1, 2):
+        assert out[doc]["n_dup_grams"] == 2  # starts 0 and 1
+        assert out[doc]["covered_words"] == 6  # union, not 10
+        assert out[doc]["dup_fraction"] == pytest.approx(1.0)
+        assert out[doc]["trimmed_text"] == ""
+    assert out[3]["covered_words"] == 0
+
+
+def test_dup_span_hashed_equals_string_keyed_on_fixture(spark, qs):
+    """The 8-byte-key plan must reproduce the string-keyed plan
+    bit-for-bit on real data (both registered rungs also share one
+    DuckDB oracle in the sweep)."""
+    a = {tuple(r) for r in qs["dup_span_trim_docs"](spark, SF_DIR).collect()}
+    b = {tuple(r) for r in qs["dup_span_trim_docs_hashed"](spark, SF_DIR).collect()}
+    assert a == b and len(a) > 0
+
+
+# --- explicit incremental rungs: one oracle, three plans ------------------
+
+
+def test_explicit_bigbatch_and_second_delivery_match_broadcast_rung(spark, qs):
+    """Mode flip (broadcast → bucketed-SMJ shuffle) and store lifecycle
+    (append-commit, then delivery N+1) must not change a single pair:
+    all three rungs answer the same question of the same corpus."""
+    broadcast = {
+        tuple(r)
+        for r in qs["near_dup_incremental_minhash_explicit"](spark, SF_DIR).collect()
+    }
+    bigbatch = {
+        tuple(r)
+        for r in qs["near_dup_incremental_minhash_bigbatch_explicit"](
+            spark, SF_DIR
+        ).collect()
+    }
+    second = {
+        tuple(r)
+        for r in qs["near_dup_second_delivery_minhash_explicit"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert broadcast == bigbatch == second
+    assert len(broadcast) > 0
+
+
+# --- star-CC rewiring + convergence contract ------------------------------
+
+
+def test_near_dup_clusters_run_star_contraction(spark, qs):
+    """The rewired backbone must produce the same labeling contract as
+    before (component = min doc_id; singletons label themselves)."""
+    rows = qs["near_dup_clusters"](spark, SF_DIR).collect()
+    assert rows
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+
+
+def test_star_cc_reports_convergence_and_raises_when_capped(spark):
+    from dataengineerchallenge_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 300)], "src long, dst long"
+    )
+    stats: dict = {}
+    out = connected_components_star(chain, stats=stats)
+    assert stats["converged"] is True
+    assert out.count() == 300
+    # a 2-round cap cannot contract a 300-node chain: incorrect labels
+    # must never be returned silently (ADVICE r13 #2)
+    stats2: dict = {}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(chain, max_rounds=2, stats=stats2)
+    assert stats2 == {"rounds": 2, "converged": False}

@@ -291,3 +291,34 @@ def test_backend_latency_approx_sketch_tracks_exact(spark):
             assert min(abs(k - k_exact) for k in ranks) <= 1, (
                 row["url_path"], p, ranks, k_exact,
             )
+
+
+def test_backend_latency_approx_gk_exact_regime_precondition(spark):
+    """ADVICE r13: the approx query's hash-green row against the EXACT
+    nearest-rank oracle rests on a Spark-internal invariant — the
+    Greenwald-Khanna summary at accuracy 10000 never compresses while
+    every group's sample count stays far below the accuracy, so query(p)
+    IS the exact rank datum. This pin makes that coupling diagnosable:
+    (a) the fixture must stay in the no-compression regime (max group
+    count ≤ accuracy/10 — a fixture regrowth trips this first), and
+    (b) in that regime the approx query must still EQUAL the exact query
+    value-for-value (an engine upgrade changing GK internals trips this
+    with a named culprit instead of an anonymous sweep hash-fail)."""
+    from dataengineerchallenge_spark.queries.elb import (
+        elb_backend_latency_percentiles,
+        elb_backend_latency_percentiles_approx,
+    )
+
+    exact = {r["url_path"]: r for r in elb_backend_latency_percentiles(spark, "").collect()}
+    approx = {r["url_path"]: r for r in elb_backend_latency_percentiles_approx(spark, "").collect()}
+    assert exact.keys() == approx.keys()
+    max_n = max(r["n_requests"] for r in exact.values())
+    assert max_n * 10 <= 10000, (
+        f"fixture left the GK no-compression regime (max group n={max_n}, "
+        "accuracy=10000): the approx query's exact oracle no longer applies"
+    )
+    for path, er in exact.items():
+        ar = approx[path]
+        for col in ("n_requests", "backend_p50_s", "backend_p95_s",
+                    "backend_p99_s", "backend_max_s"):
+            assert ar[col] == er[col], (path, col, ar[col], er[col])

@@ -50,10 +50,13 @@ def audit(sf_dir: str, out_path: str, execute: bool = False) -> None:
         lst = spark._jsparkSession.sharedState().statusStore().executionsList()
         return lst.apply(lst.size() - 1).executionId() if lst.size() > 0 else -1
 
-    def _plans_since(watermark: int) -> str:
-        """Concatenated FINAL-plan descriptions of every SQL execution
-        after ``watermark`` — the union of plans the query actually ran
-        (one per localCheckpoint/action plus the terminal collect)."""
+    def _plans_since(watermark: int) -> tuple[list[str], str]:
+        """Per-execution FINAL-plan trees — ONE LIST ENTRY per SQL
+        execution after ``watermark`` (one per localCheckpoint/action
+        plus the terminal collect) — and the concatenated detail
+        sections (PushedFilters / codegen ids). Kept per-execution so
+        iterative queries report their round structure, not just an
+        aggregate (VERDICT r13 #7)."""
         lst = spark._jsparkSession.sharedState().statusStore().executionsList()
         trees, details = [], []
         for i in range(lst.size()):
@@ -66,7 +69,7 @@ def audit(sf_dir: str, out_path: str, execute: bool = False) -> None:
                 head, _, rest = desc.partition("== Initial Plan ==")
                 trees.append(head)
                 details.append(rest)
-        return "\n".join(trees), "\n".join(details)
+        return trees, "\n".join(details)
 
     rows = []
     for name, fn in sorted(e.queries().items()):
@@ -75,6 +78,7 @@ def audit(sf_dir: str, out_path: str, execute: bool = False) -> None:
         try:
             secs = ""
             detail = ""
+            execs = ""
             if execute:
                 # time the BUILD too: iterative operators execute their
                 # rounds inside fn() via localCheckpoint, and those jobs
@@ -87,7 +91,17 @@ def audit(sf_dir: str, out_path: str, execute: bool = False) -> None:
                 # leaves this plan isFinalPlan=false
                 df.collect()
                 secs = f"{time.time() - t0:.2f}"
-                plan, detail = _plans_since(wm)
+                trees, detail = _plans_since(wm)
+                plan = "\n".join(trees)
+                # per-execution structure: an iterative query's "21
+                # shuffles" might be 1 execution of 21 or 7 rounds of 3 —
+                # report count of executions and the max shuffles any
+                # single one ran so the round shape is visible
+                per_exec = [
+                    len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", t))
+                    for t in trees
+                ]
+                execs = f"{len(trees)} ({max(per_exec) if per_exec else 0})"
             else:
                 df = fn(spark, sf_dir)
                 qe = df._jdf.queryExecution()
@@ -96,7 +110,7 @@ def audit(sf_dir: str, out_path: str, execute: bool = False) -> None:
                 # count nodes from the final one only
                 plan = plan.split("== Initial Plan ==")[0]
         except Exception as ex:  # pragma: no cover - audit robustness
-            rows.append((name, "ERROR", str(ex)[:80], "", "", "", ""))
+            rows.append((name, "ERROR", str(ex)[:80], "", "", "", "", ""))
             continue
         if execute:
             # description-format trees: nodes print as "Exchange (45)" /
@@ -127,14 +141,14 @@ def audit(sf_dir: str, out_path: str, execute: bool = False) -> None:
         )
         rows.append(
             (name, str(n_exchange), str(n_bcast), joins,
-             f"{n_scan}{'+pf' if pushed else ''}", str(n_codegen), secs)
+             f"{n_scan}{'+pf' if pushed else ''}", str(n_codegen), execs, secs)
         )
 
     cols = "| query | shuffles | bcasts | joins | scans | wscg |"
     sep = "|---|---|---|---|---|---|"
     if execute:
-        cols += " sec |"
-        sep += "---|"
+        cols += " execs (max shuf) | sec |"
+        sep += "---|---|"
     with open(out_path, "w") as f:
         f.write(
             "# Plan audit\n\n"
@@ -144,7 +158,11 @@ def audit(sf_dir: str, out_path: str, execute: bool = False) -> None:
             "`shuffles` counts data-moving Exchange nodes (broadcasts "
             "listed separately — they move only the small side), `scans` "
             "is file scans (`+pf` = at least one scan has pushed "
-            "filters), `wscg` is distinct WholeStageCodegen spans"
+            "filters), `wscg` is distinct WholeStageCodegen spans; "
+            "executed mode aggregates EVERY SQL execution the query "
+            "triggers and adds `execs (max shuf)` — execution count and "
+            "the max shuffles any single execution ran, so iterative "
+            "queries show their per-round structure"
             + (
                 ".\n\n"
                 if execute
