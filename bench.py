@@ -126,7 +126,21 @@ def main() -> None:
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = e.queries()
+    qs = dict(e.queries())
+    # two seeded rungs retired from the registry in r14 (their shapes are
+    # value-verified by the explicit twins) stay bench-timed for
+    # round-over-round continuity — they are still the production-hash path
+    from dataengineerchallenge_spark.queries.dedup import (
+        near_dup_incremental_minhash_bigbatch,
+        near_dup_second_delivery_minhash,
+    )
+
+    qs.setdefault(
+        "near_dup_incremental_minhash_bigbatch", near_dup_incremental_minhash_bigbatch
+    )
+    qs.setdefault(
+        "near_dup_second_delivery_minhash", near_dup_second_delivery_minhash
+    )
     names = [n for n in HEADLINE if n in qs]
 
     # warm-up: absorb one-time JVM/codegen/file-listing cost with the SAME

@@ -627,8 +627,18 @@ def dup_span_doc_frame(
             .select("_gk")
         )
         # candidate rows: every positional occurrence of a gram whose
-        # HASH key spans >= min_docs docs — a tiny, lossless superset
-        cand_hits = shk.join(cand_keys, "_gk")
+        # HASH key spans >= min_docs docs — a tiny, lossless superset.
+        # The key set is BROADCAST: 8 bytes per duplicated gram (the
+        # whole point of hashing — the string dup-gram set outgrows the
+        # broadcast budget 4-5x earlier), so the attach never re-shuffles
+        # the gram frame; measured at 200k docs the un-hinted SMJ attach
+        # re-shuffled all 11M gram rows and erased the aggregate's
+        # key-byte win. Regime note: boilerplate is a small fraction of a
+        # real corpus, so |dup keys| ≪ |grams|; a corpus where MOST grams
+        # are duplicated should use the string plan (one shuffle, no
+        # second pass) — that trade is what BENCH_dedup.json's span rung
+        # measures.
+        cand_hits = shk.join(F.broadcast(cand_keys), "_gk")
         dup_grams = (
             cand_hits.groupBy("g")
             .agg(F.count_distinct("_id").alias("_df2"))

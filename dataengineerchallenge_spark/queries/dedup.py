@@ -386,7 +386,6 @@ def near_dup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.verify_jaccard(docs, "doc_id", "text", cand, n=_MH_N, threshold=0.5)
 
 
-@register("near_dup_incremental_minhash_bigbatch")
 def near_dup_incremental_minhash_bigbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N2 incremental near-dup, OVER-THRESHOLD delivery path (VERDICT r7
     What's-wrong #2): identical pair semantics and output to
@@ -394,6 +393,13 @@ def near_dup_incremental_minhash_bigbatch(spark: SparkSession, sf_dir: str) -> D
     delivery as too big to broadcast — at 100 TB a 1% delivery is ~1 TB
     of bands, far past any broadcast budget, and a forced hint would
     fail rather than degrade.
+
+    RETIRED from the registry in r14 (VERDICT r13 #3): the shape is now
+    VALUE-verified by ``near_dup_incremental_minhash_bigbatch_explicit``
+    (same plan, cross-engine hash family, hash-green oracle), so this
+    seeded twin no longer earns a rows-only registry slot. It stays the
+    production-hash (xxhash64, ~cheaper than md5) library path —
+    bench-timed in bench.py and parity-pinned in tests/test_dedup.py.
 
     Plan: the corpus band store is the 8-bucket (band, band_hash)
     layout (``stage_bucketed_band_store``), so the sort-merge candidate
@@ -414,12 +420,16 @@ def near_dup_incremental_minhash_bigbatch(spark: SparkSession, sf_dir: str) -> D
     return D.verify_jaccard(docs, "doc_id", "text", cand, n=_MH_N, threshold=0.5)
 
 
-@register("near_dup_second_delivery_minhash")
 def near_dup_second_delivery_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N2 STEADY-STATE incremental dedup — delivery N+1 against the
     COMMITTED store (VERDICT r7 What's-missing #3: the sign → dedup →
     commit loop proven for one turn must also be exercised as a
-    registered query on turn two). Three-way split of the corpus:
+    registered query on turn two).
+
+    RETIRED from the registry in r14 (VERDICT r13 #3): superseded as a
+    registry row by ``near_dup_second_delivery_minhash_explicit`` (same
+    lifecycle, hash-green oracle); retained as the seeded-hash library
+    path, bench-timed and pytest-pinned. Three-way split of the corpus:
 
     - base     = doc_id < 60%   (signed when the store was first built)
     - delivery1 = [60%, 80%)    (signed batch-only, COMMITTED mode-append

@@ -138,6 +138,12 @@ def main() -> None:
         help="re-run only the AllPairs-prefix-vs-plain Zipf rung, merging",
     )
     ap.add_argument("--prefix-sizes", default="100000,200000")
+    ap.add_argument(
+        "--only-span",
+        action="store_true",
+        help="re-run only the span-dedup gram-key rung, merging",
+    )
+    ap.add_argument("--span-sizes", default="50000,200000")
     ap.add_argument("--driver-memory", default="8g")
     ap.add_argument("--out", default="BENCH_dedup.json")
     args = ap.parse_args()
@@ -163,7 +169,9 @@ def main() -> None:
         "mut_pct": MUT_PCT,
         "results": {},
     }
-    only_flags = args.only_incr or args.only_bloom or args.only_prefix
+    only_flags = (
+        args.only_incr or args.only_bloom or args.only_prefix or args.only_span
+    )
     if only_flags and os.path.exists(args.out):
         out["results"] = json.load(open(args.out)).get("results", {})
     for dist in ("uniform", "zipf") if not only_flags else ():
@@ -218,7 +226,7 @@ def main() -> None:
     import shutil
     import tempfile
 
-    for rows in sizes if not (args.only_bloom or args.only_prefix) else ():
+    for rows in sizes if not (args.only_bloom or args.only_prefix or args.only_span) else ():
         d = os.path.join(root, f"dedup_uniform_{rows}")
         _gen(spark, d, rows)  # idempotent; --only-incr skips the loop above
         docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
@@ -311,7 +319,7 @@ def main() -> None:
     # its extra shuffles (df aggregate + per-doc window) cost more than
     # the candidate cut saves; on Zipfian text the plain self-join goes
     # superlinear and the prefix stays ahead (lossless — pair sets equal).
-    if not (args.only_incr or args.only_bloom):
+    if not (args.only_incr or args.only_bloom or args.only_span):
         for rows in [int(s) for s in args.prefix_sizes.split(",") if s]:
             d = os.path.join(root, f"dedup_zipf_{rows}")
             _gen(spark, d, rows, dist="zipf")
@@ -357,7 +365,7 @@ def main() -> None:
     #                  dup_share + FPR of the batch, and the corpus pass
     #                  is skippable when it is empty
     # bloom_build_s is the once-per-corpus staged cost (word table).
-    if not args.only_incr:
+    if not (args.only_incr or args.only_span):
         bloom_sizes = [int(s) for s in args.bloom_sizes.split(",") if s]
         m_bits, k = 1 << 24, 4  # m/n = 16.8 at 1M keys → FPR ≈ 0.24%
         nb = args.bloom_batch
@@ -462,6 +470,91 @@ def main() -> None:
                 }
                 delivery.unpersist()
                 print(f"bloom N={rows} dup={dup_share}: {json.dumps(res)}")
+
+    # ---- span dedup: gram-STRING vs gram-HASH shuffle keys (r14) ------
+    # dup_span_doc_frame's two corpus-wide shuffles (gram doc-frequency
+    # aggregate, candidate attach) key on the raw 5-word gram string in
+    # the anchor plan and on xxhash64(gram) in the hash_grams plan
+    # (VERDICT r13 #5). Measured per corpus size: REAL shuffle-write
+    # bytes of each full run (delta of the UI status API's cumulative
+    # stage counter — single-app process, nothing else runs), wall
+    # time, and the analytic join-KEY byte totals (sum of gram string
+    # lengths vs 8 bytes/row). Output parity is asserted via a
+    # Spark-side checksum, so the rung doubles as an at-scale
+    # correctness check of the lossless-superset argument.
+    if not (args.only_incr or args.only_bloom or args.only_prefix):
+        import urllib.request
+
+        def _shuffle_write_bytes() -> int:
+            ui = spark.sparkContext.uiWebUrl
+            app = spark.sparkContext.applicationId
+            stages = json.load(
+                urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages")
+            )
+            return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+
+        def _span_checksum(frame):
+            return tuple(
+                frame.agg(
+                    F.count(F.lit(1)),
+                    F.sum("n_dup_grams"),
+                    F.sum("covered_words"),
+                    F.expr("bit_xor(xxhash64(doc_id, trimmed_text))"),
+                ).collect()[0]
+            )
+
+        for rows in [int(s) for s in args.span_sizes.split(",") if s]:
+            d = os.path.join(root, f"dedup_uniform_{rows}")
+            _gen(spark, d, rows)
+            sdocs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+
+            runs: dict = {}
+            for key, hashed in (("string", False), ("hashed", True)):
+                best_s, bytes_run, chk = float("inf"), None, None
+                for it in range(args.iters):
+                    b0 = _shuffle_write_bytes()
+                    t0 = time.time()
+                    chk = _span_checksum(
+                        D.dup_span_doc_frame(
+                            sdocs, "doc_id", "text", n=5, min_docs=2,
+                            hash_grams=hashed,
+                        )
+                    )
+                    secs = time.time() - t0
+                    if secs < best_s:
+                        best_s = secs
+                        bytes_run = _shuffle_write_bytes() - b0
+                    spark.catalog.clearCache()
+                runs[key] = (round(best_s, 2), bytes_run, chk)
+            # analytic join-key byte totals over the positional gram set
+            words = F.split(F.col("text"), " ")
+            k5 = F.size(words) - F.lit(4)
+            grams = F.when(
+                k5 > 0,
+                F.transform(
+                    F.sequence(F.lit(0), k5 - 1),
+                    lambda i: F.concat_ws(" ", F.slice(words, i + 1, 5)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            kb = sdocs.select(F.explode(grams).alias("g")).agg(
+                F.count(F.lit(1)).alias("n"), F.sum(F.length("g")).alias("b")
+            ).collect()[0]
+            out["results"][f"span_uniform_{rows}"] = res = {
+                "corpus": rows,
+                "gram_rows": int(kb["n"]),
+                "string_key_bytes": int(kb["b"]),
+                "hash_key_bytes": 8 * int(kb["n"]),
+                "key_byte_cut": round(kb["b"] / (8.0 * kb["n"]), 2),
+                "string_s": runs["string"][0],
+                "hashed_s": runs["hashed"][0],
+                "string_shuffle_write_bytes": runs["string"][1],
+                "hashed_shuffle_write_bytes": runs["hashed"][1],
+                "shuffle_byte_cut": round(
+                    runs["string"][1] / max(runs["hashed"][1], 1), 2
+                ),
+                "parity": runs["string"][2] == runs["hashed"][2],
+            }
+            print(f"span N={rows}: {json.dumps(res)}")
 
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
