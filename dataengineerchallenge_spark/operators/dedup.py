@@ -687,6 +687,89 @@ def dup_span_doc_frame(
     )
 
 
+# Winnowing position encoding: selected window-minima are picked over
+# key = gram_hash * POS_MOD + pos so ties on equal hashes break on the
+# SMALLEST position identically in both engines. u32 hash < 2^32 and
+# pos < 2^24 keep the key < 2^56, exactly representable in int64 on
+# both sides; docs longer than 16M words would need a wider encoding.
+WINNOW_POS_MOD = 1 << 24
+
+
+def winnow_fingerprint_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """(id, gram_hash, pos) WINNOWED document fingerprints — the MOSS
+    local fingerprinting algorithm (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003 — a public design): hash every positional ``k``-word
+    gram, slide a ``w``-wide window over the hash sequence, and keep
+    each window's MINIMUM. The selected set is ~2/(w+1) of the grams
+    (the published density) yet carries the winnowing GUARANTEE: any
+    run of >= w + k - 1 shared words between two documents yields at
+    least one shared fingerprint hash — bottom-k sketches
+    (doc_fingerprints) sample globally and cannot promise that.
+
+    Cross-engine by construction: the gram hash is the repo's md5-u32
+    (functions/hashing spark_u32/duck_u32), window minima are taken
+    over ``hash * WINNOW_POS_MOD + pos`` (deterministic tie-break on
+    position), and frames clip at the partition end identically in
+    Spark and DuckDB — so a DuckDB oracle replays the selection
+    bit-for-bit and queries on this frame are hash-checked.
+
+    Plan: one positional-gram explode (same projection as
+    dup_span_doc_frame), one window pass per doc ordered by position
+    (shuffle keyed on the doc id, partition size = doc gram count), one
+    distinct. Docs shorter than ``k`` words have no grams and yield no
+    rows; docs with fewer than ``w`` grams winnow their single
+    truncated window (one fingerprint), so every doc with >= k words
+    is represented.
+    """
+    from pyspark.sql import Window
+
+    from dataengineerchallenge_spark.functions.hashing import spark_u32
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+    words = F.split(F.col("_txt"), " ")
+    n = F.size(words) - F.lit(k - 1)
+    grams = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = (
+        base.select("_id", F.posexplode(grams).alias("pos", "g"))
+        .select(
+            "_id",
+            "pos",
+            (
+                F.expr(spark_u32("g")) * F.lit(WINNOW_POS_MOD) + F.col("pos")
+            ).alias("_key"),
+        )
+    )
+    win = Window.partitionBy("_id").orderBy("pos").rowsBetween(0, w - 1)
+    whole = Window.partitionBy("_id")
+    sel = (
+        hashed.withColumn("_wmin", F.min("_key").over(win))
+        .withColumn("_n", F.count(F.lit(1)).over(whole))
+        # valid window starts: 0..n-w (every full window), or the single
+        # truncated window at 0 when the doc has fewer than w grams
+        .filter(F.col("pos") <= F.greatest(F.col("_n") - w, F.lit(0)))
+        .select("_id", F.col("_wmin").alias("_key"))
+        .distinct()
+    )
+    return sel.select(
+        F.col("_id").alias(id_col),
+        F.expr(f"_key div {WINNOW_POS_MOD}").alias("gram_hash"),
+        (F.col("_key") % WINNOW_POS_MOD).cast("int").alias("pos"),
+    )
+
+
 def simhash_frame_explicit(df: DataFrame, id_col: str, tokens: Column) -> DataFrame:
     """(id, fa, fb) EXPLICIT SimHash — the md5 twin of ``simhash_frame``
     (same bit-vote plan, cross-engine hash): each token's 64 bits are the

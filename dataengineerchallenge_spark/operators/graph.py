@@ -46,6 +46,7 @@ def pagerank(
     dangling: bool = False,
     tol: float | None = None,
     stats: dict | None = None,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list, returning
     (node, pr) where pr is the |V|-SCALED rank (mean 1.0, i.e. classic
@@ -73,6 +74,19 @@ def pagerank(
     One extra tiny action per round — the trade a user makes when the
     iteration count is unknown for their graph. ``stats`` (optional)
     receives {"iterations": k, "delta": last_max_delta_or_None}.
+
+    ``teleport`` (r14) turns the computation PERSONALIZED (topic-
+    sensitive PageRank, Haveliwala WWW'02 — a public design): a
+    one-column (node) seed frame replaces the uniform restart with a
+    restart onto the seeds only, t(v) = |V|/|S| for seeds else 0 (mean
+    1 over all nodes, so total mass stays |V| and ranks remain O(1)):
+
+        pr'(v) = (1 - damping)·t(v) + damping·(inflow(v) [+ ds·t(v)/|V|])
+
+    With ``dangling=True`` the dangling mass also re-enters through the
+    teleport distribution (the standard personalized correction). Cost:
+    one broadcast join of the tiny seed frame per plan, no extra
+    shuffle — the seed indicator rides the node frame.
     """
     from pyspark import StorageLevel
 
@@ -106,6 +120,32 @@ def pagerank(
         ).persist(StorageLevel.MEMORY_AND_DISK)
         n_nodes = nodes.count()
 
+    tele = None
+    if teleport is not None:
+        # restrict seeds to graph nodes (a seed outside the graph would
+        # silently dilute the restart mass), annotate the node frame
+        # once with the scaled restart weight — a loop invariant
+        if n_nodes is None:
+            n_nodes = nodes.count()
+        seeds = (
+            teleport.select(F.col(teleport.columns[0]).alias("node"))
+            .distinct()
+            .join(nodes, "node", "left_semi")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_seeds = seeds.count()
+        if n_seeds == 0:
+            raise ValueError("personalized pagerank: no teleport seed is a graph node")
+        tele = nodes.join(
+            F.broadcast(seeds.withColumn("_s", F.lit(1))), "node", "left"
+        ).select(
+            "node",
+            F.when(F.col("_s").isNotNull(), F.lit(float(n_nodes) / n_seeds))
+            .otherwise(F.lit(0.0))
+            .alias("t"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        seeds.unpersist()
+
     ranks = nodes.select("node", F.lit(1.0).alias("pr"))
     # dangling mode references `ranks` TWICE per iteration (contribution
     # join + dangling-sum semi-join), so a lazy chain doubles the plan
@@ -125,17 +165,24 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        nxt = nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+        base = tele if tele is not None else nodes
+        nxt = base.join(contrib, base["node"] == contrib["dst"], "left")
         inflow = F.coalesce(F.col("inflow"), F.lit(0.0))
         if dangling:
             dsum = ranks.join(dang, "node", "left_semi").agg(
                 F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_ds")
             )
             nxt = nxt.crossJoin(F.broadcast(dsum))
-            inflow = inflow + F.col("_ds") / F.lit(float(n_nodes))
+            # dangling mass re-enters via the restart distribution:
+            # uniform without teleport, onto the seeds with it
+            dist = F.col("t") / F.lit(float(n_nodes)) if tele is not None else (
+                F.lit(1.0) / F.lit(float(n_nodes))
+            )
+            inflow = inflow + F.col("_ds") * dist
+        restart = F.col("t") if tele is not None else F.lit(1.0)
         nxt = nxt.select(
             "node",
-            (F.lit(1.0 - damping) + F.lit(damping) * inflow).alias("pr"),
+            (F.lit(1.0 - damping) * restart + F.lit(damping) * inflow).alias("pr"),
         )
         if materialize_rounds:
             nxt = nxt.localCheckpoint()
@@ -164,6 +211,8 @@ def pagerank(
     nodes.unpersist()
     if dang is not None:
         dang.unpersist()
+    if tele is not None:
+        tele.unpersist()
     if stats is not None:
         stats["iterations"] = ran
         stats["delta"] = delta

@@ -291,6 +291,96 @@ def directed_purchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("pr", 4).alias("pr"))
 
 
+def _personalized_pagerank_oracle(iters: int) -> str:
+    """Unrolled personalized power iteration over the symmetric
+    co-purchase graph: restart mass lands only on the seed parts
+    (part_key % 10 = 0), t(v) = |V|/|S| on seeds else 0 —
+    r{i+1}(v) = 0.15·t(v) + 0.85·inflow(v). Symmetric graph ⇒ no
+    dangling mass; total stays exactly |V| (pinned Spark-side)."""
+    steps = []
+    for i in range(iters):
+        steps.append(
+            f"""r{i + 1} AS (
+      SELECT n.node,
+             {1 - _DAMPING} * CASE WHEN n.node % 10 = 0
+                                   THEN nn.n / ns.s ELSE 0.0 END
+             + {_DAMPING} * COALESCE(sx.inflow, 0.0) AS pr
+      FROM nodes n
+      CROSS JOIN nn CROSS JOIN ns
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.pr / od.outdeg) AS inflow
+        FROM e
+        JOIN r{i} r ON e.src = r.node
+        JOIN od ON e.src = od.src
+        GROUP BY e.dst
+      ) sx ON n.node = sx.node
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM e
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+    ), ns AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS s FROM nodes WHERE node % 10 = 0
+    ), od AS (
+      SELECT src, count(*) AS outdeg FROM e GROUP BY src
+    ), r0 AS (
+      SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes
+    ),
+    {chain}
+    SELECT node AS part_key, ROUND(pr, 4) AS pr FROM r{iters}
+    """
+
+
+@register(
+    "personalized_copurchase_pagerank",
+    oracle=_personalized_pagerank_oracle(_ITERS),
+)
+def personalized_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1++ PERSONALIZED (topic-sensitive) PageRank (Haveliwala WWW'02):
+    restart mass lands only on a seed set — here parts with
+    part_key % 10 = 0 stand in for 'the products this user already
+    bought' — so ranks measure co-purchase proximity TO THE SEEDS, the
+    related-items primitive behind personalized recommendation rails,
+    where global PageRank measures popularity. Seeds get t = |V|/|S|
+    (mean-1 restart vector), every update conserves total mass |V| on
+    the symmetric graph, and the oracle unrolls the same seeded update
+    as chained CTEs — hash-checked end to end.
+
+    Scale shape: identical per-iteration plan to the global query (one
+    src-join + one dst-sum over the cached edge list); the seed
+    indicator is one broadcast join onto the node frame, built once as
+    a loop invariant — personalization costs nothing per iteration."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    seeds = (
+        li.select(F.col("l_partkey").alias("node"))
+        .filter(F.col("node") % 10 == 0)
+        .distinct()
+    )
+    ranks = pagerank(
+        edges, iters=_ITERS, damping=_DAMPING, teleport=seeds
+    )
+    return ranks.select(
+        F.col("node").alias("part_key"), F.round("pr", 4).alias("pr")
+    )
+
+
 @register(
     "copurchase_components",
     oracle="""

@@ -174,6 +174,56 @@ def test_span_bench_artifact_byte_cut_and_parity():
     assert biggest["shuffle_byte_cut"] >= 1.5
 
 
+def test_winnow_guarantee_and_isolation(spark):
+    """The winnowing contract (Schleimer et al. SIGMOD'03): two docs
+    sharing a run of >= w+k-1 words (8 at k=4, w=5) MUST share a
+    fingerprint hash; docs with no shared 4-gram must share none."""
+    from dataengineerchallenge_spark.operators.dedup import (
+        winnow_fingerprint_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee ff gg hh i1 i2 i3 i4 i5 i6"),
+            (2, "z1 z2 z3 z4 aa bb cc dd ee ff gg hh y1 y2"),
+            (3, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12"),
+        ],
+        "doc_id long, text string",
+    )
+    by: dict = {}
+    for r in winnow_fingerprint_frame(docs, "doc_id", "text", k=4, w=5).collect():
+        by.setdefault(r["doc_id"], set()).add(r["gram_hash"])
+    assert by[1] & by[2], "shared 8-word run must yield a shared fingerprint"
+    assert not (by[1] & by[3]) and not (by[2] & by[3])
+
+
+def test_winnow_density_and_short_docs(spark):
+    """Selected density sits around the published 2/(w+1); a doc with
+    >= k but < k+w-1 words still winnows its single truncated window;
+    a doc shorter than k words yields nothing."""
+    import random
+
+    from dataengineerchallenge_spark.operators.dedup import (
+        winnow_fingerprint_frame,
+    )
+
+    random.seed(14)
+    long_doc = " ".join(f"w{random.randrange(5000)}" for _ in range(200))
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, "a b c d e"), (3, "too short")],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprint_frame(docs, "doc_id", "text", k=4, w=5)
+    by: dict = {}
+    for r in fps.collect():
+        by.setdefault(r["doc_id"], []).append(r["pos"])
+    n_grams = 200 - 3
+    density = len(by[1]) / n_grams
+    assert 0.15 <= density <= 0.55, density  # 2/(w+1) = 0.33 ± slack
+    assert len(by.get(2, [])) >= 1  # truncated single window
+    assert 3 not in by  # no grams at all
+
+
 def test_star_cc_reports_convergence_and_raises_when_capped(spark):
     from dataengineerchallenge_spark.operators.graph import (
         connected_components_star,

@@ -252,6 +252,59 @@ def _star_from_pairs(spark, pairs):
     return connected_components_star(pairs, src="id_a", dst="id_b")
 
 
+# --- personalized PageRank (round 14) -------------------------------------
+
+
+def test_personalized_pagerank_mass_and_seed_locality(spark):
+    """Two disconnected triangles, seeds only in the first: total mass
+    stays exactly |V| every iteration (restart + symmetric inflow
+    conserve it), the seedless component's mass decays by the damping
+    factor per round (it receives no restart), and the seed node
+    outranks every node of the far component."""
+    from dataengineerchallenge_spark.operators.graph import pagerank
+
+    tri = [(10, 11), (11, 12), (12, 10), (21, 22), (22, 23), (23, 21)]
+    edges = spark.createDataFrame(
+        tri + [(b, a) for a, b in tri], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(10,)], "node long")
+    iters = 5
+    ranks = {
+        r["node"]: r["pr"]
+        for r in pagerank(edges, iters=iters, teleport=seeds).collect()
+    }
+    assert sum(ranks.values()) == pytest.approx(6.0, abs=1e-9)
+    far_mass = ranks[21] + ranks[22] + ranks[23]
+    assert far_mass == pytest.approx(3 * 0.85**iters, abs=1e-9)
+    assert ranks[10] > max(ranks[21], ranks[22], ranks[23])
+
+
+def test_personalized_pagerank_dangling_mass_reenters_at_seeds(spark):
+    """Directed chain with a sink, seeded at the head: the sink's mass
+    re-enters through the restart distribution (not uniformly), so
+    total mass stays exactly |V| — the personalized form of the
+    dangling correction."""
+    from dataengineerchallenge_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    ranks = {
+        r["node"]: r["pr"]
+        for r in pagerank(edges, iters=5, dangling=True, teleport=seeds).collect()
+    }
+    assert sum(ranks.values()) == pytest.approx(3.0, abs=1e-9)
+    assert ranks[1] > ranks[3]
+
+
+def test_personalized_pagerank_rejects_seedless_graph(spark):
+    from dataengineerchallenge_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    seeds = spark.createDataFrame([(99,)], "node long")  # not a graph node
+    with pytest.raises(ValueError, match="no teleport seed"):
+        pagerank(edges, teleport=seeds)
+
+
 # --- directed PageRank: dangling mass + tolerance (round 13) -------------
 
 

