@@ -75,6 +75,8 @@ HEADLINE = [
     "near_dup_banded_minhash_explicit",      # N2 hash-verified MinHash banding (round 13)
     "simhash_near_dups_explicit",            # N2 hash-verified SimHash (round 13)
     "dup_span_trim_docs",                    # N1++ span-level dedup + trim (round 14)
+    "purchase_hits",                         # G5 HITS mutual-reinforcement ranking (round 14)
+    "sorted_neighborhood_near_dups",         # N2++++ sort-proximity blocking (round 14)
     # near_dup_jaccard_prefix is deliberately NOT a headline line: on the
     # fixture's uniform-vocab corpus the prefix plan's extra shuffles cost
     # more than the candidate reduction saves (its regime is Zipfian hot

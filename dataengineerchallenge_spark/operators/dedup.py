@@ -1178,3 +1178,76 @@ def bloom_maybe_contains(
         .groupBy(keycol)
         .agg(F.bool_and(hit).alias("maybe"))
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key: Column,
+    window: int = 5,
+    n_ranges: int = 32,
+) -> DataFrame:
+    """Sorted-neighborhood candidate generation (Hernandez & Stolfo,
+    SIGMOD'95 — a public record-linkage algorithm): order the corpus by
+    a blocking key, and emit every pair whose positions in that order
+    are within ``window`` of each other. Returns (id_a, id_b, rank_gap)
+    where id_a is the LOWER-rank row and 1 <= rank_gap <= window.
+
+    The classic complement to hash blocking (MinHash bands, SimHash
+    buckets): those find pairs that agree exactly on some derived key,
+    SNM finds pairs that are merely CLOSE in a sort order — typo-shifted
+    prefixes, zero-padded ids, truncated titles — at a guaranteed
+    n*window candidate budget, skew-free by construction (a hash block
+    can be arbitrarily large; a rank window cannot).
+
+    Scale shape: the global rank is NOT a single-partition window — the
+    frame is range-partitioned on (key, id) [the id tiebreak makes the
+    order total, so ranks are deterministic], ranked WITHIN partitions,
+    and per-partition ranks are lifted to global ones by adding each
+    partition's cumulative predecessor count (a p-row offset frame,
+    broadcast back). Candidates come from an equi-join of rank against
+    an exploded rank+1..rank+window sequence — one shuffle on an
+    integer key with fanout exactly ``window``, never a cross join.
+    The only sub-distributed steps touch p rows (one per partition).
+    """
+    from pyspark.sql import Window
+
+    keyed = df.select(F.col(id_col).alias("_id"), key.alias("_k"))
+    parted = keyed.repartitionByRange(n_ranges, "_k", "_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = parted.withColumn(
+        "_lrn",
+        F.row_number().over(Window.partitionBy("_pid").orderBy("_k", "_id")),
+    )
+    # p-row offset frame: rows strictly before each partition
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_off")
+    )
+    ranked = local.join(F.broadcast(offsets), "_pid").select(
+        "_id", (F.col("_lrn") + F.col("_off")).alias("_rn")
+    )
+    probes = ranked.select(
+        F.col("_id").alias("id_a"),
+        F.explode(
+            F.sequence(F.col("_rn") + 1, F.col("_rn") + F.lit(window))
+        ).alias("_rn_b"),
+        F.col("_rn").alias("_rn_a"),
+    )
+    return probes.join(
+        ranked.select(F.col("_id").alias("id_b"), F.col("_rn").alias("_rn_b")),
+        "_rn_b",
+    ).select("id_a", "id_b", (F.col("_rn_b") - F.col("_rn_a")).alias("rank_gap"))

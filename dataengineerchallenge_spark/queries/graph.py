@@ -510,3 +510,83 @@ def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+def _hits_oracle(iters: int) -> str:
+    """Unrolled HITS mutual power iteration: h0 = 1.0 on every customer,
+    then per iteration the authority update (sum of hub scores over
+    in-edges) and the hub update (sum of authority scores over
+    out-edges), each renormalized to mean 1 over its side — the exact
+    update operators/graph.py:hits runs, as chained CTEs.
+
+    Every step CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    reference, and each normalization references its raw frame twice
+    (values + the 1-row sum), so un-materialized chaining doubles the
+    inlined plan per HALF-iteration — 4^iters copies of the base join,
+    the exact blow-up the Spark side's per-round localCheckpoint
+    prevents (operator docstring). MATERIALIZED keeps the oracle
+    linear in iters."""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""a{i}r AS MATERIALIZED (
+      SELECT e.dst AS node, SUM(h.s) AS s
+      FROM e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst
+    ), a{i} AS MATERIALIZED (
+      SELECT node, s * (SELECT n FROM na) / (SELECT SUM(s) FROM a{i}r) AS s
+      FROM a{i}r
+    ), h{i}r AS MATERIALIZED (
+      SELECT e.src AS node, SUM(a.s) AS s
+      FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+    ), h{i} AS MATERIALIZED (
+      SELECT node, s * (SELECT n FROM nh) / (SELECT SUM(s) FROM h{i}r) AS s
+      FROM h{i}r
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), nh AS (SELECT COUNT(DISTINCT src) AS n FROM e),
+    na AS (SELECT COUNT(DISTINCT dst) AS n FROM e),
+    h0 AS MATERIALIZED (SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS s FROM e),
+    {chain}
+    SELECT node AS node_key, 'hub' AS kind, ROUND(s, 4) AS score FROM h{iters}
+    UNION ALL
+    SELECT node AS node_key, 'authority' AS kind, ROUND(s, 4) AS score FROM a{iters}
+    """
+
+
+@register("purchase_hits", oracle=_hits_oracle(_ITERS))
+def purchase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs and authorities (Kleinberg JACM'99) over the bipartite
+    customer -> part purchase graph: a customer is a good HUB when they
+    buy high-authority parts; a part is a good AUTHORITY when bought by
+    high-hub customers — the mutual-reinforcement ranking PageRank's
+    single score can't express (a part bought once by ten discerning
+    buyers can out-rank one bought often by drive-by customers).
+
+    Five iterations, scores renormalized to mean 1 per side each
+    half-step (the repo's scaled-form convention — any fixed rescaling
+    preserves the principal-eigenvector direction, see the operator
+    docstring), ROUND(4) on both engines; the oracle unrolls the SAME
+    updates as chained CTEs, so the query is hash-checked end to end.
+
+    Scale: two pagerank-shaped join+agg passes per iteration, score
+    frames broadcast by AQE, rounds localCheckpoint-ed (constant plan
+    depth). No namespace trick needed: hub and authority frames never
+    union raw ids without the `kind` discriminator column."""
+    from dataengineerchallenge_spark.operators.graph import hits
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst"))
+        .distinct()
+    )
+    scored = hits(edges, iters=_ITERS)
+    return scored.select(
+        F.col("node").alias("node_key"), "kind", F.round("s", 4).alias("score")
+    )

@@ -16,6 +16,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from dataengineerchallenge_spark.operators import dedup as D
 from dataengineerchallenge_spark.registry import queries
@@ -242,3 +243,42 @@ def test_star_cc_reports_convergence_and_raises_when_capped(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components_star(chain, max_rounds=2, stats=stats2)
     assert stats2 == {"rounds": 2, "converged": False}
+
+
+# ------------------------------------------------- sorted neighborhood
+
+
+def _snm_pairs(spark, rows, window=2, n_ranges=4):
+    from dataengineerchallenge_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted_neighborhood_pairs(
+        df, "doc_id", F.lower(F.substring("text", 1, 40)), window=window,
+        n_ranges=n_ranges,
+    )
+    return {(r["id_a"], r["id_b"]): r["rank_gap"] for r in got.collect()}
+
+
+def test_snm_window_closed_form(spark):
+    # sort order by 40-char lowercase prefix then id:
+    #   3:"aaa ..." < 1:"aab ..." < 4:"aab ..." (id tiebreak) < 2:"zzz"
+    # window=2 pairs by rank: (3,1)=1 (3,4)=2 (1,4)=1 (1,2)=2 (4,2)=1
+    rows = [
+        (1, "aab x y"),
+        (2, "zzz p q"),
+        (3, "aaa x y"),
+        (4, "aab x z"),
+    ]
+    got = _snm_pairs(spark, rows, window=2)
+    assert got == {(3, 1): 1, (3, 4): 2, (1, 4): 1, (1, 2): 2, (4, 2): 1}
+
+
+def test_snm_rank_is_partition_count_invariant(spark):
+    # the distributed two-level rank must equal the single-range global
+    # rank — identical candidate sets at any partitioning
+    rows = [(i, f"doc {i % 7:03d} body {i}") for i in range(60)]
+    one = _snm_pairs(spark, rows, window=3, n_ranges=1)
+    many = _snm_pairs(spark, rows, window=3, n_ranges=16)
+    assert one == many and len(one) == 3 * 60 - (1 + 2 + 3)

@@ -379,3 +379,52 @@ def test_dangling_with_tolerance_composes(spark):
     total = ranks.agg(F.sum("pr")).collect()[0][0]
     assert abs(total - 4.0) < 1e-8
     assert stats["iterations"] < 80
+
+
+# ---------------------------------------------------------------- HITS
+
+
+def _hits_scores(spark, edges, iters):
+    from dataengineerchallenge_spark.operators.graph import hits
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        (r["kind"], r["node"]): r["s"] for r in hits(df, iters=iters).collect()
+    }
+
+
+def test_hits_closed_form_two_iterations(spark):
+    # bipartite: hubs {1, 2}, authorities {10, 20};
+    # 1 -> {10, 20}, 2 -> {10}. Hand-unrolled mean-1 iteration:
+    #   a1 raw (10: 2, 20: 1)  -> x 2/3   -> (4/3, 2/3)
+    #   h1 raw (1: 2, 2: 4/3)  -> x 3/5   -> (1.2, 0.8)
+    #   a2 raw (10: 2, 20: 1.2)-> x 2/3.2 -> (1.25, 0.75)
+    #   h2 raw (1: 2, 2: 1.25) -> x 2/3.25-> (0.6154, 0.3846) x 2
+    s = _hits_scores(spark, [(1, 10), (1, 20), (2, 10)], iters=2)
+    assert s[("authority", 10)] == pytest.approx(1.25)
+    assert s[("authority", 20)] == pytest.approx(0.75)
+    assert s[("hub", 1)] == pytest.approx(2 * 2 / 3.25)
+    assert s[("hub", 2)] == pytest.approx(2 * 1.25 / 3.25)
+
+
+def test_hits_mean_one_per_side(spark):
+    # normalization invariant: each side averages exactly 1 every round
+    edges = [(c, p) for c in range(1, 8) for p in range(100, 100 + (c % 3) + 1)]
+    s = _hits_scores(spark, edges, iters=4)
+    hubs = [v for (k, _), v in s.items() if k == "hub"]
+    auths = [v for (k, _), v in s.items() if k == "authority"]
+    assert sum(hubs) / len(hubs) == pytest.approx(1.0)
+    assert sum(auths) / len(auths) == pytest.approx(1.0)
+
+
+def test_hits_authority_ranks_discernment_over_volume(spark):
+    # the HITS signature: part 100 is bought by the two hub customers
+    # (who buy everything), part 200 by three narrow one-part buyers.
+    # Raw in-degree says 200 > 100; mutual reinforcement says 100 > 200.
+    edges = (
+        [(1, p) for p in (100, 101, 102, 103)]
+        + [(2, p) for p in (100, 101, 102, 103)]
+        + [(c, 200) for c in (30, 31, 32)]
+    )
+    s = _hits_scores(spark, edges, iters=5)
+    assert s[("authority", 100)] > s[("authority", 200)]
