@@ -77,6 +77,8 @@ HEADLINE = [
     "dup_span_trim_docs",                    # N1++ span-level dedup + trim (round 14)
     "purchase_hits",                         # G5 HITS mutual-reinforcement ranking (round 14)
     "sorted_neighborhood_near_dups",         # N2++++ sort-proximity blocking (round 14)
+    "doc_lm_perplexity",                     # N4++ bigram-LM quality scoring (round 14)
+    "kmv_distinct_users",                    # A6+++ bottom-k distinct sketch (round 14)
     # near_dup_jaccard_prefix is deliberately NOT a headline line: on the
     # fixture's uniform-vocab corpus the prefix plan's extra shuffles cost
     # more than the candidate reduction saves (its regime is Zipfian hot

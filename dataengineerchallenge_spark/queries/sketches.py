@@ -568,3 +568,84 @@ def stream_hll_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result
+
+
+_KMV_K = 64
+
+
+def _kmv_oracle() -> str:
+    from dataengineerchallenge_spark.functions.hashing import duck_u32
+
+    return f"""
+    WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type, user_id, ({duck_u32("user_id")}) AS h FROM pairs
+    ),
+    r AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY h, user_id) AS rn
+      FROM h
+    ),
+    kth AS (SELECT event_type, h AS hk FROM r WHERE rn = {_KMV_K}),
+    nd AS (SELECT event_type, count(*) AS n FROM pairs GROUP BY event_type)
+    SELECT nd.event_type,
+           CAST(nd.n AS BIGINT) AS exact_users,
+           ROUND(CASE WHEN kth.hk IS NOT NULL
+                      THEN {_KMV_K - 1}.0 * 4294967296.0 / (kth.hk + 1)
+                      ELSE nd.n END, 4) AS kmv_users,
+           ROUND(ABS(CASE WHEN kth.hk IS NOT NULL
+                          THEN {_KMV_K - 1}.0 * 4294967296.0 / (kth.hk + 1)
+                          ELSE nd.n END - nd.n) / nd.n, 4) AS rel_err
+    FROM nd LEFT JOIN kth ON nd.event_type = kth.event_type
+    """
+
+
+@register("kmv_distinct_users", oracle=_kmv_oracle())
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 third way: KMV / bottom-k distinct-count sketch (Bar-Yossef et
+    al. RANDOM'02; Beyer et al. SIGMOD'07 give the unbiased (k-1)/R_k
+    form used here) over the explicit md5-u32 hash — like the explicit
+    HLL it is a DETERMINISTIC function of the data, so the ESTIMATE
+    itself hash-matches the DuckDB replay, estimator included. Distinct
+    users per event type: R_k is the k-th smallest (hash, user) of the
+    distinct pair set scaled onto (0,1] via (h+1)/2^32 (the +1 dodges a
+    theoretical h=0 division identically on both engines), estimate
+    (k-1)/R_k with k=64, exact count when a group has fewer than k
+    members. Exact count and relative error ride along, so every green
+    row re-certifies the estimator's error on real data.
+
+    Scale shape: the distinct-collapse is partial-agg friendly; the
+    rank window shuffles only DISTINCT (type, user) pairs on the group
+    key. Bottom-k sketches are MERGEABLE (bottom-k of a union = bottom-k
+    of per-slice bottom-ks), so the 100 TB form keeps a k-row register
+    per (group, slice) and folds by re-rank — same store discipline as
+    the cm/hll register tables; the fixture-grain window IS that fold
+    with one slice."""
+    from pyspark.sql import Window
+
+    from dataengineerchallenge_spark.functions.hashing import spark_u32
+
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select("event_type", "user_id").distinct()
+    hashed = pairs.withColumn("h", F.expr(spark_u32("user_id")))
+    w = Window.partitionBy("event_type").orderBy("h", "user_id")
+    kth = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == _KMV_K)
+        .select("event_type", F.col("h").alias("hk"))
+    )
+    nd = pairs.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    est = F.when(
+        F.col("hk").isNotNull(),
+        F.lit(float(_KMV_K - 1)) * F.lit(4294967296.0) / (F.col("hk") + F.lit(1)),
+    ).otherwise(F.col("n").cast("double"))
+    return (
+        nd.join(kth, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("exact_users"),
+            F.round(est, 4).alias("kmv_users"),
+            F.round(F.abs(est - F.col("n")) / F.col("n"), 4).alias("rel_err"),
+        )
+    )

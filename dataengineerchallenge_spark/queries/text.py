@@ -705,3 +705,90 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_text"),
         )
     )
+
+
+@register(
+    "doc_lm_perplexity",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    v AS (
+      SELECT COUNT(DISTINCT w) AS vsz
+      FROM (SELECT unnest(ws) AS w FROM t)
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest([ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]) AS bg
+      FROM t WHERE len(ws) >= 2
+    ),
+    bgx AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS ctx FROM bg),
+    cbg AS (SELECT bg, count(*)::DOUBLE AS cb FROM bgx GROUP BY bg),
+    cctx AS (SELECT ctx, count(*)::DOUBLE AS cc FROM bgx GROUP BY ctx),
+    scored AS (
+      SELECT x.doc_id,
+             -log2((cbg.cb + 1.0) / (cctx.cc + v.vsz)) AS nll
+      FROM bgx x JOIN cbg USING (bg) JOIN cctx USING (ctx) CROSS JOIN v
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_bigrams,
+           ROUND(avg(nll), 4) AS bits_per_bigram,
+           ROUND(pow(2.0, avg(nll)), 4) AS perplexity
+    FROM scored GROUP BY doc_id
+    """,
+)
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 statistical-LM quality score (the CCNet signal — Wenzek et
+    al. LREC'20 filter corpora by LM perplexity; Heafield's KenLM is
+    the usual scorer): train a Laplace-smoothed bigram model on the
+    corpus itself and score every document by bits-per-bigram,
+    -avg log2 P(w2|w1) with P = (C(w1 w2)+1) / (C(w1 .)+V).
+    Formulaic/boilerplate text scores low (predictable), lexical noise
+    and mid-document language flips score high — a quality axis the
+    length/stopword heuristics (doc_quality_scores) and unigram entropy
+    (doc_token_entropy) both miss because neither conditions on order.
+
+    Train and score are ONE pass over the exploded bigram frame: count
+    tables group on the bigram / context key (partial-agg friendly),
+    scoring re-joins them on the same keys, V rides in as a broadcast
+    1-row aggregate. At 100 TB the bigram count table is the only large
+    side table and both joins are equi-joins on its natural key — no
+    all-pairs step anywhere. Self-training is the fixture stand-in for
+    CCNet's external reference corpus; pointing the count tables at a
+    curated reference table changes one load, not the shape."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    vocab = toks.select(F.explode("ws").alias("w")).agg(
+        F.count_distinct("w").cast("double").alias("vsz")
+    )
+    bgx = (
+        toks.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2),"
+                    " i -> concat(ws[i], ' ', ws[i + 1]))"
+                )
+            ).alias("bg"),
+        )
+        .withColumn("ctx", F.substring_index("bg", " ", 1))
+    )
+    cbg = bgx.groupBy("bg").agg(F.count(F.lit(1)).cast("double").alias("cb"))
+    cctx = bgx.groupBy("ctx").agg(F.count(F.lit(1)).cast("double").alias("cc"))
+    scored = (
+        bgx.join(cbg, "bg")
+        .join(cctx, "ctx")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (-F.log2((F.col("cb") + F.lit(1.0)) / (F.col("cc") + F.col("vsz")))).alias(
+                "nll"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("nll"), 4).alias("bits_per_bigram"),
+        F.round(F.pow(F.lit(2.0), F.avg("nll")), 4).alias("perplexity"),
+    )

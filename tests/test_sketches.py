@@ -244,3 +244,41 @@ def test_stream_hll_twin_matches_batch(spark):
     got = sorted(map(tuple, stream_hll_user_counts(spark, sf).collect()))
     want = sorted(map(tuple, hll_explicit_user_counts(spark, sf).collect()))
     assert got == want
+
+
+# ------------------------------------------------------------- KMV
+
+
+def _kmv(spark, rows, tmp_path):
+    import os
+
+    df = spark.createDataFrame(rows, "event_type string, user_id long, ts timestamp")
+    sf = os.path.join(str(tmp_path), "kmvcorp")
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    from dataengineerchallenge_spark.queries.sketches import kmv_distinct_users
+
+    return {
+        r["event_type"]: r.asDict()
+        for r in kmv_distinct_users(spark, sf).collect()
+    }
+
+
+def test_kmv_sub_k_group_is_exact(spark, tmp_path):
+    # fewer than k=64 distinct members: the sketch IS the set, estimate
+    # must fall back to the exact count with zero error
+    rows = [("view", u, None) for u in range(1, 11)] * 3
+    got = _kmv(spark, rows, tmp_path)
+    assert got["view"]["exact_users"] == 10
+    assert got["view"]["kmv_users"] == 10.0
+    assert got["view"]["rel_err"] == 0.0
+
+
+def test_kmv_estimator_accuracy_above_k(spark, tmp_path):
+    # 5000 distinct users, k=64: Beyer et al.'s (k-1)/R_k estimator has
+    # relative std error ~ 1/sqrt(k-2) ~ 0.127; the md5 draw is
+    # deterministic so this is a fixed-value pin, with 3-sigma headroom
+    rows = [("view", u, None) for u in range(1, 5001)]
+    got = _kmv(spark, rows, tmp_path)
+    assert got["view"]["exact_users"] == 5000
+    assert got["view"]["rel_err"] < 0.38
+    assert got["view"]["kmv_users"] != 5000.0  # it IS an estimate

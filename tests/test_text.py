@@ -64,3 +64,44 @@ def test_fingerprint_null_for_short_docs(spark):
     hashes = F.array_sort(F.array_distinct(F.transform(word_shingles("text", 3), lambda s: F.md5(s))))
     row = df.select(F.get(hashes, 0).alias("fp"), F.slice(hashes, 1, 4).alias("sk")).collect()[0]
     assert row["fp"] is None and row["sk"] == []
+
+
+# --------------------------------------------------- bigram LM scoring
+
+
+def _lm_scores(spark, rows, tmp_path):
+    import os
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sf = os.path.join(str(tmp_path), "lmcorp")
+    df.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    from dataengineerchallenge_spark.queries.text import doc_lm_perplexity
+
+    out = doc_lm_perplexity(spark, sf)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_lm_perplexity_closed_form(spark, tmp_path):
+    # corpus: doc 1 = "a b a b", doc 2 = "a c"; V = 3
+    #   C(a b)=2 C(b a)=1 C(a c)=1 ; C(a .)=3 C(b .)=1
+    # doc 1: P(a b)=(2+1)/(3+3)=.5, P(b a)=(1+1)/(1+3)=.5 -> 1 bit, ppl 2
+    # doc 2: P(a c)=(1+1)/(3+3)=1/3 -> log2(3) bits, ppl 3
+    got = _lm_scores(spark, [(1, "a b a b"), (2, "a c")], tmp_path)
+    assert got[1]["n_bigrams"] == 3 and got[2]["n_bigrams"] == 1
+    assert got[1]["bits_per_bigram"] == pytest.approx(1.0)
+    assert got[1]["perplexity"] == pytest.approx(2.0)
+    assert got[2]["bits_per_bigram"] == pytest.approx(1.585, abs=1e-3)
+    assert got[2]["perplexity"] == pytest.approx(3.0)
+
+
+def test_lm_perplexity_flags_unpredictable_text(spark, tmp_path):
+    # the quality axis: formulaic repetition scores LOWER (predictable)
+    # than the same vocabulary in an order the corpus never repeats
+    rows = [(i, "the cat sat on the mat") for i in range(1, 9)]
+    rows.append((100, "mat the on sat cat the"))
+    got = _lm_scores(spark, rows, tmp_path)
+    assert got[1]["bits_per_bigram"] < got[100]["bits_per_bigram"]
+    # one-token documents have no bigram to score and must be absent
+    rows.append((200, "solo"))
+    got = _lm_scores(spark, rows, tmp_path)
+    assert 200 not in got
