@@ -79,6 +79,7 @@ HEADLINE = [
     "sorted_neighborhood_near_dups",         # N2++++ sort-proximity blocking (round 14)
     "doc_lm_perplexity",                     # N4++ bigram-LM quality scoring (round 14)
     "kmv_distinct_users",                    # A6+++ bottom-k distinct sketch (round 14)
+    "weighted_copurchase_pagerank",          # G1+++ support-weighted PageRank (round 14)
     # near_dup_jaccard_prefix is deliberately NOT a headline line: on the
     # fixture's uniform-vocab corpus the prefix plan's extra shuffles cost
     # more than the candidate reduction saves (its regime is Zipfian hot

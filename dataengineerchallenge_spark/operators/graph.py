@@ -47,6 +47,7 @@ def pagerank(
     tol: float | None = None,
     stats: dict | None = None,
     teleport: DataFrame | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list, returning
     (node, pr) where pr is the |V|-SCALED rank (mean 1.0, i.e. classic
@@ -87,14 +88,30 @@ def pagerank(
     teleport distribution (the standard personalized correction). Cost:
     one broadcast join of the tiny seed frame per plan, no extra
     shuffle — the seed indicator rides the node frame.
+
+    ``weight`` (r14) names an edge-weight column and switches to the
+    standard WEIGHTED update (the form in Brin & Page's original when
+    links carry multiplicity): a node splits its rank over out-edges in
+    proportion to weight, contribution pr(u)·w(u,v)/W(u) with W(u) the
+    node's out-weight sum. Row-stochastic like 1/outdeg, so every mass
+    property (conservation, dangling, teleport) holds unchanged; the
+    unweighted path is untouched.
     """
     from pyspark import StorageLevel
 
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if weight is not None:
+        e = edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("double").alias("w"),
+        )
+        outdeg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
+    else:
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
     ).distinct()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # out-edges annotated once with the constant outdegree; reused every
     # iteration so the per-iteration work is join + sum only.
     # Persist the loop invariants: without this every iteration's plan
@@ -159,9 +176,14 @@ def pagerank(
     ran, delta = 0, None
     for _ in range(iters):
         ran += 1
+        share = (
+            F.col("pr") * F.col("w") / F.col("outdeg")
+            if weight is not None
+            else F.col("pr") / F.col("outdeg")
+        )
         contrib = (
             eo.join(ranks, eo["src"] == ranks["node"])
-            .select("dst", (F.col("pr") / F.col("outdeg")).alias("c"))
+            .select("dst", share.alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )

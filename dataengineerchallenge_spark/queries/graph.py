@@ -590,3 +590,78 @@ def purchase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         F.col("node").alias("node_key"), "kind", F.round("s", 4).alias("score")
     )
+
+
+def _weighted_pagerank_oracle(iters: int) -> str:
+    """Unrolled WEIGHTED power iteration: inflow(v) = sum over in-edges
+    of r(u) * w(u,v) / W(u) — the same five chained CTEs as the
+    unweighted oracle with the row-stochastic weight share swapped in."""
+    steps = []
+    for i in range(iters):
+        steps.append(
+            f"""r{i + 1} AS (
+      SELECT n.node, {1 - _DAMPING} + {_DAMPING} * COALESCE(s.inflow, 0.0) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.pr * e.w / od.sw) AS inflow
+        FROM e
+        JOIN r{i} r ON e.src = r.node
+        JOIN od ON e.src = od.src
+        GROUP BY e.dst
+      ) s ON n.node = s.node
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*)::DOUBLE AS w
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM e
+    ), od AS (
+      SELECT src, SUM(w) AS sw FROM e GROUP BY src
+    ), r0 AS (
+      SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes
+    ),
+    {chain}
+    SELECT node AS part_key, ROUND(pr, 4) AS pr FROM r{iters}
+    """
+
+
+@register(
+    "weighted_copurchase_pagerank", oracle=_weighted_pagerank_oracle(_ITERS)
+)
+def weighted_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 weighted: PageRank over the co-purchase graph with edge weight
+    = co-purchase support (number of shared orders), so a part's rank
+    flows preferentially along its STRONG associations instead of
+    splitting evenly across every incidental pairing — the difference
+    between "bought together twice" and "bought together in one big
+    basket" that the unweighted twin (`part_copurchase_pagerank`)
+    deliberately erases. Row-stochastic share pr(u)·w(u,v)/W(u): all
+    mass properties carry over; the graph is symmetric so total mass
+    stays exactly \\|V\\| with no dangling correction.
+
+    Scale: identical per-iteration plan to the unweighted query — the
+    weight rides the persisted edge frame, W(u) is the same one-time
+    invariant as outdeg, zero extra shuffles."""
+    from dataengineerchallenge_spark.operators.graph import pagerank
+
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    ranks = pagerank(edges, iters=_ITERS, damping=_DAMPING, weight="w")
+    return ranks.select(F.col("node").alias("part_key"), F.round("pr", 4).alias("pr"))

@@ -428,3 +428,34 @@ def test_hits_authority_ranks_discernment_over_volume(spark):
     )
     s = _hits_scores(spark, edges, iters=5)
     assert s[("authority", 100)] > s[("authority", 200)]
+
+
+# ------------------------------------------------- weighted pagerank
+
+
+def test_weighted_pagerank_uniform_weights_match_unweighted(spark):
+    from dataengineerchallenge_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3)]
+    un = spark.createDataFrame(edges, "src long, dst long")
+    we = spark.createDataFrame(
+        [(s, d, 7.0) for s, d in edges], "src long, dst long, w double"
+    )
+    r_un = {r["node"]: r["pr"] for r in pagerank(un, iters=4).collect()}
+    r_we = {r["node"]: r["pr"] for r in pagerank(we, iters=4, weight="w").collect()}
+    for n in r_un:
+        assert r_we[n] == pytest.approx(r_un[n])
+
+
+def test_weighted_pagerank_follows_the_heavy_edge(spark):
+    # hub 1 splits onto 2 (w=9) and 3 (w=1): node 2 must out-rank node 3;
+    # unweighted would tie them. Mass stays |V| (scaled-form invariant).
+    we = spark.createDataFrame(
+        [(1, 2, 9.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)],
+        "src long, dst long, w double",
+    )
+    from dataengineerchallenge_spark.operators.graph import pagerank
+
+    r = {x["node"]: x["pr"] for x in pagerank(we, iters=8, weight="w").collect()}
+    assert r[2] > r[3]
+    assert sum(r.values()) == pytest.approx(3.0)
