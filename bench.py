@@ -25,6 +25,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Local-mode driver heap defaults to 1g, which a 50-query sf0.1 suite in
+# one JVM exhausts (checkpoint blocks + shuffle buffers accrete faster
+# than GC reclaims; observed: GCLocker allocation-retry thrash from
+# ~query 30 on, heap death at query 50). Same idiom as tools/bench_*.py;
+# must be set before the JVM launches, and setdefault keeps any
+# caller-provided submit args authoritative.
+os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 8g pyspark-shell")
+
 N_SAMPLES = 3
 
 # Original 5 anchors first (BENCH_r01 comparability), then one

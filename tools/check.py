@@ -92,6 +92,12 @@ def main() -> int:
     only = set(args[1:])
 
     sys.path.insert(0, "/root/repo")
+    # full-registry sweeps at sf0.1 exhaust the 1g default local driver
+    # heap (two OOMs at the trailing graph queries under concurrency);
+    # same pre-JVM idiom as bench.py / tools/bench_*.py
+    import os
+
+    os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 8g pyspark-shell")
     import __spark_entry__ as e
 
     if pristine:
