@@ -58,36 +58,40 @@ HEADLINE = [
     "incremental_sessionize_merge",  # W2+ state merge (round 3)
     "dq_referential_integrity",      # N+ audit battery (round 3)
     "multimodal_synth_codec_audit",  # N5 codec encode/decode (round 4)
-    "ivf_pq_adc_topk",               # N3 composed IVF-PQ serving shape (round 5)
     "ivf_pq_serve_topk",             # N3 serve-only path over the prebuilt index (round 6)
     "ivf_pq_serve_fresh_topk",       # N3 fresh-batch serve, routed at query time (round 7)
     "near_dup_incremental_minhash",  # N2 incremental dedup vs staged band store (round 7)
     "ivf_pq_residual_serve_fresh_topk",      # N3 residual (IVFADC) fresh serve (round 8)
-    "near_dup_incremental_minhash_bigbatch", # N2 over-budget bucketed-SMJ dedup (round 8)
-    "near_dup_second_delivery_minhash",      # N2 steady-state delivery N+1 (round 8)
-    "ivf_pq_trained_serve_topk",             # N3 all-trained index serve (round 9)
-    "ivf_pq_serve_rerank_topk",              # N3 exact re-rank final rung (round 10)
     "ivf_pq_trained_rerank_topk",            # N3 full production stack: trained + re-rank (round 10)
     "ivf_pq_trained_rerank_k64_topk",        # N3 production codebook resolution (round 11)
     "elb_geo_traffic",                       # J6+ longest-prefix-match CIDR enrichment (round 11)
     "cm_heavy_hitters",                      # A6+ count-min frequency sketch (round 12)
     "exact_dedup_bloom_prefilter",           # N1+ Bloom membership prefilter (round 12)
-    "part_copurchase_pagerank",              # G1 iterative graph power iteration (round 12)
+    "part_copurchase_pagerank",              # G1 inline edge build + power iteration (round 12)
     "hll_explicit_user_counts",              # A6+ hash-verified HyperLogLog (round 12)
     "hourly_load_anomalies_mad",             # A+ robust anomaly screen (round 12)
     "part_copurchase_triangles",             # G2 degree-oriented triangles, persisted invariant (round 13)
     "part_copurchase_hops",                  # G3 BFS frontier expansion (round 13)
     "part_pair_affinity",                    # G+ market-basket lift scoring (round 13)
-    "copurchase_components",                 # G4 large-star/small-star components (round 13)
-    "directed_purchase_pagerank",            # G1+ dangling-corrected directed PageRank (round 13)
     "near_dup_banded_minhash_explicit",      # N2 hash-verified MinHash banding (round 13)
     "simhash_near_dups_explicit",            # N2 hash-verified SimHash (round 13)
     "dup_span_trim_docs",                    # N1++ span-level dedup + trim (round 14)
-    "purchase_hits",                         # G5 HITS mutual-reinforcement ranking (round 14)
     "sorted_neighborhood_near_dups",         # N2++++ sort-proximity blocking (round 14)
     "doc_lm_perplexity",                     # N4++ bigram-LM quality scoring (round 14)
     "kmv_distinct_users",                    # A6+++ bottom-k distinct sketch (round 14)
-    "weighted_copurchase_pagerank",          # G1+++ support-weighted PageRank (round 14)
+    # r15: the G-family serves from the staged edge store (the build/serve
+    # split ANN and dedup already had) — the staged twins REPLACE their
+    # inline rungs here (inline part_copurchase_pagerank stays as the one
+    # edge-build continuity anchor; every twin is oracle-checked against
+    # the same SQL). Retired from the headline for byte budget, still
+    # registered: ivf_pq_adc_topk / ivf_pq_trained_serve_topk /
+    # ivf_pq_serve_rerank_topk (superseded by the trained re-rank stack)
+    # and the two seeded minhash delivery rungs (explicit twins cover them).
+    "part_copurchase_pagerank_staged",       # G1 staged-edge serve twin (round 15)
+    "weighted_copurchase_pagerank_staged",   # G1+++ staged serve (round 15)
+    "purchase_hits_staged",                  # G5 staged serve (round 15)
+    "directed_purchase_pagerank_staged",     # G1+ staged serve (round 15)
+    "copurchase_components_staged",          # G4 staged serve (round 15)
     # near_dup_jaccard_prefix is deliberately NOT a headline line: on the
     # fixture's uniform-vocab corpus the prefix plan's extra shuffles cost
     # more than the candidate reduction saves (its regime is Zipfian hot
@@ -103,6 +107,7 @@ def _prestage(spark, sf_dir: str) -> None:
         _staged_minhash_bands_appended,
         stage_bucketed_band_store,
     )
+    from dataengineerchallenge_spark.queries.graph import _staged_copurchase_edges
     from dataengineerchallenge_spark.queries.vectors import (
         _staged_fresh_query_batch,
         _staged_ivfpq_index,
@@ -125,6 +130,7 @@ def _prestage(spark, sf_dir: str) -> None:
         _staged_minhash_bands,
         _staged_minhash_bands_appended,
         stage_bucketed_band_store,
+        _staged_copurchase_edges,
     ):
         try:
             stage(spark, sf_dir)
@@ -140,20 +146,6 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = dict(e.queries())
-    # two seeded rungs retired from the registry in r14 (their shapes are
-    # value-verified by the explicit twins) stay bench-timed for
-    # round-over-round continuity — they are still the production-hash path
-    from dataengineerchallenge_spark.queries.dedup import (
-        near_dup_incremental_minhash_bigbatch,
-        near_dup_second_delivery_minhash,
-    )
-
-    qs.setdefault(
-        "near_dup_incremental_minhash_bigbatch", near_dup_incremental_minhash_bigbatch
-    )
-    qs.setdefault(
-        "near_dup_second_delivery_minhash", near_dup_second_delivery_minhash
-    )
     names = [n for n in HEADLINE if n in qs]
 
     # warm-up: absorb one-time JVM/codegen/file-listing cost with the SAME

@@ -566,6 +566,7 @@ def dup_span_doc_frame(
     n: int = 5,
     min_docs: int = 2,
     hash_grams: bool = False,
+    cand_mode: str = "auto",
 ) -> DataFrame:
     """Span-level exact dedup (the Lee et al. 2022 'Deduplicating
     Training Data' signal at word granularity): find every positional
@@ -605,7 +606,20 @@ def dup_span_doc_frame(
     string — but that re-aggregation touches only candidate rows (grams
     whose key already spans min_docs docs), never the corpus. Output is
     bit-identical to the string-keyed plan (same DuckDB oracle
-    hash-checks both registered variants)."""
+    hash-checks both registered variants).
+
+    ``cand_mode`` governs how the candidate-key set attaches to the
+    gram frame under ``hash_grams`` (ADVICE r14 — an unconditional
+    broadcast FAILS outright, not degrades, once a duplication-heavy
+    corpus pushes the dup-key set past the driver/broadcast budget):
+    ``"broadcast"`` forces the hint (the boilerplate-regime fast path),
+    ``"shuffle"`` uses a plain equi-join (only the 8-byte key column
+    shuffles — still far cheaper than the string-keyed plan's full-gram
+    shuffle), and ``"auto"`` (default) materializes the key set
+    (localCheckpoint — it is consumed again by the join anyway), counts
+    it, and broadcasts iff the estimated size fits the same 10 MB
+    budget ``band_collision_pairs`` uses. The one extra tiny action
+    buys the same graceful degrade the banded family has."""
     base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
     words = F.split(F.col("_txt"), " ")
     k = F.size(words) - F.lit(n - 1)
@@ -618,6 +632,8 @@ def dup_span_doc_frame(
     sh = base.select("_id", F.explode(grams).alias("_s")).select(
         "_id", F.col("_s.start").alias("start"), F.col("_s.g").alias("g")
     )
+    if cand_mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"cand_mode must be auto|broadcast|shuffle, got {cand_mode!r}")
     if hash_grams:
         shk = sh.withColumn("_gk", F.xxhash64("g"))
         cand_keys = (
@@ -628,7 +644,7 @@ def dup_span_doc_frame(
         )
         # candidate rows: every positional occurrence of a gram whose
         # HASH key spans >= min_docs docs — a tiny, lossless superset.
-        # The key set is BROADCAST: 8 bytes per duplicated gram (the
+        # Preferred attach is BROADCAST: 8 bytes per duplicated gram (the
         # whole point of hashing — the string dup-gram set outgrows the
         # broadcast budget 4-5x earlier), so the attach never re-shuffles
         # the gram frame; measured at 200k docs the un-hinted SMJ attach
@@ -637,8 +653,19 @@ def dup_span_doc_frame(
         # real corpus, so |dup keys| ≪ |grams|; a corpus where MOST grams
         # are duplicated should use the string plan (one shuffle, no
         # second pass) — that trade is what BENCH_dedup.json's span rung
-        # measures.
-        cand_hits = shk.join(F.broadcast(cand_keys), "_gk")
+        # measures. `cand_mode` (docstring) sizes the decision instead of
+        # hard-coding the hint.
+        if cand_mode == "auto":
+            cand_keys = cand_keys.localCheckpoint()
+            over = (
+                cand_keys.count() * CAND_KEY_EST_BYTES
+                > BROADCAST_BATCH_MAX_BYTES
+            )
+            cand_mode = "shuffle" if over else "broadcast"
+        cand_hits = shk.join(
+            F.broadcast(cand_keys) if cand_mode == "broadcast" else cand_keys,
+            "_gk",
+        )
         dup_grams = (
             cand_hits.groupBy("g")
             .agg(F.count_distinct("_id").alias("_df2"))
@@ -687,11 +714,18 @@ def dup_span_doc_frame(
     )
 
 
+# On-heap estimate of one 8-byte candidate hash key row (long + row
+# overhead) for dup_span_doc_frame's broadcast-vs-shuffle decision —
+# same budget discipline as BAND_ROW_EST_BYTES above.
+CAND_KEY_EST_BYTES = 32
+
 # Winnowing position encoding: selected window-minima are picked over
 # key = gram_hash * POS_MOD + pos so ties on equal hashes break on the
 # SMALLEST position identically in both engines. u32 hash < 2^32 and
 # pos < 2^24 keep the key < 2^56, exactly representable in int64 on
-# both sides; docs longer than 16M words would need a wider encoding.
+# both sides; docs longer than 16M words need a wider encoding, and the
+# invariant is ENFORCED in winnow_fingerprint_frame (a silent wraparound
+# would corrupt fingerprints and their cross-engine parity; ADVICE r14).
 WINNOW_POS_MOD = 1 << 24
 
 
@@ -742,13 +776,31 @@ def winnow_fingerprint_frame(
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # enforce the encoding invariant (module constant's comment): a gram
+    # position at or past 2^24 would alias into the hash bits and
+    # silently corrupt fingerprints — raise_error folds the check into
+    # the existing projection, so an over-long document fails loudly
+    # with zero extra passes (ADVICE r14)
+    pos_ok = F.when(
+        F.col("pos") >= WINNOW_POS_MOD,
+        F.raise_error(
+            F.format_string(
+                "winnow_fingerprint_frame: document '%s' has a gram at "
+                "position %s >= 2^24 — the hash*2^24+pos key encoding "
+                "cannot represent it; split the document or widen "
+                "WINNOW_POS_MOD",
+                F.col("_id").cast("string"),
+                F.col("pos").cast("string"),
+            )
+        ).cast("int"),
+    ).otherwise(F.col("pos"))
     hashed = (
         base.select("_id", F.posexplode(grams).alias("pos", "g"))
         .select(
             "_id",
             "pos",
             (
-                F.expr(spark_u32("g")) * F.lit(WINNOW_POS_MOD) + F.col("pos")
+                F.expr(spark_u32("g")) * F.lit(WINNOW_POS_MOD) + pos_ok
             ).alias("_key"),
         )
     )

@@ -48,6 +48,7 @@ def pagerank(
     stats: dict | None = None,
     teleport: DataFrame | None = None,
     weight: str | None = None,
+    outdeg: DataFrame | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list, returning
     (node, pr) where pr is the |V|-SCALED rank (mean 1.0, i.e. classic
@@ -96,19 +97,49 @@ def pagerank(
     node's out-weight sum. Row-stochastic like 1/outdeg, so every mass
     property (conservation, dangling, teleport) holds unchanged; the
     unweighted path is untouched.
+
+    ``outdeg`` (r15) optionally supplies the per-source degree frame
+    precomputed — two columns (src, outdeg), where outdeg is the edge
+    COUNT for unweighted graphs and the out-WEIGHT SUM for weighted
+    ones. This is the serve half of the staged edge-store split
+    (queries/graph.py:_staged_copurchase_edges): the degree aggregate
+    is a build-time invariant of the edge set, so a staged store
+    publishes it once and every serve call skips the groupBy entirely.
+    When omitted, it is derived from ``edges`` exactly as before.
     """
     from pyspark import StorageLevel
 
     if weight is not None:
+        # validate once at the column level (ADVICE r14): a null, zero or
+        # negative weight makes W(u) null/zero and the per-edge share
+        # null — F.sum would silently DROP the null contribution and
+        # rank mass would leak with no error. raise_error folds the
+        # check into the existing scan: zero extra actions, and the
+        # first materialization of any consumer fails loudly instead.
+        w_raw = F.col(weight).cast("double")
+        w_ok = F.when(
+            w_raw.isNull() | (w_raw <= 0.0),
+            F.raise_error(
+                F.format_string(
+                    "pagerank: edge weight must be a positive non-null "
+                    "number, got '%s' on edge (%s -> %s)",
+                    w_raw.cast("string"),
+                    F.col(src).cast("string"),
+                    F.col(dst).cast("string"),
+                )
+            ).cast("double"),
+        ).otherwise(w_raw)
         e = edges.select(
             F.col(src).alias("src"),
             F.col(dst).alias("dst"),
-            F.col(weight).cast("double").alias("w"),
+            w_ok.alias("w"),
         )
-        outdeg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
+        if outdeg is None:
+            outdeg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
     else:
         e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        if outdeg is None:
+            outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
     ).distinct()
@@ -357,6 +388,12 @@ def hits(
     """
     from pyspark import StorageLevel
 
+    if iters < 1:
+        # the final union reads the last authority frame, which only
+        # exists after at least one half-step — without this guard a
+        # zero-iteration call dies with an opaque AttributeError on
+        # `a` being None at the union (ADVICE r14)
+        raise ValueError(f"hits: iters must be >= 1, got {iters}")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
         StorageLevel.MEMORY_AND_DISK
     )

@@ -665,3 +665,214 @@ def weighted_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, iters=_ITERS, damping=_DAMPING, weight="w")
     return ranks.select(F.col("node").alias("part_key"), F.round("pr", 4).alias("pr"))
+
+
+def _staged_copurchase_edges(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once purchase-graph EDGE STORE (the build half of the
+    G-family build/serve split — VERDICT r14 #1). Every inline graph
+    headliner re-derived its edge list from the lineitem self-join per
+    query (~1/3 of the graph block's cost, and at 100 TB a re-shuffle
+    of the fact table per analytics call); ANN and dedup already stage
+    their index state, so graph analytics gets the same treatment:
+    derive the edge tables ONCE per fixture content version, publish
+    content-addressed, and serve every algorithm from the staged frames.
+
+    Artifacts under the slot (each written repartitioned by src — on a
+    cluster this would be a bucketed/sorted layout so the per-iteration
+    src-join is co-located; single-file fixtures just get cluster-width
+    files):
+
+    - ``sym/``   (src, dst, w, wr): symmetric co-purchase edges over
+      parts, with BOTH support notions the inline family uses —
+      w = number of shared DISTINCT orders (the weighted-PageRank
+      weight, duplicate lines must not double an association) and
+      wr = RAW co-occurring line-pair count (what the support>=2
+      components/triangles threshold counts; the fixture does carry
+      duplicate (order, part) lines, so the two genuinely differ).
+      The UNWEIGHTED edge set is exactly ``select src, dst``, the
+      weighted graph uses w, and the support>=2 canonical set is
+      ``filter wr >= 2 AND src < dst`` — one frame serves the whole
+      symmetric family.
+    - ``symdeg/`` (src, outdeg, sw): per-source edge count and weight
+      sum — the degree invariants pagerank needs, precomputed at build.
+    - ``bip/``   (src, dst): distinct customer->part purchase edges
+      (the bipartite digraph HITS and directed PageRank walk).
+    - ``bipdeg/`` (src, outdeg): per-customer out-degree of ``bip``.
+
+    The content tag keys on lineitem.parquet, with orders.parquet's
+    mtime folded into the salt (bip joins both tables; either fixture
+    rewrite must invalidate the slot).
+    """
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        a, b = li.alias("a"), li.alias("b")
+        # one raw self-join yields both support notions: count(*) is the
+        # raw line-pair count, count_distinct(orderkey) the shared-order
+        # count (== the distinct-op self-join's group size)
+        sym = (
+            a.join(b, "l_orderkey")
+            .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+            .groupBy(
+                F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+            )
+            .agg(
+                F.count_distinct("l_orderkey").cast("double").alias("w"),
+                F.count(F.lit(1)).alias("wr"),
+            )
+        )
+        write_result(sym.repartition("src"), str(out / "sym"))
+        sym_staged = spark.read.parquet(str(out / "sym"))
+        write_result(
+            sym_staged.groupBy("src").agg(
+                F.count(F.lit(1)).alias("outdeg"), F.sum("w").alias("sw")
+            ),
+            str(out / "symdeg"),
+        )
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        bip = (
+            o.join(li, o["o_orderkey"] == li["l_orderkey"])
+            .select(F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst"))
+            .distinct()
+        )
+        write_result(bip.repartition("src"), str(out / "bip"))
+        bip_staged = spark.read.parquet(str(out / "bip"))
+        write_result(
+            bip_staged.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")),
+            str(out / "bipdeg"),
+        )
+
+    orders_mtime = (Path(sf_dir) / "orders.parquet").stat().st_mtime_ns
+    return staged(
+        spark,
+        "gedges",
+        Path(sf_dir) / "lineitem.parquet",
+        f"copurchase_v1:orders{orders_mtime}",
+        build,
+    )
+
+
+@register("part_copurchase_pagerank_staged", oracle=_pagerank_oracle(_ITERS))
+def part_copurchase_pagerank_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE rung of `part_copurchase_pagerank`: identical algorithm and
+    oracle, but the edge list and out-degrees come from the staged store
+    (`_staged_copurchase_edges`) instead of the per-query lineitem
+    self-join — the plan touches ONLY the staged parquet, never the fact
+    table. This is the 100 TB-correct shape: the edge build amortizes
+    across every graph analytics call, exactly as the IVF-PQ index
+    amortizes across ANN lookups."""
+    root = _staged_copurchase_edges(spark, sf_dir)
+    sym = spark.read.parquet(f"{root}/sym")
+    deg = spark.read.parquet(f"{root}/symdeg").select("src", "outdeg")
+    ranks = pagerank(
+        sym.select("src", "dst"), iters=_ITERS, damping=_DAMPING, outdeg=deg
+    )
+    return ranks.select(F.col("node").alias("part_key"), F.round("pr", 4).alias("pr"))
+
+
+@register(
+    "weighted_copurchase_pagerank_staged", oracle=_weighted_pagerank_oracle(_ITERS)
+)
+def weighted_copurchase_pagerank_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE rung of `weighted_copurchase_pagerank`: the support weights
+    ride the staged edge frame and the out-weight sums are the staged
+    `symdeg.sw` column — zero aggregation over the fact table at serve
+    time, same oracle, same hash."""
+    root = _staged_copurchase_edges(spark, sf_dir)
+    sym = spark.read.parquet(f"{root}/sym")
+    degw = spark.read.parquet(f"{root}/symdeg").select(
+        "src", F.col("sw").alias("outdeg")
+    )
+    ranks = pagerank(
+        sym, iters=_ITERS, damping=_DAMPING, weight="w", outdeg=degw
+    )
+    return ranks.select(F.col("node").alias("part_key"), F.round("pr", 4).alias("pr"))
+
+
+@register("purchase_hits_staged", oracle=_hits_oracle(_ITERS))
+def purchase_hits_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE rung of `purchase_hits`: the bipartite customer->part edge
+    list reads from the staged store's `bip/` frame — the orders-to-
+    lineitem join and distinct-collapse happened once at build."""
+    from dataengineerchallenge_spark.operators.graph import hits
+
+    root = _staged_copurchase_edges(spark, sf_dir)
+    edges = spark.read.parquet(f"{root}/bip")
+    scored = hits(edges, iters=_ITERS)
+    return scored.select(
+        F.col("node").alias("node_key"), "kind", F.round("s", 4).alias("score")
+    )
+
+
+@register(
+    "directed_purchase_pagerank_staged", oracle=_directed_pagerank_oracle(_ITERS)
+)
+def directed_purchase_pagerank_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE rung of `directed_purchase_pagerank`: reads the staged
+    bipartite edges and negates the part side at read (the namespace
+    disambiguation documented on the inline twin); out-degrees are the
+    staged `bipdeg/` frame (negation leaves src untouched). The
+    dangling-mass correction runs exactly as inline."""
+    root = _staged_copurchase_edges(spark, sf_dir)
+    edges = spark.read.parquet(f"{root}/bip").select(
+        "src", (-F.col("dst")).alias("dst")
+    )
+    deg = spark.read.parquet(f"{root}/bipdeg")
+    ranks = pagerank(
+        edges, iters=_ITERS, damping=_DAMPING, dangling=True, outdeg=deg
+    )
+    return ranks.select("node", F.round("pr", 4).alias("pr"))
+
+
+@register(
+    "copurchase_components_staged",
+    oracle="""
+    WITH RECURSIVE e0 AS (
+      SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
+             GREATEST(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ), e AS (
+      SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+    ), reach(node, comp) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+      UNION
+      SELECT e.v, r.comp
+      FROM reach r JOIN e ON e.u = r.node
+    )
+    SELECT node AS part_key, CAST(MIN(comp) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def copurchase_components_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE rung of `copurchase_components`: the support>=2 canonical
+    edge set is a FILTER over the staged symmetric frame (wr >= 2 AND
+    src < dst selects each unordered pair once — sym holds both
+    directions, and the raw pair count is direction-symmetric since the
+    (p1, p2) count per order is n1*n2 either way), so star contraction
+    starts from staged parquet with no fact-table scan. The filter uses
+    the RAW support column `wr` because that is what the inline query
+    and its oracle threshold on — the fixture carries duplicate
+    (order, part) lines, so thresholding the distinct-order support `w`
+    would drop edges the oracle keeps."""
+    from dataengineerchallenge_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    root = _staged_copurchase_edges(spark, sf_dir)
+    sym = spark.read.parquet(f"{root}/sym")
+    edges = sym.filter((F.col("wr") >= 2) & (F.col("src") < F.col("dst"))).select(
+        "src", "dst"
+    )
+    out = connected_components_star(edges)
+    return out.select(
+        F.col("node").alias("part_key"),
+        F.col("component").cast("long").alias("component"),
+    )
