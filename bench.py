@@ -92,6 +92,7 @@ HEADLINE = [
     "purchase_hits_staged",                  # G5 staged serve (round 15)
     "directed_purchase_pagerank_staged",     # G1+ staged serve (round 15)
     "copurchase_components_staged",          # G4 staged serve (round 15)
+    "payload_near_dups",                     # N5+ perceptual aHash near-dup (round 15)
     # near_dup_jaccard_prefix is deliberately NOT a headline line: on the
     # fixture's uniform-vocab corpus the prefix plan's extra shuffles cost
     # more than the candidate reduction saves (its regime is Zipfian hot

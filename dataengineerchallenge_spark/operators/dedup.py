@@ -856,19 +856,23 @@ def simhash_frame_explicit(df: DataFrame, id_col: str, tokens: Column) -> DataFr
     return votes.select(F.col("_id").alias(id_col), fa.alias("fa"), fb.alias("fb"))
 
 
-def simhash_near_dup_pairs_explicit(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, n: int = 3
-) -> DataFrame:
-    """Explicit-SimHash near-dup self-join: 16-bit banding over the two
-    32-bit fingerprint halves (4 bands — LOSSLESS for hamming ≤ 3 by
-    pigeonhole), hamming verified as the sum of the two halves'
-    bit_count(xor). Same plan as the seeded variant; every value is
-    ANSI-reproducible, so the DuckDB oracle can be the NAIVE all-pairs
-    hamming join — hash equality then also proves the banding lossless
-    on real data (the fuzzy_part_name_matches anchor discipline)."""
-    sh = simhash_frame_explicit(spread(df), id_col, word_shingles(text_col, n)).select(
-        F.col(id_col).alias("_id"), "fa", "fb"
-    )
+def banded_hamming_pairs(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Distinct near-dup pairs (id_a < id_b, hamming) from a 64-bit
+    fingerprint frame held as TWO 32-bit halves (columns ``_id, fa,
+    fb`` — the signed-overflow-safe composition every explicit-hash
+    family here uses): 16-bit banding over the four quarter-words makes
+    the candidate join an equi-join on (band, value) — LOSSLESS for
+    hamming ≤ 3 by pigeonhole (4 bands, ≤ 3 differing bits ⇒ some band
+    matches exactly), never all-pairs — and candidates verify with the
+    exact ``bit_count(xor)`` hamming sum over both halves.
+
+    Extracted (r15) from the SimHash join so ANY 64-bit
+    fingerprint source shares one banding/verify plan: text SimHash
+    (`simhash_near_dup_pairs_explicit`) and the perceptual payload
+    aHash (`operators/multimodal.py:payload_ahash` — the image/audio
+    near-dup member of the N5 family). For ``max_hamming`` > 3 the
+    banding degrades to a recall-limited candidate generator (standard
+    SimHash practice, documented on the seeded variant)."""
     pieces = [
         (0, F.col("fa").bitwiseAND(F.lit(0xFFFF))),
         (1, F.shiftrightunsigned("fa", 16).bitwiseAND(F.lit(0xFFFF))),
@@ -914,6 +918,24 @@ def simhash_near_dup_pairs_explicit(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
     )
+
+
+def simhash_near_dup_pairs_explicit(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, n: int = 3
+) -> DataFrame:
+    """Explicit-SimHash near-dup self-join: 16-bit banding over the two
+    32-bit fingerprint halves (4 bands — LOSSLESS for hamming ≤ 3 by
+    pigeonhole), hamming verified as the sum of the two halves'
+    bit_count(xor). Same plan as the seeded variant; every value is
+    ANSI-reproducible, so the DuckDB oracle can be the NAIVE all-pairs
+    hamming join — hash equality then also proves the banding lossless
+    on real data (the fuzzy_part_name_matches anchor discipline).
+    Banding/verify live in ``banded_hamming_pairs`` (shared with the
+    perceptual payload-hash family since r15)."""
+    sh = simhash_frame_explicit(spread(df), id_col, word_shingles(text_col, n)).select(
+        F.col(id_col).alias("_id"), "fa", "fb"
+    )
+    return banded_hamming_pairs(sh, max_hamming)
 
 
 def simhash_near_dup_pairs(

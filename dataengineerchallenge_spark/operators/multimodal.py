@@ -35,14 +35,23 @@ PAYLOAD_FEATURES_SCHEMA = (
 )
 
 
-def with_payloads(docs: DataFrame) -> DataFrame:
+def with_payloads(
+    docs: DataFrame, magic: str = _MAGIC, id_offset: int = 0
+) -> DataFrame:
     """Attach a deterministic binary payload + metadata struct to each
     document (stands in for e.g. a thumbnail column). Payload bytes are
-    the UTF-8 of header+text, so every engine can recompute them."""
-    payload = F.encode(F.concat(F.lit(_MAGIC), F.col("text")), "UTF-8")
+    the UTF-8 of header+text, so every engine can recompute them.
+
+    ``magic``/``id_offset`` (r15) synthesize a SECOND DELIVERY of the
+    same media under a different container header (same signal bytes,
+    different 4-byte envelope — the re-encode scenario perceptual
+    dedup exists for): pass e.g. ``magic="MMv2", id_offset=1_000_000``
+    and union with the default frame. The offset keeps the id spaces
+    disjoint; same-length magics keep the segment grid aligned."""
+    payload = F.encode(F.concat(F.lit(magic), F.col("text")), "UTF-8")
     mime = F.when(F.col("doc_id") % 3 == 0, "image/png").otherwise("audio/wav")
     return docs.select(
-        "doc_id",
+        (F.col("doc_id") + F.lit(id_offset)).alias("doc_id"),
         payload.alias("payload"),
         F.struct(
             mime.alias("mime"),
@@ -164,6 +173,73 @@ def resample_batches(n_buckets: int = 8, codec: str = "fake"):
 
 def resample_payloads(mm: DataFrame) -> DataFrame:
     return mm.mapInPandas(resample_batches(), RESAMPLE_SCHEMA)
+
+
+AHASH_SCHEMA = "doc_id bigint, fa bigint, fb bigint"
+AHASH_BITS = 64
+AHASH_MIN_BYTES = AHASH_BITS  # every segment must hold >= 1 sample
+
+
+def ahash_batches(codec: str = "fake"):
+    """mapInPandas PERCEPTUAL-HASH stage (aHash — the average-hash the
+    image-dedup literature banded long before SimHash reached text):
+    downsample the decoded signal to 64 integer-boundary segments (the
+    resample stage's grid at width 64 — for a real image this is the
+    classic 8x8 thumbnail) and emit bit k = 1 iff segment k's mean
+    exceeds the GLOBAL mean. Robust to the local edits that change an
+    exact content hash: a few edited bytes move a few segment means,
+    flipping a few bits — hamming distance IS edit locality.
+
+    Cross-engine exactness (the repo's hash-green discipline): the
+    mean comparison is done as the INTEGER cross-multiplication
+    ``seg_sum * L > total_sum * seg_len`` — no float mean ever forms,
+    so there is no summation-order or rounding drift for a DuckDB twin
+    to disagree with. Bits pack into two 32-bit halves (fa = segments
+    0-31, fb = 32-63), the same signed-overflow-safe composition as
+    ``simhash_frame_explicit``. Payloads shorter than 64 bytes have no
+    stable 64-segment signature and are skipped (both engines filter
+    on the same bound)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fas, fbs = [], [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                s = decode_payload(p, codec)
+                n = len(s)
+                if n < AHASH_MIN_BYTES:
+                    continue
+                cum = np.concatenate(([0], np.cumsum(s, dtype=np.int64)))
+                bounds = np.array(
+                    [n * k // AHASH_BITS for k in range(AHASH_BITS + 1)],
+                    dtype=np.int64,
+                )
+                seg_sum = cum[bounds[1:]] - cum[bounds[:-1]]
+                seg_len = np.diff(bounds)
+                total = int(cum[-1])
+                bits = (seg_sum * n) > (total * seg_len)
+                fa = int(sum(1 << k for k in range(32) if bits[k]))
+                fb = int(sum(1 << k for k in range(32) if bits[32 + k]))
+                ids.append(did)
+                fas.append(fa)
+                fbs.append(fb)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "fa": pd.Series(fas, dtype="int64"),
+                    "fb": pd.Series(fbs, dtype="int64"),
+                }
+            )
+
+    return gen
+
+
+def payload_ahash(mm: DataFrame, codec: str = "fake") -> DataFrame:
+    """(doc_id, fa, fb) perceptual fingerprints of a payload frame. The
+    length filter runs on METADATA before the UDF, so parquet row-group
+    pruning can skip short payloads' bytes entirely at scale."""
+    return mm.filter(F.col("meta.n_bytes") >= AHASH_MIN_BYTES).mapInPandas(
+        ahash_batches(codec), AHASH_SCHEMA
+    )
 
 
 # --- synthetic codec (SRLE1) -------------------------------------------
