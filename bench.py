@@ -93,6 +93,10 @@ HEADLINE = [
     "directed_purchase_pagerank_staged",     # G1+ staged serve (round 15)
     "copurchase_components_staged",          # G4 staged serve (round 15)
     "payload_near_dups",                     # N5+ perceptual aHash near-dup (round 15)
+    "corpus_lang_quality_buckets",           # N4+++ CCNet lang x perplexity grid (round 15)
+    "semantic_dedup_corpus",                 # N3+ SemDeDup keep-one corpus (round 15)
+    # ccnet_grid_mix (the grid sampler) is registry-only: one map
+    # predicate over the bucketing frame — timing it re-times the grid.
     # near_dup_jaccard_prefix is deliberately NOT a headline line: on the
     # fixture's uniform-vocab corpus the prefix plan's extra shuffles cost
     # more than the candidate reduction saves (its regime is Zipfian hot

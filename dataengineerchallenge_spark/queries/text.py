@@ -792,3 +792,172 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("nll"), 4).alias("bits_per_bigram"),
         F.round(F.pow(F.lit(2.0), F.avg("nll")), 4).alias("perplexity"),
     )
+
+
+# Shared CTE chain ending at `b` = (doc_id, pred_lang, perplexity,
+# n_tokens, bucket): the per-doc CCNet grid assignment, reused by the
+# bucketing rollup below and the grid-mix sampler in queries/mixing.py
+# (same discipline as the Spark side's _lang_quality_bucket_frame).
+LANG_QUALITY_GRID_CTES = """
+    tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+    lw AS (SELECT lang AS l, w, count(*)::DOUBLE AS c FROM tok GROUP BY lang, w),
+    ltot AS (SELECT lang AS l, count(*)::DOUBLE AS n FROM tok GROUP BY lang),
+    vocab AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM tok),
+    langs AS (SELECT DISTINCT lang AS l FROM documents),
+    lscores AS (
+      SELECT t.doc_id, langs.l,
+             sum(ln((coalesce(lw.c, 0) + 1) / (ltot.n + vocab.v))) AS score
+      FROM tok t CROSS JOIN langs
+      LEFT JOIN lw ON lw.l = langs.l AND lw.w = t.w
+      JOIN ltot ON ltot.l = langs.l CROSS JOIN vocab
+      GROUP BY t.doc_id, langs.l
+    ),
+    pred AS (
+      SELECT doc_id, l AS pred_lang FROM lscores
+      QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, l) = 1
+    ),
+    t2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    v2 AS (
+      SELECT COUNT(DISTINCT w) AS vsz
+      FROM (SELECT unnest(ws) AS w FROM t2)
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest([ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]) AS bg
+      FROM t2 WHERE len(ws) >= 2
+    ),
+    bgx AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS ctx FROM bg),
+    cbg AS (SELECT bg, count(*)::DOUBLE AS cb FROM bgx GROUP BY bg),
+    cctx AS (SELECT ctx, count(*)::DOUBLE AS cc FROM bgx GROUP BY ctx),
+    nll AS (
+      SELECT x.doc_id,
+             -log2((cbg.cb + 1.0) / (cctx.cc + v2.vsz)) AS nll
+      FROM bgx x JOIN cbg USING (bg) JOIN cctx USING (ctx) CROSS JOIN v2
+    ),
+    ppl AS (
+      SELECT doc_id, ROUND(pow(2.0, avg(nll)), 4) AS perplexity
+      FROM nll GROUP BY doc_id
+    ),
+    ntok AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    j AS (
+      SELECT p.doc_id, pred.pred_lang, p.perplexity, ntok.n_tokens
+      FROM ppl p JOIN pred USING (doc_id) JOIN ntok USING (doc_id)
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY pred_lang
+                                ORDER BY perplexity, doc_id) AS rn,
+             count(*) OVER (PARTITION BY pred_lang) AS n
+      FROM j
+    ),
+    th AS (
+      SELECT pred_lang,
+             MAX(CASE WHEN rn = (n + 2) // 3 THEN perplexity END) AS t1,
+             MAX(CASE WHEN rn = (2 * n + 2) // 3 THEN perplexity END) AS t2
+      FROM r GROUP BY pred_lang
+    ),
+    b AS (
+      SELECT j.*,
+             CASE WHEN perplexity <= t1 THEN 'head'
+                  WHEN perplexity <= t2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM j JOIN th USING (pred_lang)
+    )"""
+
+_LANG_QUALITY_ORACLE = f"""
+    WITH {LANG_QUALITY_GRID_CTES},
+    g AS (
+      SELECT pred_lang AS lang, bucket,
+             count(*)::BIGINT AS n_docs,
+             sum(n_tokens)::BIGINT AS bucket_tokens
+      FROM b GROUP BY 1, 2
+    )
+    SELECT lang, bucket, n_docs, bucket_tokens,
+           ROUND(bucket_tokens /
+                 CAST(sum(bucket_tokens) OVER (PARTITION BY lang) AS DOUBLE),
+                 4) AS token_share
+    FROM g
+    """
+
+
+def lang_quality_bucket_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pred_lang, perplexity, n_tokens, bucket) — the per-doc
+    CCNet grid assignment shared by the bucketing rollup and the
+    grid-mix sampler (queries/mixing.py:ccnet_grid_mix). Tercile
+    thresholds are nearest-rank selections over ROUND(4) perplexities,
+    so bucket labels are grid-exact cross-engine."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    lang = lang_id_frame(docs)
+    ppl = doc_lm_perplexity(spark, sf_dir).select("doc_id", "perplexity")
+    ntok = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    j = ppl.join(lang, "doc_id").join(ntok, "doc_id")
+    part = Window.partitionBy("pred_lang")
+    ranked = j.withColumn(
+        "rn", F.row_number().over(part.orderBy("perplexity", "doc_id"))
+    ).withColumn("n", F.count(F.lit(1)).over(part))
+    sel = lambda k: F.max(  # noqa: E731
+        F.when(F.col("rn") == k, F.col("perplexity"))
+    )
+    th = ranked.groupBy("pred_lang").agg(
+        sel(((F.col("n") + 2) / 3).cast("long")).alias("t1"),
+        sel(((2 * F.col("n") + 2) / 3).cast("long")).alias("t2"),
+    )
+    return (
+        j.join(F.broadcast(th), "pred_lang")
+        .withColumn(
+            "bucket",
+            F.when(F.col("perplexity") <= F.col("t1"), "head")
+            .when(F.col("perplexity") <= F.col("t2"), "middle")
+            .otherwise("tail"),
+        )
+        .select("doc_id", "pred_lang", "perplexity", "n_tokens", "bucket")
+    )
+
+
+@register("corpus_lang_quality_buckets", oracle=_LANG_QUALITY_ORACLE)
+def corpus_lang_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4+++ CCNet corpus partitioning (Wenzek et al. LREC'20 — the
+    signature output of that pipeline, VERDICT r14 #3): compose the two
+    hash-green quality axes the repo already has — lang-ID winners
+    (`doc_lang_id`) and bigram-LM perplexity (`doc_lm_perplexity`) —
+    into per-language HEAD / MIDDLE / TAIL buckets by perplexity
+    terciles, the grid CCNet samples pretraining corpora from (head =
+    most-fluent third of each language; tercile thresholds are
+    nearest-rank selections, k = ceil(n/3) and ceil(2n/3), so both
+    engines pick an ACTUAL rounded datum — no interpolation drift).
+    Emits (lang, bucket, n_docs, bucket_tokens, token_share) where
+    token_share is the bucket's fraction of its LANGUAGE's tokens —
+    exactly the number a mixing stage weights by.
+
+    Scale shape: both signal queries are linear passes (their own
+    docstrings); the composition adds one |docs|-row equi-join chain,
+    one window per language (bounded by language cardinality, the same
+    shuffle key as the final aggregate), and a broadcast-sized
+    threshold frame. At 100 TB the ranked-window tercile would swap to
+    the mergeable approx-percentile form `elb_backend_latency_
+    percentiles_approx` documents — one conf, same columns."""
+    from pyspark.sql import Window
+
+    b = lang_quality_bucket_frame(spark, sf_dir)
+    g = b.groupBy(F.col("pred_lang").alias("lang"), "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bucket_tokens"),
+    )
+    lw = Window.partitionBy("lang")
+    return g.select(
+        "lang",
+        "bucket",
+        "n_docs",
+        "bucket_tokens",
+        F.round(
+            F.col("bucket_tokens") / F.sum("bucket_tokens").over(lw).cast("double"),
+            4,
+        ).alias("token_share"),
+    )

@@ -1,0 +1,85 @@
+"""SemDeDup corpus rung (r15) + CCNet lang-quality grid invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_semantic_dedup_keep_one_invariants(spark):
+    from dataengineerchallenge_spark.queries.vectors import semantic_dedup_corpus
+
+    out = semantic_dedup_corpus(spark, SF_SMOKE).localCheckpoint()
+    # kept <=> the row IS its cluster label (min-id survivor)
+    assert out.filter(
+        F.col("kept") != (F.col("vec_id") == F.col("semantic_cluster"))
+    ).count() == 0
+    # exactly one survivor per cluster, and it is the cluster minimum
+    per = out.groupBy("semantic_cluster").agg(
+        F.sum(F.col("kept").cast("int")).alias("n_kept"),
+        F.min("vec_id").alias("mn"),
+    )
+    assert per.filter(F.col("n_kept") != 1).count() == 0
+    assert per.filter(F.col("mn") != F.col("semantic_cluster")).count() == 0
+
+
+def test_semantic_dedup_reembedding_recall(spark):
+    # the three deliveries of one base vector are semantic dups by
+    # construction (cosine >= 0.999); the only sanctioned miss is the
+    # SemDeDup cluster-boundary split, which must stay rare
+    from dataengineerchallenge_spark.queries.vectors import (
+        _SEM_OFF,
+        semantic_dedup_corpus,
+    )
+
+    out = semantic_dedup_corpus(spark, SF_SMOKE)
+    base = out.select(
+        (F.col("vec_id") % _SEM_OFF).alias("base_id"), "semantic_cluster"
+    )
+    per = base.groupBy("base_id").agg(
+        F.count_distinct("semantic_cluster").alias("nc")
+    )
+    n = per.count()
+    fully_merged = per.filter(F.col("nc") == 1).count()
+    assert fully_merged / n > 0.9
+
+
+def test_lang_quality_buckets_partition_and_share(spark):
+    from dataengineerchallenge_spark.queries.text import (
+        corpus_lang_quality_buckets,
+        lang_quality_bucket_frame,
+    )
+
+    b = lang_quality_bucket_frame(spark, SF_SMOKE).localCheckpoint()
+    g = corpus_lang_quality_buckets(spark, SF_SMOKE).localCheckpoint()
+    # rollup partitions the per-doc frame exactly
+    assert g.agg(F.sum("n_docs")).collect()[0][0] == b.count()
+    # token_share sums to ~1 per language and every lang has 3 buckets
+    per_lang = g.groupBy("lang").agg(
+        F.sum("token_share").alias("s"), F.count(F.lit(1)).alias("nb")
+    )
+    for r in per_lang.collect():
+        assert abs(r["s"] - 1.0) < 5e-3
+        assert r["nb"] == 3
+    # terciles: no bucket may exceed half its language's docs (ties can
+    # skew past n/3, but a degenerate all-in-one bucket is a bug)
+    tot = g.groupBy("lang").agg(F.sum("n_docs").alias("n"))
+    skew = g.join(tot, "lang").filter(F.col("n_docs") > F.col("n") * 0.5)
+    assert skew.count() == 0
+
+
+def test_ccnet_grid_mix_rates(spark):
+    from dataengineerchallenge_spark.queries.mixing import ccnet_grid_mix
+    from dataengineerchallenge_spark.queries.text import lang_quality_bucket_frame
+
+    kept = ccnet_grid_mix(spark, SF_SMOKE).localCheckpoint()
+    b = lang_quality_bucket_frame(spark, SF_SMOKE)
+    totals = {r["bucket"]: r["n"] for r in
+              b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept_n = {r["bucket"]: r["n"] for r in
+              kept.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # head rate is 1.0: every head doc survives the hash acceptance
+    assert kept_n.get("head", 0) == totals["head"]
+    # tail is cut hard (rate 0.1): binomial bounds are loose on purpose
+    assert kept_n.get("tail", 0) < totals["tail"] * 0.3
