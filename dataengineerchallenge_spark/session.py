@@ -40,6 +40,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         # Arrow for every JVM<->Python exchange (pandas UDFs, toPandas)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 10x the 10k default: the r15 bisect of udf_user_trend
+        # (tools/bisect_udf_trend.py, BENCH_udf_bisect.json) measured
+        # 0.99 -> 0.73 s at sf0.1 from batch size alone (fewer Arrow
+        # flushes per grouped-map partition; sample windows disjoint),
+        # and the widest fixture row (~600 B payload) keeps a 100k
+        # batch at ~60 MB/core — far inside executor memory. Wide-row
+        # corpora (images) should size this down; it is a per-session
+        # conf, not a plan property.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         # deterministic time semantics vs the DuckDB oracle
         .config("spark.sql.session.timeZone", "UTC")
         # session_window & friends need this off in some 3.x versions; harmless

@@ -191,6 +191,23 @@ def main() -> None:
             "fresh_over_earlier": round(med / va, 3) if va else None,
             "verdict": verdict,
         }
+    # r15: the udf_user_trend three-anchor climb got a dedicated bisect
+    # (tools/bisect_udf_trend.py); cite its artifact on the row so the
+    # verdict carries the evidence, not another watch round
+    bisect_path = os.path.join(REPO, "BENCH_udf_bisect.json")
+    if "udf_user_trend" in rows and os.path.exists(bisect_path):
+        bi = json.load(open(bisect_path))
+        rows["udf_user_trend"]["bisect"] = {
+            "artifact": "BENCH_udf_bisect.json",
+            "verdict": bi.get("verdict"),
+            "r14_elevation_reproduced": bi.get("r14_elevation_reproduced"),
+            "base_median_s": bi.get("base_median_s"),
+            "best_config": min(
+                bi.get("configs", {}).items(),
+                key=lambda kv: kv[1]["median_s"],
+                default=(None, None),
+            )[0],
+        }
     common = sorted(q for q in rows if rows[q]["earlier_s"] is not None and rows[q]["later_s"] is not None)
     tot_a = round(sum(rows[q]["earlier_s"] for q in common), 3)
     tot_b = round(sum(rows[q]["later_s"] for q in common), 3)
