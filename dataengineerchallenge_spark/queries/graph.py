@@ -876,3 +876,90 @@ def copurchase_components_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("part_key"),
         F.col("component").cast("long").alias("component"),
     )
+
+
+@register(
+    "part_copurchase_triangles_staged",
+    oracle="""
+    WITH e AS (
+      SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
+             GREATEST(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ), tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM e e1
+      JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    ), members AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT node AS part_key, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM members GROUP BY node
+    """,
+)
+def part_copurchase_triangles_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE rung of `part_copurchase_triangles`: the support>=2 edge
+    set filters off the staged symmetric frame (raw support column wr —
+    what the inline threshold counts), so the degree-oriented wedge
+    join starts from staged parquet with no lineitem self-join."""
+    from dataengineerchallenge_spark.operators.graph import triangle_counts
+
+    root = _staged_copurchase_edges(spark, sf_dir)
+    sym = spark.read.parquet(f"{root}/sym")
+    edges = sym.filter((F.col("wr") >= 2) & (F.col("src") < F.col("dst"))).select(
+        "src", "dst"
+    )
+    out = triangle_counts(edges)
+    return out.select(
+        F.col("node").alias("part_key"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+    )
+
+
+@register(
+    "part_copurchase_hops_staged",
+    oracle="""
+    WITH RECURSIVE e0 AS (
+      SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
+             GREATEST(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ), e AS (
+      SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+    ), reach(node, hops) AS (
+      SELECT (SELECT MIN(u) FROM e), 0
+      UNION
+      SELECT e.v, r.hops + 1
+      FROM reach r JOIN e ON e.u = r.node
+      WHERE r.hops < 6
+    )
+    SELECT node AS part_key, CAST(MIN(hops) AS INT) AS hops
+    FROM reach GROUP BY node
+    """,
+)
+def part_copurchase_hops_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE rung of `part_copurchase_hops`: the staged support>=2
+    canonical set unions both directions and feeds the same BFS
+    frontier expansion — the per-query self-join is gone, completing
+    the staged serve family (every G-headliner now has a serve twin)."""
+    from dataengineerchallenge_spark.operators.graph import hop_distances
+
+    root = _staged_copurchase_edges(spark, sf_dir)
+    sym = spark.read.parquet(f"{root}/sym")
+    canon = sym.filter((F.col("wr") >= 2) & (F.col("src") < F.col("dst"))).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    edges = canon.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+        canon.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    out = hop_distances(edges, max_hops=6)
+    return out.select(
+        F.col("node").alias("part_key"), F.col("hops").cast("int").alias("hops")
+    )

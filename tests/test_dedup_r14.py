@@ -168,11 +168,24 @@ def test_span_bench_artifact_byte_cut_and_parity():
     for k, v in spans.items():
         assert v["parity"] is True, k
         assert v["key_byte_cut"] >= 2.0, k
-        assert (
-            v["hashed_shuffle_write_bytes"] < v["string_shuffle_write_bytes"]
-        ), k
+    # regime split since the r15 size-adaptive cand_mode: a rung whose
+    # candidate-key set fits the broadcast budget keeps the strict
+    # shuffle-byte win; past the budget the auto attach degrades to a
+    # second shuffle (more bytes by design — the graceful-degrade ADVICE
+    # fix) and the contract becomes the WALL-TIME crossover instead
+    # (BENCH_dedup notes.span_crossover): at the biggest rung the hashed
+    # plan must not lose.
+    assert any(
+        v["hashed_shuffle_write_bytes"] < v["string_shuffle_write_bytes"]
+        for v in spans.values()
+    ), "no rung demonstrates the broadcast-regime byte cut"
     biggest = max(spans.values(), key=lambda v: v["corpus"])
-    assert biggest["shuffle_byte_cut"] >= 1.5
+    if biggest["hashed_shuffle_write_bytes"] < biggest["string_shuffle_write_bytes"]:
+        assert biggest["shuffle_byte_cut"] >= 1.5
+    else:
+        assert biggest["hashed_s"] <= biggest["string_s"], (
+            "shuffle-attach regime must win wall time at the biggest rung"
+        )
 
 
 def test_winnow_guarantee_and_isolation(spark):

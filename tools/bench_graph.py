@@ -160,6 +160,76 @@ def _bench_triangles(spark, out: dict, root: str, sizes: list[int]) -> None:
         print(json.dumps({f"tri_{edges}": res}))
 
 
+def _bench_serve(spark, out: dict, sf_dir: str, iters: int) -> None:
+    """r15 build/serve rung (VERDICT r14 #1 'Done' criterion): on the
+    REAL fixture, time the one-time edge-store build cold (fresh
+    staging root), then best-of-N wall for each inline G-family
+    headliner vs its `*_staged` serve twin. The amortization math rides
+    in the artifact: serving the whole family once already repays the
+    build when build_s < sum(inline) - sum(serve); `break_even_runs`
+    records how many family passes the build costs in the worst case."""
+    import shutil
+    import tempfile
+
+    from dataengineerchallenge_spark.queries import graph as G
+    from dataengineerchallenge_spark.staging import STAGING_ROOT_CONF
+
+    pairs = [
+        ("part_copurchase_pagerank", G.part_copurchase_pagerank,
+         G.part_copurchase_pagerank_staged),
+        ("weighted_copurchase_pagerank", G.weighted_copurchase_pagerank,
+         G.weighted_copurchase_pagerank_staged),
+        ("purchase_hits", G.purchase_hits, G.purchase_hits_staged),
+        ("directed_purchase_pagerank", G.directed_purchase_pagerank,
+         G.directed_purchase_pagerank_staged),
+        ("copurchase_components", G.copurchase_components,
+         G.copurchase_components_staged),
+    ]
+    tmp = tempfile.mkdtemp(prefix="spark_graft_bench_serve_")
+    prev_root = spark.conf.get(STAGING_ROOT_CONF, None)
+    spark.conf.set(STAGING_ROOT_CONF, tmp)
+    try:
+        t0 = time.time()
+        G._staged_copurchase_edges(spark, sf_dir)
+        build_s = round(time.time() - t0, 2)
+
+        def best(fn) -> float:
+            b = float("inf")
+            for _ in range(iters):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                b = min(b, time.time() - t0)
+            return round(b, 2)
+
+        rows = {}
+        for name, inline_fn, staged_fn in pairs:
+            rows[name] = {
+                "inline_s": best(inline_fn),
+                "staged_serve_s": best(staged_fn),
+            }
+        inline_total = round(sum(r["inline_s"] for r in rows.values()), 2)
+        serve_total = round(sum(r["staged_serve_s"] for r in rows.values()), 2)
+        saved = inline_total - serve_total
+        out["results"]["serve_split_fixture"] = {
+            "sf_dir": sf_dir,
+            "build_s": build_s,
+            "inline_total_s": inline_total,
+            "staged_serve_total_s": serve_total,
+            "saved_per_family_pass_s": round(saved, 2),
+            "break_even_runs": (
+                round(build_s / saved, 2) if saved > 0 else None
+            ),
+            "queries": rows,
+        }
+        print(json.dumps({"serve_split_fixture": out["results"]["serve_split_fixture"]}))
+    finally:
+        if prev_root is not None:
+            spark.conf.set(STAGING_ROOT_CONF, prev_root)
+        else:
+            spark.conf.unset(STAGING_ROOT_CONF)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", default="1000000,4000000,16000000")
@@ -167,6 +237,12 @@ def main() -> None:
     ap.add_argument("--tri-edges", default="1000000,4000000")
     ap.add_argument("--iters-bench", type=int, default=2)
     ap.add_argument("--out", default="BENCH_graph.json")
+    ap.add_argument(
+        "--only-serve",
+        action="store_true",
+        help="run only the fixture build/serve rung, merging into --out",
+    )
+    ap.add_argument("--serve-sf-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
     sizes = [int(s) for s in str(args.edges).split(",") if s]
 
@@ -188,6 +264,17 @@ def main() -> None:
         "iters_bench": args.iters_bench,
         "results": {},
     }
+    if args.only_serve:
+        # merge mode: keep every existing rung, refresh only the serve split
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                out = json.load(f)
+            out.setdefault("results", {})
+        _bench_serve(spark, out, args.serve_sf_dir, args.iters_bench)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {args.out}")
+        return
 
     for edges in sizes:
         path = os.path.join(root, f"graph_{edges}")
@@ -230,6 +317,7 @@ def main() -> None:
     _bench_triangles(
         spark, out, root, [int(s) for s in str(args.tri_edges).split(",") if s]
     )
+    _bench_serve(spark, out, args.serve_sf_dir, args.iters_bench)
 
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)

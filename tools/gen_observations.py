@@ -92,6 +92,67 @@ def main() -> None:
     span_docs_hit = sum(1 for r in span_rows if r["covered_words"] > 0)
     span_worst = max(span_rows, key=lambda r: r["dup_fraction"])
 
+    # --- r15 curation composition: CCNet grid, grid mix, perceptual +
+    # semantic dedup ---
+    grid = sorted(run("corpus_lang_quality_buckets"), key=lambda r: (r["lang"], r["bucket"]))
+    grid_mix = run("ccnet_grid_mix")
+    mix_by_bucket: dict[str, int] = {}
+    for r in grid_mix:
+        mix_by_bucket[r["bucket"]] = mix_by_bucket.get(r["bucket"], 0) + 1
+    grid_docs = sum(r["n_docs"] for r in grid)
+    bucket_tok: dict[str, int] = {}
+    for r in grid:
+        bucket_tok[r["bucket"]] = bucket_tok.get(r["bucket"], 0) + r["bucket_tokens"]
+    grid_tok = sum(bucket_tok.values()) or 1
+    pnd = run("payload_near_dups")
+    pnd_self = sum(1 for r in pnd if not r["cross_doc"])
+    pnd_cross = len(pnd) - pnd_self
+    sem = run("semantic_dedup_corpus")
+    sem_n = len(sem)
+    sem_kept = sum(1 for r in sem if r["kept"])
+    sem_groups: dict[int, int] = {}
+    for r in sem:
+        sem_groups[r["semantic_cluster"]] = sem_groups.get(r["semantic_cluster"], 0) + 1
+    sem_maxgrp = max(sem_groups.values())
+
+    ccnet_para = f"""
+
+### The CCNet grid: language × LM-perplexity buckets, then the mix
+
+`corpus_lang_quality_buckets` composes the two quality axes into the
+head/middle/tail terciles CCNet samples from (per predicted language,
+nearest-rank perplexity thresholds). On the {sf_dir} corpus
+({grid_docs:,} scoreable docs), the token mass splits
+head **{100 * bucket_tok.get("head", 0) / grid_tok:.1f}%** /
+middle **{100 * bucket_tok.get("middle", 0) / grid_tok:.1f}%** /
+tail **{100 * bucket_tok.get("tail", 0) / grid_tok:.1f}%** — head holds the
+most-predictable (lowest-perplexity) third of each language by DOC
+count, so its token share says whether fluent docs run longer or
+shorter than noisy ones here:
+
+{md_table([(r["lang"], r["bucket"], r["n_docs"], f"{r['bucket_tokens']:,}", r["token_share"]) for r in grid], ["lang", "bucket", "docs", "tokens", "lang token share"], limit=15)}
+
+`ccnet_grid_mix` then draws the pretraining mix at head 1.0 / middle
+0.5 / tail 0.1 by content-hash acceptance: {len(grid_mix):,} of
+{grid_docs:,} docs survive ({mix_by_bucket.get("head", 0)} head /
+{mix_by_bucket.get("middle", 0)} middle / {mix_by_bucket.get("tail", 0)} tail) —
+bit-reproducible across engines and reruns, so the mix is an artifact
+of the corpus, not of a seed.
+
+### Modality-specific and semantic dedup close the near-dup matrix
+
+`payload_near_dups` (perceptual aHash over decoded payload bytes, the
+SimHash banding machinery reused): across the MM1 originals and the
+MMv2 re-encapsulated delivery it finds **{len(pnd):,} pairs at
+hamming ≤ 3** — {pnd_self:,} re-encode self-matches (content hashes all
+differ; the perceptual hash barely moves) plus {pnd_cross:,} genuine
+cross-document collisions. `semantic_dedup_corpus` (SemDeDup shape)
+clusters {sem_n:,} embedding rows (originals + two deterministic
+re-embeddings), finds the duplicate groups by within-cluster cosine ≥
+0.99 (largest group: {sem_maxgrp}), and keeps **{sem_kept:,} survivors
+({100 * sem_kept / sem_n:.1f}%)** — the keep-one corpus a curation
+pipeline trains on."""
+
     # --- §6 engineering-tradeoff evidence (VERDICT r5 #8) ---
     import json
     import os
@@ -302,15 +363,15 @@ output asserted identical (`BENCH_dedup.json span_*`):
 
 The whole-run shuffle cut is smaller than the key-byte cut because the
 coverage/trim passes (doc-keyed) shuffle the same bytes in both plans —
-the gram-keyed stages themselves shrink by the key ratio. Local wall
-time does NOT follow the byte cut (the hashed plan is ~equal at 50k and
-~20% slower at 200k): single-box shuffles move through memory, so the
-extra hash projection + candidate re-verify pass cost more than the
-bytes save — the cut is a NETWORK/disk-IO lever, priced for the
-cluster regime where shuffle bytes, not CPU, bound the job. The bench
-corpus is also deliberately dup-DENSE (~12% of gram rows are
-candidates); real boilerplate fractions shrink the re-verify pass
-proportionally."""
+the gram-keyed stages themselves shrink by the key ratio. The wall-time
+CROSSOVER is now measured (r15, `notes.span_crossover`): below ~200k
+docs the exact re-verify pass costs more than the key bytes save and
+the string plan wins; at 500k docs the hashed plan wins outright
+(67.5 vs 78.2 s) even on single-box in-memory shuffles. The 100 TB
+regime — network-bound shuffles, boilerplate a small fraction of the
+corpus — sits far past the crossover on both axes. The bench corpus is
+deliberately dup-DENSE (~12% of gram rows are candidates); real
+boilerplate fractions shrink the re-verify pass proportionally."""
 
     span_para = f"""
 
@@ -674,7 +735,7 @@ while the full recompute grows with it:
 Parity is exact, not approximate: the hash family is stateless and
 seeded, so batch signatures are bit-identical to a full recompute's
 (pinned in tests/test_dedup.py) — the N2 mirror of the ANN side's
-frozen-codebook append.{bigbatch_para}''' if dedup_bench and any(k.startswith("incr_") for k in dedup_bench["results"]) else "")}{prefix_para}{bloom_para}{span_para}
+frozen-codebook append.{bigbatch_para}''' if dedup_bench and any(k.startswith("incr_") for k in dedup_bench["results"]) else "")}{prefix_para}{bloom_para}{span_para}{ccnet_para}
 
 ### Physical layout: what Z-order buys a two-dimensional probe
 {"".join(f'''
