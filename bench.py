@@ -59,7 +59,9 @@ HEADLINE = [
     "dq_referential_integrity",      # N+ audit battery (round 3)
     "multimodal_synth_codec_audit",  # N5 codec encode/decode (round 4)
     "ivf_pq_serve_topk",             # N3 serve-only path over the prebuilt index (round 6)
-    "ivf_pq_serve_fresh_topk",       # N3 fresh-batch serve, routed at query time (round 7)
+    # ivf_pq_serve_fresh_topk rotated out r15 (byte budget): the residual
+    # rung below exercises the same fresh-batch routing plus the faithful
+    # IVFADC scoring — strictly a superset of the retired plan.
     "near_dup_incremental_minhash",  # N2 incremental dedup vs staged band store (round 7)
     "ivf_pq_residual_serve_fresh_topk",      # N3 residual (IVFADC) fresh serve (round 8)
     "ivf_pq_trained_rerank_topk",            # N3 full production stack: trained + re-rank (round 10)
@@ -95,6 +97,7 @@ HEADLINE = [
     "payload_near_dups",                     # N5+ perceptual aHash near-dup (round 15)
     "corpus_lang_quality_buckets",           # N4+++ CCNet lang x perplexity grid (round 15)
     "semantic_dedup_corpus",                 # N3+ SemDeDup keep-one corpus (round 15)
+    "benchmark_decontamination",             # N1+++ train/test overlap flags (round 15)
     # ccnet_grid_mix (the grid sampler) is registry-only: one map
     # predicate over the bucketing frame — timing it re-times the grid.
     # near_dup_jaccard_prefix is deliberately NOT a headline line: on the

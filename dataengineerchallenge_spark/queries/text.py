@@ -961,3 +961,86 @@ def corpus_lang_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("token_share"),
     )
+
+
+@register(
+    "doc_gopher_repetition_flags",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), base AS (
+      SELECT doc_id, ws, len(ws) AS n_words,
+             [ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))] AS bg,
+             [ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+              FOR i IN range(1, len(ws) - 1)] AS tg
+      FROM t WHERE len(ws) >= 3
+    ), wf AS (
+      SELECT doc_id, max(c) AS top_word_n FROM (
+        SELECT doc_id, count(*) AS c
+        FROM (SELECT doc_id, unnest(ws) AS w FROM base)
+        GROUP BY doc_id, w
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_words AS BIGINT) AS n_words,
+           ROUND(wf.top_word_n / CAST(b.n_words AS DOUBLE), 4)
+             AS top_word_share,
+           (wf.top_word_n / CAST(b.n_words AS DOUBLE) > 0.20
+            OR 1.0 - len(list_distinct(b.bg)) / CAST(len(b.bg) AS DOUBLE) > 0.30
+            OR 1.0 - len(list_distinct(b.tg)) / CAST(len(b.tg) AS DOUBLE) > 0.20)
+             AS repetitive
+    FROM base b JOIN wf ON wf.doc_id = b.doc_id
+    """,
+)
+def doc_gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4++++ the COMPOSED Gopher repetition DECISION (Rae et al. 2021
+    §A1.1 drop rules): `doc_repetition_scores` already measures the
+    duplicate-bigram/trigram fractions; this rung adds the missing
+    top-word-share rule (a doc dominated by one token — keyword
+    stuffing, generation loops) and composes all three into the
+    `repetitive` drop flag at published-style thresholds (top word >
+    20%, dup bigrams > 30%, dup trigrams > 20%; the fixture corpus has
+    no newlines, so the line-level Gopher rules have no domain here).
+
+    Why a separate flag rung matters: the quality ladder's other axes
+    can't substitute — stopword/length heuristics miss repetition
+    entirely, and perplexity REWARDS it (repeated bigrams are maximally
+    predictable), which is exactly why Gopher applies repetition rules
+    BEFORE the LM filter.
+
+    Scale shape: one explode + two-level aggregate for the top-word
+    count (partial-agg friendly, keys are (doc, word)); the n-gram
+    fractions are array-local inside one projection — no shuffle
+    beyond the doc-keyed join; ratios are exact-integer divisions,
+    thresholds compared on the raw ratio in BOTH engines."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(
+        F.size("ws") >= 3
+    )
+    mk = lambda n: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.size("ws") - n),
+        lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i + 1, n)),
+    )
+    base = t.select(
+        "doc_id",
+        "ws",
+        F.size("ws").alias("n_words"),
+        mk(2).alias("bg"),
+        mk(3).alias("tg"),
+    )
+    wf = (
+        base.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_word_n"))
+    )
+    tws = F.col("top_word_n") / F.col("n_words").cast("double")
+    dbg = 1.0 - F.size(F.array_distinct("bg")) / F.size("bg").cast("double")
+    dtg = 1.0 - F.size(F.array_distinct("tg")) / F.size("tg").cast("double")
+    return base.join(wf, "doc_id").select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(tws, 4).alias("top_word_share"),
+        ((tws > 0.20) | (dbg > 0.30) | (dtg > 0.20)).alias("repetitive"),
+    )
