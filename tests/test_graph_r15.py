@@ -126,3 +126,26 @@ def test_dup_span_cand_modes_agree(spark):
     assert outs["auto"] == outs["broadcast"] == outs["shuffle"]
     with pytest.raises(ValueError, match="cand_mode"):
         dup_span_doc_frame(docs, "doc_id", "text", hash_grams=True, cand_mode="bogus")
+
+
+def test_appended_edge_store_equals_rebuild(spark):
+    # the delta merge must reconstruct the full-corpus edge set and
+    # degree frames EXACTLY (append == rebuild, the store-maintenance
+    # contract every staged family here carries)
+    from dataengineerchallenge_spark.queries.graph import (
+        _staged_copurchase_edges,
+        _staged_copurchase_edges_appended,
+    )
+
+    full = _staged_copurchase_edges(spark, SF_SMOKE)
+    app = _staged_copurchase_edges_appended(spark, SF_SMOKE)
+    sym_f = spark.read.parquet(f"{full}/sym")
+    sym_a = spark.read.parquet(f"{app}/sym")
+    assert _rows(sym_f, "src", "dst", "w", "wr") == _rows(
+        sym_a, "src", "dst", "w", "wr"
+    )
+    deg_f = spark.read.parquet(f"{full}/symdeg")
+    deg_a = spark.read.parquet(f"{app}/symdeg")
+    assert _rows(deg_f, "src", "outdeg", "sw") == _rows(
+        deg_a, "src", "outdeg", "sw"
+    )
