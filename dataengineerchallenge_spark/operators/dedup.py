@@ -856,7 +856,9 @@ def simhash_frame_explicit(df: DataFrame, id_col: str, tokens: Column) -> DataFr
     return votes.select(F.col("_id").alias(id_col), fa.alias("fa"), fb.alias("fb"))
 
 
-def banded_hamming_pairs(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
+def banded_hamming_pairs(
+    sh: DataFrame, max_hamming: int = 3, other: DataFrame | None = None
+) -> DataFrame:
     """Distinct near-dup pairs (id_a < id_b, hamming) from a 64-bit
     fingerprint frame held as TWO 32-bit halves (columns ``_id, fa,
     fb`` — the signed-overflow-safe composition every explicit-hash
@@ -872,37 +874,55 @@ def banded_hamming_pairs(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
     aHash (`operators/multimodal.py:payload_ahash` — the image/audio
     near-dup member of the N5 family). For ``max_hamming`` > 3 the
     banding degrades to a recall-limited candidate generator (standard
-    SimHash practice, documented on the seeded variant)."""
+    SimHash practice, documented on the seeded variant).
+
+    ``other`` (r15) switches to the two-sided INCREMENTAL form (the
+    ``band_collision_pairs`` bands_b pattern): only pairs between a
+    ``sh`` row and an ``other`` row are emitted — the store-vs-batch
+    join an online serve loop needs, where store-store pairs were
+    already delivered and batch-batch pairs come from a separate
+    one-sided call. Ids are canonicalized (id_a = min) so output order
+    is delivery-independent."""
     pieces = [
         (0, F.col("fa").bitwiseAND(F.lit(0xFFFF))),
         (1, F.shiftrightunsigned("fa", 16).bitwiseAND(F.lit(0xFFFF))),
         (2, F.col("fb").bitwiseAND(F.lit(0xFFFF))),
         (3, F.shiftrightunsigned("fb", 16).bitwiseAND(F.lit(0xFFFF))),
     ]
-    bands = sh.select(
-        "_id",
-        "fa",
-        "fb",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("band"), v.alias("val"))
-                    for i, v in pieces
-                ]
-            )
-        ).alias("_band"),
-    ).select("_id", "fa", "fb", "_band.band", "_band.val")
-    a, b = bands.alias("a"), bands.alias("b")
+    def _bands(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            "_id",
+            "fa",
+            "fb",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("band"), v.alias("val"))
+                        for i, v in pieces
+                    ]
+                )
+            ).alias("_band"),
+        ).select("_id", "fa", "fb", "_band.band", "_band.val")
+
+    a = _bands(sh).alias("a")
+    b = _bands(other if other is not None else sh).alias("b")
+    id_pred = (
+        F.col("a._id") != F.col("b._id")
+        if other is not None
+        else F.col("a._id") < F.col("b._id")
+    )
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a._id") < F.col("b._id")),
+            & id_pred,
         )
         .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
+            F.least("a._id", "b._id").alias("id_a"),
+            F.greatest("a._id", "b._id").alias("id_b"),
+            # hamming is symmetric, so which side's halves land in which
+            # slot doesn't matter after canonicalization
             F.col("a.fa").alias("_faa"),
             F.col("a.fb").alias("_fba"),
             F.col("b.fa").alias("_fab"),

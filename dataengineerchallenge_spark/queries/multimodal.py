@@ -190,7 +190,14 @@ def _ahash_half_sql(lo: int) -> str:
 
 _REENC_OFFSET = 1_000_000
 
-_AHASH_ORACLE = f"""
+
+def _ahash_oracle(new_only: bool = False) -> str:
+    """All-pairs aHash twin; ``new_only`` restricts to pairs involving
+    a delivery (MMv2) doc — id_b is the canonical larger id, and every
+    delivery id is >= the offset while originals are below it, so one
+    predicate selects exactly the pairs an online serve loop emits."""
+    new_pred = f"AND c.doc_id >= {_REENC_OFFSET}" if new_only else ""
+    return f"""
     WITH d1 AS (
       SELECT doc_id, 'MM1:' || text AS p FROM documents
     ), d2 AS (
@@ -216,7 +223,11 @@ _AHASH_ORACLE = f"""
            (c.doc_id - a.doc_id <> {_REENC_OFFSET}) AS cross_doc
     FROM f a JOIN f c ON a.doc_id < c.doc_id
     WHERE bit_count(xor(a.fa, c.fa)) + bit_count(xor(a.fb, c.fb)) <= 3
+    {new_pred}
     """
+
+
+_AHASH_ORACLE = _ahash_oracle()
 
 
 @register("payload_near_dups", oracle=_AHASH_ORACLE)
@@ -260,3 +271,141 @@ def payload_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded_hamming_pairs(sh, max_hamming=3).withColumn(
         "cross_doc", F.col("id_b") - F.col("id_a") != _REENC_OFFSET
     )
+
+
+def _staged_ahash_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once perceptual fingerprint STORE of the MM1 originals
+    (doc_id, fa, fb) — the state an online payload-dedup serve joins
+    new deliveries against (the aHash twin of the MinHash band store)."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.operators.multimodal import payload_ahash
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        mm = with_payloads(load_table(spark, sf_dir, "documents"))
+        fp = payload_ahash(mm).select(
+            F.col("doc_id").alias("_id"), "fa", "fb"
+        )
+        write_result(fp, str(out))
+
+    return staged(
+        spark, "ahash_store", Path(sf_dir) / "documents.parquet", "ahash_v1", build
+    )
+
+
+def _staged_payload_delivery_stream(spark: SparkSession, sf_dir: str) -> str:
+    """The MMv2 re-encapsulated delivery written as 3 hash-partitioned
+    parquet files of (doc_id, payload) rows, so a file-source tail with
+    maxFilesPerTrigger=1 drains it as a real multi-micro-batch payload
+    stream (the multimodal twin of `_staged_delivery_stream`)."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        mm = with_payloads(
+            load_table(spark, sf_dir, "documents"),
+            magic="MMv2",
+            id_offset=_REENC_OFFSET,
+        )
+        write_result(
+            mm.select("doc_id", "payload").repartition(3, "doc_id"), str(out)
+        )
+
+    return staged(
+        spark,
+        "ahash_deliv",
+        Path(sf_dir) / "documents.parquet",
+        "ahash_deliv_v1:f3",
+        build,
+    )
+
+
+@register("stream_payload_near_dups", oracle=_ahash_oracle(new_only=True))
+def stream_payload_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5+ x T6 ONLINE perceptual dedup serve, hash-verified: the MMv2
+    delivery's payloads arrive as a tailed file stream (one file per
+    trigger) and every micro-batch runs fingerprint -> dedup-against-
+    store-so-far -> commit via foreachBatch — the same lifecycle the
+    MinHash online serve pins, on the aHash family: Arrow mapInPandas
+    fingerprints for the batch only, the two-sided `banded_hamming_
+    pairs(other=)` join against the staged original-fingerprint store
+    plus previously committed micro-batches, the batch's own one-sided
+    self-join, then the batch fingerprints commit epoch-keyed so later
+    arrivals dedup against them. Every qualifying pair involving a
+    delivery doc lands exactly once regardless of slicing (stateless
+    fingerprints => stream ≡ batch), and the DuckDB oracle is the batch
+    all-pairs twin restricted to delivery pairs — value-checking a
+    genuinely multi-micro-batch run.
+
+    100 TB shape: per micro-batch the store side is read in place and
+    joined on (band, value); only batch-sized frames fingerprint,
+    band-explode or commit — serve cost scales with the delivery, never
+    the store."""
+    import glob
+    import shutil
+    import tempfile
+
+    from dataengineerchallenge_spark.operators.dedup import banded_hamming_pairs
+    from dataengineerchallenge_spark.operators.multimodal import (
+        AHASH_MIN_BYTES,
+        ahash_batches,
+    )
+
+    store_path = _staged_ahash_store(spark, sf_dir)
+    payload_dir = _staged_payload_delivery_stream(spark, sf_dir)
+    schema = spark.read.parquet(payload_dir).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(payload_dir)
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_graft_stream_ahash_")
+    sink, ckpt, committed = (
+        f"{scratch}/out",
+        f"{scratch}/ckpt",
+        f"{scratch}/committed",
+    )
+
+    def serve(mb: DataFrame, epoch_id: int) -> None:
+        fp = (
+            mb.filter(F.length("payload") >= AHASH_MIN_BYTES)
+            .mapInPandas(ahash_batches("fake"), "doc_id bigint, fa bigint, fb bigint")
+            .select(F.col("doc_id").alias("_id"), "fa", "fb")
+        )
+        store = spark.read.parquet(store_path)
+        if glob.glob(f"{committed}/epoch_id=*"):
+            store = store.unionByName(
+                spark.read.parquet(committed).select("_id", "fa", "fb")
+            )
+        out = banded_hamming_pairs(store, max_hamming=3, other=fp).unionByName(
+            banded_hamming_pairs(fp, max_hamming=3)
+        )
+        out = out.withColumn(
+            "cross_doc", F.col("id_b") - F.col("id_a") != _REENC_OFFSET
+        )
+        out.write.mode("overwrite").parquet(f"{sink}/epoch_id={epoch_id}")
+        fp.write.mode("overwrite").parquet(f"{committed}/epoch_id={epoch_id}")
+
+    q = (
+        sdf.writeStream.foreachBatch(serve)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(300)
+        if not finished:
+            raise TimeoutError("payload dedup stream did not drain in 300s")
+        drained = spark.read.parquet(sink).select(
+            "id_a", "id_b", "hamming", "cross_doc"
+        )
+        result = spark.createDataFrame(drained.collect(), drained.schema)
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(scratch, ignore_errors=True)
+    return result
