@@ -629,3 +629,65 @@ def hop_distances(
     # on the cached edge frame — release it (see pagerank note)
     e.unpersist()
     return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, community) labels after ``iters`` SYNCHRONOUS label-
+    propagation rounds (Raghavan et al. 2007, Phys. Rev. E — a public
+    design): every node starts as its own label; each round every node
+    adopts the label most frequent among its neighbors, ties broken on
+    the SMALLEST label — the deterministic variant, so the result is a
+    pure integer function of the edge set and both engines replay it
+    exactly (classic async LPA visits nodes in random order; that is
+    faster to converge but irreproducible, the wrong trade for a
+    hash-checked engine; fixed synchronous rounds are the standard
+    deterministic fallback, oscillation bounded by the round cap).
+
+    Communities differ from connected components (one label can't flood
+    a sparse bridge before denser neighborhoods lock their own) and
+    from triangles/PageRank (a partition, not a score) — the missing
+    mesoscale view of the graph family.
+
+    ``edges`` should contain BOTH directions of each undirected edge.
+    Per round: one equi-join of the edge list onto the |V|-row label
+    frame (AQE broadcasts the label side), one (dst, label) partial-agg
+    count, one per-node top-1 window keyed on the node — the pagerank
+    cost profile plus a window. Rounds are localCheckpoint-ed so plan
+    depth stays constant; the edge frame is a persisted loop invariant,
+    released before return.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    if iters < 1:
+        raise ValueError(f"label_propagation: iters must be >= 1, got {iters}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(iters):
+        counts = (
+            e.join(labels, e["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return labels.select("node", F.col("label").alias("community"))

@@ -1048,3 +1048,71 @@ def part_copurchase_pagerank_appended(spark: SparkSession, sf_dir: str) -> DataF
         sym.select("src", "dst"), iters=_ITERS, damping=_DAMPING, outdeg=deg
     )
     return ranks.select(F.col("node").alias("part_key"), F.round("pr", 4).alias("pr"))
+
+
+def _lpa_oracle(iters: int) -> str:
+    """Unrolled synchronous label propagation: per round, each node
+    takes the most frequent neighbor label (min label on ties) — all
+    integer, so the query hash-checks exactly. Round CTEs MATERIALIZED
+    (each is referenced by a count CTE that DuckDB would otherwise
+    inline per reference — same discipline as the HITS oracle)."""
+    steps = []
+    for i in range(iters):
+        steps.append(
+            f"""c{i} AS MATERIALIZED (
+      SELECT e.v AS node, l.label, count(*) AS c
+      FROM e JOIN l{i} l ON e.u = l.node GROUP BY e.v, l.label
+    ), l{i + 1} AS MATERIALIZED (
+      SELECT node, label FROM c{i}
+      QUALIFY row_number() OVER (PARTITION BY node
+                                 ORDER BY c DESC, label) = 1
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH e0 AS (
+      SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
+             GREATEST(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ), e AS MATERIALIZED (
+      SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+    ), l0 AS MATERIALIZED (
+      SELECT DISTINCT u AS node, u AS label FROM e
+    ),
+    {chain}
+    SELECT node AS part_key, CAST(label AS BIGINT) AS community
+    FROM l{iters}
+    """
+
+
+@register("copurchase_communities_lpa", oracle=_lpa_oracle(_ITERS))
+def copurchase_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 community detection by synchronous label propagation
+    (Raghavan et al. 2007) over the support>=2 co-purchase graph,
+    SERVED from the staged edge store (the G-family serve discipline
+    from birth — no lineitem self-join in this plan): communities are
+    the mesoscale structure between components (too coarse: any bridge
+    merges) and triangles (too local) — the 'which products form a
+    repeatedly-bought-together neighborhood' view a recommender's
+    diversity screen uses. Deterministic min-label ties make the
+    5-round result a pure integer function of the edge set; the oracle
+    unrolls the same rounds as MATERIALIZED CTEs — hash-checked end to
+    end."""
+    from dataengineerchallenge_spark.operators.graph import label_propagation
+
+    root = _staged_copurchase_edges(spark, sf_dir)
+    sym = spark.read.parquet(f"{root}/sym")
+    canon = sym.filter((F.col("wr") >= 2) & (F.col("src") < F.col("dst"))).select(
+        "src", "dst"
+    )
+    edges = canon.union(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out = label_propagation(edges, iters=_ITERS)
+    return out.select(
+        F.col("node").alias("part_key"),
+        F.col("community").cast("long").alias("community"),
+    )

@@ -149,3 +149,30 @@ def test_appended_edge_store_equals_rebuild(spark):
     assert _rows(deg_f, "src", "outdeg", "sw") == _rows(
         deg_a, "src", "outdeg", "sw"
     )
+
+
+def test_label_propagation_closed_forms(spark):
+    from dataengineerchallenge_spark.operators.graph import label_propagation
+
+    def run(pairs, iters=5):
+        canon = spark.createDataFrame(pairs, "src long, dst long")
+        e = canon.union(canon.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        return {r["node"]: r["community"] for r in label_propagation(e, iters).collect()}
+
+    # two triangles joined by one bridge: each triangle floods to its
+    # own min label — the bridge must NOT merge them (the property that
+    # separates communities from connected components)
+    tri2 = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    out = run(tri2)
+    assert out[1] == out[2] == out[3]
+    assert out[4] == out[5] == out[6]
+    assert out[1] != out[4]
+    # a clique collapses to its min label
+    clique = [(i, j) for i in range(10, 14) for j in range(i + 1, 14)]
+    outc = run(clique)
+    assert set(outc.values()) == {10}
+    # iters < 1 rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="iters"):
+        label_propagation(spark.createDataFrame(tri2, "src long, dst long"), 0)
