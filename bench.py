@@ -97,7 +97,6 @@ HEADLINE = [
     "payload_near_dups",                     # N5+ perceptual aHash near-dup (round 15)
     "corpus_lang_quality_buckets",           # N4+++ CCNet lang x perplexity grid (round 15)
     "semantic_dedup_corpus",                 # N3+ SemDeDup keep-one corpus (round 15)
-    "benchmark_decontamination",             # N1+++ train/test overlap flags (round 15)
     "copurchase_communities_lpa",            # G6 label-propagation communities, staged serve (round 15)
     # ccnet_grid_mix (the grid sampler) is registry-only: one map
     # predicate over the bucketing frame — timing it re-times the grid.

@@ -1606,74 +1606,3 @@ def sorted_neighborhood_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame
         "id_a", "id_b", "rank_gap", F.round("j", 4).alias("jaccard")
     )
 
-
-_DECON_N = 8
-_DECON_MOD = 7
-
-
-@register(
-    "benchmark_decontamination",
-    oracle=f"""
-    WITH g AS (
-      SELECT doc_id,
-             unnest([array_to_string(ws[i:i+{_DECON_N - 1}], ' ')
-                     FOR i IN range(1, len(ws) - {_DECON_N - 2})]) AS gg
-      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-      WHERE len(ws) >= {_DECON_N}
-    ), ev AS (
-      SELECT gg, count(DISTINCT doc_id) AS n_eval_docs
-      FROM g WHERE doc_id % {_DECON_MOD} = 0 GROUP BY gg
-    ), hits AS (
-      SELECT g.doc_id, g.gg, ev.n_eval_docs
-      FROM (SELECT DISTINCT doc_id, gg FROM g
-            WHERE doc_id % {_DECON_MOD} <> 0) g
-      JOIN ev USING (gg)
-    )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_shared_grams,
-           CAST(sum(n_eval_docs) AS BIGINT) AS eval_doc_hits
-    FROM hits GROUP BY doc_id
-    """,
-)
-def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N1+++ train/test DECONTAMINATION (the GPT-3/PaLM appendix
-    procedure — published practice: drop or flag training documents
-    that share a long n-gram with any benchmark item, because a leaked
-    eval answer memorized verbatim invalidates the benchmark): held-out
-    set = docs with doc_id % 7 == 0 (the fixture stand-in for an eval
-    suite), a corpus doc is contaminated when it shares any positional
-    8-word gram with the held-out set. Emits one row per contaminated
-    doc: the distinct shared-gram count and the sum of eval-doc
-    multiplicities (how many benchmark items each gram leaks).
-
-    Scale shape: real benchmark suites are KB-MB — the eval gram table
-    BROADCASTS, so the corpus side is one map-side semi-join-shaped
-    attach per scan, no corpus shuffle at all; the per-doc rollup
-    shuffles only the contaminated hits (tiny by construction). The
-    same inverted-gram frame the span-dedup family builds; at 100 TB
-    the gram key would ride xxhash64 exactly as
-    `dup_span_trim_docs_hashed` measures."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    k = F.size(words) - F.lit(_DECON_N - 1)
-    grams = F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(0), k - 1),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, _DECON_N)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = spread(docs).select("doc_id", F.explode(grams).alias("gg"))
-    ev = (
-        g.filter(F.col("doc_id") % _DECON_MOD == 0)
-        .groupBy("gg")
-        .agg(F.count_distinct("doc_id").alias("n_eval_docs"))
-    )
-    corpus = g.filter(F.col("doc_id") % _DECON_MOD != 0).dropDuplicates(
-        ["doc_id", "gg"]
-    )
-    hits = corpus.join(F.broadcast(ev), "gg")
-    return hits.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_shared_grams"),
-        F.sum("n_eval_docs").cast("long").alias("eval_doc_hits"),
-    )
