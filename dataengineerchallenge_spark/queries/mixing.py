@@ -250,3 +250,24 @@ def ccnet_grid_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr(_SPARK_BUCKET) / 256.0 < rate)
         .select("doc_id", F.col("pred_lang").alias("lang"), "bucket")
     )
+
+
+@register("ccnet_grid_mix_staged", oracle=_grid_mix_oracle())
+def ccnet_grid_mix_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE rung of `ccnet_grid_mix`: the mix draw reads the staged
+    per-doc signal store (queries/text.py:_staged_lang_quality_signals)
+    and applies only the hash-acceptance predicate — re-drawing a mix
+    with different rates costs one scan, which is the CCNet production
+    lifecycle (scores frozen per snapshot, mixes re-drawn freely).
+    Same oracle, same hash as the inline twin."""
+    from dataengineerchallenge_spark.queries.text import (
+        _staged_lang_quality_signals,
+    )
+
+    b = spark.read.parquet(_staged_lang_quality_signals(spark, sf_dir))
+    rate = F.when(F.col("bucket") == "head", F.lit(1.0)).when(
+        F.col("bucket") == "middle", F.lit(0.5)
+    ).otherwise(F.lit(0.1))
+    return b.filter(F.expr(_SPARK_BUCKET) / 256.0 < rate).select(
+        "doc_id", F.col("pred_lang").alias("lang"), "bucket"
+    )

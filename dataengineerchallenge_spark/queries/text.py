@@ -1044,3 +1044,59 @@ def doc_gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tws, 4).alias("top_word_share"),
         ((tws > 0.20) | (dbg > 0.30) | (dtg > 0.20)).alias("repetitive"),
     )
+
+
+def _staged_lang_quality_signals(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once per-doc CCNet SIGNAL STORE: (doc_id, pred_lang,
+    perplexity, n_tokens, bucket) staged content-addressed — the text-
+    quality family's build/serve split (the last family without one;
+    graph/ANN/dedup already stage their state). CCNet's real lifecycle
+    is exactly this: the lang-ID and LM scores are computed once per
+    corpus snapshot, while bucketing rollups and mix draws re-run many
+    times with different rates — each such re-run should read a
+    |docs|-row parquet, not re-train two models (the inline rungs are
+    the 2 heaviest new plans in PLAN_AUDIT at 22-23 shuffles each;
+    the staged serves are one scan + one aggregate)."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        write_result(lang_quality_bucket_frame(spark, sf_dir), str(out))
+
+    return staged(
+        spark,
+        "langq",
+        Path(sf_dir) / "documents.parquet",
+        "lang_quality_v1",
+        build,
+    )
+
+
+@register("corpus_lang_quality_buckets_staged", oracle=_LANG_QUALITY_ORACLE)
+def corpus_lang_quality_buckets_staged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SERVE rung of `corpus_lang_quality_buckets`: the rollup reads the
+    staged signal store only — no model training, no window, one scan +
+    one aggregate + one per-language share window. Same oracle, same
+    hash as the inline twin."""
+    from pyspark.sql import Window
+
+    b = spark.read.parquet(_staged_lang_quality_signals(spark, sf_dir))
+    g = b.groupBy(F.col("pred_lang").alias("lang"), "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bucket_tokens"),
+    )
+    lw = Window.partitionBy("lang")
+    return g.select(
+        "lang",
+        "bucket",
+        "n_docs",
+        "bucket_tokens",
+        F.round(
+            F.col("bucket_tokens") / F.sum("bucket_tokens").over(lw).cast("double"),
+            4,
+        ).alias("token_share"),
+    )
