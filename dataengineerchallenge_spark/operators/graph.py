@@ -691,3 +691,144 @@ def label_propagation(
         )
     e.unpersist()
     return labels.select("node", F.col("label").alias("community"))
+
+
+def coreness(
+    edges: DataFrame,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, core) after ``iters`` synchronous H-INDEX rounds — the
+    distributed k-core decomposition of Lü, Zhou, Zhang & Stanley
+    ("The H-index of a network node", Nature Communications 2016, a
+    public algorithm): every node starts at its degree; each round a
+    node's value becomes the h-index of its neighbors' current values
+    (the largest h such that at least h neighbors hold value >= h).
+    The sequence is monotone non-increasing and its fixpoint is exactly
+    the node's CORE NUMBER (the largest k such that the node survives
+    k-core peeling), so after convergence this is Matula-Beck coreness
+    computed without any sequential peel. Every quantity is an integer
+    function of the edge set — both engines replay it exactly, and a
+    fixed round count matches the unrolled oracle round-for-round
+    whether or not the fixpoint is reached.
+
+    ``edges`` should contain BOTH directions of each undirected edge.
+    The h-index of a multiset sorted descending as v_1 >= v_2 >= ... is
+    max_r min(r, v_r) — one descending row_number window keyed on the
+    node plus a max aggregate, so each round costs: one equi-join of
+    the edge list onto the |V|-row value frame (AQE broadcasts the
+    value side), one per-node window sort, one partial-agg max. Rounds
+    are localCheckpoint-ed so plan depth stays constant; the edge frame
+    is a persisted loop invariant, released before return.
+
+    Scale shape (100 TB edge set): identical per-round profile to
+    ``label_propagation`` (join + window + agg, all keyed on the node),
+    and the window sorts only each node's NEIGHBOR VALUES — the same
+    (dst, value) rows the join already shuffled, never the corpus. On
+    real graphs h-index iteration converges in O(log n)-ish rounds
+    (degeneracy-bounded); a cluster run would iterate to fixpoint with
+    a convergence check per round, the fixture pins the fixed-round
+    form so the oracle can unroll it.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    if iters < 1:
+        raise ValueError(f"coreness: iters must be >= 1, got {iters}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    vals = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"))
+    for _ in range(iters):
+        nb = e.join(vals, e["src"] == vals["node"]).select(
+            F.col("dst").alias("node"), "c"
+        )
+        vals = (
+            nb.withColumn("_rn", F.row_number().over(w).cast("long"))
+            .groupBy("node")
+            .agg(F.max(F.least("_rn", "c")).alias("c"))
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return vals.select("node", F.col("c").alias("core"))
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    steps: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(walk_id, step, node) rows of one fixed-length graph walk per
+    start node — the DeepWalk/node2vec CORPUS-GENERATION sweep
+    (Perozzi et al. KDD'14; public design) made reproducible: instead
+    of an RNG, step ``i`` of walk ``w`` at node ``u`` moves to the
+    neighbor ``v`` minimizing the explicit md5-u32 draw over
+    ``'{w}:{i}:{v}'`` (ties on the smallest ``v``). Hashing the
+    CANDIDATE, not the chooser, is the standard common-random-numbers
+    trick: every engine — and the DuckDB oracle — replays the identical
+    walk corpus bit-for-bit, which is what makes a downstream embedding
+    train/eval split auditable. Each neighbor is drawn with equal
+    probability in expectation over the hash (a uniform random walk),
+    and one walk starts from every distinct source node, ``walk_id`` =
+    start node.
+
+    Per step: one equi-join of the |V|-row frontier onto the edge list
+    (AQE broadcasts the frontier), one per-walk argmin window over the
+    candidate rows the join just produced — label_propagation's exact
+    cost profile. Steps are localCheckpoint-ed so plan depth stays
+    constant; the edge frame is a persisted loop invariant, released
+    before return. Scale shape (100 TB edge set): the frontier never
+    exceeds one row per walk, candidates never exceed the walk's
+    out-neighborhood, and the output is (steps+1) x |walks| rows — the
+    whole sweep is linear in walk volume, embarrassingly parallel over
+    walk_id, and restartable from any materialized step frontier.
+
+    ``edges`` should contain BOTH directions of each undirected edge
+    (every frontier node then has at least one out-edge, so no walk
+    ever strands; a stranded dangling node would simply end its walk
+    early on a directed graph).
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from dataengineerchallenge_spark.functions.hashing import spark_u32
+
+    if steps < 1:
+        raise ValueError(f"deterministic_walks: steps must be >= 1, got {steps}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cur = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .select(F.col("node").alias("walk_id"), "node")
+        .localCheckpoint()
+    )
+    frames = [cur.select("walk_id", F.lit(0).alias("step"), "node")]
+    for i in range(1, steps + 1):
+        key = (
+            f"concat(cast(walk_id as string), ':{i}:', cast(dst as string))"
+        )
+        cand = cur.join(e, cur["node"] == e["src"]).select(
+            "walk_id", "dst", F.expr(spark_u32(key)).alias("hv")
+        )
+        w = Window.partitionBy("walk_id").orderBy("hv", "dst")
+        cur = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("walk_id", F.col("dst").alias("node"))
+            .localCheckpoint()
+        )
+        frames.append(cur.select("walk_id", F.lit(i).alias("step"), "node"))
+    e.unpersist()
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.union(f)
+    return out

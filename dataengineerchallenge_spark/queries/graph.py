@@ -1116,3 +1116,153 @@ def copurchase_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("part_key"),
         F.col("community").cast("long").alias("community"),
     )
+
+
+def _coreness_oracle(iters: int) -> str:
+    """Unrolled synchronous h-index iteration: h0 = degree; each round a
+    node takes max(least(rank, value)) over its neighbors' previous
+    values sorted descending — the textbook h-index form. All integer,
+    so the query hash-checks exactly. Round CTEs MATERIALIZED (each is
+    referenced through a windowed subquery that DuckDB would otherwise
+    inline per reference — same discipline as the LPA/HITS oracles)."""
+    steps = []
+    for i in range(iters):
+        steps.append(
+            f"""h{i + 1} AS MATERIALIZED (
+      SELECT node, MAX(LEAST(rn, c)) AS c FROM (
+        SELECT e.v AS node, h.c,
+               row_number() OVER (PARTITION BY e.v ORDER BY h.c DESC) AS rn
+        FROM e JOIN h{i} h ON e.u = h.node)
+      GROUP BY node
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH e0 AS (
+      SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
+             GREATEST(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ), e AS MATERIALIZED (
+      SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+    ), h0 AS MATERIALIZED (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY u
+    ),
+    {chain}
+    SELECT node AS part_key, CAST(c AS BIGINT) AS coreness
+    FROM h{iters}
+    """
+
+
+_CORE_ITERS = 16
+
+
+@register("copurchase_coreness", oracle=_coreness_oracle(_CORE_ITERS))
+def copurchase_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 k-core decomposition by synchronous h-index iteration (Lü et
+    al. 2016) over the support>=2 co-purchase graph, SERVED from the
+    staged edge store (no lineitem self-join in this plan). Coreness is
+    the graph family's density axis — components say 'connected', LPA
+    says 'which neighborhood', triangles say 'locally clustered';
+    core number says HOW DEEP a product sits in the repeatedly-bought-
+    together mesh, the standard signal for filtering a co-occurrence
+    graph down to its load-bearing core before expensive downstream
+    analytics (and the classic 100 TB trick: k-core-prune the edge set
+    once, then run everything else on the survivor subgraph). The
+    fixed 16-round form is a pure integer function of the edge set and
+    the oracle unrolls the same rounds as MATERIALIZED CTEs — the hash
+    check holds round-for-round whether or not the fixpoint is reached;
+    16 is chosen ABOVE the measured convergence round (14 at sf0.001,
+    7 at sf0.01 — sparser graphs have LONGER h-index gradient paths,
+    so fixture convergence is the slow case, not the dense one), and
+    pytest pins both fixpoint convergence at fixture scale and parity
+    with a sequential Matula-Beck peel on random graphs."""
+    from dataengineerchallenge_spark.operators.graph import coreness
+
+    root = _staged_copurchase_edges(spark, sf_dir)
+    sym = spark.read.parquet(f"{root}/sym")
+    canon = sym.filter((F.col("wr") >= 2) & (F.col("src") < F.col("dst"))).select(
+        "src", "dst"
+    )
+    edges = canon.union(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out = coreness(edges, iters=_CORE_ITERS)
+    return out.select(
+        F.col("node").alias("part_key"), F.col("core").cast("long").alias("coreness")
+    )
+
+
+_WALK_STEPS = 4
+
+
+def _walks_oracle(steps: int) -> str:
+    """Unrolled deterministic-walk replay: step i picks the neighbor v
+    minimizing the explicit md5-u32 of 'walk_id:i:v' (ties on smallest
+    v) — the same common-random-numbers draw as the Spark operator.
+    Step CTEs MATERIALIZED (each is referenced by the next step AND the
+    final union; DuckDB would otherwise inline per reference)."""
+    from dataengineerchallenge_spark.functions.hashing import duck_u32
+
+    parts = []
+    for i in range(1, steps + 1):
+        key = f"CAST(w.walk_id AS VARCHAR) || ':{i}:' || CAST(e.v AS VARCHAR)"
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+      SELECT walk_id, v AS node FROM (
+        SELECT w.walk_id, e.v,
+               row_number() OVER (PARTITION BY w.walk_id
+                                  ORDER BY ({duck_u32(key)}), e.v) AS rn
+        FROM s{i - 1} w JOIN e ON e.u = w.node) WHERE rn = 1
+    )"""
+        )
+    chain = ",\n    ".join(parts)
+    union = "\n    UNION ALL ".join(
+        f"SELECT walk_id, {i} AS step, node FROM s{i}" for i in range(steps + 1)
+    )
+    return f"""
+    WITH e0 AS (
+      SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
+             GREATEST(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ), e AS MATERIALIZED (
+      SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+    ), s0 AS MATERIALIZED (
+      SELECT DISTINCT u AS walk_id, u AS node FROM e
+    ),
+    {chain}
+    {union}
+    """
+
+
+@register("copurchase_deterministic_walks", oracle=_walks_oracle(_WALK_STEPS))
+def copurchase_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8 walk-corpus generation (DeepWalk/node2vec prep, Perozzi et
+    al. KDD'14) over the support>=2 co-purchase graph, SERVED from the
+    staged edge store: one 4-step uniform random walk per node, with
+    the RNG replaced by the repo's explicit md5-u32 draw over
+    '(walk, step, candidate)' so the corpus is a pure function of the
+    edge set — both engines replay it bit-for-bit (the reproducibility
+    a training pipeline needs before it will trust graph embeddings:
+    re-running the sweep after an infra change must yield byte-identical
+    sentences or the embedding diff is unattributable). Long format
+    (walk_id, step, node); a skip-gram trainer consumes it grouped by
+    walk_id. Hash-checked end to end against the unrolled replay."""
+    from dataengineerchallenge_spark.operators.graph import deterministic_walks
+
+    root = _staged_copurchase_edges(spark, sf_dir)
+    sym = spark.read.parquet(f"{root}/sym")
+    canon = sym.filter((F.col("wr") >= 2) & (F.col("src") < F.col("dst"))).select(
+        "src", "dst"
+    )
+    edges = canon.union(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return deterministic_walks(edges, steps=_WALK_STEPS).select(
+        "walk_id", "step", "node"
+    )

@@ -282,3 +282,60 @@ def test_kmv_estimator_accuracy_above_k(spark, tmp_path):
     assert got["view"]["exact_users"] == 5000
     assert got["view"]["rel_err"] < 0.38
     assert got["view"]["kmv_users"] != 5000.0  # it IS an estimate
+
+
+def _kmv_overlap(spark, rows, tmp_path):
+    import os
+
+    df = spark.createDataFrame(rows, "event_type string, user_id long, ts timestamp")
+    sf = os.path.join(str(tmp_path), "kmvover")
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    from dataengineerchallenge_spark.queries.sketches import kmv_event_type_overlap
+
+    return {
+        (r["type_a"], r["type_b"]): r.asDict()
+        for r in kmv_event_type_overlap(spark, sf).collect()
+    }
+
+
+def test_kmv_overlap_sub_k_groups_are_exact(spark, tmp_path):
+    # both audiences below k=64: the sketches ARE the sets, so Jaccard,
+    # union and overlap all come out exact
+    rows = [("view", u, None) for u in range(1, 31)] + [
+        ("purchase", u, None) for u in range(21, 41)
+    ]
+    got = _kmv_overlap(spark, rows, tmp_path)
+    r = got[("purchase", "view")]
+    assert r["exact_overlap"] == 10 and r["exact_union"] == 40
+    assert r["kmv_union"] == 40.0
+    assert r["kmv_jaccard"] == 0.25
+    assert r["kmv_overlap"] == 10.0
+
+
+def test_kmv_overlap_estimator_accuracy_above_k(spark, tmp_path):
+    # 4000-user audiences with a 2000-user overlap (true J = 1/3,
+    # union 6000): k=64 Jaccard std error ~ sqrt(J(1-J)/k) ~ 0.059 and
+    # the union estimate carries ~1/sqrt(k-2) ~ 0.127 — generous
+    # 3-sigma-ish envelopes on the deterministic md5 draw
+    rows = [("view", u, None) for u in range(1, 4001)] + [
+        ("purchase", u, None) for u in range(2001, 6001)
+    ]
+    got = _kmv_overlap(spark, rows, tmp_path)
+    r = got[("purchase", "view")]
+    assert r["exact_overlap"] == 2000 and r["exact_union"] == 6000
+    assert abs(r["kmv_jaccard"] - 1 / 3) < 0.18
+    assert abs(r["kmv_union"] - 6000) / 6000 < 0.38
+    assert abs(r["kmv_overlap"] - 2000) / 2000 < 0.5
+    assert r["kmv_overlap"] != 2000.0  # it IS an estimate
+
+
+def test_kmv_overlap_disjoint_audiences(spark, tmp_path):
+    # zero overlap must estimate zero exactly: no shared hash can enter
+    # both sketches, so the merged-sketch match count is structurally 0
+    rows = [("view", u, None) for u in range(1, 201)] + [
+        ("purchase", u, None) for u in range(1001, 1201)
+    ]
+    got = _kmv_overlap(spark, rows, tmp_path)
+    r = got[("purchase", "view")]
+    assert r["exact_overlap"] == 0
+    assert r["kmv_jaccard"] == 0.0 and r["kmv_overlap"] == 0.0
