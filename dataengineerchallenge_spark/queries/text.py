@@ -1100,3 +1100,147 @@ def corpus_lang_quality_buckets_staged(
             4,
         ).alias("token_share"),
     )
+
+
+_RAKE_TOP = 3
+
+
+def _rake_oracle() -> str:
+    stops = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return f"""
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    toks AS (
+      SELECT doc_id, ws, unnest(range(0, len(ws))) AS pos FROM s
+    ),
+    marked AS (
+      SELECT doc_id, pos, ws[pos + 1] AS w,
+             CASE WHEN ws[pos + 1] IN ({stops}) THEN 1 ELSE 0 END AS b
+      FROM toks
+    ),
+    grp AS (
+      SELECT doc_id, pos, w, b,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM marked
+    ),
+    mem AS (SELECT doc_id, pos, w, g FROM grp WHERE b = 0),
+    ph AS (
+      SELECT doc_id, g, string_agg(w, ' ' ORDER BY pos) AS phrase,
+             count(*) AS plen
+      FROM mem GROUP BY doc_id, g
+    ),
+    wstat AS (
+      SELECT m.doc_id, m.w, count(*) AS freq, CAST(SUM(p.plen) AS BIGINT) AS deg
+      FROM mem m JOIN ph p ON p.doc_id = m.doc_id AND p.g = m.g
+      GROUP BY m.doc_id, m.w
+    ),
+    cand AS (SELECT DISTINCT doc_id, phrase, plen FROM ph),
+    pw AS (
+      SELECT doc_id, phrase, unnest(string_split(phrase, ' ')) AS w FROM cand
+    ),
+    psc AS (
+      SELECT pw.doc_id, pw.phrase,
+             CAST(SUM(ws.deg) AS BIGINT) AS deg_score,
+             ROUND(SUM(ws.deg * 1.0 / ws.freq), 4) AS ratio_score
+      FROM pw JOIN wstat ws ON ws.doc_id = pw.doc_id AND ws.w = pw.w
+      GROUP BY pw.doc_id, pw.phrase
+    ),
+    ranked AS (
+      SELECT c.doc_id, c.phrase, c.plen, p.deg_score, p.ratio_score,
+             row_number() OVER (PARTITION BY c.doc_id
+                                ORDER BY p.deg_score DESC, c.phrase) AS kp_rank
+      FROM cand c JOIN psc p ON p.doc_id = c.doc_id AND p.phrase = c.phrase
+    )
+    SELECT doc_id, kp_rank, phrase,
+           CAST(plen AS BIGINT) AS n_words, deg_score, ratio_score
+    FROM ranked WHERE kp_rank <= {_RAKE_TOP}
+    """
+
+
+@register("rake_keyphrases", oracle=_rake_oracle())
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 keyphrase EXTRACTION by RAKE (Rose et al. 2010, "Automatic
+    Keyword Extraction from Individual Documents" — a public design):
+    candidate phrases are the maximal stopword-free word runs; each
+    word scores by its document-local co-occurrence degree (sum of
+    candidate lengths it appears in), each phrase by the sum of its
+    words' scores; top-3 phrases per document. This is the
+    DOCUMENT-LOCAL multiword complement to `tfidf_top_terms` (corpus-
+    level unigram weighting): RAKE needs no corpus statistics at all,
+    so it parallelizes per document with zero global state — the
+    labeling sweep a curation pipeline runs to give every document
+    browsable topic handles before any clustering exists.
+
+    Ranking uses the INTEGER degree score (one of the three word-score
+    variants Rose et al. evaluate), so ordering is exact cross-engine
+    with zero float-tie risk; the classic deg/freq ratio rides along
+    ROUND(4) as an output column only. Repeated phrase occurrences
+    collapse to one candidate BEFORE scoring (distinct text, then one
+    explode+join per distinct phrase) so both engines score each
+    candidate from identical summand sets.
+
+    Scale shape (100 TB corpus): tokenize/mark/cumsum-group are all
+    keyed on doc_id — one shuffle partitions the corpus by document
+    and every window/aggregate after that is partition-local; word
+    stats and phrase scores are doc-keyed equi-joins of frames that
+    never exceed the token count. No corpus-global aggregate anywhere
+    (the property that makes RAKE the cheap first labeling pass)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    stop = F.col("w").isin(*_STOPWORDS)
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = toks.withColumn("b", stop.cast("int")).withColumn(
+        "g", F.sum("b").over(w_cum)
+    )
+    mem = marked.filter(F.col("b") == 0).select("doc_id", "pos", "w", "g")
+    ph = mem.groupBy("doc_id", "g").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda x: x["w"]
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    wstat = (
+        mem.join(ph.select("doc_id", "g", "plen"), ["doc_id", "g"])
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg"))
+    )
+    cand = ph.select("doc_id", "phrase", "plen").distinct()
+    pw = cand.select(
+        "doc_id", "phrase", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    psc = (
+        pw.join(wstat, ["doc_id", "w"])
+        .groupBy("doc_id", "phrase")
+        .agg(
+            F.sum("deg").alias("deg_score"),
+            F.round(
+                F.sum(F.col("deg").cast("double") / F.col("freq")), 4
+            ).alias("ratio_score"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.desc("deg_score"), F.asc("phrase")
+    )
+    return (
+        cand.join(psc, ["doc_id", "phrase"])
+        .withColumn("kp_rank", F.row_number().over(w_rank))
+        .filter(F.col("kp_rank") <= _RAKE_TOP)
+        .select(
+            "doc_id",
+            "kp_rank",
+            "phrase",
+            F.col("plen").cast("long").alias("n_words"),
+            F.col("deg_score").cast("long").alias("deg_score"),
+            "ratio_score",
+        )
+    )

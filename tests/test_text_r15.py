@@ -35,3 +35,54 @@ def test_gopher_flag_composition(spark):
         want = top > 0.20 or frac[d][0] > 0.30 or frac[d][1] > 0.20
         assert r["repetitive"] == want, d
         assert abs(r["top_word_share"] - round(top, 4)) < 1e-9
+
+
+def test_rake_closed_form(spark, tmp_path):
+    """Hand-computed RAKE on a two-stopword toy doc: phrases split at
+    'the'/'a', degree = sum of containing-phrase lengths, phrase score
+    = sum of member degrees, tie broken alphabetically."""
+    import os
+
+    rows = [(1, "deep learning the deep model a fast model", "en", "s", 41)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = os.path.join(str(tmp_path), "rake")
+    df.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    from dataengineerchallenge_spark.queries.text import rake_keyphrases
+
+    got = [
+        (r["kp_rank"], r["phrase"], r["n_words"], r["deg_score"], r["ratio_score"])
+        for r in rake_keyphrases(spark, sf).orderBy("kp_rank").collect()
+    ]
+    # deg: deep=4, learning=2, model=4, fast=2 (each word's containing
+    # phrases are length 2); scores: deep model=8, deep learning=6,
+    # fast model=6; every deg/freq ratio is 2.0 so ratios are 4.0 each
+    assert got == [
+        (1, "deep model", 2, 8, 4.0),
+        (2, "deep learning", 2, 6, 4.0),
+        (3, "fast model", 2, 6, 4.0),
+    ]
+
+
+def test_rake_all_stopword_and_repeated_phrase(spark, tmp_path):
+    import os
+
+    rows = [
+        (1, "the a the", "en", "s", 9),  # no candidates at all
+        (2, "hot cake the hot cake", "en", "s", 21),  # duplicate phrase
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = os.path.join(str(tmp_path), "rake2")
+    df.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    from dataengineerchallenge_spark.queries.text import rake_keyphrases
+
+    rows_out = rake_keyphrases(spark, sf).collect()
+    assert {r["doc_id"] for r in rows_out} == {2}
+    # the repeated candidate collapses to ONE row, scored from both
+    # occurrences: hot/cake freq 2 deg 4 -> phrase deg_score 8
+    assert len(rows_out) == 1
+    r = rows_out[0]
+    assert (r["phrase"], r["deg_score"], r["ratio_score"]) == ("hot cake", 8, 4.0)
