@@ -1175,8 +1175,9 @@ def copurchase_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle unrolls the same rounds as MATERIALIZED CTEs — the hash
     check holds round-for-round whether or not the fixpoint is reached;
     16 is chosen ABOVE the measured convergence round (14 at sf0.001,
-    7 at sf0.01 — sparser graphs have LONGER h-index gradient paths,
-    so fixture convergence is the slow case, not the dense one), and
+    7 at sf0.01, <=16 verified at sf0.1 — sparser graphs have LONGER
+    h-index gradient paths, so fixture convergence is the slow case),
+    and
     pytest pins both fixpoint convergence at fixture scale and parity
     with a sequential Matula-Beck peel on random graphs."""
     from dataengineerchallenge_spark.operators.graph import coreness

@@ -725,45 +725,17 @@ def _kmv_overlap_oracle() -> str:
     """
 
 
-@register("kmv_event_type_overlap", oracle=_kmv_overlap_oracle())
-def kmv_event_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 fourth way — KMV SET ALGEBRA (Beyer et al. SIGMOD'07 §4: the
-    k-min-value sketch supports union/intersection/Jaccard, not just
-    cardinality): for every pair of event types, estimate the USER
-    OVERLAP between the two audiences from two k=64 bottom-k sketches
-    alone. Merge = bottom-k of the sketch union (the mergeability the
-    cm/hll/kmv registers already rely on); on the merged sketch the
-    fraction of survivors present in BOTH input sketches estimates
-    Jaccard, and overlap = Jaccard x the union's (k-1)/R_k cardinality
-    estimate. Like every explicit-hash sketch here the estimate is a
-    DETERMINISTIC function of the data, so estimator output itself
-    hash-matches the DuckDB replay; the exact overlap and union ride
-    along, so every green row re-certifies the estimator's error on
-    real data (pytest pins the error envelope).
-
-    Scale shape: the whole pairwise-overlap matrix is computed from
-    T x k sketch rows (T = #groups) — the 100 TB form never rescans
-    events per pair, it folds per-slice bottom-k registers and
-    cross-joins only the TINY per-group sketch table (T^2 x k rows,
-    driver-broadcastable for any realistic group count). The exact
-    columns are fixture-scale certification only; a production run
-    drops them and touches nothing but the sketch store."""
+def _kmv_overlap_matrix(pairs: DataFrame, sk: DataFrame) -> DataFrame:
+    """Shared estimator half of the KMV set-algebra family: given the
+    distinct (event_type, user_id) pair frame (exact columns) and a
+    per-type bottom-k sketch (event_type, h), emit the pairwise overlap
+    matrix. The batch query builds ``sk`` in one window; the online twin
+    folds per-epoch registers to the identical sketch first (bottom-k of
+    a union = bottom-k of per-slice bottom-ks), so both paths share this
+    code AND the same DuckDB oracle hash."""
     from pyspark.sql import Window
 
-    from dataengineerchallenge_spark.functions.hashing import spark_u32
-
     k = _KMV_K
-    ev = load_table(spark, sf_dir, "events")
-    pairs = ev.select("event_type", "user_id").distinct()
-    hs = pairs.select(
-        "event_type", F.expr(spark_u32("user_id")).alias("h")
-    ).distinct()
-    w = Window.partitionBy("event_type").orderBy("h")
-    sk = (
-        hs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("event_type", "h")
-    )
     types = pairs.select("event_type").distinct()
     tp = (
         types.alias("a")
@@ -828,3 +800,120 @@ def kmv_event_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jacc * uest, 4).alias("kmv_overlap"),
         )
     )
+
+
+@register("kmv_event_type_overlap", oracle=_kmv_overlap_oracle())
+def kmv_event_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 fourth way — KMV SET ALGEBRA (Beyer et al. SIGMOD'07 §4: the
+    k-min-value sketch supports union/intersection/Jaccard, not just
+    cardinality): for every pair of event types, estimate the USER
+    OVERLAP between the two audiences from two k=64 bottom-k sketches
+    alone. Merge = bottom-k of the sketch union (the mergeability the
+    cm/hll/kmv registers already rely on); on the merged sketch the
+    fraction of survivors present in BOTH input sketches estimates
+    Jaccard, and overlap = Jaccard x the union's (k-1)/R_k cardinality
+    estimate. Like every explicit-hash sketch here the estimate is a
+    DETERMINISTIC function of the data, so estimator output itself
+    hash-matches the DuckDB replay; the exact overlap and union ride
+    along, so every green row re-certifies the estimator's error on
+    real data (pytest pins the error envelope).
+
+    Scale shape: the whole pairwise-overlap matrix is computed from
+    T x k sketch rows (T = #groups) — the 100 TB form never rescans
+    events per pair, it folds per-slice bottom-k registers and
+    cross-joins only the TINY per-group sketch table (T^2 x k rows,
+    driver-broadcastable for any realistic group count). The exact
+    columns are fixture-scale certification only; a production run
+    drops them and touches nothing but the sketch store."""
+    from pyspark.sql import Window
+
+    from dataengineerchallenge_spark.functions.hashing import spark_u32
+
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select("event_type", "user_id").distinct()
+    hs = pairs.select(
+        "event_type", F.expr(spark_u32("user_id")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        hs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+    )
+    return _kmv_overlap_matrix(pairs, sk)
+
+
+@register("stream_kmv_overlap", oracle=_kmv_overlap_oracle())
+def stream_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE twin of ``kmv_event_type_overlap`` (fourth online sketch
+    next to the cm/hll/anomaly twins): each micro-batch writes its OWN
+    per-type bottom-k register to a run-scoped store via foreachBatch —
+    per-batch state is bounded by types x k rows, never by history. At
+    drain the per-epoch registers fold by re-rank (bottom-k of a union
+    = bottom-k of per-slice bottom-ks, the KMV mergeability), which
+    reconstructs EXACTLY the batch sketch under any stream slicing, so
+    the overlap matrix shares the batch query's DuckDB oracle
+    hash-for-hash. The exact comparison columns fold the same way
+    (per-batch distinct pairs, distinct-union at drain)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from dataengineerchallenge_spark.functions.hashing import spark_u32
+
+    payload = _staged_event_type_user_stream(spark, sf_dir)
+    schema = spark.read.parquet(payload).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(payload)
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_graft_stream_kmv_")
+    regs_dir, pairs_dir, ckpt = (
+        f"{scratch}/regs",
+        f"{scratch}/pairs",
+        f"{scratch}/ckpt",
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+
+    def update(mb: DataFrame, epoch_id: int) -> None:
+        # epoch_id-keyed overwrite: idempotent under micro-batch retry —
+        # re-ranked registers and distinct-unioned pairs both survive a
+        # replay only because of this keying.
+        pairs = mb.select("event_type", "user_id").distinct()
+        reg = (
+            pairs.select("event_type", F.expr(spark_u32("user_id")).alias("h"))
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _KMV_K)
+            .select("event_type", "h")
+        )
+        reg.write.mode("overwrite").parquet(f"{regs_dir}/epoch_id={epoch_id}")
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/epoch_id={epoch_id}")
+
+    q = (
+        sdf.writeStream.foreachBatch(update)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("stream kmv did not drain availableNow input in 300s")
+        sk = (
+            spark.read.parquet(regs_dir)
+            .select("event_type", "h")
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _KMV_K)
+            .select("event_type", "h")
+        )
+        pairs = spark.read.parquet(pairs_dir).select("event_type", "user_id").distinct()
+        out = _kmv_overlap_matrix(pairs, sk)
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(scratch, ignore_errors=True)
+    return result

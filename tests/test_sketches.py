@@ -339,3 +339,25 @@ def test_kmv_overlap_disjoint_audiences(spark, tmp_path):
     r = got[("purchase", "view")]
     assert r["exact_overlap"] == 0
     assert r["kmv_jaccard"] == 0.0 and r["kmv_overlap"] == 0.0
+
+
+def test_stream_kmv_overlap_equals_batch(spark):
+    """Slicing invariance: the drained per-epoch bottom-k registers must
+    reconstruct exactly the batch sketch, so the online overlap matrix
+    equals the batch query row-for-row."""
+    from tests.conftest import SF_SMOKE
+
+    from dataengineerchallenge_spark.queries.sketches import (
+        kmv_event_type_overlap,
+        stream_kmv_overlap,
+    )
+
+    batch = {
+        (r["type_a"], r["type_b"]): r.asDict()
+        for r in kmv_event_type_overlap(spark, SF_SMOKE).collect()
+    }
+    online = {
+        (r["type_a"], r["type_b"]): r.asDict()
+        for r in stream_kmv_overlap(spark, SF_SMOKE).collect()
+    }
+    assert online == batch
