@@ -98,6 +98,11 @@ HEADLINE = [
     "corpus_lang_quality_buckets",           # N4+++ CCNet lang x perplexity grid (round 15)
     "semantic_dedup_corpus",                 # N3+ SemDeDup keep-one corpus (round 15)
     "copurchase_communities_lpa",            # G6 label-propagation communities, staged serve (round 15)
+    "copurchase_coreness",                   # G7 h-index k-core decomposition, staged serve (round 15)
+    "kmv_event_type_overlap",                # A6++++ KMV set algebra: pairwise audience overlap (round 15)
+    "rake_keyphrases",                       # N4+++++ document-local keyphrase extraction (round 15)
+    # copurchase_deterministic_walks is registry-only: same staged-serve
+    # join+window profile per step as coreness, nothing new to time.
     # ccnet_grid_mix (the grid sampler) is registry-only: one map
     # predicate over the bucketing frame — timing it re-times the grid.
     # near_dup_jaccard_prefix is deliberately NOT a headline line: on the

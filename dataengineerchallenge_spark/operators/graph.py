@@ -832,3 +832,115 @@ def deterministic_walks(
     for f in frames[1:]:
         out = out.union(f)
     return out
+
+
+def truss(
+    edges: DataFrame,
+    k: int = 4,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(src, dst, support) surviving edges after ``iters`` synchronous
+    k-TRUSS pruning rounds (Cohen, NSA tech report 2008 — a public
+    design): each round computes every edge's SUPPORT (the number of
+    triangles it participates in) and deletes edges with support
+    < k-2; the fixpoint is the k-truss, the maximal subgraph where
+    every edge is reinforced by at least k-2 common neighbors. The
+    edge-level analog of ``coreness``: coreness keeps well-connected
+    NODES, truss keeps well-REINFORCED ties — the standard denoise
+    before community detection (a bridge has support 0 and dies in
+    round one regardless of its endpoints' degrees). ``support`` in
+    the output is recomputed ON the surviving subgraph, so a converged
+    result certifies support >= k-2 everywhere. All integer — both
+    engines replay fixed rounds exactly, converged or not.
+
+    Per round, triangle enumeration reuses the degree-ordered
+    orientation of ``triangle_counts`` (wedge fanout bounded
+    O(sqrt(|E|)) per node on any degree distribution; per-EDGE support
+    is orientation-invariant, so the DuckDB oracle uses the simpler
+    raw-id orientation and still matches value-for-value): one
+    self-join of the oriented edges on the wedge corner, one closing-
+    edge equi-join against the canonical edge list, one 3-way union +
+    partial-agg count. Rounds are localCheckpoint-ed; per-round
+    intermediates are persisted within the round and released.
+
+    ``edges`` may carry one or both directions; pairs are
+    canonicalized and deduplicated first.
+    """
+    from pyspark import StorageLevel
+
+    if k < 3:
+        raise ValueError(f"truss: k must be >= 3, got {k}")
+    if iters < 1:
+        raise ValueError(f"truss: iters must be >= 1, got {iters}")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def support(ecur: DataFrame) -> DataFrame:
+        und = ecur.union(ecur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        ranked = (
+            und.join(
+                deg.withColumnRenamed("a", "_n").withColumnRenamed("deg", "dega"),
+                F.col("a") == F.col("_n"),
+            )
+            .drop("_n")
+            .join(
+                deg.withColumnRenamed("a", "_n").withColumnRenamed("deg", "degb"),
+                F.col("b") == F.col("_n"),
+            )
+            .drop("_n")
+        )
+        oriented = (
+            ranked.filter(
+                (F.col("dega") < F.col("degb"))
+                | ((F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b")))
+            )
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        w = (
+            oriented.alias("x")
+            .join(
+                oriented.alias("y"),
+                (F.col("x.u") == F.col("y.u")) & (F.col("x.v") < F.col("y.v")),
+            )
+            .select(F.col("x.u").alias("t"), F.col("x.v").alias("p"), F.col("y.v").alias("q"))
+        )
+        tri = w.join(
+            ecur.alias("z"),
+            (F.least("p", "q") == F.col("z.a")) & (F.greatest("p", "q") == F.col("z.b")),
+        ).select("t", "p", "q")
+        sides = (
+            tri.select(F.least("t", "p").alias("a"), F.greatest("t", "p").alias("b"))
+            .union(tri.select(F.least("t", "q").alias("a"), F.greatest("t", "q").alias("b")))
+            .union(tri.select(F.least("p", "q").alias("a"), F.greatest("p", "q").alias("b")))
+        )
+        supp = sides.groupBy("a", "b").agg(F.count(F.lit(1)).alias("s"))
+        out = (
+            ecur.join(supp, ["a", "b"], "left")
+            .select("a", "b", F.coalesce("s", F.lit(0)).cast("long").alias("support"))
+            .localCheckpoint()
+        )
+        oriented.unpersist()
+        return out
+
+    for i in range(iters):
+        e = (
+            support(e)
+            .filter(F.col("support") >= k - 2)
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    final = support(e)
+    return final.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "support"
+    )

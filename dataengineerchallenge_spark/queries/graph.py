@@ -1267,3 +1267,81 @@ def copurchase_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFram
     return deterministic_walks(edges, steps=_WALK_STEPS).select(
         "walk_id", "step", "node"
     )
+
+
+_TRUSS_K = 3
+_TRUSS_ITERS = 3
+
+
+def _truss_oracle(k: int, iters: int) -> str:
+    """Unrolled synchronous k-truss peel with raw-id edge orientation
+    (per-edge support is orientation-invariant, so this matches the
+    Spark side's degree-ordered enumeration value-for-value — the same
+    cross-orientation argument as the triangle oracle). Round CTEs
+    MATERIALIZED (each edge set feeds a 3-reference triangle join that
+    DuckDB would otherwise inline per reference)."""
+    thr = k - 2
+    parts = []
+    for i in range(iters + 1):
+        parts.append(
+            f"""t{i} AS MATERIALIZED (
+      SELECT x.u AS a, x.v AS b, y.v AS c
+      FROM e{i} x JOIN e{i} y ON x.u = y.u AND x.v < y.v
+      JOIN e{i} z ON z.u = x.v AND z.v = y.v
+    ), s{i} AS MATERIALIZED (
+      SELECT u, v, count(*) AS c FROM (
+        SELECT a AS u, b AS v FROM t{i}
+        UNION ALL SELECT a AS u, c AS v FROM t{i}
+        UNION ALL SELECT b AS u, c AS v FROM t{i}) GROUP BY u, v
+    )"""
+        )
+        if i < iters:
+            parts.append(
+                f"""e{i + 1} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e{i} e
+      LEFT JOIN s{i} s ON s.u = e.u AND s.v = e.v
+      WHERE COALESCE(s.c, 0) >= {thr}
+    )"""
+            )
+    chain = ",\n    ".join(parts)
+    return f"""
+    WITH e0 AS (
+      SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
+             GREATEST(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    {chain}
+    SELECT e.u AS src, e.v AS dst,
+           CAST(COALESCE(s.c, 0) AS BIGINT) AS support
+    FROM e{iters} e LEFT JOIN s{iters} s ON s.u = e.u AND s.v = e.v
+    """
+
+
+@register("copurchase_truss", oracle=_truss_oracle(_TRUSS_K, _TRUSS_ITERS))
+def copurchase_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 k-truss backbone (Cohen 2008) of the support>=2 co-purchase
+    graph, SERVED from the staged edge store: iteratively delete edges
+    in fewer than k-2 triangles until every surviving tie is
+    triangle-reinforced — the EDGE-level analog of `copurchase_coreness`
+    (coreness keeps well-connected nodes; truss keeps well-REINFORCED
+    ties), and the standard denoise before community detection: a
+    bridge edge has support 0 and dies in round one no matter how
+    high-degree its endpoints are. k=3 — the triangle-reinforced
+    backbone; on this fixture's co-purchase topology the 4-truss is
+    EMPTY above sf0.001 (measured), so k=3 is the informative setting,
+    and the peel converges by round 1 at all three fixture SFs
+    (measured) — 3 registered rounds sit above convergence, and the output support column is
+    recomputed ON the survivor set so a green row certifies
+    support >= k-2 everywhere. Hash-checked against the unrolled
+    raw-id-orientation replay at all three SFs."""
+    from dataengineerchallenge_spark.operators.graph import truss
+
+    root = _staged_copurchase_edges(spark, sf_dir)
+    sym = spark.read.parquet(f"{root}/sym")
+    canon = sym.filter((F.col("wr") >= 2) & (F.col("src") < F.col("dst"))).select(
+        "src", "dst"
+    )
+    return truss(canon, k=_TRUSS_K, iters=_TRUSS_ITERS)

@@ -625,3 +625,54 @@ def test_deterministic_walks_rejects_bad_steps(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError):
         deterministic_walks(df, steps=0)
+
+
+# ---------------------------------------------------------------- truss
+
+
+def _truss(spark, und_edges, k=3, iters=3):
+    from dataengineerchallenge_spark.operators.graph import truss
+
+    df = spark.createDataFrame(und_edges, "src long, dst long")
+    return {
+        (r["src"], r["dst"]): r["support"]
+        for r in truss(df, k=k, iters=iters).collect()
+    }
+
+
+def test_truss_closed_forms(spark):
+    # triangle + pendant: the pendant edge has support 0 and dies; the
+    # triangle survives with support 1 per edge
+    und = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    assert _truss(spark, und, k=3) == {(1, 2): 1, (2, 3): 1, (1, 3): 1}
+    # K4: every edge sits in 2 triangles; 4-truss keeps all of K4
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert _truss(spark, k4, k=4) == {e: 2 for e in k4}
+    # two triangles sharing an edge, plus a 4-truss probe: the shared
+    # edge has support 2, the others 1 — the 4-truss peel kills the
+    # support-1 edges, which then strands the shared edge (support
+    # recomputed on survivors drops to 0) — the CASCADE that makes the
+    # peel iterative
+    bowtie = [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)]
+    assert _truss(spark, bowtie, k=4, iters=3) == {}
+
+
+def test_truss_cascade_needs_iterations(spark):
+    # chain of triangles: t1=(1,2,3), t2=(2,3,4) sharing (2,3), and a
+    # pendant triangle feeder (4,5),(4,6),(5,6) plus bridge (1,5)
+    # (N(1) and N(5) are disjoint, so it closes no triangle): the
+    # bridge dies round 1 (support 0) — everything else survives k=3
+    und = [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4), (4, 5), (4, 6), (5, 6), (1, 5)]
+    got = _truss(spark, und, k=3)
+    assert (1, 5) not in got
+    assert set(got) == {(1, 2), (2, 3), (1, 3), (2, 4), (3, 4), (4, 5), (4, 6), (5, 6)}
+
+
+def test_truss_rejects_bad_args(spark):
+    from dataengineerchallenge_spark.operators.graph import truss
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        truss(df, k=2)
+    with pytest.raises(ValueError):
+        truss(df, iters=0)

@@ -243,3 +243,25 @@ def test_gap_sweep_shares_one_sessionization_exchange(spark, qs):
     would cost |G| scans + |G| shuffles."""
     plan = explain_str(qs["session_gap_sensitivity"](spark, SF_DIR), "simple")
     assert plan.count("Exchange") == 2, plan
+
+
+def test_r15_serve_rungs_never_load_fact_tables(spark, monkeypatch):
+    """The new G-family rungs (coreness, deterministic walks) must keep
+    the serve discipline: once the edge store exists they never load
+    lineitem/orders — the property that makes graph analytics amortize
+    the edge build at 100 TB. (A plan-string pin is vacuous here: the
+    iterative rounds localCheckpoint, so the final plan is always Scan
+    ExistingRDD — instead the fact-table loader itself is guarded for
+    the whole build-plus-execute lifecycle of each serve call.)"""
+    import dataengineerchallenge_spark.queries.graph as g
+
+    g._staged_copurchase_edges(spark, SF_DIR)  # build once, unguarded
+    real = g.load_table
+
+    def guard(spark_, sf_dir_, name_):
+        assert name_ not in ("lineitem", "orders"), f"serve rung loaded {name_}"
+        return real(spark_, sf_dir_, name_)
+
+    monkeypatch.setattr(g, "load_table", guard)
+    assert g.copurchase_coreness(spark, SF_DIR).count() > 0
+    assert g.copurchase_deterministic_walks(spark, SF_DIR).count() > 0
