@@ -1244,3 +1244,111 @@ def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ratio_score",
         )
     )
+
+
+_TWQ_PCTS = (25, 50, 75, 90)
+
+
+def _twq_oracle() -> str:
+    sel = " UNION ALL ".join(f"SELECT {p} AS pct" for p in _TWQ_PCTS)
+    return f"""
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             round(len(list_filter(string_split(text, ' '),
+                       w -> list_contains({list(_STOPWORDS)}, w)))::DOUBLE
+                   / len(string_split(text, ' ')), 4) AS stopword_ratio,
+             round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                   / len(string_split(text, ' ')), 4) AS type_token_ratio
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, n_words,
+             round(0.4 * least(n_words / 50.0, 1.0)
+                   + 0.3 * type_token_ratio
+                   + 0.3 * (1.0 - stopword_ratio), 5) AS quality
+      FROM m
+    ),
+    c AS (
+      SELECT doc_id, quality, n_words,
+             SUM(n_words) OVER (ORDER BY quality, doc_id) AS cumw,
+             row_number() OVER (ORDER BY quality, doc_id) AS cumd
+      FROM q
+    ),
+    t AS (SELECT SUM(n_words) AS tw, count(*) AS td FROM q),
+    sel AS ({sel})
+    SELECT s.pct,
+           MIN(CASE WHEN c.cumd >= (t.td * s.pct + 99) // 100
+                    THEN c.quality END) AS doc_weighted_quality,
+           MIN(CASE WHEN c.cumw >= (t.tw * s.pct + 99) // 100
+                    THEN c.quality END) AS token_weighted_quality
+    FROM c CROSS JOIN t CROSS JOIN sel s
+    GROUP BY s.pct
+    """
+
+
+@register("token_weighted_quality_percentiles", oracle=_twq_oracle())
+def token_weighted_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11+ WEIGHTED nearest-rank percentiles — the corpus-curation
+    distinction the unweighted family can't see: the median DOCUMENT's
+    quality vs the quality of the median TOKEN. Long documents dominate
+    token mass, so if length correlates with quality (it does here: the
+    composite's length term saturates at 50 words) the token-weighted
+    curve sits above the doc-weighted one, and a curation threshold
+    tuned on doc counts silently keeps a different share of the TOKEN
+    budget — the number that actually prices a training run. Weighted
+    nearest-rank: the smallest quality value whose cumulative token
+    weight crosses ceil(p*W/100), all-integer threshold arithmetic on
+    the ROUND(5) quality grid with doc_id tie-break, so both engines
+    select the identical actual datum (no interpolation, no float
+    rounding) — same discipline as `elb_backend_latency_percentiles`.
+
+    Scale shape: the fixture-grain global cumsum is one total-order
+    window; at 100 TB this becomes the two-level rank
+    `sorted_neighborhood_near_dups` already demonstrates (per-shard
+    cumsum + p-row offset lift) or the mergeable GK sketch of the
+    `_approx` percentile family — the selection rule is unchanged."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    qf = quality_frame(docs).select(
+        "doc_id", F.col("n_words").cast("long").alias("w"), "quality"
+    )
+    w_cum = Window.orderBy("quality", "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = qf.select(
+        "quality",
+        F.sum("w").over(w_cum).alias("cumw"),
+        F.row_number().over(Window.orderBy("quality", "doc_id")).alias("cumd"),
+    )
+    tot = qf.agg(
+        F.sum("w").alias("tw"), F.count(F.lit(1)).alias("td")
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    aggs = []
+    for p in _TWQ_PCTS:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cumd")
+                    >= ((F.col("td") * p + 99) / 100).cast("long"),
+                    F.col("quality"),
+                )
+            ).alias(f"d{p}")
+        )
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cumw")
+                    >= ((F.col("tw") * p + 99) / 100).cast("long"),
+                    F.col("quality"),
+                )
+            ).alias(f"t{p}")
+        )
+    wide = j.agg(*aggs)
+    stack = ", ".join(f"{p}, d{p}, t{p}" for p in _TWQ_PCTS)
+    return wide.selectExpr(
+        f"stack({len(_TWQ_PCTS)}, {stack}) as "
+        "(pct, doc_weighted_quality, token_weighted_quality)"
+    )

@@ -86,3 +86,41 @@ def test_rake_all_stopword_and_repeated_phrase(spark, tmp_path):
     assert len(rows_out) == 1
     r = rows_out[0]
     assert (r["phrase"], r["deg_score"], r["ratio_score"]) == ("hot cake", 8, 4.0)
+
+
+def test_token_weighted_percentiles_closed_form(spark, tmp_path):
+    """One 60-token high-quality doc vs three 3-token low-quality docs:
+    the doc-weighted median is a small doc's quality, the token-weighted
+    median the big doc's — the doc/token distinction the rung exists
+    for. Recomputed by hand from the quality_frame definition."""
+    import os
+
+    big = " ".join(f"w{i}" for i in range(60))  # 60 distinct words
+    small = "x x x"
+    rows = [(1, big, "en", "s", len(big))] + [
+        (i, small, "en", "s", 5) for i in (2, 3, 4)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = os.path.join(str(tmp_path), "twq")
+    df.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    from dataengineerchallenge_spark.queries.text import (
+        token_weighted_quality_percentiles,
+    )
+
+    got = {
+        r["pct"]: (r["doc_weighted_quality"], r["token_weighted_quality"])
+        for r in token_weighted_quality_percentiles(spark, sf).collect()
+    }
+    # quality(big): 0.4*1 + 0.3*1.0 (ttr 60/60) + 0.3*1.0 (no stopwords) = 1.0
+    # quality(small): 0.4*(3/50) + 0.3*round(1/3,4) + 0.3*1 = 0.42399
+    q_small = round(0.4 * (3 / 50.0) + 0.3 * round(1 / 3, 4) + 0.3, 5)
+    # docs: 4 docs sorted [s,s,s,big]; p50 rank ceil(2)=2 -> small
+    assert got[50][0] == q_small
+    # tokens: W=69; p50 threshold ceil(34.5)=35; cum [3,6,9,69] -> big doc
+    assert got[50][1] == 1.0
+    # p90 doc rank ceil(3.6)=4 -> the big doc on both axes
+    assert got[90] == (1.0, 1.0)
+    # p25: doc rank 1 -> small; token threshold ceil(17.25)=18 -> big
+    assert got[25] == (q_small, 1.0)
