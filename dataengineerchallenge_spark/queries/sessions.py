@@ -387,3 +387,71 @@ def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_hits"), 4).alias("avg_hits_per_session"),
         F.round(F.avg((F.col("n_hits") == 1).cast("int")), 4).alias("single_hit_share"),
     )
+
+
+_SLIDE_HOURS = 3
+
+
+@register(
+    "sliding_distinct_users",
+    oracle=f"""
+WITH hu AS (
+  SELECT DISTINCT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,
+         user_id
+  FROM events
+),
+bounds AS (SELECT MIN(hour_s) AS lo, MAX(hour_s) AS hi FROM hu),
+contrib AS (
+  SELECT unnest(range(hour_s, hour_s + {_SLIDE_HOURS} * 3600, 3600)) AS win_end_s,
+         user_id
+  FROM hu
+)
+SELECT c.win_end_s,
+       CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS distinct_users
+FROM contrib c CROSS JOIN bounds b
+WHERE c.win_end_s BETWEEN b.lo AND b.hi
+GROUP BY c.win_end_s
+""",
+)
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+ EXACT sliding-window distinct — the aggregate that famously
+    does NOT decompose (distinct counts can't be merged across
+    overlapping panes the way sums can), made tractable by the
+    contribute-to-covering-windows rewrite: dedupe to (user, hour)
+    grain once, then each pair contributes itself to the {_SLIDE_HOURS}
+    hourly windows that cover it (explode over the window ends) and a
+    plain count-distinct per window end finishes the job. Window ends
+    clip to the observed hour range so every emitted window is fully
+    defined by real data on both engines.
+
+    Scale shape (100 TB events): the pre-dedup collapses the fact table
+    to distinct (hour, user) pairs FIRST (partial-agg friendly — the
+    biggest reduction happens map-side), the explode multiplies only
+    that deduped frame by the window span (3x), and the final
+    count-distinct shuffles on the window key. Contrast with the
+    sketch route (`hll_weekly_actives` merges per-day HLL registers
+    when approximate is acceptable): this is the exact form, and its
+    cost is span x distinct pairs, not span x raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    hu = ev.select(
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_s"), "user_id"
+    ).distinct()
+    bounds = hu.agg(
+        F.min("hour_s").alias("lo"), F.max("hour_s").alias("hi")
+    )
+    contrib = hu.select(
+        F.explode(
+            F.sequence(
+                F.col("hour_s"),
+                F.col("hour_s") + (_SLIDE_HOURS - 1) * 3600,
+                F.lit(3600),
+            )
+        ).alias("win_end_s"),
+        "user_id",
+    )
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(F.col("win_end_s").between(F.col("lo"), F.col("hi")))
+        .groupBy("win_end_s")
+        .agg(F.count_distinct("user_id").alias("distinct_users"))
+    )

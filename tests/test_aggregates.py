@@ -94,3 +94,40 @@ def test_winsorized_approx_cuts_track_exact(spark, qs):
         rank_hi = sum(1 for x in v if x <= hi) / n
         assert rank_lo <= 0.01 + 0.02, (et, rank_lo)
         assert rank_hi >= 0.99 - 0.02, (et, rank_hi)
+
+
+def test_sliding_distinct_users_closed_form(spark, tmp_path):
+    """3-hour sliding distinct vs a hand computation: user overlap
+    across panes must be counted once per window, not summed — the
+    non-decomposability the rewrite exists to handle."""
+    import datetime as dt
+    import os
+
+    base = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        ("view", 1, base),                                 # hour 0
+        ("view", 2, base),                                 # hour 0
+        ("view", 1, base + dt.timedelta(hours=1)),         # hour 1 (repeat user)
+        ("view", 3, base + dt.timedelta(hours=2)),         # hour 2
+        ("view", 1, base + dt.timedelta(hours=4)),         # hour 4 (gap at 3)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, user_id long, ts timestamp")
+    sf = os.path.join(str(tmp_path), "slide")
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    from dataengineerchallenge_spark.queries.sessions import sliding_distinct_users
+
+    epoch = lambda h: int(  # noqa: E731
+        (dt.datetime(2024, 1, 1, h).timestamp())
+    )
+    got = {
+        r["win_end_s"]: r["distinct_users"]
+        for r in sliding_distinct_users(spark, sf).collect()
+    }
+    # window ending at hour h covers hours h-2..h; range clips to [0, 4]
+    assert got == {
+        epoch(0): 2,        # hours {0}: users {1,2}
+        epoch(1): 2,        # hours {0,1}: users {1,2}
+        epoch(2): 3,        # hours {0,1,2}: users {1,2,3}
+        epoch(3): 2,        # hours {1,2}: users {1,3}
+        epoch(4): 2,        # hours {2,4}: users {3,1}
+    }
