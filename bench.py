@@ -254,7 +254,11 @@ def main() -> None:
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
-    line = json.dumps(result)
+    # compact separators: the default ", "/": " rendering spends ~2
+    # bytes per key on whitespace — at 52 headline queries that alone
+    # pushed the line over budget (r15); compact keeps the FULL
+    # per-query map on stdout for ~110 fewer bytes, same JSON.
+    line = json.dumps(result, separators=(",", ":"))
     # guard: the driver-facing line must stay far inside the 2,000-byte
     # tail capture, or the round ships with no parseable perf signal.
     # DEGRADE, don't die (ADVICE r9): if the headline list ever grows the
@@ -273,7 +277,7 @@ def main() -> None:
         }
         reduced["queries_in"] = "BENCH_detail.json"
         reduced["n_queries"] = len(timings)
-        line = json.dumps(reduced)
+        line = json.dumps(reduced, separators=(",", ":"))
     print(line)
 
 

@@ -429,6 +429,19 @@ micro-batch, with stream-vs-batch row parity pinned in pytest.
     for r in cc:
         comp_sizes[r["component"]] = comp_sizes.get(r["component"], 0) + 1
     cc_biggest = max(comp_sizes.values()) if comp_sizes else 0
+    # r15 density axes: node coreness + edge trussness + walk corpus
+    core = run("copurchase_coreness")
+    core_hist: dict[int, int] = {}
+    for r in core:
+        core_hist[r["coreness"]] = core_hist.get(r["coreness"], 0) + 1
+    tru = run("copurchase_truss")
+    tru_survivors = len(tru)
+    tru_nodes = len({x for r in tru for x in (r["src"], r["dst"])})
+    # token-weighted vs doc-weighted quality percentiles (A11+)
+    twq = {
+        r["pct"]: (r["doc_weighted_quality"], r["token_weighted_quality"])
+        for r in run("token_weighted_quality_percentiles")
+    }
     cc_chain = None
     if graph_bench:
         chain_keys = sorted(
@@ -581,6 +594,21 @@ metrics describe almost nobody — the median user and the decile cutoffs
 are the stable summary; (b) any A/B metric on "time on site" needs the
 zero-duration mass modeled explicitly, not averaged away.
 
+### The doc-weighted vs token-weighted quality gap (A11+)
+
+A curation threshold is usually tuned on DOCUMENT percentiles, but a
+training run is priced in TOKENS. The weighted nearest-rank rung
+measures both on the same ROUND(5) quality grid
+(`token_weighted_quality_percentiles`):
+
+{md_table([(p, twq[p][0], twq[p][1]) for p in sorted(twq)], ["pct", "doc-weighted quality", "token-weighted quality"], limit=6)}
+
+Where the token-weighted value sits above the doc-weighted one, long
+documents are higher-quality than short ones at that quantile — and a
+doc-count threshold keeps a LARGER share of the token budget than the
+doc percentile suggests (the composite's length term saturates at 50
+words, so this fixture leans that way by construction).
+
 ### Co-purchase structure (graph queries over the order fact)
 
 Parts repeatedly bought together (support ≥ 2 orders) form a graph the
@@ -612,6 +640,14 @@ local clustering and reachability, every query oracle-checked:
   connected market or many niches is the first segmentation question,
   and the star operator answers it in O(log n) rounds where min-label
   propagation needs diameter rounds{f" (measured on a {cc_chain['chain_nodes']:,}-node chain: {cc_chain['star_rounds']} star rounds / {cc_chain['star_s']} s vs a projected {cc_chain['min_label_projected_s']:,} s for min-label — {cc_chain['projected_speedup']}x)" if cc_chain else ""}.
+- **Density axes** (r15): coreness histogram {dict(sorted(core_hist.items()))}
+  (`copurchase_coreness`, h-index iteration to the Matula-Beck
+  fixpoint) — how deep each part sits in the repeatedly-bought-together
+  mesh; the 3-truss backbone (`copurchase_truss`) keeps
+  {tru_survivors:,} triangle-reinforced edges over {tru_nodes:,} parts
+  (every bridge edge dies in round one regardless of endpoint degree).
+  Pruning to the max-core/truss FIRST is the classic way to run
+  expensive graph analytics on the load-bearing subgraph only.
 
 {"PageRank itself is benched (`BENCH_graph.json`): the loop-invariant persist loses " + str(round((1 - graph_bench["results"]["pr_1000000"]["persist_speedup"]) * 100)) + "% at 1M pre-materialized edges and wins " + str(graph_bench["results"][f"pr_{graph_bench['edge_sizes'][-1]}"]["persist_speedup"]) + "x at " + f"{graph_bench['edge_sizes'][-1]:,}" + " — the crossover every iterative-join operator should publish." if graph_bench else ""}
 
