@@ -230,6 +230,84 @@ def _bench_serve(spark, out: dict, sf_dir: str, iters: int) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _bench_density(spark, out: dict, root: str, sizes: list[int], iters_bench: int) -> None:
+    """r15 density-family rungs: coreness (h-index rounds) and the
+    3-truss peel on the generated power-law graphs, plus what the
+    k-core prune BUYS downstream — PageRank re-timed on the pruned
+    subgraph next to the full-graph `pr_*` rung. The prune-first
+    pattern is the classic way to run expensive analytics on the
+    load-bearing subgraph; this rung prices both the prune and the
+    payoff instead of asserting them."""
+    import time as _t
+
+    from dataengineerchallenge_spark.operators.graph import (
+        coreness,
+        pagerank,
+        truss,
+    )
+
+    CORE_ROUNDS = 8
+    TRUSS_ROUNDS = 2
+    for edges in sizes:
+        path = os.path.join(root, f"graph_{edges}")
+        _gen(spark, path, edges)
+        e = spark.read.parquet(path)
+
+        def best(fn) -> tuple[float, object]:
+            b, last = float("inf"), None
+            for _ in range(iters_bench):
+                t0 = _t.time()
+                last = fn()
+                b = min(b, _t.time() - t0)
+                spark.catalog.clearCache()
+            return b, last
+
+        core_s, _ = best(lambda: coreness(e, iters=CORE_ROUNDS).count())
+        core_df = coreness(e, iters=CORE_ROUNDS)
+        # prune threshold: the 90th-percentile core value — the "keep the
+        # densest decile of nodes" screen
+        thr = core_df.agg(
+            F.expr("percentile_approx(core, 0.9, 10000)").alias("p")
+        ).collect()[0]["p"]
+        keep = core_df.filter(F.col("core") >= thr).select(
+            F.col("node").alias("_k")
+        )
+        pruned = (
+            e.join(keep, e["src"] == F.col("_k"))
+            .drop("_k")
+            .join(keep.withColumnRenamed("_k", "_k2"), F.col("dst") == F.col("_k2"))
+            .drop("_k2")
+            .persist()
+        )
+        pruned_edges = pruned.count()
+        pr_pruned_s, _ = best(
+            lambda: pagerank(pruned, iters=PR_ITERS).agg(
+                F.count(F.lit(1))
+            ).collect()
+        )
+        pruned.unpersist()
+        truss_s, _ = best(
+            lambda: truss(e, k=3, iters=TRUSS_ROUNDS).agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        )
+        tru_n = truss(e, k=3, iters=TRUSS_ROUNDS).count()
+        res = {
+            "edges": int(edges),
+            "core_rounds": CORE_ROUNDS,
+            "coreness_s": round(core_s, 2),
+            "core_p90_threshold": int(thr),
+            "pruned_edges": int(pruned_edges),
+            "prune_ratio": round(pruned_edges / edges, 4),
+            "pr_pruned_s": round(pr_pruned_s, 2),
+            "truss_rounds": TRUSS_ROUNDS,
+            "truss3_s": round(truss_s, 2),
+            "truss3_survivor_edges": int(tru_n),
+        }
+        out["results"][f"density_{edges}"] = res
+        print(json.dumps({f"density_{edges}": res}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", default="1000000,4000000,16000000")
@@ -242,6 +320,12 @@ def main() -> None:
         action="store_true",
         help="run only the fixture build/serve rung, merging into --out",
     )
+    ap.add_argument(
+        "--only-density",
+        action="store_true",
+        help="run only the coreness/truss density rungs, merging into --out",
+    )
+    ap.add_argument("--density-edges", default="1000000,4000000")
     ap.add_argument("--serve-sf-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
     sizes = [int(s) for s in str(args.edges).split(",") if s]
@@ -264,6 +348,22 @@ def main() -> None:
         "iters_bench": args.iters_bench,
         "results": {},
     }
+    if args.only_density:
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                out = json.load(f)
+            out.setdefault("results", {})
+        _bench_density(
+            spark,
+            out,
+            root,
+            [int(x) for x in str(args.density_edges).split(",") if x],
+            args.iters_bench,
+        )
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {args.out}")
+        return
     if args.only_serve:
         # merge mode: keep every existing rung, refresh only the serve split
         if os.path.exists(args.out):
