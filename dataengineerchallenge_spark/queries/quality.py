@@ -209,3 +209,87 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e in edges[1:]:
         out = out.unionAll(e)
     return out
+
+
+# Benford first-digit shares log10(1 + 1/d), pre-rounded to the 1e-4
+# grid and injected as LITERALS into both engines — the comparison
+# table is part of the operator definition, not something each engine
+# re-derives with its own libm (zero cross-engine float risk).
+_BENFORD = {
+    1: 0.3010, 2: 0.1761, 3: 0.1249, 4: 0.0969, 5: 0.0792,
+    6: 0.0669, 7: 0.0580, 8: 0.0512, 9: 0.0458,
+}
+
+
+def _benford_oracle() -> str:
+    lit = " UNION ALL ".join(
+        f"SELECT {d} AS digit, {s} AS benford_share" for d, s in _BENFORD.items()
+    )
+    return f"""
+    WITH v AS (
+      SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    n AS (SELECT digit, count(*) AS n_orders FROM v GROUP BY digit),
+    t AS (SELECT count(*) AS total FROM v),
+    b AS ({lit})
+    SELECT b.digit,
+           CAST(COALESCE(n.n_orders, 0) AS BIGINT) AS n_orders,
+           ROUND(COALESCE(n.n_orders, 0) * 1.0 / t.total, 4) AS observed_share,
+           b.benford_share,
+           ROUND(ABS(ROUND(COALESCE(n.n_orders, 0) * 1.0 / t.total, 4)
+                     - b.benford_share), 4) AS abs_dev
+    FROM b LEFT JOIN n ON n.digit = b.digit CROSS JOIN t
+    """
+
+
+@register("dq_benford_order_totals", oracle=_benford_oracle())
+def dq_benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ+ Benford first-significant-digit screen (Newcomb 1881 /
+    Benford 1938; Nigrini's standard fraud/entry-error audit) over
+    order totals: values spanning several magnitudes should put ~30.1%
+    of first digits at 1 and only ~4.6% at 9 — fabricated or
+    unit-mangled figures (a feed switching cents for dollars, a default
+    value flooding one bucket) bend the curve immediately, which is why
+    it sits in every financial DQ battery next to the null/domain/RI
+    checks this family already runs. Emits per-digit observed vs
+    expected shares and the absolute deviation; the expected shares are
+    pre-rounded LITERALS shared by both engines (the one defensible
+    place for a constant table — re-deriving log10 per engine would
+    import exactly the cross-libm drift the repo's hash discipline
+    exists to exclude). First digits come from the string rendering's
+    leading character (values are >= 1 by the guard, so the first char
+    IS the first significant digit on both engines — no log10 floor at
+    power-of-ten boundaries). On the synthetic fixture the totals are
+    drawn roughly uniformly on [1k, 500k], so digits 1-4 OVERSHOOT
+    Benford and 6-9 undershoot — the honest negative control: the
+    screen flags the fixture as non-Benford, exactly what a uniform
+    generator should produce (pinned in pytest; a log-uniform corpus
+    pins the positive control).
+
+    Scale shape: one map-side digit projection + a 9-row aggregate —
+    partial-agg friendly, no shuffle beyond the 9-key fold; the
+    expected table is a broadcast literal frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(F.col("o_totalprice").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    n = v.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    t = v.agg(F.count(F.lit(1)).alias("total"))
+    b = spark.createDataFrame(
+        [(d, s) for d, s in _BENFORD.items()], "digit long, benford_share double"
+    )
+    obs = F.round(F.coalesce("n_orders", F.lit(0)) * 1.0 / F.col("total"), 4)
+    return (
+        b.join(n, "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            obs.alias("observed_share"),
+            "benford_share",
+            F.round(F.abs(obs - F.col("benford_share")), 4).alias("abs_dev"),
+        )
+    )

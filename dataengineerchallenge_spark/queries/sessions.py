@@ -436,6 +436,14 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     hu = ev.select(
         F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_s"), "user_id"
     ).distinct()
+    return _sliding_distinct_from_pairs(hu)
+
+
+def _sliding_distinct_from_pairs(hu: DataFrame) -> DataFrame:
+    """Finisher half of the sliding-distinct rewrite, shared by the
+    batch query and the online twin: from the deduped (hour_s, user_id)
+    pair frame, explode each pair over its covering window ends, clip
+    to the observed hour range, count-distinct per window end."""
     bounds = hu.agg(
         F.min("hour_s").alias("lo"), F.max("hour_s").alias("hi")
     )
@@ -455,3 +463,104 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("win_end_s")
         .agg(F.count_distinct("user_id").alias("distinct_users"))
     )
+
+
+def _staged_hour_user_stream(spark: SparkSession, sf_dir: str) -> str:
+    """(hour_s, user_id) written as 4 hash-partitioned files for the
+    multi-micro-batch replay (same shape as the sketch families'
+    _staged_event_type_user_stream). Hours are pre-truncated to epoch
+    seconds at stage time so the stream carries plain bigints — no
+    timestamp-type hazards inside foreachBatch."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        write_result(
+            ev.select(
+                F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_s"),
+                "user_id",
+            ).repartition(4, "user_id"),
+            str(out),
+        )
+
+    return staged(
+        spark,
+        "slide_events",
+        Path(sf_dir) / "events.parquet",
+        "slide_events",
+        build,
+    )
+
+
+@register(
+    "stream_sliding_distinct_users",
+    oracle=f"""
+WITH hu AS (
+  SELECT DISTINCT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,
+         user_id
+  FROM events
+),
+bounds AS (SELECT MIN(hour_s) AS lo, MAX(hour_s) AS hi FROM hu),
+contrib AS (
+  SELECT unnest(range(hour_s, hour_s + {_SLIDE_HOURS} * 3600, 3600)) AS win_end_s,
+         user_id
+  FROM hu
+)
+SELECT c.win_end_s,
+       CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS distinct_users
+FROM contrib c CROSS JOIN bounds b
+WHERE c.win_end_s BETWEEN b.lo AND b.hi
+GROUP BY c.win_end_s
+""",
+)
+def stream_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE twin of ``sliding_distinct_users``: each micro-batch
+    writes its OWN distinct (hour, user) pairs via foreachBatch
+    (epoch-keyed overwrite, idempotent under retry); at drain the
+    per-epoch pair sets distinct-union — a distinct of distincts is the
+    distinct of the union under ANY stream slicing — and the shared
+    finisher emits the identical sliding counts, so the twin shares the
+    batch query's DuckDB oracle hash-for-hash. The state the online
+    form keeps is the deduped pair set itself (the exact-form price;
+    the sketch twins keep k-row registers instead), bounded by
+    hours x active users, never by raw event volume."""
+    import shutil
+    import tempfile
+
+    payload = _staged_hour_user_stream(spark, sf_dir)
+    schema = spark.read.parquet(payload).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(payload)
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_graft_stream_slide_")
+    pairs_dir, ckpt = f"{scratch}/pairs", f"{scratch}/ckpt"
+
+    def update(mb: DataFrame, epoch_id: int) -> None:
+        mb.select("hour_s", "user_id").distinct().write.mode("overwrite").parquet(
+            f"{pairs_dir}/epoch_id={epoch_id}"
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(update)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "stream sliding-distinct did not drain availableNow input in 300s"
+            )
+        hu = spark.read.parquet(pairs_dir).select("hour_s", "user_id").distinct()
+        out = _sliding_distinct_from_pairs(hu)
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(scratch, ignore_errors=True)
+    return result

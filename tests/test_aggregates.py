@@ -131,3 +131,70 @@ def test_sliding_distinct_users_closed_form(spark, tmp_path):
         epoch(3): 2,        # hours {1,2}: users {1,3}
         epoch(4): 2,        # hours {2,4}: users {3,1}
     }
+
+
+def test_stream_sliding_distinct_equals_batch(spark):
+    """Slicing invariance: distinct-of-distincts union reconstructs the
+    batch pair set exactly, so the online sliding counts equal the batch
+    query row-for-row."""
+    from tests.conftest import SF_SMOKE
+
+    from dataengineerchallenge_spark.queries.sessions import (
+        sliding_distinct_users,
+        stream_sliding_distinct_users,
+    )
+
+    batch = {
+        r["win_end_s"]: r["distinct_users"]
+        for r in sliding_distinct_users(spark, SF_SMOKE).collect()
+    }
+    online = {
+        r["win_end_s"]: r["distinct_users"]
+        for r in stream_sliding_distinct_users(spark, SF_SMOKE).collect()
+    }
+    assert online == batch
+
+
+def test_benford_controls(spark, tmp_path):
+    """Positive control: a log-uniform corpus tracks Benford within a
+    few points per digit. Negative control: a uniform corpus overshoots
+    on low digits — the deviation the screen exists to flag."""
+    import math
+    import os
+
+    from dataengineerchallenge_spark.queries.quality import (
+        _BENFORD,
+        dq_benford_order_totals,
+    )
+
+    def write_orders(vals, name):
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)],
+            "o_orderkey long, o_totalprice double",
+        )
+        sf = os.path.join(str(tmp_path), name)
+        df.write.mode("overwrite").parquet(os.path.join(sf, "orders.parquet"))
+        return sf
+
+    # log-uniform over [1, 10^6): mantissa distribution converges to
+    # Benford; 20k deterministic samples keep every digit within 0.02
+    logu = [10 ** (6 * ((i * 2654435761 % 20011) / 20011.0)) for i in range(20000)]
+    sf_pos = write_orders([v for v in logu if v >= 1], "benford_pos")
+    got = {
+        r["digit"]: r for r in dq_benford_order_totals(spark, sf_pos).collect()
+    }
+    for d, share in _BENFORD.items():
+        assert abs(got[d]["observed_share"] - share) < 0.02, (d, got[d])
+
+    # uniform over [1000, 500000): digits 1-4 equally likely and fat,
+    # 5-9 starved — max deviation far above the positive control's
+    uni = [1000 + (i * 48271 % 499000) for i in range(20000)]
+    sf_neg = write_orders(uni, "benford_neg")
+    got_n = {
+        r["digit"]: r for r in dq_benford_order_totals(spark, sf_neg).collect()
+    }
+    assert max(r["abs_dev"] for r in got_n.values()) > 0.05
+    # and the shares still sum to ~1 on both runs (completeness)
+    for g in (got, got_n):
+        assert abs(sum(r["observed_share"] for r in g.values()) - 1.0) < 0.01
+    assert math.isclose(sum(_BENFORD.values()), 1.0, abs_tol=0.001)
