@@ -106,3 +106,45 @@ def test_stream_mad_twin_matches_batch(spark):
     got = sorted(map(tuple, stream_hourly_anomalies_mad(spark, SF_SMOKE).collect()))
     want = sorted(map(tuple, hourly_load_anomalies_mad(spark, SF_SMOKE).collect()))
     assert got == want
+
+
+def test_forecast_backtest_closed_form(spark, tmp_path):
+    """Perfectly daily-periodic series: seasonal-naive is exact (MAE 0)
+    while naive pays the hour-to-hour swing — hand-computed."""
+    import datetime as dt
+    import os
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 3 days, hourly pattern: hour h gets (h % 4) + 1 events
+    for day in range(3):
+        for hour in range(24):
+            for _ in range((hour % 4) + 1):
+                rows.append(
+                    (eid, base + dt.timedelta(days=day, hours=hour, minutes=5),
+                     1, "view", 1.0, "{}")
+                )
+                eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = os.path.join(str(tmp_path), "fc")
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    from dataengineerchallenge_spark.queries.analytics import (
+        forecast_backtest_hourly_load,
+    )
+
+    got = {
+        r["model"]: r for r in forecast_backtest_hourly_load(spark, sf).collect()
+    }
+    # eval window: hours 24..71 (48 points)
+    assert got["seasonal_naive"]["n_eval_points"] == 48
+    assert got["seasonal_naive"]["mae"] == 0.0
+    assert got["seasonal_naive"]["mase_vs_naive"] == 0.0
+    # naive errors cycle |y(t) - y(t-1)| over the pattern 1,2,3,4 ->
+    # diffs 1,1,1 then the 4->1 drop of 3: per 4 hours sum = 6, MAE 1.5
+    assert got["naive"]["mae"] == 1.5
+    assert got["naive"]["mase_vs_naive"] == 1.0
