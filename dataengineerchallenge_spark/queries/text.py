@@ -620,8 +620,18 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     direction, and at 100 TB it degrades gracefully to a shuffle join
     instead of OOMing every executor). Top-20 is TakeOrderedAndProject,
     never a global sort."""
-    docs = load_table(spark, sf_dir, "documents")
-    terms = ("vector", "stream", "hash")
+    return (
+        bm25_micropoints_frame(load_table(spark, sf_dir, "documents"))
+        .orderBy(F.desc("bm25_micropoints"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def bm25_micropoints_frame(docs: DataFrame, terms=("vector", "stream", "hash")) -> DataFrame:
+    """(doc_id, bm25_micropoints) for the fixed keyword query — the
+    scoring half of `bm25_keyword_search`, shared with the hybrid-RRF
+    fusion rung (identical expressions, so both consumers ride the same
+    oracle arithmetic)."""
     toks = spread(docs).select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term").isin(*terms))
@@ -646,11 +656,8 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("term_micropoints"),
         )
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(F.sum("term_micropoints").alias("bm25_micropoints"))
-        .orderBy(F.desc("bm25_micropoints"), F.asc("doc_id"))
-        .limit(20)
+    return scored.groupBy("doc_id").agg(
+        F.sum("term_micropoints").alias("bm25_micropoints")
     )
 
 

@@ -2632,3 +2632,121 @@ def semantic_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") == cluster).alias("kept"),
         )
     )
+
+
+_RRF_K = 60
+_RRF_LEG_N = 50
+_RRF_OUT = 10
+
+_RRF_ORACLE = f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    stats AS (SELECT count(*)::DOUBLE AS n,
+                     avg(len(string_split(text, ' ')))::DOUBLE AS avgdl FROM documents),
+    dl AS (SELECT doc_id, len(string_split(text, ' '))::DOUBLE AS dl FROM documents),
+    tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+           WHERE term IN ('vector', 'stream', 'hash') GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+           WHERE term IN ('vector', 'stream', 'hash') GROUP BY term),
+    bscored AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                  * tf.tf * 2.2
+                  / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                  * 1000000) AS BIGINT) AS term_micropoints
+      FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+    bm AS (SELECT doc_id, CAST(SUM(term_micropoints) AS BIGINT) AS mp
+           FROM bscored WHERE doc_id != 0 GROUP BY doc_id),
+    lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY mp DESC, doc_id) AS r
+      FROM bm QUALIFY r <= {_RRF_LEG_N}
+    ),
+    qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT e.vec_id AS doc_id,
+             round(list_cosine_similarity(e.embedding, qv.embedding), 4) AS c
+      FROM embeddings e CROSS JOIN qv WHERE e.vec_id != 0
+    ),
+    sem AS (
+      SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS r
+      FROM cos QUALIFY r <= {_RRF_LEG_N}
+    ),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             COALESCE(lex.r, -1) AS lex_rank,
+             COALESCE(sem.r, -1) AS sem_rank,
+             CAST(ROUND((
+               CASE WHEN lex.r IS NULL THEN 0.0 ELSE 1.0 / ({_RRF_K} + lex.r) END
+               + CASE WHEN sem.r IS NULL THEN 0.0 ELSE 1.0 / ({_RRF_K} + sem.r) END
+             ) * 1000000) AS BIGINT) AS rrf_micropoints
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    )
+    SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(sem_rank AS BIGINT) AS sem_rank, rrf_micropoints
+    FROM fused
+    ORDER BY rrf_micropoints DESC, doc_id LIMIT {_RRF_OUT}
+    """
+
+
+@register("hybrid_search_rrf", oracle=_RRF_ORACLE)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3++ HYBRID retrieval by reciprocal-rank fusion (Cormack,
+    Clarke & Buettcher SIGIR'09) — the lexical and semantic legs every
+    modern retrieval/curation stack runs side by side, fused RANK-wise
+    so the incomparable score scales (BM25 micropoints vs cosine) never
+    touch each other: score(d) = sum over legs of 1/(k + rank_d), k=60.
+    Lexical leg = the repo's BM25 scorer (shared frame, identical
+    micropoint arithmetic); semantic leg = cosine against the seed
+    document's embedding (doc 0, excluded from both legs); each leg
+    contributes its top-50, fusion emits the top-10. Ranks are assigned
+    on integer micropoints / ROUND(4) cosine grids with doc_id
+    tie-break, and the fused score is integerized to micropoints before
+    the final ordering — every ordering key cross-engine exact.
+
+    Scale shape: both legs are existing scale-vetted plans (filtered
+    token explode + broadcast stats; broadcast-query cosine scan); the
+    fusion itself joins two <=50-row frames — free at any corpus size.
+    RRF beats score-normalization fusion precisely because it needs no
+    corpus statistics, which is also what makes it hash-stable here."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    from dataengineerchallenge_spark.queries.text import bm25_micropoints_frame
+
+    bm = bm25_micropoints_frame(docs).filter(F.col("doc_id") != 0)
+    lex = (
+        bm.withColumn(
+            "r", F.row_number().over(Window.orderBy(F.desc("bm25_micropoints"), F.asc("doc_id")))
+        )
+        .filter(F.col("r") <= _RRF_LEG_N)
+        .select("doc_id", F.col("r").alias("lex_r"))
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cos = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(V.cosine(F.col("embedding"), F.col("q_emb")), 4).alias("c"),
+        )
+    )
+    sem = (
+        cos.withColumn(
+            "r", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("doc_id")))
+        )
+        .filter(F.col("r") <= _RRF_LEG_N)
+        .select("doc_id", F.col("r").alias("sem_r"))
+    )
+    rrf = (
+        F.when(F.col("lex_r").isNotNull(), F.lit(1.0) / (_RRF_K + F.col("lex_r"))).otherwise(F.lit(0.0))
+        + F.when(F.col("sem_r").isNotNull(), F.lit(1.0) / (_RRF_K + F.col("sem_r"))).otherwise(F.lit(0.0))
+    )
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_r", F.lit(-1)).cast("long").alias("lex_rank"),
+            F.coalesce("sem_r", F.lit(-1)).cast("long").alias("sem_rank"),
+            F.round(rrf * 1_000_000, 0).cast("bigint").alias("rrf_micropoints"),
+        )
+        .orderBy(F.desc("rrf_micropoints"), F.asc("doc_id"))
+        .limit(_RRF_OUT)
+    )

@@ -83,3 +83,56 @@ def test_ccnet_grid_mix_rates(spark):
     assert kept_n.get("head", 0) == totals["head"]
     # tail is cut hard (rate 0.1): binomial bounds are loose on purpose
     assert kept_n.get("tail", 0) < totals["tail"] * 0.3
+
+
+def test_hybrid_rrf_fusion_properties(spark, tmp_path):
+    """RRF closed forms on a corpus engineered so the legs disagree:
+    the doc strong in BOTH legs outranks the doc that tops one leg but
+    misses the other; single-leg docs carry -1 in the missing leg."""
+    import os
+
+    # doc 0 is the seed (excluded). doc 1: contains query terms AND is
+    # the semantic near-match. doc 2: lexically perfect, semantically
+    # opposite. doc 3: semantic-only. doc 4: neither.
+    docs = [
+        (0, "vector stream hash seed", "en", "s", 23),
+        (1, "vector stream other words here", "en", "s", 29),
+        (2, "vector stream hash vector stream hash", "en", "s", 37),
+        (3, "nothing relevant lexically", "en", "s", 26),
+        (4, "completely unrelated text", "en", "s", 25),
+    ]
+    embs = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0], 0),   # near the seed
+        (2, [-1.0, 0.0, 0.0], 1),   # opposite
+        (3, [0.95, 0.2, 0.1], 0),   # near the seed
+        (4, [0.0, 1.0, 0.0], 1),    # orthogonal
+    ]
+    sf = os.path.join(str(tmp_path), "rrf")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "embeddings.parquet"))
+
+    from dataengineerchallenge_spark.queries.vectors import hybrid_search_rrf
+
+    rows = hybrid_search_rrf(spark, sf).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    order = [r["doc_id"] for r in rows]
+    # doc 1 is in both legs; doc 2 tops the lexical leg only (cosine
+    # rank worst); doc 1 must outrank doc 2 and doc 3 (semantic-first)
+    assert order[0] == 1
+    assert by_doc[1]["lex_rank"] > 0 and by_doc[1]["sem_rank"] > 0
+    # every returned doc has at least one positive leg rank, and a doc
+    # absent from a leg carries the -1 sentinel, never null
+    for r in rows:
+        assert r["lex_rank"] >= -1 and r["sem_rank"] >= -1
+        assert r["lex_rank"] > 0 or r["sem_rank"] > 0
+        assert r["rrf_micropoints"] > 0
+    # fusion math spot check for doc 1: 1/(60+l) + 1/(60+s) micropoints
+    l, s_ = by_doc[1]["lex_rank"], by_doc[1]["sem_rank"]
+    assert by_doc[1]["rrf_micropoints"] == round(
+        (1.0 / (60 + l) + 1.0 / (60 + s_)) * 1_000_000
+    )
