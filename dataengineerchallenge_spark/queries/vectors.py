@@ -2750,3 +2750,150 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_micropoints"), F.asc("doc_id"))
         .limit(_RRF_OUT)
     )
+
+
+_MMR_POOL = 50
+_MMR_K = 10
+# lambda = 0.7 expressed as the exact integer split 7:3 over basis-point
+# similarity grids — the whole MMR objective stays in bigint arithmetic,
+# so the greedy argmax is bit-identical on both engines by construction.
+_MMR_NUM, _MMR_DEN = 7, 3
+
+
+def _mmr_oracle() -> str:
+    steps = []
+    for i in range(2, _MMR_K + 1):
+        steps.append(
+            f"""p{i} AS MATERIALIZED (
+      SELECT c.doc_id, c.rel, {_MMR_NUM} * c.rel - {_MMR_DEN} * MAX(s.s) AS obj
+      FROM cand c
+      JOIN sim s ON s.da = c.doc_id
+        AND s.db IN (SELECT doc_id FROM sel{i - 1})
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM sel{i - 1})
+      GROUP BY c.doc_id, c.rel
+      QUALIFY row_number() OVER (ORDER BY {_MMR_NUM} * c.rel
+                                 - {_MMR_DEN} * MAX(s.s) DESC, c.doc_id) = 1
+    ), sel{i} AS MATERIALIZED (
+      SELECT doc_id FROM sel{i - 1} UNION ALL SELECT doc_id FROM p{i}
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    union = "\nUNION ALL ".join(
+        f"SELECT {i} AS mmr_rank, doc_id, rel, "
+        + ("CAST(NULL AS BIGINT) AS obj" if i == 1 else "obj")
+        + f" FROM p{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return f"""
+    WITH qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id AS doc_id, e.embedding,
+             CAST(ROUND(list_cosine_similarity(e.embedding, qv.embedding)
+                        * 10000) AS BIGINT) AS rel
+      FROM embeddings e CROSS JOIN qv WHERE e.vec_id != 0
+    ),
+    cand AS MATERIALIZED (
+      SELECT doc_id, embedding, rel FROM scored
+      QUALIFY row_number() OVER (ORDER BY rel DESC, doc_id) <= {_MMR_POOL}
+    ),
+    sim AS MATERIALIZED (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             CAST(ROUND(list_cosine_similarity(a.embedding, b.embedding)
+                        * 10000) AS BIGINT) AS s
+      FROM cand a JOIN cand b ON a.doc_id != b.doc_id
+    ),
+    p1 AS MATERIALIZED (
+      SELECT doc_id, rel FROM cand
+      QUALIFY row_number() OVER (ORDER BY rel DESC, doc_id) = 1
+    ),
+    sel1 AS MATERIALIZED (SELECT doc_id FROM p1),
+    {chain}
+    SELECT mmr_rank, doc_id, rel,
+           COALESCE(obj, -1) AS mmr_obj
+    FROM ({union})
+    """
+
+
+@register("mmr_diversified_topk", oracle=_mmr_oracle())
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3++++ result DIVERSIFICATION by Maximal Marginal Relevance
+    (Carbonell & Goldstein SIGIR'98) — the third stage of the retrieval
+    stack this repo now runs end to end (retrieve: cosine/IVF-PQ →
+    fuse: `hybrid_search_rrf` → diversify: this): greedily re-rank the
+    top-50 cosine pool so each next pick maximizes
+    lambda*rel(d) - (1-lambda)*max_sim(d, already-picked) — relevance
+    minus redundancy, the screen that stops a near-dup-heavy corpus
+    from answering a query with ten copies of one document (and the
+    query-time mirror of what SemDeDup does at corpus level).
+
+    Determinism: lambda=0.7 is expressed as the exact integer split
+    7:3 over basis-point similarity grids (ROUND(cos*10000) as BIGINT),
+    so the whole greedy objective is bigint arithmetic with doc_id
+    tie-breaks — no float comparison anywhere, and the unrolled
+    10-step oracle replays the identical argmax chain. The first pick
+    is pure relevance (no redundancy term yet; mmr_obj = -1 sentinel).
+
+    Scale shape: the pool is top-POOL of one broadcast-query cosine
+    scan (the `cosine_topk_exact` plan); the greedy loop then touches
+    only the POOL-row frame and its POOL^2 pairwise sims — k driver
+    rounds of 1-row argmax actions over a broadcast-sized frame, the
+    documented iterative-control pattern. At 100 TB nothing changes:
+    MMR cost is a function of POOL and k, never corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            "embedding",
+            F.round(V.cosine(F.col("embedding"), F.col("q_emb")) * 10000, 0)
+            .cast("bigint")
+            .alias("rel"),
+        )
+    )
+    w = Window.orderBy(F.desc("rel"), F.asc("doc_id"))
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _MMR_POOL)
+        .drop("_rn")
+        .localCheckpoint()
+    )
+    sim = (
+        cand.alias("a")
+        .join(cand.alias("b"), F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.round(V.cosine(F.col("a.embedding"), F.col("b.embedding")) * 10000, 0)
+            .cast("bigint")
+            .alias("s"),
+        )
+        .localCheckpoint()
+    )
+    first = cand.orderBy(F.desc("rel"), F.asc("doc_id")).limit(1).collect()[0]
+    picks = [(1, first["doc_id"], first["rel"], -1)]
+    selected = [first["doc_id"]]
+    for i in range(2, _MMR_K + 1):
+        rows = (
+            cand.filter(~F.col("doc_id").isin(selected))
+            .join(sim.filter(F.col("db").isin(selected)), F.col("doc_id") == F.col("da"))
+            .groupBy("doc_id", "rel")
+            .agg(F.max("s").alias("ms"))
+            .select(
+                "doc_id",
+                "rel",
+                (_MMR_NUM * F.col("rel") - _MMR_DEN * F.col("ms")).alias("obj"),
+            )
+            .orderBy(F.desc("obj"), F.asc("doc_id"))
+            .limit(1)
+            .collect()
+        )
+        if not rows:  # pool exhausted before k picks (pool < k)
+            break
+        nxt = rows[0]
+        picks.append((i, nxt["doc_id"], nxt["rel"], nxt["obj"]))
+        selected.append(nxt["doc_id"])
+    return spark.createDataFrame(
+        picks, "mmr_rank int, doc_id long, rel long, mmr_obj long"
+    )

@@ -136,3 +136,43 @@ def test_hybrid_rrf_fusion_properties(spark, tmp_path):
     assert by_doc[1]["rrf_micropoints"] == round(
         (1.0 / (60 + l) + 1.0 / (60 + s_)) * 1_000_000
     )
+
+
+def test_mmr_skips_redundant_near_duplicates(spark, tmp_path):
+    """A near-duplicate cluster sits ~26 degrees off the seed; a diverse
+    doc of comparable relevance sits ~27 degrees off on the OTHER side
+    (mutual sim to the cluster only ~0.6). Pure relevance would take the
+    whole cluster first; MMR must interleave: cluster top pick, then the
+    diverse doc (its marginal objective beats the second copy's
+    redundancy-crushed score), then the remaining copies."""
+    import os
+
+    embs = [
+        (0, [1.0, 0.0, 0.0], 0),          # seed
+        (1, [0.9, 0.4359, 0.0], 0),       # cluster: rel ~ 9000
+        (2, [0.899, 0.438, 0.0], 0),      # cluster: rel ~ 8990, sim(c1) ~ 1
+        (3, [0.898, 0.44, 0.0], 0),       # cluster: rel ~ 8980
+        (4, [0.89, -0.456, 0.0], 1),      # diverse: rel ~ 8900, sim(c*) ~ .60
+        (5, [0.0, 0.0, 1.0], 2),          # orthogonal filler
+    ]
+    sf = os.path.join(str(tmp_path), "mmr")
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "embeddings.parquet"))
+
+    from dataengineerchallenge_spark.queries.vectors import mmr_diversified_topk
+
+    all_rows = sorted(
+        mmr_diversified_topk(spark, sf).collect(), key=lambda r: r["mmr_rank"]
+    )
+    # pool of 5 candidates < k=10: the greedy stops at pool exhaustion
+    assert len(all_rows) == 5
+    order = [r["doc_id"] for r in all_rows]
+    # relevance order would be 1,2,3,4,5; MMR lifts the diverse doc to
+    # rank 2 past BOTH remaining near-copies
+    assert order[:2] == [1, 4]
+    assert set(order[2:4]) == {2, 3}
+    assert order[4] == 5
+    # pick 1 carries the no-redundancy sentinel; later picks a real obj
+    assert all_rows[0]["mmr_obj"] == -1
+    assert all(r["mmr_obj"] > 0 for r in all_rows[1:4])
