@@ -172,3 +172,78 @@ def predict_session_length_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.select(
         "user_id", "avg_session_s", F.round("prediction", 4).alias("predicted_session_s")
     )
+
+
+@register(
+    "loo_target_encode_events",
+    oracle="""
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+t AS (
+  SELECT event_type, SUM(vc) AS s, count(*) AS n FROM v GROUP BY event_type
+),
+g AS (SELECT SUM(vc) AS gs, count(*) AS gn FROM v)
+SELECT v.event_id, v.event_type,
+       CAST(v.vc AS BIGINT) AS value_cents,
+       CAST(ROUND(CASE WHEN t.n > 1
+                  THEN (t.s - v.vc) * 100.0 / (t.n - 1)
+                  ELSE (g.gs - v.vc) * 100.0 / (g.gn - 1) END)
+            AS BIGINT) AS loo_micropoints
+FROM v JOIN t ON t.event_type = v.event_type CROSS JOIN g
+""",
+)
+def loo_target_encode_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6++ leave-one-out TARGET ENCODING (Micci-Barreca SIGKDD
+    Explorations 2001 — the standard high-cardinality categorical
+    encoder): each event's type is encoded as the mean target (value)
+    over OTHER rows of the same type, (sum - own) / (n - 1) — the
+    leave-one-out form that removes the self-leakage a naive group-mean
+    feature injects (a model can read its own label out of a plain
+    group mean; LOO is the per-row correction that makes the feature
+    honest). Singleton groups fall back to the leave-one-out GLOBAL
+    prior. Values are integerized to cents before summation (exact
+    bigint sums) and the encoding ships as integer MICROPOINTS (1e-4
+    value units) — a ROUND(4) double hit an exact .00005 tie on the
+    fixture where Spark (HALF_UP) and DuckDB (half-away) disagree; an
+    integer landing is tie-free (the exact.py / BM25 discipline).
+
+    Feeds the same model frames as `ml/features.py`; unlike the
+    rows-only MLlib fits, the ENCODER itself hash-verifies — encoders
+    are where silent leakage bugs live, so this is the half that
+    deserves the oracle.
+
+    Scale shape: one partial-agg per type + a broadcast 1-row global
+    prior + a broadcast type-stat join back onto the fact rows — the
+    fact table is scanned once and never shuffled (type stats are
+    KB-scale); the LOO arithmetic is per-row map-side."""
+    from dataengineerchallenge_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
+    )
+    t = v.groupBy("event_type").agg(
+        F.sum("vc").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    g = v.agg(F.sum("vc").alias("gs"), F.count(F.lit(1)).alias("gn"))
+    enc = F.when(
+        F.col("n") > 1,
+        (F.col("s") - F.col("vc")) * 100.0 / (F.col("n") - 1),
+    ).otherwise(
+        (F.col("gs") - F.col("vc")) * 100.0 / (F.col("gn") - 1)
+    )
+    return (
+        v.join(F.broadcast(t), "event_type")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "event_id",
+            "event_type",
+            F.col("vc").cast("long").alias("value_cents"),
+            F.round(enc, 0).cast("bigint").alias("loo_micropoints"),
+        )
+    )

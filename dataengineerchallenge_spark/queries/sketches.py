@@ -917,3 +917,112 @@ def stream_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result
+
+
+_AMS_D = 64  # sign-hash counters
+
+
+def _ams_oracle() -> str:
+    from dataengineerchallenge_spark.functions.hashing import duck_u32
+
+    # counter j's sign for a user: bit j of the md5-u32 — one hash draw
+    # fans out to 32 counters, two draws cover d=64
+    return f"""
+    WITH f AS (
+      SELECT event_type, user_id, count(*) AS c
+      FROM events GROUP BY event_type, user_id
+    ),
+    h AS (
+      SELECT event_type, user_id, c,
+             ({duck_u32("user_id")}) AS h1,
+             ({duck_u32("user_id || '~'")}) AS h2
+      FROM f
+    ),
+    j AS (SELECT unnest(range(0, {_AMS_D})) AS j),
+    cells AS (
+      SELECT h.event_type, j.j,
+             SUM(CASE WHEN ((CASE WHEN j.j < 32 THEN (h.h1 >> j.j)
+                             ELSE (h.h2 >> (j.j - 32)) END) & 1) = 1
+                      THEN h.c ELSE -h.c END) AS z
+      FROM h CROSS JOIN j GROUP BY h.event_type, j.j
+    ),
+    est AS (
+      SELECT event_type,
+             SUM(z * z) / {_AMS_D}.0 AS f2_est
+      FROM cells GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type, SUM(c * c) AS f2_exact FROM f GROUP BY event_type
+    )
+    SELECT ex.event_type,
+           CAST(ex.f2_exact AS BIGINT) AS f2_exact,
+           ROUND(est.f2_est, 4) AS f2_est,
+           ROUND(ABS(est.f2_est - ex.f2_exact) / ex.f2_exact, 4) AS rel_err
+    FROM ex JOIN est ON est.event_type = ex.event_type
+    """
+
+
+@register("ams_f2_user_frequency", oracle=_ams_oracle())
+def ams_f2_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+++++ AMS / tug-of-war sketch for the SECOND frequency moment
+    (Alon, Matias & Szegedy STOC'96): estimate F2 = sum of squared
+    per-user event counts per event type from d=64 signed counters —
+    F2 is the SELF-JOIN SIZE, the statistic a query optimizer wants
+    before planning a key-equi self-join (it prices skew the way no
+    distinct count can: a single hot user inflates F2 quadratically),
+    and the one fundamentally beyond count-min (point queries) and
+    HLL/KMV (cardinality). Each counter j accumulates +-count with the
+    sign drawn from bit j of the user's explicit md5-u32 (two draws
+    cover 64 bits); the estimator is mean(z_j^2). Like every
+    explicit-hash sketch here the ESTIMATE itself hash-verifies, and
+    the exact F2 rides along so a green row re-certifies the error on
+    real data (pytest pins the published error envelope and hot-key
+    quadratic sensitivity).
+
+    Scale shape: counters are SUM-mergeable (the linear-sketch
+    property: z(A+B) = z(A) + z(B)), so the 100 TB form keeps a d-row
+    register per (group, slice) and folds by addition — the cm/hll/kmv
+    register-store discipline; the fixture-grain form computes the
+    same fold in one pass. The d-way fanout rides the DEDUPED (type,
+    user, count) frame, never raw events."""
+    from dataengineerchallenge_spark.functions.hashing import spark_u32
+
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    h = f.select(
+        "event_type",
+        "c",
+        F.expr(spark_u32("user_id")).alias("h1"),
+        F.expr(spark_u32("user_id || '~'")).alias("h2"),
+    )
+    j = spark.range(_AMS_D).select(F.col("id").cast("int").alias("j"))
+    bit = F.when(
+        F.col("j") < 32,
+        (F.col("h1") / F.pow(F.lit(2.0), F.col("j"))).cast("bigint") % 2,
+    ).otherwise(
+        (F.col("h2") / F.pow(F.lit(2.0), F.col("j") - 32)).cast("bigint") % 2
+    )
+    cells = (
+        h.crossJoin(F.broadcast(j))
+        .select(
+            "event_type",
+            "j",
+            F.when(bit == 1, F.col("c")).otherwise(-F.col("c")).alias("sc"),
+        )
+        .groupBy("event_type", "j")
+        .agg(F.sum("sc").alias("z"))
+    )
+    est = cells.groupBy("event_type").agg(
+        (F.sum(F.col("z") * F.col("z")) / float(_AMS_D)).alias("f2_est")
+    )
+    ex = f.groupBy("event_type").agg(
+        F.sum(F.col("c") * F.col("c")).alias("f2_exact")
+    )
+    return ex.join(est, "event_type").select(
+        "event_type",
+        F.col("f2_exact").cast("long").alias("f2_exact"),
+        F.round("f2_est", 4).alias("f2_est"),
+        F.round(F.abs(F.col("f2_est") - F.col("f2_exact")) / F.col("f2_exact"), 4).alias(
+            "rel_err"
+        ),
+    )

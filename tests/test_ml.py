@@ -97,3 +97,38 @@ def test_gbt_session_length_deterministic_and_sane(spark, qs):
     import math
 
     assert all(math.isfinite(v) for v in a.values())
+
+
+def test_loo_target_encode_closed_form(spark, tmp_path):
+    """Hand-computed LOO means, the self-leakage property, and the
+    singleton global-prior fallback."""
+    import os
+
+    rows = [
+        (1, None, 1, "a", 10.0, "{}"),
+        (2, None, 2, "a", 20.0, "{}"),
+        (3, None, 3, "a", 30.0, "{}"),
+        (4, None, 4, "solo", 99.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = os.path.join(str(tmp_path), "loo")
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    from dataengineerchallenge_spark.queries.ml import loo_target_encode_events
+
+    got = {
+        r["event_id"]: r for r in loo_target_encode_events(spark, sf).collect()
+    }
+    # group a: LOO of 10 is mean(20,30)=25.0 -> 250000 micropoints
+    assert got[1]["loo_micropoints"] == 250000
+    assert got[2]["loo_micropoints"] == 200000  # mean(10,30)
+    assert got[3]["loo_micropoints"] == 150000  # mean(10,20)
+    # the encoding never equals the naive group mean (20.0) for any row
+    # of group a - that's the leakage the LOO form removes
+    assert all(got[i]["loo_micropoints"] != 200000 for i in (1, 3))
+    # singleton: global LOO prior = mean(10,20,30) = 20.0
+    assert got[4]["loo_micropoints"] == 200000
+    assert got[4]["value_cents"] == 9900

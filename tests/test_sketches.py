@@ -361,3 +361,40 @@ def test_stream_kmv_overlap_equals_batch(spark):
         for r in stream_kmv_overlap(spark, SF_SMOKE).collect()
     }
     assert online == batch
+
+
+def _ams(spark, rows, tmp_path, name):
+    import os
+
+    df = spark.createDataFrame(rows, "event_type string, user_id long, ts timestamp")
+    sf = os.path.join(str(tmp_path), name)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    from dataengineerchallenge_spark.queries.sketches import ams_f2_user_frequency
+
+    return {
+        r["event_type"]: r.asDict()
+        for r in ams_f2_user_frequency(spark, sf).collect()
+    }
+
+
+def test_ams_f2_error_envelope_and_exactness(spark, tmp_path):
+    # 2000 users, one event each: F2 = 2000. AMS std error ~ F2 *
+    # sqrt(2/d) ~ 0.177 * F2 at d=64; the md5 draw is deterministic so
+    # this is a fixed-value pin with 3-sigma headroom
+    rows = [("view", u, None) for u in range(1, 2001)]
+    got = _ams(spark, rows, tmp_path, "ams1")
+    assert got["view"]["f2_exact"] == 2000
+    assert got["view"]["rel_err"] < 0.53
+    assert got["view"]["f2_est"] != 2000.0  # it IS an estimate
+
+
+def test_ams_f2_prices_skew_quadratically(spark, tmp_path):
+    # same event count, one hot user: F2 explodes quadratically while
+    # any distinct-count stays flat — the property the sketch exists for
+    flat = [("a", u, None) for u in range(1, 101)]
+    hot = [("b", 1, None)] * 90 + [("b", u, None) for u in range(2, 12)]
+    got = _ams(spark, flat + hot, tmp_path, "ams2")
+    assert got["a"]["f2_exact"] == 100
+    assert got["b"]["f2_exact"] == 90 * 90 + 10
+    # the ESTIMATE must reproduce the same ordering by a wide margin
+    assert got["b"]["f2_est"] > 10 * got["a"]["f2_est"]
