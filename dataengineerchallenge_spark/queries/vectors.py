@@ -2638,8 +2638,9 @@ _RRF_K = 60
 _RRF_LEG_N = 50
 _RRF_OUT = 10
 
-_RRF_ORACLE = f"""
-    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+# shared CTE chain: lexical + semantic legs and the fused frame — reused
+# verbatim by the eval oracle so both queries ride identical arithmetic
+_RRF_CTES = f"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
     stats AS (SELECT count(*)::DOUBLE AS n,
                      avg(len(string_split(text, ' ')))::DOUBLE AS avgdl FROM documents),
     dl AS (SELECT doc_id, len(string_split(text, ' '))::DOUBLE AS dl FROM documents),
@@ -2679,7 +2680,10 @@ _RRF_ORACLE = f"""
                + CASE WHEN sem.r IS NULL THEN 0.0 ELSE 1.0 / ({_RRF_K} + sem.r) END
              ) * 1000000) AS BIGINT) AS rrf_micropoints
       FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
-    )
+    )"""
+
+_RRF_ORACLE = f"""
+    WITH {_RRF_CTES}
     SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
            CAST(sem_rank AS BIGINT) AS sem_rank, rrf_micropoints
     FROM fused
@@ -2896,4 +2900,174 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         selected.append(nxt["doc_id"])
     return spark.createDataFrame(
         picks, "mmr_rank int, doc_id long, rel long, mmr_obj long"
+    )
+
+
+# 1/log2(i+1) rank discounts at ranks 1..10, pre-rounded to micropoints
+# and injected as LITERALS into both engines (the Benford-table
+# discipline: the discount curve is part of the metric's definition,
+# not something each engine re-derives with its own libm).
+_NDCG_DISC = {
+    1: 1000000, 2: 630930, 3: 500000, 4: 430677,
+    5: 386853, 6: 356207, 7: 333333, 8: 315465,
+    9: 301030, 10: 289065,
+}
+
+
+def _retrieval_eval_oracle() -> str:
+    disc = " UNION ALL ".join(
+        f"SELECT {r} AS rank, {d} AS disc" for r, d in _NDCG_DISC.items()
+    )
+    return f"""
+    WITH {_RRF_CTES},
+    rrf10 AS (
+      SELECT doc_id, row_number() OVER (ORDER BY rrf_micropoints DESC, doc_id) AS rank
+      FROM fused QUALIFY rank <= {_RRF_OUT}
+    ),
+    cos10 AS (
+      SELECT doc_id, r AS rank FROM sem WHERE r <= {_RRF_OUT}
+    ),
+    ranked AS (
+      SELECT 'cosine' AS method, doc_id, rank FROM cos10
+      UNION ALL SELECT 'rrf', doc_id, rank FROM rrf10
+    ),
+    seed AS (SELECT label FROM embeddings WHERE vec_id = 0),
+    rel AS (
+      SELECT e.vec_id AS doc_id,
+             CASE WHEN e.label = seed.label THEN 1 ELSE 0 END AS is_rel
+      FROM embeddings e CROSS JOIN seed WHERE e.vec_id != 0
+    ),
+    nrel AS (SELECT SUM(is_rel) AS n_rel FROM rel),
+    d AS ({disc}),
+    dcg AS (
+      SELECT r.method,
+             SUM(rl.is_rel) AS hits,
+             SUM(rl.is_rel * d.disc) AS dcg_mp
+      FROM ranked r JOIN rel rl ON rl.doc_id = r.doc_id
+      JOIN d ON d.rank = r.rank
+      GROUP BY r.method
+    ),
+    idcg AS (
+      SELECT SUM(d.disc) AS idcg_mp
+      FROM d CROSS JOIN nrel WHERE d.rank <= LEAST({_RRF_OUT}, nrel.n_rel)
+    )
+    SELECT dcg.method,
+           CAST(dcg.hits AS BIGINT) AS hits_at_10,
+           ROUND(dcg.hits / {_RRF_OUT}.0, 4) AS precision_at_10,
+           CAST(dcg.dcg_mp AS BIGINT) AS dcg_micropoints,
+           CAST(idcg.idcg_mp AS BIGINT) AS idcg_micropoints,
+           CAST(ROUND(dcg.dcg_mp * 1000000.0 / idcg.idcg_mp) AS BIGINT)
+             AS ndcg_micropoints
+    FROM dcg CROSS JOIN idcg
+    """
+
+
+@register("retrieval_eval_labels", oracle=_retrieval_eval_oracle())
+def retrieval_eval_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 eval closer — label-relevance evaluation of the retrieval
+    stack IN-ENGINE: precision@10 and nDCG@10 for the cosine leg and
+    the RRF fusion, with relevance = shares the seed document's label
+    (the standard proxy-relevance protocol when no human judgments
+    exist; `ann_recall_at_k` measures INTRINSIC fidelity vs exact
+    search — this measures EXTRINSIC usefulness vs ground truth, the
+    axis that tells you whether fusing the lexical leg helped or
+    hurt). The 1/log2(i+1) discount curve enters as a pre-rounded
+    micropoint LITERAL table shared by both engines (the Benford-table
+    discipline), DCG/IDCG are integer sums over it, and nDCG ships as
+    an integer micropoint ratio — the whole metric is exact bigint
+    arithmetic, no libm anywhere.
+
+    Scale shape: both system lists are <=10 rows, the relevance frame
+    is one broadcast label join, the metric a 20-row aggregate — free
+    at any corpus size; the expensive parts (the rankings) are the
+    already-vetted leg plans."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    from dataengineerchallenge_spark.queries.text import bm25_micropoints_frame
+
+    # semantic leg (shared construction with hybrid_search_rrf)
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cos = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(V.cosine(F.col("embedding"), F.col("q_emb")), 4).alias("c"),
+        )
+    )
+    sem = (
+        cos.withColumn(
+            "r", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("doc_id")))
+        )
+        .filter(F.col("r") <= _RRF_LEG_N)
+        .select("doc_id", F.col("r").alias("sem_r"))
+    )
+    cos10 = sem.filter(F.col("sem_r") <= _RRF_OUT).select(
+        F.lit("cosine").alias("method"), "doc_id", F.col("sem_r").alias("rank")
+    )
+    # fused list (same construction as hybrid_search_rrf)
+    bm = bm25_micropoints_frame(docs).filter(F.col("doc_id") != 0)
+    lex = (
+        bm.withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.desc("bm25_micropoints"), F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("r") <= _RRF_LEG_N)
+        .select("doc_id", F.col("r").alias("lex_r"))
+    )
+    rrf = (
+        F.when(F.col("lex_r").isNotNull(), F.lit(1.0) / (_RRF_K + F.col("lex_r"))).otherwise(F.lit(0.0))
+        + F.when(F.col("sem_r").isNotNull(), F.lit(1.0) / (_RRF_K + F.col("sem_r"))).otherwise(F.lit(0.0))
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(rrf * 1_000_000, 0).cast("bigint").alias("rrf_mp"),
+    )
+    rrf10 = (
+        fused.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("rrf_mp"), F.asc("doc_id"))),
+        )
+        .filter(F.col("rank") <= _RRF_OUT)
+        .select(F.lit("rrf").alias("method"), "doc_id", "rank")
+    )
+    ranked = cos10.union(rrf10)
+    seed = emb.filter(F.col("vec_id") == 0).select(F.col("label").alias("slabel"))
+    rel = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(seed))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.when(F.col("label") == F.col("slabel"), 1).otherwise(0).alias("is_rel"),
+        )
+    )
+    nrel = rel.agg(F.sum("is_rel").alias("n_rel"))
+    d = spark.createDataFrame(
+        [(r, v) for r, v in _NDCG_DISC.items()], "rank int, disc long"
+    )
+    dcg = (
+        ranked.join(rel, "doc_id")
+        .join(F.broadcast(d), "rank")
+        .groupBy("method")
+        .agg(
+            F.sum("is_rel").alias("hits"),
+            F.sum(F.col("is_rel") * F.col("disc")).alias("dcg_mp"),
+        )
+    )
+    idcg = (
+        d.crossJoin(F.broadcast(nrel))
+        .filter(F.col("rank") <= F.least(F.lit(_RRF_OUT), F.col("n_rel")))
+        .agg(F.sum("disc").alias("idcg_mp"))
+    )
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        "method",
+        F.col("hits").cast("long").alias("hits_at_10"),
+        F.round(F.col("hits") / float(_RRF_OUT), 4).alias("precision_at_10"),
+        F.col("dcg_mp").cast("long").alias("dcg_micropoints"),
+        F.col("idcg_mp").cast("long").alias("idcg_micropoints"),
+        F.round(F.col("dcg_mp") * 1000000.0 / F.col("idcg_mp"), 0)
+        .cast("bigint")
+        .alias("ndcg_micropoints"),
     )

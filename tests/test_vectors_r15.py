@@ -176,3 +176,45 @@ def test_mmr_skips_redundant_near_duplicates(spark, tmp_path):
     # pick 1 carries the no-redundancy sentinel; later picks a real obj
     assert all_rows[0]["mmr_obj"] == -1
     assert all(r["mmr_obj"] > 0 for r in all_rows[1:4])
+
+
+def test_retrieval_eval_closed_form(spark, tmp_path):
+    """Hand-computed precision/nDCG on a 4-candidate corpus where the
+    cosine ranking interleaves relevant and irrelevant docs."""
+    import os
+
+    # seed label 0; relevant docs 1,3 (label 0); irrelevant 2,4 (label 1)
+    embs = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0], 0),    # cos rank 1, relevant
+        (2, [0.95, 0.2, 0.0], 1),    # cos rank 2, irrelevant
+        (3, [0.9, 0.3, 0.0], 0),     # cos rank 3, relevant
+        (4, [0.0, 1.0, 0.0], 1),     # cos rank 4, irrelevant
+    ]
+    docs = [(i, "no query terms here", "en", "s", 19) for i in range(5)]
+    sf = os.path.join(str(tmp_path), "reval")
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "embeddings.parquet"))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+
+    from dataengineerchallenge_spark.queries.vectors import (
+        _NDCG_DISC,
+        retrieval_eval_labels,
+    )
+
+    got = {r["method"]: r for r in retrieval_eval_labels(spark, sf).collect()}
+    c = got["cosine"]
+    assert c["hits_at_10"] == 2 and c["precision_at_10"] == 0.2
+    # DCG: relevant at ranks 1 and 3; IDCG: 2 relevant -> ranks 1+2
+    assert c["dcg_micropoints"] == _NDCG_DISC[1] + _NDCG_DISC[3]
+    assert c["idcg_micropoints"] == _NDCG_DISC[1] + _NDCG_DISC[2]
+    assert c["ndcg_micropoints"] == round(
+        (_NDCG_DISC[1] + _NDCG_DISC[3]) * 1_000_000
+        / (_NDCG_DISC[1] + _NDCG_DISC[2])
+    )
+    # no doc contains the BM25 terms, so the rrf list reduces to the
+    # cosine leg's order: identical metrics
+    assert got["rrf"]["ndcg_micropoints"] == c["ndcg_micropoints"]
