@@ -564,3 +564,66 @@ def stream_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
             q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result
+
+
+@register(
+    "session_transition_matrix",
+    oracle=events_session_cte()
+    + """,
+pairs AS (
+  SELECT url AS from_type,
+         lead(url) OVER (PARTITION BY skey, session_id
+                         ORDER BY ts_s, ord) AS to_type
+  FROM sess
+),
+t AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+),
+r AS (SELECT from_type, SUM(n) AS tot FROM t GROUP BY from_type)
+SELECT t.from_type, t.to_type,
+       CAST(t.n AS BIGINT) AS n_transitions,
+       CAST(r.tot AS BIGINT) AS from_total,
+       CAST(ROUND(t.n * 1000000.0 / r.tot) AS BIGINT) AS p_micropoints
+FROM t JOIN r ON r.from_type = t.from_type
+""",
+)
+def session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2+ the session MARKOV TRANSITION MATRIX — the generalization of
+    every fixed funnel this repo runs (`conversion_funnel` asks about
+    ONE path; this estimates P(next event type | current) from all
+    consecutive within-session pairs, the first-order user-journey
+    model product analytics fits before talking about any specific
+    journey). Transitions never cross a session boundary (the 15-minute
+    gap restarts the chain — exactly the independence cut the Markov
+    assumption needs), ordering ties break on event_id, and
+    probabilities ship as integer micropoints of the row-normalized
+    count matrix — exact bigint end to end, sharing the repo's
+    canonical sessionize CTE on both engines.
+
+    Scale shape: the sessionizer's single (key)-exchange window, one
+    lead over the already-sorted frame (same window spec — no second
+    exchange), then a T^2-bounded aggregate (T = #event types) — the
+    transition matrix is KB-scale however big the fact table is."""
+    from dataengineerchallenge_spark.operators.sessionize import with_session_ids
+
+    ev = load_table(spark, sf_dir, "events")
+    s = with_session_ids(ev.select("user_id", "ts", "event_id", "event_type"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id", "session_id").orderBy("ts_s", "event_id")
+    pairs = s.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    r = t.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return t.join(r, "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n_transitions"),
+        F.col("tot").cast("long").alias("from_total"),
+        F.round(F.col("n") * 1000000.0 / F.col("tot"), 0)
+        .cast("bigint")
+        .alias("p_micropoints"),
+    )

@@ -194,3 +194,56 @@ def test_skew_safe_stitches_sessions_spanning_many_slices(spark):
     # the single-key frame really did span multiple slices
     n_slices = df.select((F.unix_timestamp("ts") / 1000).cast("long")).distinct().count()
     assert n_slices >= 5
+
+
+def test_session_transition_matrix_closed_form(spark, tmp_path):
+    """Hand-built journeys: transitions counted within sessions only
+    (the gap cut restarts the chain), rows normalize to 1e6."""
+    import datetime as dt
+    import os
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1, session 1: view -> view -> purchase
+        (1, t0, 1, "view", 0.0, "{}"),
+        (2, t0 + m, 1, "view", 0.0, "{}"),
+        (3, t0 + 2 * m, 1, "purchase", 0.0, "{}"),
+        # 20-minute gap: NEW session; the purchase->view pair must NOT count
+        (4, t0 + 22 * m, 1, "view", 0.0, "{}"),
+        (5, t0 + 23 * m, 1, "error", 0.0, "{}"),
+        # user 2: view -> purchase
+        (6, t0, 2, "view", 0.0, "{}"),
+        (7, t0 + m, 2, "purchase", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = os.path.join(str(tmp_path), "trans")
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    from dataengineerchallenge_spark.queries.sessions import (
+        session_transition_matrix,
+    )
+
+    got = {
+        (r["from_type"], r["to_type"]): r
+        for r in session_transition_matrix(spark, sf).collect()
+    }
+    # from view: view->view x1, view->purchase x2, view->error x1
+    assert got[("view", "view")]["n_transitions"] == 1
+    assert got[("view", "purchase")]["n_transitions"] == 2
+    assert got[("view", "error")]["n_transitions"] == 1
+    assert got[("view", "view")]["from_total"] == 4
+    assert got[("view", "purchase")]["p_micropoints"] == 500000
+    # the cross-session purchase->view pair is absent
+    assert ("purchase", "view") not in got
+    # rows normalize: per from_type the micropoints sum to ~1e6
+    from collections import defaultdict
+
+    sums = defaultdict(int)
+    for (f, _), r in got.items():
+        sums[f] += r["p_micropoints"]
+    for f, s_ in sums.items():
+        assert abs(s_ - 1_000_000) <= 2, (f, s_)
