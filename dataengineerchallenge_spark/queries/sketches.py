@@ -1026,3 +1026,102 @@ def ams_f2_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_err"
         ),
     )
+
+
+@register("stream_ams_f2", oracle=_ams_oracle())
+def stream_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE twin of ``ams_f2_user_frequency`` (fifth online sketch):
+    AMS is a LINEAR sketch — z(A+B) = z(A) + z(B) — so each micro-batch
+    contributes sign(user)*count directly from its RAW rows (no
+    per-batch dedup needed, unlike the KMV/HLL twins) and the drained
+    cells fold by plain addition, reconstructing the batch sketch
+    under any stream slicing; the estimator output shares the batch
+    oracle hash-for-hash. The exact-F2 comparison column folds the
+    same way: per-batch (type, user) count partials sum at drain —
+    counts are additive too, so exactness survives slicing."""
+    import shutil
+    import tempfile
+
+    from dataengineerchallenge_spark.functions.hashing import spark_u32
+
+    payload = _staged_event_type_user_stream(spark, sf_dir)
+    schema = spark.read.parquet(payload).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(payload)
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_graft_stream_ams_")
+    cells_dir, cnt_dir, ckpt = (
+        f"{scratch}/cells",
+        f"{scratch}/cnt",
+        f"{scratch}/ckpt",
+    )
+    j = spark.range(_AMS_D).select(F.col("id").cast("int").alias("j"))
+    bit = F.when(
+        F.col("j") < 32,
+        (F.col("h1") / F.pow(F.lit(2.0), F.col("j"))).cast("bigint") % 2,
+    ).otherwise(
+        (F.col("h2") / F.pow(F.lit(2.0), F.col("j") - 32)).cast("bigint") % 2
+    )
+
+    def update(mb: DataFrame, epoch_id: int) -> None:
+        h = mb.select(
+            "event_type",
+            F.expr(spark_u32("user_id")).alias("h1"),
+            F.expr(spark_u32("user_id || '~'")).alias("h2"),
+        )
+        cells = (
+            h.crossJoin(F.broadcast(j))
+            .select(
+                "event_type",
+                "j",
+                F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1)).alias("sc"),
+            )
+            .groupBy("event_type", "j")
+            .agg(F.sum("sc").alias("z"))
+        )
+        cells.write.mode("overwrite").parquet(f"{cells_dir}/epoch_id={epoch_id}")
+        mb.groupBy("event_type", "user_id").agg(
+            F.count(F.lit(1)).alias("c")
+        ).write.mode("overwrite").parquet(f"{cnt_dir}/epoch_id={epoch_id}")
+
+    q = (
+        sdf.writeStream.foreachBatch(update)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("stream ams did not drain availableNow input in 300s")
+        cells = (
+            spark.read.parquet(cells_dir)
+            .groupBy("event_type", "j")
+            .agg(F.sum("z").alias("z"))
+        )
+        est = cells.groupBy("event_type").agg(
+            (F.sum(F.col("z") * F.col("z")) / float(_AMS_D)).alias("f2_est")
+        )
+        f = (
+            spark.read.parquet(cnt_dir)
+            .groupBy("event_type", "user_id")
+            .agg(F.sum("c").alias("c"))
+        )
+        ex = f.groupBy("event_type").agg(
+            F.sum(F.col("c") * F.col("c")).alias("f2_exact")
+        )
+        out = ex.join(est, "event_type").select(
+            "event_type",
+            F.col("f2_exact").cast("long").alias("f2_exact"),
+            F.round("f2_est", 4).alias("f2_est"),
+            F.round(
+                F.abs(F.col("f2_est") - F.col("f2_exact")) / F.col("f2_exact"), 4
+            ).alias("rel_err"),
+        )
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(scratch, ignore_errors=True)
+    return result

@@ -398,3 +398,23 @@ def test_ams_f2_prices_skew_quadratically(spark, tmp_path):
     assert got["b"]["f2_exact"] == 90 * 90 + 10
     # the ESTIMATE must reproduce the same ordering by a wide margin
     assert got["b"]["f2_est"] > 10 * got["a"]["f2_est"]
+
+
+def test_stream_ams_equals_batch(spark):
+    """Linearity: summed per-epoch cells reconstruct the batch sketch
+    exactly, so the online estimate equals the batch query row-for-row."""
+    from tests.conftest import SF_SMOKE
+
+    from dataengineerchallenge_spark.queries.sketches import (
+        ams_f2_user_frequency,
+        stream_ams_f2,
+    )
+
+    batch = {
+        r["event_type"]: r.asDict()
+        for r in ams_f2_user_frequency(spark, SF_SMOKE).collect()
+    }
+    online = {
+        r["event_type"]: r.asDict() for r in stream_ams_f2(spark, SF_SMOKE).collect()
+    }
+    assert online == batch
