@@ -1606,3 +1606,93 @@ def sorted_neighborhood_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame
         "id_a", "id_b", "rank_gap", F.round("j", 4).alias("jaccard")
     )
 
+
+
+_CONTAINMENT_TAU_MP = 800000  # max-direction containment >= 0.8
+
+
+_CONTAINMENT_ORACLE = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s AS (SELECT doc_id,
+                 list_distinct([array_to_string(ws[i:i+2], ' ')
+                                FOR i IN range(1, len(ws)-1)]) AS sh
+          FROM t),
+    inv AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    cd AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+    sz AS (SELECT doc_id, len(sh) AS n FROM s),
+    m AS (
+      SELECT id_a, id_b,
+             CAST(cd.common AS BIGINT) AS common,
+             CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+             CAST(ROUND(cd.common * 1000000.0 / sa.n) AS BIGINT) AS cont_ab_mp,
+             CAST(ROUND(cd.common * 1000000.0 / sb.n) AS BIGINT) AS cont_ba_mp,
+             CAST(ROUND(cd.common * 1000000.0
+                        / (sa.n + sb.n - cd.common)) AS BIGINT) AS jaccard_mp
+      FROM cd
+      JOIN sz sa ON sa.doc_id = cd.id_a
+      JOIN sz sb ON sb.doc_id = cd.id_b
+    )
+    SELECT * FROM m
+    WHERE GREATEST(cont_ab_mp, cont_ba_mp) >= {_CONTAINMENT_TAU_MP}
+    """
+
+
+@register("doc_containment_pairs", oracle=_CONTAINMENT_ORACLE)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2+ ASYMMETRIC resemblance — shingle CONTAINMENT (Broder SEQUENCES
+    '97 defines both: resemblance = Jaccard, containment =
+    |A∩B| / |A|): the quote-inclusion detector Jaccard structurally
+    misses. A short document wholly quoted inside a long one has
+    containment ~1.0 in the short→long direction while Jaccard =
+    |A|/|B| can sit far below every near-dup threshold — exactly the
+    license-header / boilerplate-quotation / excerpt case a curation
+    pipeline must treat differently from symmetric near-duplication
+    (drop the copy vs trim the quote, cf. `dup_span_trim_docs`). Emits
+    both directions plus Jaccard for contrast, all as integer
+    micropoints over exact shingle-set counts; pairs qualify when the
+    max-direction containment >= 0.8.
+
+    Scale shape: identical inverted-index plan to `near_dup_jaccard`
+    (hash join on the shingle key, never a crossJoin; only co-shingled
+    pairs materialize) — containment reuses the same common-count
+    frame, the denominators are the per-doc set sizes already computed;
+    at 100 TB the banded/stop-shingle escapes of the Jaccard family
+    apply unchanged because the candidate generator is shared."""
+    from dataengineerchallenge_spark.operators.dedup import spread, word_shingles
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        F.col("doc_id").alias("_id"),
+        F.explode(word_shingles("text", 3)).alias("_sh"),
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"))
+    mp = lambda num, den: F.round(num * 1000000.0 / den, 0).cast("bigint")  # noqa: E731
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("common").cast("long").alias("common"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            mp(F.col("common"), F.col("n_a")).alias("cont_ab_mp"),
+            mp(F.col("common"), F.col("n_b")).alias("cont_ba_mp"),
+            mp(F.col("common"), F.col("n_a") + F.col("n_b") - F.col("common")).alias(
+                "jaccard_mp"
+            ),
+        )
+    )
+    return out.filter(
+        F.greatest("cont_ab_mp", "cont_ba_mp") >= _CONTAINMENT_TAU_MP
+    )

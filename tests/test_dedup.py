@@ -711,3 +711,34 @@ def test_prefix_jaccard_equals_plain_and_prunes(spark, qs):
     assert n_pref < n_plain
     # every emitted pair was a candidate (sanity on the pruning direction)
     assert n_pref >= len(pref)
+
+
+def test_containment_catches_what_jaccard_misses(spark, tmp_path):
+    """A short doc quoted verbatim inside a long one: containment
+    short->long ~ 1.0 while Jaccard sits far below the 0.5 near-dup
+    bar — the asymmetric case the rung exists for."""
+    import os
+
+    quote = " ".join(f"q{i}" for i in range(10))
+    filler = " ".join(f"f{i}" for i in range(90))
+    rows = [
+        (1, quote, "en", "s", len(quote)),
+        (2, filler + " " + quote, "en", "s", 90),
+        (3, "totally different words only", "en", "s", 28),
+    ]
+    sf = os.path.join(str(tmp_path), "cont")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+
+    from dataengineerchallenge_spark.queries.dedup import doc_containment_pairs
+
+    got = {(r["id_a"], r["id_b"]): r for r in doc_containment_pairs(spark, sf).collect()}
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    # doc1 has 8 shingles, all present in doc2 -> containment 1.0
+    assert r["common"] == 8 and r["n_a"] == 8
+    assert r["cont_ab_mp"] == 1000000
+    # Jaccard = 8 / (8 + 98 - 8) well under the 0.5 near-dup bar
+    assert r["jaccard_mp"] < 500000
+    assert r["cont_ba_mp"] < 500000
