@@ -250,6 +250,12 @@ per-row-bound 100 TB regime. Output parity exact, oracle hash green.
         sum(fresh_recalls) / len(fresh_recalls) if fresh_recalls else None
     )
 
+    # r15 retrieval stack: fusion + diversification + label eval
+    reval = {r["method"]: r for r in run("retrieval_eval_labels")}
+    mmr_rows = sorted(
+        ((r["mmr_rank"], r["doc_id"], r["rel"]) for r in run("mmr_diversified_topk")),
+    )
+
     # largest uniform/zipf crossover entries present (the artifact's
     # --sizes is configurable, so fixed-key lookups would crash on a
     # smaller-sizes run)
@@ -664,6 +670,31 @@ clusters — max pairwise cosine ≈ 0.6 — so these are honest worst-ish
 case recalls, not showcase numbers):
 
 {md_table(ann_rows, ["rung", "recall@10", "design point"])}
+
+### The retrieval stack end to end: fuse, diversify, evaluate (r15)
+
+On top of the ladder the repo now runs the serving-side stack: RRF
+fusion of the BM25 and cosine legs (`hybrid_search_rrf`), MMR
+diversification of the cosine pool (`mmr_diversified_topk`), and an
+in-engine label-relevance eval (`retrieval_eval_labels`) that prices
+the choices:
+
+{md_table([(m, r["hits_at_10"], r["precision_at_10"], r["ndcg_micropoints"] / 1e6) for m, r in sorted(reval.items())], ["method", "hits@10", "precision@10", "nDCG@10"])}
+
+nDCG here is exact bigint arithmetic (literal micropoint discount
+table), so the comparison is driver-verifiable, not a notebook number.
+The fixture supplies the NEGATIVE control and the eval reports it
+honestly: labels are weak clusters (max pairwise cosine ~0.6) and the
+fixed BM25 keywords carry no label signal at all, so fusing the
+lexical leg dilutes what little label relevance the cosine leg finds —
+precision drops, exactly what a sound eval must say. On a corpus where
+keywords correlate with relevance the same harness prices the fusion
+win; the point of the rung is that the decision is now measured
+in-engine either way.
+The MMR list re-ranks the same pool with the 7:3 integer objective —
+its top pick is doc {mmr_rows[0][1]} at rel {mmr_rows[0][2] / 10000:.4f},
+and every later pick trades relevance for distance from the already
+picked (the query-time mirror of corpus SemDeDup).
 
 Read bottom-up: `ivf_pq_serve_topk` returns EXACTLY the rows of
 `ivf_pq_adc_topk` (hash-identical, pinned in tests) while its executed
