@@ -1359,3 +1359,78 @@ def token_weighted_quality_percentiles(spark: SparkSession, sf_dir: str) -> Data
         f"stack({len(_TWQ_PCTS)}, {stack}) as "
         "(pct, doc_weighted_quality, token_weighted_quality)"
     )
+
+
+@register(
+    "lang_id_confusion",
+    oracle="""
+    WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+    lw AS (SELECT lang AS l, w, count(*)::DOUBLE AS c FROM tok GROUP BY lang, w),
+    ltot AS (SELECT lang AS l, count(*)::DOUBLE AS n FROM tok GROUP BY lang),
+    vocab AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM tok),
+    langs AS (SELECT DISTINCT lang AS l FROM documents),
+    scores AS (
+      SELECT t.doc_id, langs.l,
+             sum(ln((coalesce(lw.c, 0) + 1) / (ltot.n + vocab.v))) AS score
+      FROM tok t CROSS JOIN langs
+      LEFT JOIN lw ON lw.l = langs.l AND lw.w = t.w
+      JOIN ltot ON ltot.l = langs.l CROSS JOIN vocab
+      GROUP BY t.doc_id, langs.l
+    ),
+    pred AS (
+      SELECT doc_id, l AS pred_lang
+      FROM scores
+      QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, l) = 1
+    ),
+    cells AS (
+      SELECT d.lang AS true_lang, p.pred_lang, count(*) AS n_docs
+      FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+      GROUP BY d.lang, p.pred_lang
+    ),
+    rows_ AS (SELECT true_lang, SUM(n_docs) AS tot FROM cells GROUP BY true_lang)
+    SELECT c.true_lang, c.pred_lang,
+           CAST(c.n_docs AS BIGINT) AS n_docs,
+           CAST(r.tot AS BIGINT) AS class_total,
+           CAST(ROUND(c.n_docs * 1000000.0 / r.tot) AS BIGINT) AS share_mp,
+           CASE WHEN c.true_lang = c.pred_lang THEN 1 ELSE 0 END AS is_correct
+    FROM cells c JOIN rows_ r ON r.true_lang = c.true_lang
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4-eval the lang-id CONFUSION MATRIX in-engine — third member of
+    the r15 eval trio (forecast backtest for the load models, label
+    relevance for retrieval, this for the classifier): per
+    (true, predicted) cell counts with row-normalized shares, so the
+    diagonal rows read as per-class recall and every off-diagonal cell
+    names exactly which language pair the n-gram scorer confuses —
+    the artifact a curation pipeline inspects before trusting
+    `corpus_lang_quality_buckets`' partitions. Shares ship as integer
+    micropoints over exact counts; the predictions come from the SAME
+    scorer frame the hash-green `doc_lang_id` registers, so the eval
+    never drifts from what it evaluates.
+
+    Scale shape: the scorer's cost profile is doc_lang_id's (one token
+    explode, broadcast language model tables); the eval adds one
+    broadcast label join and an L^2-bounded aggregate — KB-scale at
+    any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = lang_id_frame(docs)
+    cells = (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    rows_ = cells.groupBy("true_lang").agg(F.sum("n_docs").alias("tot"))
+    return cells.join(rows_, "true_lang").select(
+        "true_lang",
+        "pred_lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("tot").cast("long").alias("class_total"),
+        F.round(F.col("n_docs") * 1000000.0 / F.col("tot"), 0)
+        .cast("bigint")
+        .alias("share_mp"),
+        F.when(F.col("true_lang") == F.col("pred_lang"), 1).otherwise(0).alias(
+            "is_correct"
+        ),
+    )

@@ -3071,3 +3071,89 @@ def retrieval_eval_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ndcg_micropoints"),
     )
+
+
+_HARDNEG_K = 5
+
+
+@register(
+    "ann_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding, label
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    pairs AS (
+      SELECT q.query_id, q.label AS query_label,
+             c.vec_id AS neg_id, c.label AS neg_label,
+             CAST(ROUND(list_cosine_similarity(q.embedding, c.embedding)
+                        * 10000) AS BIGINT) AS cos_bp
+      FROM q JOIN embeddings c
+        ON q.query_id != c.vec_id AND q.label != c.label
+    )
+    SELECT query_id, neg_id,
+           CAST(query_label AS BIGINT) AS query_label,
+           CAST(neg_label AS BIGINT) AS neg_label,
+           cos_bp,
+           CAST(rnk AS BIGINT) AS neg_rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_bp DESC, neg_id) AS rnk
+      FROM pairs)
+    WHERE rnk <= {_HARDNEG_K}
+    """,
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3-mine HARD-NEGATIVE MINING — the contrastive-training data op
+    (in-batch negatives are easy; what moves a retriever/embedder is
+    training against the CLOSEST wrong-label examples — the standard
+    dense-retrieval recipe popularized by DPR, Karpukhin et al.
+    EMNLP'20): for each designated query vector, the top-5 most-similar
+    embeddings whose label DIFFERS — near misses the model currently
+    confuses, emitted as (query, negative, labels, similarity, rank)
+    triplet fodder. Similarities land on the basis-point integer grid
+    with neg_id tie-break, so ranking is cross-engine exact.
+
+    Scale shape: the label-mismatch predicate rides the same
+    broadcast-query scan as `cosine_topk_exact` (the filter prunes
+    same-label candidates BEFORE the window), per-query top-k is the
+    Q-key window — one scan + one tiny-key exchange regardless of
+    corpus size; the production path swaps the exact scan for the
+    IVF-PQ serve rungs unchanged (mine from the index, re-rank exact:
+    the `ivf_pq_serve_rerank_topk` composition)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("query_label"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(
+            emb,
+            (F.col("query_id") != F.col("vec_id"))
+            & (F.col("query_label") != F.col("label")),
+        )
+        .select(
+            "query_id",
+            "query_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round(V.cosine(F.col("q_emb"), F.col("embedding")) * 10000, 0)
+            .cast("bigint")
+            .alias("cos_bp"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_bp"), F.asc("neg_id"))
+    return (
+        pairs.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= _HARDNEG_K)
+        .select(
+            "query_id",
+            "neg_id",
+            F.col("query_label").cast("long").alias("query_label"),
+            F.col("neg_label").cast("long").alias("neg_label"),
+            "cos_bp",
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+        )
+    )

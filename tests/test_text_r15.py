@@ -124,3 +124,45 @@ def test_token_weighted_percentiles_closed_form(spark, tmp_path):
     assert got[90] == (1.0, 1.0)
     # p25: doc rank 1 -> small; token threshold ceil(17.25)=18 -> big
     assert got[25] == (q_small, 1.0)
+
+
+def test_lang_id_confusion_diagonal_and_shares(spark):
+    """The confusion matrix must agree with doc_lang_id's predictions
+    joined to truth, rows normalize to 1e6, and the fixture's scorer
+    keeps a dominant diagonal."""
+    from tests.conftest import SF_SMOKE
+
+    from dataengineerchallenge_spark.queries.text import (
+        doc_lang_id,
+        lang_id_confusion,
+    )
+    from dataengineerchallenge_spark.sources.tables import load_table
+
+    cm = lang_id_confusion(spark, SF_SMOKE).collect()
+    # reconstruct from the registered predictor + truth
+    truth = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    from collections import Counter
+
+    want = Counter(
+        (truth[r["doc_id"]], r["pred_lang"])
+        for r in doc_lang_id(spark, SF_SMOKE).collect()
+    )
+    got = {(r["true_lang"], r["pred_lang"]): r["n_docs"] for r in cm}
+    assert got == dict(want)
+    # rows normalize to ~1e6 micropoints
+    from collections import defaultdict
+
+    sums = defaultdict(int)
+    for r in cm:
+        sums[r["true_lang"]] += r["share_mp"]
+    assert all(abs(v - 1_000_000) <= len(cm) for v in sums.values())
+    # diagonal dominance: every class's top cell is its own diagonal
+    best = {}
+    for r in cm:
+        cur = best.get(r["true_lang"])
+        if cur is None or r["n_docs"] > cur[1]:
+            best[r["true_lang"]] = (r["pred_lang"], r["n_docs"])
+    assert all(p == t for t, (p, _) in best.items())

@@ -218,3 +218,27 @@ def test_retrieval_eval_closed_form(spark, tmp_path):
     # no doc contains the BM25 terms, so the rrf list reduces to the
     # cosine leg's order: identical metrics
     assert got["rrf"]["ndcg_micropoints"] == c["ndcg_micropoints"]
+
+
+def test_hard_negatives_are_wrong_label_and_ranked(spark, tmp_path):
+    import os
+
+    embs = [
+        (0, [1.0, 0.0, 0.0], 0),      # query, label 0
+        (1, [0.99, 0.14, 0.0], 0),    # same label: must NOT appear
+        (2, [0.98, 0.2, 0.0], 1),     # hard negative (closest wrong)
+        (3, [0.7, 0.71, 0.0], 1),     # easier negative
+        (4, [0.0, 0.0, 1.0], 2),      # easy negative
+    ]
+    sf = os.path.join(str(tmp_path), "hneg")
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "embeddings.parquet"))
+    from dataengineerchallenge_spark.queries.vectors import ann_hard_negatives
+
+    rows = [r for r in ann_hard_negatives(spark, sf).collect() if r["query_id"] == 0]
+    rows.sort(key=lambda r: r["neg_rank"])
+    ids = [r["neg_id"] for r in rows]
+    assert ids == [2, 3, 4]  # same-label doc 1 excluded, hardness order kept
+    assert all(r["neg_label"] != r["query_label"] for r in rows)
+    assert rows[0]["cos_bp"] > rows[1]["cos_bp"] > rows[2]["cos_bp"]
