@@ -1345,3 +1345,89 @@ def copurchase_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", "dst"
     )
     return truss(canon, k=_TRUSS_K, iters=_TRUSS_ITERS)
+
+
+@register(
+    "copurchase_clustering_coefficient",
+    oracle="""
+    WITH e0 AS (
+      SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
+             GREATEST(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    und AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
+    tri AS (
+      SELECT x.u AS a, x.v AS b, y.v AS c
+      FROM e0 x JOIN e0 y ON x.u = y.u AND x.v < y.v
+      JOIN e0 z ON z.u = x.v AND z.v = y.v
+    ),
+    tn AS (
+      SELECT node, count(*) AS t FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) GROUP BY node
+    )
+    SELECT deg.node AS part_key,
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(tn.t, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.d >= 2
+                THEN CAST(ROUND(COALESCE(tn.t, 0) * 2000000.0
+                                / (deg.d * (deg.d - 1))) AS BIGINT)
+                ELSE -1 END AS cc_micropoints
+    FROM deg LEFT JOIN tn ON tn.node = deg.node
+    """,
+)
+def copurchase_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2+ LOCAL CLUSTERING COEFFICIENT (Watts & Strogatz, Nature 1998
+    — the canonical graph metric) over the support>=2 co-purchase
+    graph, SERVED from the staged edge store: cc(v) = 2T(v) /
+    (d(v)(d(v)-1)) — the fraction of a node's neighbor pairs that are
+    themselves connected, normalizing the raw triangle counts the G2
+    rung emits into the comparable [0,1] 'how clique-like is this
+    product's neighborhood' score (degree-1 nodes carry the -1
+    sentinel: the coefficient is undefined with fewer than one neighbor
+    pair). Ships as integer micropoints over exact triangle/degree
+    counts — bigint end to end; the Spark side reuses the
+    degree-oriented `triangle_counts` operator (per-node counts are
+    orientation-invariant, so the raw-id oracle matches — the G2
+    argument).
+
+    Scale shape: the staged edge scan + triangle_counts' bounded wedge
+    plan + one degree aggregate and a left join — no new shuffle shape
+    beyond the G2 rung it normalizes."""
+    from dataengineerchallenge_spark.operators.graph import triangle_counts
+
+    root = _staged_copurchase_edges(spark, sf_dir)
+    sym = spark.read.parquet(f"{root}/sym")
+    canon = sym.filter((F.col("wr") >= 2) & (F.col("src") < F.col("dst"))).select(
+        "src", "dst"
+    )
+    und = canon.union(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    tn = triangle_counts(canon)
+    cc = F.when(
+        F.col("d") >= 2,
+        F.round(
+            F.coalesce("n_triangles", F.lit(0))
+            * 2000000.0
+            / (F.col("d") * (F.col("d") - 1)),
+            0,
+        ).cast("bigint"),
+    ).otherwise(F.lit(-1).cast("bigint"))
+    return (
+        deg.join(tn, "node", "left")
+        .select(
+            F.col("node").alias("part_key"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            cc.alias("cc_micropoints"),
+        )
+    )

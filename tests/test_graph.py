@@ -676,3 +676,44 @@ def test_truss_rejects_bad_args(spark):
         truss(df, k=2)
     with pytest.raises(ValueError):
         truss(df, iters=0)
+
+
+def test_clustering_coefficient_closed_forms(spark, tmp_path):
+    """K4 has cc 1.0 everywhere; a star's hub has cc 0; a pendant node
+    carries the undefined sentinel — via a synthetic lineitem fixture so
+    the registered query (not just an operator) is exercised."""
+    import os
+
+    # orders as cliques: order 1 buys parts 1-4 twice (support >= 2 K4);
+    # order 3 adds part 5 bought with part 1 twice (pendant on the K4)
+    rows = []
+    oid = 0
+    for _ in range(2):  # twice -> every pair reaches support 2
+        oid += 1
+        rows += [(oid, p) for p in (1, 2, 3, 4)]
+    for _ in range(2):
+        oid += 1
+        rows += [(oid, 1), (oid, 5)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    sf = os.path.join(str(tmp_path), "cc")
+    df.write.mode("overwrite").parquet(os.path.join(sf, "lineitem.parquet"))
+    # the staged store also reads orders.parquet for its content tag
+    spark.createDataFrame(
+        [(i, 1) for i in range(1, oid + 1)], "o_orderkey long, o_custkey long"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "orders.parquet"))
+    from dataengineerchallenge_spark.queries.graph import (
+        copurchase_clustering_coefficient,
+    )
+
+    got = {
+        r["part_key"]: r
+        for r in copurchase_clustering_coefficient(spark, sf).collect()
+    }
+    # parts 2,3,4: neighbors {1,+2 others} all connected -> cc 1.0
+    for p in (2, 3, 4):
+        assert got[p]["cc_micropoints"] == 1000000, got[p]
+    # part 1: degree 4 (2,3,4,5), triangles 3 (within K4) -> 2*3/(4*3)=0.5
+    assert got[1]["degree"] == 4 and got[1]["n_triangles"] == 3
+    assert got[1]["cc_micropoints"] == 500000
+    # pendant part 5: degree 1 -> undefined sentinel
+    assert got[5]["cc_micropoints"] == -1
