@@ -148,3 +148,42 @@ def test_forecast_backtest_closed_form(spark, tmp_path):
     # diffs 1,1,1 then the 4->1 drop of 3: per 4 hours sum = 6, MAE 1.5
     assert got["naive"]["mae"] == 1.5
     assert got["naive"]["mase_vs_naive"] == 1.0
+
+
+def test_autocorrelation_detects_daily_cycle(spark, tmp_path):
+    """A perfectly daily-periodic series: acf(24) = 1.0 exactly; acf(1)
+    far below; and a constant-rate series has an undefined/zero-variance
+    guard exercised by construction (non-constant here)."""
+    import datetime as dt
+    import os
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(5):
+        for hour in range(24):
+            for _ in range((hour % 6) + 1):
+                rows.append(
+                    (eid, base + dt.timedelta(days=day, hours=hour, minutes=1),
+                     1, "view", 1.0, "{}")
+                )
+                eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = os.path.join(str(tmp_path), "acf")
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    from dataengineerchallenge_spark.queries.analytics import (
+        hourly_load_autocorrelation,
+    )
+
+    got = {
+        r["lag"]: r for r in hourly_load_autocorrelation(spark, sf).collect()
+    }
+    assert got[24]["acf_micropoints"] == 1000000  # exact daily period
+    assert got[24]["n_pairs"] == 5 * 24 - 24
+    assert got[1]["acf_micropoints"] < 900000  # the hour-to-hour saw decays
+    # 5-day series has no 168h pairs... it does: 120 - 168 < 0 -> absent
+    assert 168 not in got
