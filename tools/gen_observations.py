@@ -435,6 +435,22 @@ micro-batch, with stream-vs-batch row parity pinned in pytest.
     for r in cc:
         comp_sizes[r["component"]] = comp_sizes.get(r["component"], 0) + 1
     cc_biggest = max(comp_sizes.values()) if comp_sizes else 0
+    # r15 density-bench note (artifact-gated like the other BENCH sections)
+    density_note = ""
+    if graph_bench and "density_4000000" in graph_bench.get("results", {}):
+        dres = graph_bench["results"]["density_4000000"]
+        pr4 = graph_bench["results"]["pr_4000000"]["persisted_s"]
+        density_note = (
+            "  The prune-first payoff is MEASURED, not asserted (BENCH_graph\n"
+            f"  density rungs): at 4M synthetic edges the core>=p90 screen keeps\n"
+            f"  {dres['prune_ratio']:.0%} of edges but PageRank-on-pruned only drops\n"
+            f"  {pr4} s -> {dres['pr_pruned_s']} s — per-iteration fixed costs\n"
+            "  dominate at this size; the prune pays where edge volume dominates\n"
+            "  iteration cost, i.e. the 100 TB regime."
+        )
+    # r15 time-series readout: seasonality strength + baseline backtest
+    acf = {r["lag"]: r["acf_micropoints"] / 1e6 for r in run("hourly_load_autocorrelation")}
+    fbt = {r["model"]: r for r in run("forecast_backtest_hourly_load")}
     # r15 density axes: node coreness + edge trussness + walk corpus
     core = run("copurchase_coreness")
     core_hist: dict[int, int] = {}
@@ -522,6 +538,16 @@ trade-off; pick the knee where session count stabilizes but durations
 have not yet fused distinct visits:
 
 {md_table([(r["gap_s"], r["n_sessions"], r["avg_session_s"], r["avg_hits_per_session"], r["single_hit_share"]) for r in gap_rows], ["gap (s)", "sessions", "avg duration (s)", "avg hits", "single-hit share"])}
+
+### Is the event load seasonal? (measured, then priced)
+
+The autocorrelation of the gap-filled hourly event series
+(`hourly_load_autocorrelation`, integer-moment Pearson r):
+acf(1) = {acf.get(1, float("nan")):.3f}, acf(24) = {acf.get(24, float("nan")):.3f}{f", acf(168) = {acf[168]:.3f}" if 168 in acf else ""}.
+The backtest (`forecast_backtest_hourly_load`) prices what that is
+worth: seasonal-naive MAE {fbt["seasonal_naive"]["mae"]} vs naive
+{fbt["naive"]["mae"]} (MASE {fbt["seasonal_naive"]["mase_vs_naive"]}).
+{"A MASE clearly below 1 says the daily cycle is real and exploitable — any learned forecaster must beat the seasonal row, not the naive one." if fbt["seasonal_naive"]["mase_vs_naive"] < 0.95 else "MASE ~1 and near-zero autocorrelation at every lag say this fixture's generator draws load i.i.d. — an honest negative: there is no daily cycle to exploit, beating plain naive IS the bar for any learned forecaster here, and a model claiming a big win over it should be suspected of leakage."}
 
 ## 3. Traffic shape
 
@@ -654,6 +680,7 @@ local clustering and reachability, every query oracle-checked:
   (every bridge edge dies in round one regardless of endpoint degree).
   Pruning to the max-core/truss FIRST is the classic way to run
   expensive graph analytics on the load-bearing subgraph only.
+{density_note}
 
 {"PageRank itself is benched (`BENCH_graph.json`): the loop-invariant persist loses " + str(round((1 - graph_bench["results"]["pr_1000000"]["persist_speedup"]) * 100)) + "% at 1M pre-materialized edges and wins " + str(graph_bench["results"][f"pr_{graph_bench['edge_sizes'][-1]}"]["persist_speedup"]) + "x at " + f"{graph_bench['edge_sizes'][-1]:,}" + " — the crossover every iterative-join operator should publish." if graph_bench else ""}
 
