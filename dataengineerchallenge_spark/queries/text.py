@@ -578,6 +578,141 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_bpe(docs, merges, "text", "doc_id")
 
 
+_BPE_MERGES = 16
+
+
+def _bpe_oracle_prefix(n_merges: int) -> str:
+    """Unrolled greedy BPE training chain as MATERIALIZED CTEs (the
+    HITS/LPA/coreness discipline): w0 is the (word, freq, syms) table;
+    each round k explodes symbol positions (p{k}), picks the argmax pair
+    with the same (freq DESC, lhs ASC, rhs ASC) tie-break the Spark
+    trainer uses (t{k}), marks greedy-left non-overlapping candidate
+    positions — within a run of consecutive candidates (only possible
+    when lhs == rhs) exactly the odd-ranked ones merge, the positional
+    twin of the fold in operators/bpe.py:_merge_pair_in_syms — (c{k},
+    k{k}), and rebuilds the symbol lists (w{k}). All integer/string, so
+    the chain hash-checks round-for-round."""
+    steps = []
+    for k in range(1, n_merges + 1):
+        steps.append(
+            f"""p{k} AS MATERIALIZED (
+      SELECT word, freq, i, syms[i] AS s,
+             CASE WHEN i < len(syms) THEN syms[i+1] END AS s2
+      FROM w{k - 1}, UNNEST(generate_series(1, len(syms))) AS t(i)
+    ), t{k} AS MATERIALIZED (
+      SELECT s AS lhs, s2 AS rhs, CAST(SUM(freq) AS BIGINT) AS pair_freq
+      FROM p{k} WHERE s2 IS NOT NULL
+      GROUP BY s, s2
+      ORDER BY pair_freq DESC, lhs ASC, rhs ASC LIMIT 1
+    ), c{k} AS MATERIALIZED (
+      SELECT p.word, p.i,
+             p.i - row_number() OVER (PARTITION BY p.word ORDER BY p.i) AS grp
+      FROM p{k} p, t{k} t WHERE p.s = t.lhs AND p.s2 = t.rhs
+    ), k{k} AS MATERIALIZED (
+      SELECT word, i FROM (
+        SELECT word, i,
+               row_number() OVER (PARTITION BY word, grp ORDER BY i) AS rn
+        FROM c{k}) WHERE rn % 2 = 1
+    ), w{k} AS MATERIALIZED (
+      SELECT p.word, p.freq,
+             list(CASE WHEN m.i IS NOT NULL THEN p.s || p.s2 ELSE p.s END
+                  ORDER BY p.i) AS syms
+      FROM p{k} p
+      LEFT JOIN k{k} m ON p.word = m.word AND p.i = m.i
+      LEFT JOIN k{k} x ON p.word = x.word AND p.i = x.i + 1
+      WHERE x.i IS NULL
+      GROUP BY p.word, p.freq
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""WITH wf AS MATERIALIZED (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) > 0 GROUP BY w
+    ), w0 AS MATERIALIZED (
+      SELECT word, freq, list_append(string_split(word, ''), '</w>') AS syms
+      FROM wf
+    ),
+    {chain}"""
+
+
+def _bpe_merge_table_oracle(n_merges: int) -> str:
+    sel = "\n      UNION ALL ".join(
+        f"SELECT {k - 1} AS merge_rank, lhs, rhs, lhs || rhs AS merged,"
+        f" pair_freq FROM t{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return _bpe_oracle_prefix(n_merges) + f"\n    {sel}"
+
+
+def _bpe_token_counts_oracle(n_merges: int) -> str:
+    return (
+        _bpe_oracle_prefix(n_merges)
+        + f""",
+    nt AS MATERIALIZED (
+      SELECT word, CAST(len(syms) AS BIGINT) AS n_tok FROM w{n_merges}
+    )
+    SELECT doc_id,
+           CAST(SUM(n.n_tok) AS BIGINT) AS n_bpe_tokens,
+           CAST(count(*) AS BIGINT) AS n_ws_tokens
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents) t
+    JOIN nt n USING (word)
+    WHERE len(t.word) > 0
+    GROUP BY doc_id"""
+    )
+
+
+@register("bpe_merge_table_explicit", oracle=_bpe_merge_table_oracle(_BPE_MERGES))
+def bpe_merge_table_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 tokenizer training, HASH-GREEN twin of ``bpe_merge_table``: the
+    identical 16-merge greedy chain (operators/bpe.py:train_bpe — max
+    pair frequency, ties broken lexicographically on (lhs, rhs)), but
+    oracled by an unrolled MATERIALIZED-CTE replay of the same rounds:
+    per round the oracle re-derives the argmax pair FROM THE DATA and
+    re-applies the greedy-left rewrite positionally (runs of consecutive
+    candidates — only when lhs == rhs — merge at odd ranks, exactly the
+    fold semantics). This upgrades the only deterministic rows-only text
+    family to a value-hash check: the merge table is a pure function of
+    the corpus, so both engines must agree symbol-for-symbol.
+
+    Scale: training cost is one corpus-wide word-frequency shuffle; the
+    16 merge rounds iterate on the distinct-word table (KB-scale here,
+    MB-scale at 100 TB) with a 1-row argmax collect per round — the same
+    driver-side stance as an MLlib fit."""
+    from dataengineerchallenge_spark.operators.bpe import train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", n_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["left"], m["right"], m["merged"], m["pair_freq"])
+            for m in merges
+        ],
+        "merge_rank int, lhs string, rhs string, merged string, pair_freq bigint",
+    )
+
+
+@register("bpe_token_counts_explicit", oracle=_bpe_token_counts_oracle(_BPE_MERGES))
+def bpe_token_counts_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 tokenizer applied, HASH-GREEN twin of ``bpe_token_counts``:
+    per-document BPE token counts under the 16-merge vocabulary, oracled
+    end-to-end — the unrolled training replay (see
+    ``bpe_merge_table_explicit``) feeds a word → token-count join that
+    re-aggregates per document. Train → apply is now value-checked as
+    one composed pipeline, the budget-in-real-tokens primitive sequence
+    packing needs.
+
+    Scale: apply is a broadcast join of the rewritten distinct-word
+    table onto one exploded corpus pass (operators/bpe.py:apply_bpe) —
+    corpus bytes are touched exactly once."""
+    from dataengineerchallenge_spark.operators.bpe import apply_bpe, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", n_merges=_BPE_MERGES)
+    return apply_bpe(docs, merges, "text", "doc_id")
+
+
 @register(
     "bm25_keyword_search",
     oracle="""
