@@ -1294,27 +1294,63 @@ def sorted_neighborhood_pairs(
     n*window candidate budget, skew-free by construction (a hash block
     can be arbitrarily large; a rank window cannot).
 
-    Scale shape: the global rank is NOT a single-partition window — the
-    frame is range-partitioned on (key, id) [the id tiebreak makes the
-    order total, so ranks are deterministic], ranked WITHIN partitions,
-    and per-partition ranks are lifted to global ones by adding each
-    partition's cumulative predecessor count (a p-row offset frame,
-    broadcast back). Candidates come from an equi-join of rank against
-    an exploded rank+1..rank+window sequence — one shuffle on an
+    Scale shape: the global rank comes from ``two_level_global_rank``
+    (range-partition → local rank → broadcast offset lift — never a
+    single-partition window). Candidates come from an equi-join of rank
+    against an exploded rank+1..rank+window sequence — one shuffle on an
     integer key with fanout exactly ``window``, never a cross join.
     The only sub-distributed steps touch p rows (one per partition).
     """
+    keyed = df.select(F.col(id_col).alias("_id"), key.alias("_k"))
+    ranked = two_level_global_rank(keyed, ["_k", "_id"], n_ranges).select(
+        "_id", "_rn"
+    )
+    probes = ranked.select(
+        F.col("_id").alias("id_a"),
+        F.explode(
+            F.sequence(F.col("_rn") + 1, F.col("_rn") + F.lit(window))
+        ).alias("_rn_b"),
+        F.col("_rn").alias("_rn_a"),
+    )
+    return probes.join(
+        ranked.select(F.col("_id").alias("id_b"), F.col("_rn").alias("_rn_b")),
+        "_rn_b",
+    ).select("id_a", "id_b", (F.col("_rn_b") - F.col("_rn_a")).alias("rank_gap"))
+
+
+def two_level_global_rank(
+    df: DataFrame, sort_cols: list[str], n_ranges: int = 32
+) -> DataFrame:
+    """Deterministic global row rank over a TOTAL order without a
+    single-partition window: range-partition on the sort columns, rank
+    within partitions, lift local ranks to global ones by adding each
+    partition's cumulative predecessor count (a p-row offset frame,
+    broadcast back). The caller must make the order total (include a
+    unique tiebreak column) or ranks are nondeterministic.
+
+    Returns the input columns plus ``_rn`` (1-based global rank). The
+    only sub-distributed step touches p rows (one per partition) — the
+    backbone shared by sorted-neighborhood blocking and the suffix-order
+    span dedup.
+
+    The locally-ranked frame is localCheckpoint-ed (lazily) before the
+    offset aggregate and the lift join both consume it: range-boundary
+    SAMPLING is re-drawn per subtree evaluation (RangePartitioner seeds
+    from the instantiated RDD id), so without the cut the offsets can be
+    computed against different partition boundaries than the pids they
+    are joined back to — ranks silently misalign. Found by the suffix
+    span pass (rank-adjacency is exquisitely sensitive to it); the fix
+    also makes all downstream consumers of the returned frame read ONE
+    materialized rank assignment."""
     from pyspark.sql import Window
 
-    keyed = df.select(F.col(id_col).alias("_id"), key.alias("_k"))
-    parted = keyed.repartitionByRange(n_ranges, "_k", "_id").withColumn(
+    parted = df.repartitionByRange(n_ranges, *sort_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
     local = parted.withColumn(
         "_lrn",
-        F.row_number().over(Window.partitionBy("_pid").orderBy("_k", "_id")),
-    )
-    # p-row offset frame: rows strictly before each partition
+        F.row_number().over(Window.partitionBy("_pid").orderBy(*sort_cols)),
+    ).localCheckpoint(eager=False)
     offsets = (
         local.groupBy("_pid")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -1331,17 +1367,169 @@ def sorted_neighborhood_pairs(
         )
         .select("_pid", "_off")
     )
-    ranked = local.join(F.broadcast(offsets), "_pid").select(
-        "_id", (F.col("_lrn") + F.col("_off")).alias("_rn")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("_rn", F.col("_lrn") + F.col("_off"))
+        .drop("_pid", "_lrn", "_off")
     )
-    probes = ranked.select(
-        F.col("_id").alias("id_a"),
+
+
+def _word_lcp(a: Column, b: Column) -> Column:
+    """Word-level longest-common-prefix of two string arrays, JVM-side:
+    zip_with pads the shorter array with nulls and eqNullSafe maps the
+    padded tail to false, so the first ``false`` position IS the LCP+1;
+    array_position returns 0 when absent (arrays equal), in which case
+    the LCP is the common length."""
+    zw = F.zip_with(a, b, lambda x, y: x.eqNullSafe(y))
+    p = F.array_position(zw, F.lit(False))
+    return F.when(p == 0, F.least(F.size(a), F.size(b))).otherwise(p - 1)
+
+
+def suffix_dup_span_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 4,
+    key_words: int = 24,
+    n_ranges: int = 32,
+) -> DataFrame:
+    """MAXIMAL duplicated-substring spans via distributed suffix
+    grouping — the exact half of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better", the ExactSubstr side),
+    re-expressed for Spark at word granularity: every word position
+    whose suffix shares a >= ``min_len``-word prefix with a suffix of a
+    DIFFERENT document starts a duplicated span; overlapping spans merge
+    into maximal extents. Unlike the fixed-n gram pass
+    (``dup_span_doc_frame``), span boundaries are exact: a duplicated
+    run of 4 words is found even though every 5-gram covering it is
+    unique (the case the fixed pass clips), and the reported
+    (start, end) is the true maximal extent, not a union of gram
+    windows.
+
+    Plan (suffix array order without a suffix array):
+    - per-doc suffix keys truncated to ``key_words`` words (sequence →
+      slice, JVM-side). Truncation is LOSSLESS for span extents: any
+      true span of length m >= min_len marks every start s <= end-min_len
+      with an interval reaching min(s+key_words, end), and consecutive
+      marked starts chain, so the per-doc interval merge reconstructs
+      [start, end) exactly for every key_words >= min_len.
+    - global suffix rank via ``two_level_global_rank`` over
+      (key, doc, pos) — the sorted-neighborhood backbone, never a
+      single-partition sort;
+    - adjacent-rank LCPs from two integer-key self-joins (rank±1);
+    - each suffix's best CROSS-DOC match = max of two segmented running
+      mins of adjacent LCPs within its consecutive same-doc run (the
+      suffix-array identity LCP(i,j) = min of adjacent LCPs between
+      them; the nearest differing-doc neighbor maximizes it, and the
+      run boundary is exactly where the nearest differing-doc row sits).
+      Sentinel -1 at the global ends keeps nulls out of the mins.
+    - intervals [pos, pos+match) merge per doc (window islands on the
+      running max end) into maximal spans.
+
+    100 TB honesty: materializing truncated suffix keys multiplies
+    corpus bytes by ~key_words — that is the trade vs a true
+    disk-resident suffix array; the budget is explicit (key_words) and
+    every stage is a range shuffle, an int-key join, or a per-doc
+    window, so the plan survives scale-out even though the byte
+    multiplier is real. Returns (id_col, span_start, span_end exclusive,
+    span_len), word positions 0-based."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_ws")
+    )
+    sfx = base.select(
+        "_id",
         F.explode(
-            F.sequence(F.col("_rn") + 1, F.col("_rn") + F.lit(window))
-        ).alias("_rn_b"),
-        F.col("_rn").alias("_rn_a"),
+            F.transform(
+                F.sequence(F.lit(0), F.size("_ws") - 1),
+                lambda p: F.struct(
+                    p.cast("int").alias("pos"),
+                    F.slice("_ws", p + 1, key_words).alias("sarr"),
+                ),
+            )
+        ).alias("_s"),
+    ).select(
+        "_id",
+        F.col("_s.pos").alias("pos"),
+        F.col("_s.sarr").alias("sarr"),
+        F.concat_ws(" ", F.col("_s.sarr")).alias("_skey"),
     )
-    return probes.join(
-        ranked.select(F.col("_id").alias("id_b"), F.col("_rn").alias("_rn_b")),
-        "_rn_b",
-    ).select("id_a", "id_b", (F.col("_rn_b") - F.col("_rn_a")).alias("rank_gap"))
+    # one more lazy cut: the ranked frame feeds THREE subtrees (itself
+    # plus the rank±1 neighbor projections) — all must read one rank
+    # assignment, and the suffix explode + range shuffle run once.
+    ranked = (
+        two_level_global_rank(sfx, ["_skey", "_id", "pos"], n_ranges)
+        .drop("_skey")
+        .localCheckpoint(eager=False)
+    )
+    prev = ranked.select(
+        (F.col("_rn") + 1).alias("_rn"), F.col("sarr").alias("_psarr")
+    )
+    nxt = ranked.select(
+        (F.col("_rn") - 1).alias("_rn"), F.col("sarr").alias("_nsarr")
+    )
+    adj = (
+        ranked.join(prev, "_rn", "left")
+        .join(nxt, "_rn", "left")
+        .select(
+            "_id",
+            "pos",
+            "_rn",
+            F.when(F.col("_psarr").isNull(), F.lit(-1))
+            .otherwise(_word_lcp(F.col("_psarr"), F.col("sarr")))
+            .cast("int")
+            .alias("_alcp"),
+            F.when(F.col("_nsarr").isNull(), F.lit(-1))
+            .otherwise(_word_lcp(F.col("sarr"), F.col("_nsarr")))
+            .cast("int")
+            .alias("_nlcp"),
+        )
+    )
+    adj = adj.withColumn(
+        "_runid",
+        F.col("_rn") - F.row_number().over(Window.partitionBy("_id").orderBy("_rn")),
+    )
+    w_up = (
+        Window.partitionBy("_id", "_runid")
+        .orderBy("_rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_dn = (
+        Window.partitionBy("_id", "_runid")
+        .orderBy("_rn")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    iv = (
+        adj.select(
+            "_id",
+            "pos",
+            F.greatest(
+                F.min("_alcp").over(w_up), F.min("_nlcp").over(w_dn)
+            ).alias("_mlen"),
+        )
+        .filter(F.col("_mlen") >= min_len)
+        .select(
+            "_id",
+            F.col("pos").alias("_s"),
+            (F.col("pos") + F.col("_mlen")).alias("_e"),
+        )
+    )
+    w_doc = Window.partitionBy("_id").orderBy("_s", "_e")
+    pmax = F.max("_e").over(w_doc.rowsBetween(Window.unboundedPreceding, -1))
+    islands = iv.withColumn(
+        "_island",
+        F.sum(
+            F.when(F.col("_s") > F.coalesce(pmax, F.lit(-1)), 1).otherwise(0)
+        ).over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("_id", "_island")
+        .agg(F.min("_s").alias("_start"), F.max("_e").alias("_end"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_start").cast("int").alias("span_start"),
+            F.col("_end").cast("int").alias("span_end"),
+            (F.col("_end") - F.col("_start")).cast("int").alias("span_len"),
+        )
+    )

@@ -1696,3 +1696,108 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(
         F.greatest("cont_ab_mp", "cont_ba_mp") >= _CONTAINMENT_TAU_MP
     )
+
+
+_SUFFIX_SPAN_MIN = 4
+_SUFFIX_KEY_WORDS = 24
+
+
+def _suffix_span_oracle(min_len: int, key_words: int) -> str:
+    """DuckDB replay of the suffix-order span pass: truncated suffix
+    keys, lag/lead neighbors in (key, doc, pos) order, word-level LCPs
+    (NULLIF guards list_position's 0-when-absent), segmented running
+    mins within consecutive same-doc runs, per-doc interval merge."""
+
+    def lcp(a: str, b: str) -> str:
+        return (
+            f"COALESCE(NULLIF(list_position(list_transform("
+            f"generate_series(1, least(len({a}), len({b}))),"
+            f" i -> {a}[i] = {b}[i]), false), 0) - 1,"
+            f" least(len({a}), len({b})))"
+        )
+
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sfx AS MATERIALIZED (
+      SELECT doc_id, i - 1 AS pos, ws[i : i + {key_words - 1}] AS sarr,
+             array_to_string(ws[i : i + {key_words - 1}], ' ') AS skey
+      FROM t, UNNEST(generate_series(1, len(ws))) AS u(i)),
+    ord AS MATERIALIZED (
+      SELECT doc_id, pos, sarr,
+             row_number() OVER (ORDER BY skey, doc_id, pos) AS rn,
+             lag(sarr)  OVER (ORDER BY skey, doc_id, pos) AS psarr,
+             lead(sarr) OVER (ORDER BY skey, doc_id, pos) AS nsarr
+      FROM sfx),
+    lcps AS MATERIALIZED (
+      SELECT doc_id, pos, rn,
+             CASE WHEN psarr IS NULL THEN -1
+                  ELSE {lcp("psarr", "sarr")} END AS alcp,
+             CASE WHEN nsarr IS NULL THEN -1
+                  ELSE {lcp("sarr", "nsarr")} END AS nlcp
+      FROM ord),
+    runs AS MATERIALIZED (
+      SELECT *, rn - row_number() OVER (PARTITION BY doc_id ORDER BY rn)
+                AS runid
+      FROM lcps),
+    scan AS MATERIALIZED (
+      SELECT doc_id, pos,
+             GREATEST(
+               min(alcp) OVER (PARTITION BY doc_id, runid ORDER BY rn
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW),
+               min(nlcp) OVER (PARTITION BY doc_id, runid ORDER BY rn
+                               ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING)) AS mlen
+      FROM runs),
+    iv AS MATERIALIZED (
+      SELECT doc_id, pos AS s, pos + mlen AS e FROM scan
+      WHERE mlen >= {min_len}),
+    ive AS (
+      SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS pmax
+      FROM iv),
+    isl AS (
+      SELECT *, sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS island
+      FROM ive)
+    SELECT doc_id,
+           CAST(min(s) AS INT) AS span_start,
+           CAST(max(e) AS INT) AS span_end,
+           CAST(max(e) - min(s) AS INT) AS span_len
+    FROM isl GROUP BY doc_id, island
+    """
+
+
+@register(
+    "suffix_dup_spans",
+    oracle=_suffix_span_oracle(_SUFFIX_SPAN_MIN, _SUFFIX_KEY_WORDS),
+)
+def suffix_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1+++ MAXIMAL duplicated-substring spans by distributed suffix
+    grouping (operators/dedup.py:suffix_dup_span_frame — the exact
+    ExactSubstr half of Lee et al. 2022, re-expressed as suffix keys +
+    the sorted-neighborhood two-level global rank instead of a suffix
+    array). Where ``dup_span_trim_docs`` marks fixed 5-gram windows,
+    this reports TRUE span boundaries at a 4-word threshold: a 4-word
+    cross-doc duplicate — invisible to every 5-gram — is found, and a
+    73-word quoted block comes back as ONE (start, end) extent instead
+    of a pile of gram windows. Coverage-superset and clipped-boundary
+    pins vs the 5-gram pass live in tests/test_dedup.py.
+
+    Scale: suffix keys are truncated at 24 words (the explicit byte
+    budget; interval merge provably restores exact maximal extents for
+    any truncation >= the threshold), the global suffix order is the
+    two-level range rank, adjacency is two integer-key self-joins, and
+    the run scans + interval merges are per-doc windows — no stage is
+    all-pairs or single-partition."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return D.suffix_dup_span_frame(
+        docs,
+        "doc_id",
+        "text",
+        min_len=_SUFFIX_SPAN_MIN,
+        key_words=_SUFFIX_KEY_WORDS,
+    )
