@@ -965,6 +965,28 @@ def part_copurchase_hops_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_pair_counts(rows: DataFrame) -> DataFrame:
+    """(src, dst, w, wr) co-purchase supports from (l_orderkey,
+    l_partkey) rows: w = shared DISTINCT orders, wr = raw co-occurring
+    line pairs. ADDITIVE over any order-partitioned split of the fact
+    table — each order's contribution is independent of every other
+    order's, which is what makes both the batch append and the
+    streaming drain exact."""
+    a, b = rows.alias("a"), rows.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(
+            F.count_distinct("l_orderkey").cast("double").alias("w"),
+            F.count(F.lit(1)).alias("wr"),
+        )
+    )
+
+
 def _staged_copurchase_edges_appended(spark: SparkSession, sf_dir: str) -> str:
     """INCREMENTAL edge-store maintenance (the append half the ANN index
     and MinHash band store already have): the base store builds from
@@ -991,24 +1013,8 @@ def _staged_copurchase_edges_appended(spark: SparkSession, sf_dir: str) -> str:
 
     def build(out: Path) -> None:
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-
-        def pair_counts(rows: DataFrame) -> DataFrame:
-            a, b = rows.alias("a"), rows.alias("b")
-            return (
-                a.join(b, "l_orderkey")
-                .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-                .groupBy(
-                    F.col("a.l_partkey").alias("src"),
-                    F.col("b.l_partkey").alias("dst"),
-                )
-                .agg(
-                    F.count_distinct("l_orderkey").cast("double").alias("w"),
-                    F.count(F.lit(1)).alias("wr"),
-                )
-            )
-
-        base = pair_counts(li.filter(F.col("l_orderkey") % 10 != 0))
-        delta = pair_counts(li.filter(F.col("l_orderkey") % 10 == 0))
+        base = _copurchase_pair_counts(li.filter(F.col("l_orderkey") % 10 != 0))
+        delta = _copurchase_pair_counts(li.filter(F.col("l_orderkey") % 10 == 0))
         merged = (
             base.unionByName(delta)
             .groupBy("src", "dst")
@@ -1431,3 +1437,153 @@ def copurchase_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataF
             cc.alias("cc_micropoints"),
         )
     )
+
+
+def _staged_copurchase_history(spark: SparkSession, sf_dir: str) -> str:
+    """HISTORY-ONLY edge store for the streaming-maintenance rung: the
+    co-purchase supports of orders with l_orderkey % 10 != 0 (the same
+    history/delta split the batch append rung uses). The held-out
+    orders arrive later as a micro-batched stream; this store is what
+    the stream folds into."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        hist = _copurchase_pair_counts(li.filter(F.col("l_orderkey") % 10 != 0))
+        write_result(hist.repartition("src"), str(out / "sym"))
+
+    return staged(
+        spark,
+        "gedges_hist",
+        Path(sf_dir) / "lineitem.parquet",
+        "copurchase_hist_v1",
+        build,
+    )
+
+
+def _staged_order_delta_stream(spark: SparkSession, sf_dir: str) -> str:
+    """Order-delta payload for the streaming edge maintenance: the
+    held-out orders' lineitem rows written as 3 parquet files hashed on
+    l_orderkey — every order's rows land WHOLLY inside one file, so each
+    micro-batch sees complete orders and the per-batch pair aggregate is
+    exact (the additivity precondition `_copurchase_pair_counts`
+    documents; same one-file-per-trigger delivery shape as the dedup
+    stream's `_staged_delivery_stream`)."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        write_result(
+            li.filter(F.col("l_orderkey") % 10 == 0).repartition(3, "l_orderkey"),
+            str(out),
+        )
+
+    return staged(
+        spark,
+        "gdelta_stream",
+        Path(sf_dir) / "lineitem.parquet",
+        "copurchase_delta_stream_v1",
+        build,
+    )
+
+
+def stream_copurchase_edge_merge(
+    spark: SparkSession, sf_dir: str, epochs: list | None = None, timeout_s: int = 300
+) -> DataFrame:
+    """Drive the ONLINE edge-store maintenance loop (VERDICT r15 #3 —
+    the graph twin of the MinHash store's epoch-keyed streaming commit):
+    tail the order-delta payload as a file stream (one delivery file per
+    trigger) and, per micro-batch, aggregate the batch's co-purchase
+    pair supports and COMMIT them under an epoch_id-keyed overwrite —
+    retry-idempotent, and each batch's work is delta-sized (the history
+    store is never re-joined, never even read inside the loop; supports
+    are additive registers, the linear-sketch drain stance).
+
+    After the drain, history + committed deltas fold by addition into
+    the maintained (src, dst, w, wr) frame, eagerly localCheckpoint-ed
+    so the returned DataFrame outlives the run-scoped scratch. The
+    maintained store must equal the full-corpus rebuild EXACTLY —
+    pinned row-for-row in tests/test_graph_r16.py and proven on real
+    data by `stream_copurchase_edge_store` hash-matching the same
+    full-corpus oracle every pagerank twin serves."""
+    import shutil
+    import tempfile
+
+    import time
+
+    hist_root = _staged_copurchase_history(spark, sf_dir)
+    payload = _staged_order_delta_stream(spark, sf_dir)
+    schema = spark.read.parquet(payload).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(payload)
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_graft_stream_gedges_")
+    ckpt, committed = f"{scratch}/ckpt", f"{scratch}/committed"
+
+    def serve(mb: DataFrame, epoch_id: int) -> None:
+        t0 = time.time()
+        _copurchase_pair_counts(mb).write.mode("overwrite").parquet(
+            f"{committed}/epoch_id={epoch_id}"
+        )
+        if epochs is not None:
+            epochs.append((epoch_id, round(time.time() - t0, 3)))
+
+    q = (
+        sdf.writeStream.foreachBatch(serve)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"edge-store stream did not drain availableNow input in {timeout_s}s"
+            )
+        merged = (
+            spark.read.parquet(f"{hist_root}/sym")
+            .unionByName(
+                spark.read.parquet(committed).select("src", "dst", "w", "wr")
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"), F.sum("wr").cast("long").alias("wr"))
+            .localCheckpoint()  # eager: detach from the scratch dir
+        )
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(scratch, ignore_errors=True)
+    return merged
+
+
+@register("stream_copurchase_edge_store", oracle=_pagerank_oracle(_ITERS))
+def stream_copurchase_edge_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G*×T6 STREAMING edge-store maintenance, HASH-VERIFIED (VERDICT
+    r15 #3 — the graph family's last lifecycle gap): held-out orders
+    arrive as a micro-batched file stream; each micro-batch's
+    co-purchase supports commit epoch-keyed via foreachBatch
+    (`stream_copurchase_edge_merge`), and the drained store — history +
+    additive delta folds — serves the standard 5-iteration PageRank
+    against the SAME full-corpus oracle as the inline, staged, and
+    batch-appended twins. A green row proves the online loop maintained
+    the exact edge set and degrees: online ≡ append ≡ rebuild, the full
+    build/serve/append/stream lifecycle the MinHash and ANN stores
+    already have.
+
+    Scale: per-trigger work is delta-sized (one order-hashed file →
+    one pair aggregate → one epoch-keyed write); the history store is
+    read once AFTER the drain, and the fold is one shuffle keyed on
+    (src, dst). Degrees re-derive from the merged frame (|E|-bounded)."""
+    merged = stream_copurchase_edge_merge(spark, sf_dir)
+    edges = merged.select("src", "dst")
+    deg = merged.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = pagerank(edges, iters=_ITERS, damping=_DAMPING, outdeg=deg)
+    return ranks.select(F.col("node").alias("part_key"), F.round("pr", 4).alias("pr"))
