@@ -1609,15 +1609,23 @@ _RERANK_R = 50  # ADC candidates kept per query for the exact re-rank
 
 
 def _staged_vectors_partitioned(
-    spark: SparkSession, sf_dir: str, assign_fn, name: str, salt: str
+    spark: SparkSession,
+    sf_dir: str,
+    assign_fn,
+    name: str,
+    salt: str,
+    extra_cols: tuple[str, ...] = (),
 ) -> str:
-    """Stage (vec_id, embedding) PARTITIONED BY the coarse-cell
-    assignment ``assign_fn()`` returns (a (vec_id, bucket) frame) — the
-    RE-RANK half of an IVF index artifact, shared by the label-mean and
-    all-trained rungs (ADVICE r10 #3: the two staging functions were
-    verbatim twins differing only in the assignment frame and slot
-    name/salt). ``assign_fn`` is a thunk so a cache-hit on the staged
-    slot never computes the assignment at all."""
+    """Stage (vec_id, embedding[, extra_cols]) PARTITIONED BY the
+    coarse-cell assignment ``assign_fn()`` returns (a (vec_id, bucket)
+    frame) — the RE-RANK half of an IVF index artifact, shared by the
+    label-mean and all-trained rungs (ADVICE r10 #3: the two staging
+    functions were verbatim twins differing only in the assignment
+    frame and slot name/salt). ``assign_fn`` is a thunk so a cache-hit
+    on the staged slot never computes the assignment at all.
+    ``extra_cols`` lets a rung ride payload columns (e.g. ``label`` for
+    hard-negative mining) alongside the vectors so serve-time never
+    joins back to the base table for them."""
     from pathlib import Path
 
     from dataengineerchallenge_spark.sources.sinks import write_result
@@ -1626,7 +1634,9 @@ def _staged_vectors_partitioned(
     def build(out: Path) -> None:
         emb = load_table(spark, sf_dir, "embeddings")
         write_result(
-            emb.select("vec_id", "embedding").join(assign_fn(), "vec_id"),
+            emb.select("vec_id", "embedding", *extra_cols).join(
+                assign_fn(), "vec_id"
+            ),
             str(out / "vecs"),
             partition_by=["bucket"],
         )
@@ -3147,6 +3157,153 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_bp"), F.asc("neg_id"))
     return (
         pairs.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= _HARDNEG_K)
+        .select(
+            "query_id",
+            "neg_id",
+            F.col("query_label").cast("long").alias("query_label"),
+            F.col("neg_label").cast("long").alias("neg_label"),
+            "cos_bp",
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+        )
+    )
+
+
+def _staged_ivfpq_labeled_vectors(spark: SparkSession, sf_dir: str) -> str:
+    """Bucket-partitioned (vec_id, embedding, label) — the re-rank half
+    of the label-mean index with the LABEL riding alongside, so the
+    hard-negative serve rung's label-mismatch filter never joins back to
+    the base table (at 100 TB a labels-by-id join is corpus-sized; the
+    production layout keeps mining payload columns in the inverted-list
+    artifact)."""
+    return _staged_vectors_partitioned(
+        spark,
+        sf_dir,
+        lambda: _probe_frames(spark, sf_dir)[0],
+        "ivfpq_lvecs",
+        "ivfvecs:r1:label",
+        extra_cols=("label",),
+    )
+
+
+_HARDNEG_PROBES = 6  # probed cells per query for served mining. Chosen
+# from the measured recall-vs-probes curve of the served miner against
+# exact mining (sf0.001/0.01/0.1): 5 probes 0.64/0.80/0.72, 6 probes
+# 0.80/0.88/0.80, 8 probes 0.92/0.96/0.96 — the knee is 6 on a 10-cell
+# fixture. An ADC top-R cut BEFORE the label filter was measured and
+# rejected: same-label near neighbors crowd the R=50 candidate list out
+# (recall 0.12-0.32), and filtering labels before the cut doesn't help
+# because label-mean PQ codes barely order vectors WITHIN a foreign
+# cell — for mining, the PQ stage subtracts recall without bounding
+# anything the probe fan-out doesn't already bound.
+
+
+@register(
+    "ann_hard_negatives_served",
+    oracle=f"""
+    WITH lf AS (
+      SELECT vec_id, label, u.pos::INT AS pos, u.v::DOUBLE AS v
+      FROM (SELECT vec_id, label, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings) u(vec_id, label, v, pos)
+    ),
+    cent AS (SELECT label AS clabel, pos, avg(v) AS cv
+             FROM lf GROUP BY label, pos),
+    csims AS (
+      SELECT lf.vec_id, cent.clabel,
+             sum(lf.v * cent.cv)
+               / (sqrt(sum(lf.v * lf.v)) * sqrt(sum(cent.cv * cent.cv))) AS cos
+      FROM lf JOIN cent ON lf.pos = cent.pos
+      GROUP BY lf.vec_id, cent.clabel
+    ),
+    assign AS (
+      SELECT vec_id, clabel AS bucket FROM csims
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, clabel) = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, clabel AS probe_label FROM csims
+      WHERE vec_id < {_N_QUERIES}
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, clabel) <= {_HARDNEG_PROBES}
+    )
+    SELECT p.query_id, v.vec_id AS neg_id,
+           CAST(q.label AS BIGINT) AS query_label,
+           CAST(v.label AS BIGINT) AS neg_label,
+           CAST(ROUND(list_cosine_similarity(q.embedding, v.embedding)
+                      * 10000) AS BIGINT) AS cos_bp,
+           CAST(row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY ROUND(list_cosine_similarity(q.embedding, v.embedding)
+                            * 10000) DESC, v.vec_id) AS BIGINT) AS neg_rank
+    FROM probes p
+    JOIN assign a ON a.bucket = p.probe_label
+    JOIN embeddings v ON v.vec_id = a.vec_id AND v.vec_id != p.query_id
+    JOIN embeddings q ON q.vec_id = p.query_id AND v.label <> q.label
+    QUALIFY neg_rank <= {_HARDNEG_K}
+    """,
+)
+def ann_hard_negatives_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3-mine SERVED hard-negative mining (VERDICT r15 #4 — the rung
+    `ann_hard_negatives`'s docstring promised): mine from the staged IVF
+    index instead of the exact corpus scan. The query batch routes on
+    the staged coarse codebook (`_route_probes`, the serve rungs'
+    router) to its top-{_HARDNEG_PROBES} cells; every vector in the
+    probed cells is DPP-seeked — WITH its label — from the
+    bucket-partitioned labeled staged copy
+    (`_staged_ivfpq_labeled_vectors`), exact cosine re-ranks the
+    survivors under the label-mismatch filter, and the top-{_HARDNEG_K}
+    negatives per query emit on the basis-point grid. The oracle replays
+    routing + probed-cell fetch + exact re-rank, so the served miner is
+    value-checked end-to-end; recall vs exact mining (>= 0.80 at 6
+    probes, every SF) is pinned in tests/test_vectors_r16.py.
+
+    DESIGN NOTE (measured, see _HARDNEG_PROBES): the obvious 'reuse the
+    ADC rerank candidates' composition mines badly — hard negatives are
+    by definition crowded out of an overall top-R by same-label
+    neighbors, and the PQ codes barely order vectors within foreign
+    cells — so the mining path keeps the IVF probe bound and drops the
+    PQ cut: per-query cost is {_HARDNEG_PROBES} inverted lists' float
+    vectors (f(probes x cell size), never the corpus; mining is an
+    offline pass where that trade is the right one). The base table is
+    never scanned for candidates — labels ride the staged artifact."""
+    root = _staged_ivfpq_index(spark, sf_dir)
+    vroot = _staged_ivfpq_labeled_vectors(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        "embedding",
+        F.col("label").alias("query_label"),
+    )
+    cent = spark.read.parquet(f"{root}/centroids")
+    qlf = V.explode_vectors(
+        batch.select("query_id", "embedding"), ["query_id"], "embedding"
+    )
+    probes = _route_probes(qlf, cent, _HARDNEG_PROBES)
+    vecs = spark.read.parquet(f"{vroot}/vecs")
+    q = batch.select(
+        "query_id", F.col("embedding").alias("q_emb"), "query_label"
+    )
+    rr = (
+        vecs.join(F.broadcast(probes), F.col("bucket") == F.col("probe_label"))
+        .join(F.broadcast(q), "query_id")
+        .filter(
+            (F.col("label") != F.col("query_label"))
+            & (F.col("vec_id") != F.col("query_id"))
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neg_id"),
+            "query_label",
+            F.col("label").alias("neg_label"),
+            F.round(V.cosine(F.col("q_emb"), F.col("embedding")) * 10000, 0)
+            .cast("bigint")
+            .alias("cos_bp"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_bp"), F.asc("neg_id"))
+    return (
+        rr.withColumn("neg_rank", F.row_number().over(w))
         .filter(F.col("neg_rank") <= _HARDNEG_K)
         .select(
             "query_id",
