@@ -656,6 +656,11 @@ def dup_span_doc_frame(
         # measures. `cand_mode` (docstring) sizes the decision instead of
         # hard-coding the hint.
         if cand_mode == "auto":
+            # 'auto' pays one eager count to size the attach; the
+            # localCheckpoint makes that count's work reusable by the
+            # join itself (the aggregate runs once, not twice). Callers
+            # that already know their regime pass 'broadcast'/'shuffle'
+            # explicitly and skip both the action and the checkpoint.
             cand_keys = cand_keys.localCheckpoint()
             over = (
                 cand_keys.count() * CAND_KEY_EST_BYTES
@@ -716,7 +721,12 @@ def dup_span_doc_frame(
 
 # On-heap estimate of one 8-byte candidate hash key row (long + row
 # overhead) for dup_span_doc_frame's broadcast-vs-shuffle decision —
-# same budget discipline as BAND_ROW_EST_BYTES above.
+# same budget discipline as BAND_ROW_EST_BYTES above. DELIBERATE 4x
+# margin over the raw key bytes: a broadcast relation carries UnsafeRow
+# framing + the driver-side hash relation, so the effective per-row
+# footprint lands near this bound; near the 10 MB threshold the margin
+# makes 'auto' err toward the shuffle attach (safe, one extra exchange)
+# rather than toward an over-budget broadcast (driver OOM at scale).
 CAND_KEY_EST_BYTES = 32
 
 # Winnowing position encoding: selected window-minima are picked over

@@ -47,7 +47,18 @@ def with_payloads(
     different 4-byte envelope — the re-encode scenario perceptual
     dedup exists for): pass e.g. ``magic="MMv2", id_offset=1_000_000``
     and union with the default frame. The offset keeps the id spaces
-    disjoint; same-length magics keep the segment grid aligned."""
+    disjoint; same-length magics keep the segment grid aligned.
+    Disjointness is ENFORCED, not assumed: a codegen'd ``assert_true``
+    fails the job if any source doc_id reaches the offset (at which
+    point delivery ids would collide with original ids and the residue
+    classes downstream ``cross_doc`` relies on would alias)."""
+    if id_offset > 0:
+        docs = docs.filter(
+            F.assert_true(
+                F.col("doc_id") < F.lit(id_offset),
+                F.lit(f"doc_id >= id_offset {id_offset}: id spaces collide"),
+            ).isNull()
+        )
     payload = F.encode(F.concat(F.lit(magic), F.col("text")), "UTF-8")
     mime = F.when(F.col("doc_id") % 3 == 0, "image/png").otherwise("audio/wav")
     return docs.select(
@@ -234,12 +245,19 @@ def ahash_batches(codec: str = "fake"):
 
 
 def payload_ahash(mm: DataFrame, codec: str = "fake") -> DataFrame:
-    """(doc_id, fa, fb) perceptual fingerprints of a payload frame. The
-    length filter runs on METADATA before the UDF, so parquet row-group
-    pruning can skip short payloads' bytes entirely at scale."""
-    return mm.filter(F.col("meta.n_bytes") >= AHASH_MIN_BYTES).mapInPandas(
-        ahash_batches(codec), AHASH_SCHEMA
-    )
+    """(doc_id, fa, fb) perceptual fingerprints of a payload frame.
+
+    For the passthrough ``fake`` codec the decoded signal IS the container
+    bytes, so the ``n_bytes >= 64`` bound can run on METADATA before the
+    UDF and parquet row-group pruning skips short payloads' bytes
+    entirely. For any compressing codec (SRLE1: a 2-byte run decodes to
+    up to 255 samples; real image/audio codecs likewise) container size
+    says nothing about decoded length, so the prune is SKIPPED and the
+    UDF's own decoded-length check (``ahash_batches``) is the only gate —
+    a 40-byte container that decodes to 4096 samples must still hash."""
+    if codec == "fake":
+        mm = mm.filter(F.col("meta.n_bytes") >= AHASH_MIN_BYTES)
+    return mm.mapInPandas(ahash_batches(codec), AHASH_SCHEMA)
 
 
 # --- synthetic codec (SRLE1) -------------------------------------------

@@ -913,6 +913,7 @@ def _acf_oracle() -> str:
                 / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)))
                 AS BIGINT) AS acf_micropoints
     FROM m
+    WHERE (n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy) > 0
     """
 
 
@@ -962,12 +963,15 @@ def hourly_load_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("yb")).alias("sxy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * 1.0
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    # var_prod == 0 means at least one side of the lag pairing is a
+    # CONSTANT series (degenerate fixture): Spark's x/0 yields NULL while
+    # DuckDB's yields inf/NaN, so rather than hash-diverge silently both
+    # engines DROP the undefined lag row (oracle: WHERE var_prod > 0).
+    var_prod = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * 1.0 * (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     )
-    return m.select(
+    den = F.sqrt(var_prod)
+    return m.filter(var_prod > 0).select(
         "lag",
         F.col("n").cast("long").alias("n_pairs"),
         F.round(num * 1000000.0 / den, 0).cast("bigint").alias("acf_micropoints"),

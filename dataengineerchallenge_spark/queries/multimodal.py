@@ -220,7 +220,7 @@ def _ahash_oracle(new_only: bool = False) -> str:
     SELECT a.doc_id AS id_a, c.doc_id AS id_b,
            CAST(bit_count(xor(a.fa, c.fa)) + bit_count(xor(a.fb, c.fb)) AS INT)
              AS hamming,
-           (c.doc_id - a.doc_id <> {_REENC_OFFSET}) AS cross_doc
+           (a.doc_id % {_REENC_OFFSET} <> c.doc_id % {_REENC_OFFSET}) AS cross_doc
     FROM f a JOIN f c ON a.doc_id < c.doc_id
     WHERE bit_count(xor(a.fa, c.fa)) + bit_count(xor(a.fb, c.fb)) <= 3
     {new_pred}
@@ -269,7 +269,7 @@ def payload_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = payload_ahash(mm).select(F.col("doc_id").alias("_id"), "fa", "fb")
     return banded_hamming_pairs(sh, max_hamming=3).withColumn(
-        "cross_doc", F.col("id_b") - F.col("id_a") != _REENC_OFFSET
+        "cross_doc", F.col("id_a") % _REENC_OFFSET != F.col("id_b") % _REENC_OFFSET
     )
 
 
@@ -385,7 +385,7 @@ def stream_payload_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             banded_hamming_pairs(fp, max_hamming=3)
         )
         out = out.withColumn(
-            "cross_doc", F.col("id_b") - F.col("id_a") != _REENC_OFFSET
+            "cross_doc", F.col("id_a") % _REENC_OFFSET != F.col("id_b") % _REENC_OFFSET
         )
         out.write.mode("overwrite").parquet(f"{sink}/epoch_id={epoch_id}")
         fp.write.mode("overwrite").parquet(f"{committed}/epoch_id={epoch_id}")

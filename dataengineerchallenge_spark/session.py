@@ -43,12 +43,16 @@ def get_spark(
         # 10x the 10k default: the r15 bisect of udf_user_trend
         # (tools/bisect_udf_trend.py, BENCH_udf_bisect.json) measured
         # 0.99 -> 0.73 s at sf0.1 from batch size alone (fewer Arrow
-        # flushes per grouped-map partition; sample windows disjoint),
-        # and the widest fixture row (~600 B payload) keeps a 100k
-        # batch at ~60 MB/core — far inside executor memory. Wide-row
-        # corpora (images) should size this down; it is a per-session
-        # conf, not a plan property.
+        # flushes per grouped-map partition; sample windows disjoint).
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+        # ...and the WIDE-ROW guard the record cap alone lacks (ADVICE
+        # r15): batches close when EITHER bound is hit, so narrow rows
+        # (udf_user_trend ~50 B) still enjoy 100k-record batches while a
+        # binary-payload corpus (multimodal/payload mapInPandas stages;
+        # megabyte images at 100 TB) is cut at 64 MB per Arrow batch
+        # regardless of row count — executor memory stays bounded by
+        # bytes, not by a row-width assumption.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(64 * 1024 * 1024))
         # deterministic time semantics vs the DuckDB oracle
         .config("spark.sql.session.timeZone", "UTC")
         # session_window & friends need this off in some 3.x versions; harmless
