@@ -69,7 +69,12 @@ HEADLINE = [
     "elb_geo_traffic",                       # J6+ longest-prefix-match CIDR enrichment (round 11)
     "cm_heavy_hitters",                      # A6+ count-min frequency sketch (round 12)
     "exact_dedup_bloom_prefilter",           # N1+ Bloom membership prefilter (round 12)
-    "part_copurchase_pagerank",              # G1 inline edge build + power iteration (round 12)
+    # part_copurchase_pagerank (inline edge build + power iteration)
+    # rotated out r16 (VERDICT r15 #6): the staged serve twin below times
+    # the same power iteration against the same oracle, and the edge
+    # BUILD cost it uniquely measured is now carried by the staged
+    # store's build half (BENCH_graph.json build_* rows). Registered and
+    # sweep-checked as before.
     "hll_explicit_user_counts",              # A6+ hash-verified HyperLogLog (round 12)
     "hourly_load_anomalies_mad",             # A+ robust anomaly screen (round 12)
     "part_copurchase_triangles",             # G2 degree-oriented triangles, persisted invariant (round 13)

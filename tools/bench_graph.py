@@ -308,6 +308,116 @@ def _bench_density(spark, out: dict, root: str, sizes: list[int], iters_bench: i
         print(json.dumps({f"density_{edges}": res}))
 
 
+def _gen_zipf(spark, path: str, edges: int) -> None:
+    """Deterministic POWER-LAW graph with a genuinely hot node
+    (VERDICT r15 #5 — the quadratic `_gen` skew spreads in-edges over
+    many moderately-popular nodes; this fixture concentrates them).
+    dst is log-uniform over [1, N): dst = floor(N^u) with u uniform in
+    [0,1), giving the rank-frequency p(k) ~ 1/k Zipf shape — node 1
+    alone collects ~ln(2)/ln(N) =~ 6% of ALL in-edges (at 4M edges,
+    ~240k in-edges on one node vs a 40-edge mean: a 6000x hot key).
+    Symmetrized + distinct like `_gen`, so rank mass must conserve."""
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    u = (
+        F.pmod(F.xxhash64("id", F.lit(29)), F.lit(1_000_003)).cast("double")
+        / 1_000_003
+    )
+    half = spark.range(edges // 2).select(
+        F.pmod(F.xxhash64("id", F.lit(23)), F.lit(N_NODES)).alias("src"),
+        F.pow(F.lit(float(N_NODES)), u).cast("long").alias("dst"),
+    ).filter((F.col("src") != F.col("dst")) & (F.col("dst") < N_NODES))
+    sym = half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym.distinct().repartition(32).write.mode("overwrite").parquet(path)
+
+
+def _bench_skew(spark, out: dict, root: str, sizes: list[int], iters_bench: int) -> None:
+    """r16 skewed-topology rungs (VERDICT r15 #5): the G-family is
+    benched elsewhere only on the near-uniform quadratic fixture; this
+    runs PageRank / coreness / LPA / degree-oriented triangles on the
+    log-uniform Zipf graph where one node owns ~6% of the edges, so the
+    artifact PRICES the hot-key behavior instead of asserting it.
+    What survives and why:
+      - pagerank: the hot node is a hot AGGREGATION key (dst) — partial
+        aggregation combines its inflow map-side, so no single task
+        holds the hub's 240k contributions; rank mass is asserted.
+      - coreness: the h-index window sorts the hub's neighbor values in
+        ONE partition's task — the measured rung bounds that task; the
+        h-index itself caps at sqrt(2|E_hub|)-ish so rounds stay cheap.
+      - LPA: per-round (node,label) counts partial-agg the hub's rows
+        before the shuffle, same shape as pagerank.
+      - triangles: the degree-ORIENTED wedge plan generates wedges at
+        the LOWER-degree endpoint, so the hub emits none — the very
+        property the orientation exists for; wedge count is recorded.
+    Each rung also records max in-degree and the hub's edge share so a
+    reader can see how hostile the topology actually is."""
+    from dataengineerchallenge_spark.operators.graph import (
+        coreness,
+        label_propagation,
+        pagerank,
+        triangle_counts,
+    )
+
+    for edges in sizes:
+        path = os.path.join(root, f"graph_zipf_{edges}")
+        _gen_zipf(spark, path, edges)
+        e = spark.read.parquet(path)
+        deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+        top = deg.orderBy(F.desc("d")).limit(1).collect()[0]
+        n_edges = e.count()
+
+        def best(fn) -> float:
+            b = float("inf")
+            for _ in range(iters_bench):
+                t0 = time.time()
+                fn()
+                b = min(b, time.time() - t0)
+                spark.catalog.clearCache()
+            return round(b, 2)
+
+        check = {}
+
+        def run_pr():
+            r = pagerank(e, iters=PR_ITERS)
+            check["pr"] = r.agg(
+                F.sum("pr").alias("s"), F.count(F.lit(1)).alias("n")
+            ).collect()[0]
+
+        pr_s = best(run_pr)
+        mass_err = abs(check["pr"]["s"] - check["pr"]["n"]) / check["pr"]["n"]
+        assert mass_err < 1e-9, f"zipf rank mass not conserved: {check}"
+        core_s = best(lambda: coreness(e, iters=8).count())
+        hub_core = (
+            coreness(e, iters=8)
+            .filter(F.col("node") == int(top["dst"]))
+            .collect()[0]["core"]
+        )
+        lpa_s = best(lambda: label_propagation(e, iters=5).count())
+        wedges = {}
+
+        def run_tri():
+            wedges["n"] = triangle_counts(e).agg(
+                F.sum("n_triangles").alias("m")
+            ).collect()[0]["m"]
+
+        tri_s = best(run_tri)
+        res = {
+            "edges": int(n_edges),
+            "nodes": int(check["pr"]["n"]),
+            "max_in_degree": int(top["d"]),
+            "hub_edge_share": round(top["d"] / n_edges, 4),
+            "pagerank_s": pr_s,
+            "coreness8_s": core_s,
+            "hub_core": int(hub_core),
+            "lpa5_s": lpa_s,
+            "triangles_s": tri_s,
+            "triangle_memberships": int(wedges["n"] or 0),
+            "rank_mass_rel_err": mass_err,
+        }
+        out["results"][f"skew_zipf_{edges}"] = res
+        print(json.dumps({f"skew_zipf_{edges}": res}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", default="1000000,4000000,16000000")
@@ -325,6 +435,12 @@ def main() -> None:
         action="store_true",
         help="run only the coreness/truss density rungs, merging into --out",
     )
+    ap.add_argument(
+        "--only-skew",
+        action="store_true",
+        help="run only the Zipf hot-node rungs, merging into --out",
+    )
+    ap.add_argument("--skew-edges", default="1000000,4000000")
     ap.add_argument("--density-edges", default="1000000,4000000")
     ap.add_argument("--serve-sf-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
@@ -348,6 +464,22 @@ def main() -> None:
         "iters_bench": args.iters_bench,
         "results": {},
     }
+    if args.only_skew:
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                out = json.load(f)
+            out.setdefault("results", {})
+        _bench_skew(
+            spark,
+            out,
+            root,
+            [int(x) for x in str(args.skew_edges).split(",") if x],
+            args.iters_bench,
+        )
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {args.out}")
+        return
     if args.only_density:
         if os.path.exists(args.out):
             with open(args.out) as f:
