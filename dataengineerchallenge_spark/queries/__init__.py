@@ -27,6 +27,7 @@ _MODULES = [
     "dimensions",
     "mixing",
     "graph",
+    "evals",
 ]
 
 
