@@ -936,6 +936,139 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KN_DISCOUNT = 0.75
+
+
+def kn_perplexity_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, bits_micropoints, perplexity) under an
+    INTERPOLATED KNESER-NEY bigram model (Kneser & Ney, ICASSP 1995;
+    Chen & Goodman, CSL 1999 — the public formulation) trained on the
+    corpus itself with a fixed absolute discount D = 0.75:
+
+        P(w2|w1) = max(c(w1 w2) - D, 0)/c(w1 ·)
+                   + D · N1+(w1,·)/c(w1 ·) · N1+(·,w2)/|bigram types|
+
+    The continuation probability N1+(·,w2)/T is KN's signature: a word
+    seen often but only inside one collocation ("Francisco") gets LOW
+    continuation mass — exactly the repetition/boilerplate signal a
+    curation filter wants that Laplace smoothing (doc_lm_perplexity)
+    blurs. Scoring the training corpus means every scored bigram has
+    c >= 1, so the max() never clips and log2 never sees 0.
+
+    Every model statistic is an integer function of the corpus (counts,
+    distinct-continuation counts, type count), so both engines derive
+    identical doubles per bigram; each bigram's -log2 P is integerized
+    to nano-points BEFORE the per-doc sum (order-free bigint addition)
+    and the per-doc mean closes with one rounded division.
+
+    Scale shape: identical to doc_lm_perplexity plus two more count
+    tables (forward/backward distinct-continuation counts), all
+    partial-agg aggregates on natural keys re-joined as equi-joins; the
+    1-row type count broadcasts. No all-pairs step anywhere."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    bgx = (
+        toks.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2),"
+                    " i -> concat(ws[i], ' ', ws[i + 1]))"
+                )
+            ).alias("bg"),
+        )
+        .withColumn("ctx", F.substring_index("bg", " ", 1))
+        .withColumn("nxt", F.substring_index("bg", " ", -1))
+    )
+    cbg = bgx.groupBy("bg").agg(F.count(F.lit(1)).cast("double").alias("cb"))
+    cctx = bgx.groupBy("ctx").agg(F.count(F.lit(1)).cast("double").alias("cc"))
+    types = bgx.select("bg").distinct()
+    n1_fwd = types.select(
+        F.substring_index("bg", " ", 1).alias("ctx")
+    ).groupBy("ctx").agg(F.count(F.lit(1)).cast("double").alias("nf"))
+    n1_bwd = types.select(
+        F.substring_index("bg", " ", -1).alias("nxt")
+    ).groupBy("nxt").agg(F.count(F.lit(1)).cast("double").alias("nb"))
+    ttot = types.agg(F.count(F.lit(1)).cast("double").alias("tt"))
+    d = F.lit(_KN_DISCOUNT)
+    p = (F.col("cb") - d) / F.col("cc") + d * F.col("nf") / F.col("cc") * (
+        F.col("nb") / F.col("tt")
+    )
+    scored = (
+        bgx.join(cbg, "bg")
+        .join(cctx, "ctx")
+        .join(n1_fwd, "ctx")
+        .join(n1_bwd, "nxt")
+        .crossJoin(F.broadcast(ttot))
+        .select(
+            "doc_id",
+            F.round(-F.log2(p) * 1000000000.0, 0).cast("bigint").alias("nll_nano"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.sum("nll_nano") / (F.count(F.lit(1)) * 1000.0), 0)
+        .cast("bigint")
+        .alias("bits_micropoints"),
+        F.round(
+            F.pow(
+                F.lit(2.0),
+                F.sum("nll_nano") / (F.count(F.lit(1)) * 1000000000.0),
+            ),
+            4,
+        ).alias("perplexity"),
+    )
+
+
+@register(
+    "doc_kn_perplexity",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    bgx AS (
+      SELECT doc_id, bg,
+             split_part(bg, ' ', 1) AS ctx,
+             split_part(bg, ' ', 2) AS nxt
+      FROM (
+        SELECT doc_id,
+               unnest([ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]) AS bg
+        FROM t WHERE len(ws) >= 2
+      )
+    ),
+    cbg AS (SELECT bg, count(*)::DOUBLE AS cb FROM bgx GROUP BY bg),
+    cctx AS (SELECT ctx, count(*)::DOUBLE AS cc FROM bgx GROUP BY ctx),
+    types AS (SELECT DISTINCT bg FROM bgx),
+    n1f AS (SELECT split_part(bg, ' ', 1) AS ctx, count(*)::DOUBLE AS nf
+            FROM types GROUP BY 1),
+    n1b AS (SELECT split_part(bg, ' ', 2) AS nxt, count(*)::DOUBLE AS nb
+            FROM types GROUP BY 1),
+    tt AS (SELECT count(*)::DOUBLE AS tt FROM types),
+    scored AS (
+      SELECT x.doc_id,
+             CAST(ROUND(-log2((cbg.cb - 0.75) / cctx.cc
+                              + 0.75 * n1f.nf / cctx.cc * (n1b.nb / tt.tt))
+                        * 1000000000.0, 0) AS BIGINT) AS nll_nano
+      FROM bgx x JOIN cbg USING (bg) JOIN cctx USING (ctx)
+      JOIN n1f USING (ctx) JOIN n1b USING (nxt) CROSS JOIN tt
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_bigrams,
+           CAST(ROUND(SUM(nll_nano) / (count(*) * 1000.0), 0) AS BIGINT)
+             AS bits_micropoints,
+           ROUND(pow(2.0, SUM(nll_nano) / (count(*) * 1000000000.0)), 4)
+             AS perplexity
+    FROM scored GROUP BY doc_id
+    """,
+)
+def doc_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 Kneser-Ney LM quality score — see kn_perplexity_frame. The
+    production-grade counterpart of doc_lm_perplexity's Laplace model
+    (KenLM's default smoothing, hence what CCNet-style filters really
+    run)."""
+    return kn_perplexity_frame(spread(load_table(spark, sf_dir, "documents")))
+
+
 # Shared CTE chain ending at `b` = (doc_id, pred_lang, perplexity,
 # n_tokens, bucket): the per-doc CCNet grid assignment, reused by the
 # bucketing rollup below and the grid-mix sampler in queries/mixing.py
