@@ -976,3 +976,134 @@ def hourly_load_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_pairs"),
         F.round(num * 1000000.0 / den, 0).cast("bigint").alias("acf_micropoints"),
     )
+
+
+_STL_ORACLE = """
+WITH h AS (
+  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,
+         count(*) AS y
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(hour_s) AS lo, MAX(hour_s) AS hi FROM h),
+grid AS (SELECT unnest(range(lo, hi + 3600, 3600)) AS hour_s FROM bounds),
+d AS (
+  SELECT g.hour_s, COALESCE(h.y, 0) AS y
+  FROM grid g LEFT JOIN h ON h.hour_s = g.hour_s
+),
+ma AS (
+  SELECT hour_s, y,
+         LAG(y, 12) OVER (ORDER BY hour_s)
+           + LEAD(y, 12) OVER (ORDER BY hour_s)
+           + 2 * SUM(y) OVER (ORDER BY hour_s
+               ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING) AS trend48
+  FROM d
+),
+det AS (
+  SELECT hour_s, y, trend48,
+         (hour_s / 3600) % 24 AS hod,
+         48 * y - trend48 AS detr48
+  FROM ma WHERE trend48 IS NOT NULL
+),
+seas AS (
+  SELECT hod,
+         CAST(ROUND(SUM(detr48) * 1000000.0 / (48.0 * COUNT(*)), 0) AS BIGINT)
+           AS s_micro
+  FROM det GROUP BY hod
+),
+grand AS (
+  SELECT CAST(ROUND(SUM(s_micro) * 1.0 / COUNT(*), 0) AS BIGINT) AS g_micro
+  FROM seas
+)
+SELECT det.hour_s,
+       CAST(det.y AS BIGINT) AS y,
+       CAST(ROUND(det.trend48 * 1000000.0 / 48.0, 0) AS BIGINT)
+         AS trend_micropoints,
+       CAST(seas.s_micro - grand.g_micro AS BIGINT) AS seasonal_micropoints,
+       CAST(det.y * 1000000
+            - CAST(ROUND(det.trend48 * 1000000.0 / 48.0, 0) AS BIGINT)
+            - (seas.s_micro - grand.g_micro) AS BIGINT)
+         AS remainder_micropoints
+FROM det JOIN seas USING (hod) CROSS JOIN grand
+"""
+
+
+@register("hourly_load_seasonal_decomposition", oracle=_STL_ORACLE)
+def hourly_load_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly load
+    (the moving-average skeleton of STL / X-11, public textbook method):
+    trend = centered 2x24-term moving average (half weights at the
+    ends, the standard even-period filter), seasonal = mean of the
+    detrended series per hour-of-day re-centered to sum to ~0,
+    remainder = what's left. The three components ADD BACK to the
+    observation exactly (y*1e6 == trend + seasonal + remainder in
+    micropoints, by construction — remainder is defined as the integer
+    difference), which is the decomposition contract monitoring rides
+    on: alert on remainder, never on raw load.
+
+    Exactness: the 48x-scaled trend numerator and the 48x-scaled
+    detrended values are INTEGERS (y integer counts, integer window
+    sums); the only doubles are two final divisions inside ROUND and
+    one per-hod mean integerized before the grand-mean sum — no float
+    accumulates across rows in engine order.
+
+    Scale: the windows run over the AGGREGATED hourly series (one row
+    per hour — a year is 8,760 rows), not events; the single-partition
+    sort is bounded by calendar length no matter the corpus size. The
+    events->hour aggregate is the only big-data shuffle; the 24-row
+    seasonal table broadcasts."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_s")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    bounds = h.agg(F.min("hour_s").alias("lo"), F.max("hour_s").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("hour_s")
+    )
+    d = grid.join(h, "hour_s", "left").select(
+        "hour_s", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+    w = Window.orderBy("hour_s")
+    w_in = Window.orderBy("hour_s").rowsBetween(-11, 11)
+    ma = d.select(
+        "hour_s",
+        "y",
+        (
+            F.lag("y", 12).over(w)
+            + F.lead("y", 12).over(w)
+            + 2 * F.sum("y").over(w_in)
+        ).alias("trend48"),
+    )
+    det = ma.filter(F.col("trend48").isNotNull()).select(
+        "hour_s",
+        "y",
+        "trend48",
+        ((F.col("hour_s") / 3600) % 24).cast("long").alias("hod"),
+        (48 * F.col("y") - F.col("trend48")).alias("detr48"),
+    )
+    seas = det.groupBy("hod").agg(
+        F.round(F.sum("detr48") * 1000000.0 / (48.0 * F.count(F.lit(1))), 0)
+        .cast("bigint")
+        .alias("s_micro")
+    )
+    grand = seas.agg(
+        F.round(F.sum("s_micro") * 1.0 / F.count(F.lit(1)), 0)
+        .cast("bigint")
+        .alias("g_micro")
+    )
+    trend_mp = F.round(F.col("trend48") * 1000000.0 / 48.0, 0).cast("bigint")
+    seasonal_mp = (F.col("s_micro") - F.col("g_micro")).cast("bigint")
+    return (
+        det.join(F.broadcast(seas), "hod")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "hour_s",
+            F.col("y").cast("long").alias("y"),
+            trend_mp.alias("trend_micropoints"),
+            seasonal_mp.alias("seasonal_micropoints"),
+            (F.col("y") * 1000000 - trend_mp - seasonal_mp)
+            .cast("bigint")
+            .alias("remainder_micropoints"),
+        )
+    )
