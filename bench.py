@@ -106,6 +106,7 @@ HEADLINE = [
     "copurchase_coreness",                   # G7 h-index k-core decomposition, staged serve (round 15)
     "kmv_event_type_overlap",                # A6++++ KMV set algebra: pairwise audience overlap (round 15)
     "rake_keyphrases",                       # N4+++++ document-local keyphrase extraction (round 15)
+    "phrase_search_inverted_staged",         # IR+ staged positional-postings phrase serve, DPP-pruned (round 16)
     # copurchase_deterministic_walks is registry-only: same staged-serve
     # join+window profile per step as coreness, nothing new to time.
     # ccnet_grid_mix (the grid sampler) is registry-only: one map
@@ -126,6 +127,7 @@ def _prestage(spark, sf_dir: str) -> None:
         stage_bucketed_band_store,
     )
     from dataengineerchallenge_spark.queries.graph import _staged_copurchase_edges
+    from dataengineerchallenge_spark.queries.search import _staged_inverted_index
     from dataengineerchallenge_spark.queries.vectors import (
         _staged_fresh_query_batch,
         _staged_ivfpq_index,
@@ -149,6 +151,7 @@ def _prestage(spark, sf_dir: str) -> None:
         _staged_minhash_bands_appended,
         stage_bucketed_band_store,
         _staged_copurchase_edges,
+        _staged_inverted_index,
     ):
         try:
             stage(spark, sf_dir)

@@ -28,6 +28,7 @@ _MODULES = [
     "mixing",
     "graph",
     "evals",
+    "search",
 ]
 
 

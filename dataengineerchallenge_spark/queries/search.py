@@ -1,0 +1,194 @@
+"""Inverted-index retrieval — the build/serve split for TEXT SEARCH
+(the graph/ANN/dedup families already stage their state; this gives the
+keyword-retrieval path the same lifecycle).
+
+Store layout (``_staged_inverted_index``): positional postings
+(term, doc_id, tf, positions) hash-bucketed into ``_N_BUCKETS``
+partition directories on ``pmod(xxhash64(term), N)`` and sorted by
+(term, doc_id) within each bucket. Serving joins the postings against a
+BROADCAST frame of query terms keyed on (bucket, term), so:
+
+* the bucket partition column gives Spark DYNAMIC PARTITION PRUNING —
+  a 2-term query physically reads at most 2 of the bucket directories,
+  never the index;
+* the within-bucket (term, doc_id) sort gives parquet row-group
+  min/max pruning on the term equality inside each surviving bucket;
+* positions ride along as an int array, so PHRASE adjacency is an
+  array intersect (positions+1 ∩ positions), no re-tokenization.
+
+Why buckets and not partitionBy(term): a real vocabulary is millions
+of terms — one directory per term is a small-files catastrophe; a
+fixed bucket count scales with the cluster, and term-level selectivity
+comes from row-group pruning inside the bucket. This is the classic
+distributed inverted-index layout (document-partitioned postings,
+e.g. the Lucene/Elasticsearch shard model) expressed as parquet.
+
+Oracles recompute phrase hits / conjunctive ranks straight from
+``documents``, so the staged index is value-checked end-to-end against
+first principles, the same discipline as the IVF-PQ serve rungs.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineerchallenge_spark.registry import register
+from dataengineerchallenge_spark.sources.tables import load_table, spread
+from dataengineerchallenge_spark.staging import staged
+
+_N_BUCKETS = 16
+_PHRASE = ("window", "join")
+_CONJ_TERMS = ("vector", "stream", "hash")
+
+
+def _bucket(term_col):
+    return F.pmod(F.xxhash64(term_col), F.lit(_N_BUCKETS)).cast("int")
+
+
+def postings_frame(docs: DataFrame) -> DataFrame:
+    """(bucket, term, doc_id, tf, positions) positional postings —
+    one token explode + one (term, doc_id) aggregate."""
+    toks = spread(docs).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    )
+    return toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    ).withColumn("bucket", _bucket(F.col("term")))
+
+
+def _staged_inverted_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once positional postings store, bucket-partitioned and
+    term-sorted within buckets (row-group pruning on term)."""
+
+    def build(out: Path) -> None:
+        p = postings_frame(load_table(spark, sf_dir, "documents"))
+        (
+            p.repartition(_N_BUCKETS, "bucket")
+            .sortWithinPartitions("term", "doc_id")
+            .write.partitionBy("bucket")
+            .parquet(str(out / "postings"))
+        )
+
+    return staged(
+        spark,
+        "invidx",
+        Path(sf_dir) / "documents.parquet",
+        "invidx_v1",
+        build,
+    )
+
+
+def _query_terms(spark: SparkSession, terms) -> DataFrame:
+    """Tiny broadcast frame of query terms with their bucket keys —
+    joining on (bucket, term) is what arms dynamic partition pruning."""
+    qt = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(terms)], "term string, slot int"
+    )
+    return qt.withColumn("bucket", _bucket(F.col("term")))
+
+
+def _phrase_hits(postings: DataFrame, qt: DataFrame, terms) -> DataFrame:
+    """(doc_id, n_matches >= 1) for the two-slot phrase in ``qt``:
+    postings ⋈ broadcast terms, then adjacency = |(posA+1) ∩ posB|.
+    The literal ``term IN (...)`` predicate is applied BEFORE the join —
+    the join alone only arms partition-level DPP, while the literal
+    lands in PushedFilters and row-group-prunes on the within-bucket
+    term sort (verified in tests/test_search.py plan pins)."""
+    hits = (
+        postings.filter(F.col("term").isin(*terms))
+        .join(F.broadcast(qt), ["bucket", "term"])
+        .select("doc_id", "slot", "positions")
+    )
+    a = hits.filter(F.col("slot") == 0).select(
+        "doc_id", F.col("positions").alias("pos_a")
+    )
+    b = hits.filter(F.col("slot") == 1).select(
+        "doc_id", F.col("positions").alias("pos_b")
+    )
+    n = F.size(
+        F.array_intersect(
+            F.transform(F.col("pos_a"), lambda x: x + 1), F.col("pos_b")
+        )
+    )
+    return (
+        a.join(b, "doc_id")
+        .select("doc_id", n.cast("long").alias("n_matches"))
+        .filter(F.col("n_matches") >= 1)
+    )
+
+
+_PHRASE_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+m AS (SELECT doc_id, unnest(range(1, len(ws))) AS i, ws FROM t)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM m WHERE ws[i] = '{_PHRASE[0]}' AND ws[i + 1] = '{_PHRASE[1]}'
+GROUP BY doc_id
+"""
+
+
+@register("phrase_search_inverted", oracle=_PHRASE_ORACLE)
+def phrase_search_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query ("window join") answered from positional
+    postings built IN-PLAN — the inline twin of the staged serve below
+    (same join + adjacency-intersect logic, postings_frame shared), so
+    the pair prices what the staged store saves."""
+    p = postings_frame(load_table(spark, sf_dir, "documents"))
+    return _phrase_hits(p, _query_terms(spark, _PHRASE), _PHRASE)
+
+
+@register("phrase_search_inverted_staged", oracle=_PHRASE_ORACLE)
+def phrase_search_inverted_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase query served from the STAGED postings store: broadcast
+    the 2-term query frame, dynamic-partition-prune to <= 2 of the 16
+    bucket directories, row-group-prune on term inside them, adjacency
+    by array intersect. Per-query work is O(postings of the query
+    terms) — the index is never scanned, which is the whole point of
+    an inverted index at 100 TB."""
+    path = _staged_inverted_index(spark, sf_dir)
+    postings = spark.read.parquet(f"{path}/postings")
+    return _phrase_hits(postings, _query_terms(spark, _PHRASE), _PHRASE)
+
+
+_CONJ_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+tf AS (
+  SELECT doc_id, w, count(*) AS c FROM tok
+  WHERE w IN ('{_CONJ_TERMS[0]}', '{_CONJ_TERMS[1]}', '{_CONJ_TERMS[2]}')
+  GROUP BY doc_id, w
+)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score
+FROM tf GROUP BY doc_id HAVING count(*) = 3
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+@register("conjunctive_search_inverted_staged", oracle=_CONJ_ORACLE)
+def conjunctive_search_inverted_staged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conjunctive (AND) keyword query over the staged postings store,
+    ranked by summed term frequency, top 20 (TakeOrderedAndProject,
+    deterministic doc_id tie-break). Same pruning story as the phrase
+    serve; the AND is a count-distinct-terms == |query| HAVING on the
+    postings hits — document-at-a-time intersection without ever
+    materializing per-term doc lists."""
+    path = _staged_inverted_index(spark, sf_dir)
+    postings = spark.read.parquet(f"{path}/postings")
+    qt = _query_terms(spark, _CONJ_TERMS)
+    hits = postings.filter(F.col("term").isin(*_CONJ_TERMS)).join(
+        F.broadcast(qt), ["bucket", "term"]
+    )
+    ranked = (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count_distinct("term").alias("_nt"),
+            F.sum("tf").alias("score"),
+        )
+        .filter(F.col("_nt") == len(_CONJ_TERMS))
+        .select("doc_id", F.col("score").cast("long").alias("score"))
+    )
+    return ranked.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
