@@ -102,3 +102,25 @@ def test_conjunctive_requires_all_terms(spark):
         assert r["score"] == sum(
             ws.count(t) for t in ("vector", "stream", "hash")
         )
+
+
+def test_online_maintenance_equals_rebuild_and_multibatch(spark):
+    """The online-maintained postings (history + streamed deltas) must
+    equal the full-corpus rebuild row-for-row, and the drain must have
+    processed >= 2 micro-batches (3 one-file triggers)."""
+    from dataengineerchallenge_spark.queries.search import stream_postings_merge
+
+    epochs: list = []
+    maintained = stream_postings_merge(spark, SF_DIR, epochs=epochs)
+    assert len(epochs) >= 2
+    full = postings_frame(load_table(spark, SF_DIR, "documents"))
+    key = lambda r: (r["term"], r["doc_id"])  # noqa: E731
+    got = {
+        key(r): (r["tf"], tuple(r["positions"]), r["bucket"])
+        for r in maintained.collect()
+    }
+    want = {
+        key(r): (r["tf"], tuple(r["positions"]), r["bucket"])
+        for r in full.collect()
+    }
+    assert got == want
