@@ -1107,3 +1107,121 @@ def hourly_load_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> Data
             .alias("remainder_micropoints"),
         )
     )
+
+
+_CHANGEPOINT_ORACLE = """
+WITH h AS (
+  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,
+         count(*) AS y
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(hour_s) AS lo, MAX(hour_s) AS hi FROM h),
+grid AS (SELECT unnest(range(lo, hi + 3600, 3600)) AS hour_s FROM bounds),
+d AS (
+  SELECT g.hour_s, COALESCE(h.y, 0) AS y,
+         ROW_NUMBER() OVER (ORDER BY g.hour_s) AS idx
+  FROM grid g LEFT JOIN h ON h.hour_s = g.hour_s
+),
+tot AS (SELECT COUNT(*) AS n, SUM(y) AS s FROM d),
+cand AS (
+  SELECT hour_s, idx,
+         SUM(y) OVER (ORDER BY idx) AS cum_s,
+         n, s
+  FROM d CROSS JOIN tot
+),
+scored AS (
+  SELECT hour_s, idx, cum_s, n, s,
+         cum_s * cum_s * 1.0 / idx
+           + (s - cum_s) * (s - cum_s) * 1.0 / (n - idx)
+           - s * s * 1.0 / n AS red
+  FROM cand WHERE idx < n
+)
+SELECT hour_s AS split_hour_s,
+       CAST(idx AS BIGINT) AS n_left,
+       CAST(n - idx AS BIGINT) AS n_right,
+       CAST(ROUND(red * 1000000.0 / n, 0) AS BIGINT)
+         AS reduction_micropoints,
+       CAST(ROUND(cum_s * 1000000.0 / idx, 0) AS BIGINT)
+         AS mean_left_micropoints,
+       CAST(ROUND((s - cum_s) * 1000000.0 / (n - idx), 0) AS BIGINT)
+         AS mean_right_micropoints
+FROM scored
+QUALIFY ROW_NUMBER() OVER (ORDER BY red DESC, hour_s) = 1
+"""
+
+
+@register("hourly_load_changepoint", oracle=_CHANGEPOINT_ORACLE)
+def hourly_load_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection on the hourly load by BINARY
+    SEGMENTATION (Scott & Knott 1974; the greedy step every multi-
+    changepoint segmenter — including PELT's baseline — recurses on):
+    choose the split t maximizing the within-SSE reduction
+    R(t) = S_L²/n_L + S_R²/n_R − S²/n (the between-segment sum of
+    squares), equivalent to the best single-step fit of a piecewise-
+    constant mean. Emits the argmax split with both segment means and
+    the per-hour variance-reduction — the "did the load regime shift,
+    and when?" primitive behind deploy-impact and incident timelines.
+
+    Exactness: S, cum_s, n are integers, so each candidate's R is the
+    identical double expression on identical integers in both engines;
+    the argmax is deterministic with an hour tie-break. The candidate
+    window runs over the AGGREGATED hourly series (calendar-bounded,
+    same note as the seasonal decomposition) — at 100 TB the only
+    corpus-sized work is the events→hour aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_s")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    bounds = h.agg(F.min("hour_s").alias("lo"), F.max("hour_s").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("hour_s")
+    )
+    d = grid.join(h, "hour_s", "left").select(
+        "hour_s", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+    return changepoint_from_series(d)
+
+
+def changepoint_from_series(d: DataFrame) -> DataFrame:
+    """Binary-segmentation argmax split of an integer (hour_s, y)
+    series — the metric core, fed synthetic step series in tests."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("hour_s")
+    d = d.select(
+        "hour_s", "y", F.row_number().over(w).cast("long").alias("idx")
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("s"))
+    cand = d.select(
+        "hour_s", "idx", F.sum("y").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_s")
+    ).crossJoin(F.broadcast(tot))
+    red = (
+        F.col("cum_s") * F.col("cum_s") * 1.0 / F.col("idx")
+        + (F.col("s") - F.col("cum_s"))
+        * (F.col("s") - F.col("cum_s"))
+        * 1.0
+        / (F.col("n") - F.col("idx"))
+        - F.col("s") * F.col("s") * 1.0 / F.col("n")
+    )
+    scored = cand.filter(F.col("idx") < F.col("n")).withColumn("red", red)
+    best = scored.withColumn(
+        "_rn",
+        F.row_number().over(Window.orderBy(F.desc("red"), F.asc("hour_s"))),
+    ).filter(F.col("_rn") == 1)
+    return best.select(
+        F.col("hour_s").alias("split_hour_s"),
+        F.col("idx").cast("long").alias("n_left"),
+        (F.col("n") - F.col("idx")).cast("long").alias("n_right"),
+        F.round(F.col("red") * 1000000.0 / F.col("n"), 0)
+        .cast("bigint")
+        .alias("reduction_micropoints"),
+        F.round(F.col("cum_s") * 1000000.0 / F.col("idx"), 0)
+        .cast("bigint")
+        .alias("mean_left_micropoints"),
+        F.round(
+            (F.col("s") - F.col("cum_s")) * 1000000.0 / (F.col("n") - F.col("idx")),
+            0,
+        )
+        .cast("bigint")
+        .alias("mean_right_micropoints"),
+    )

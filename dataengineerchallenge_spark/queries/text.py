@@ -1702,3 +1702,70 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_correct"
         ),
     )
+
+
+@register(
+    "vocab_coverage_estimate",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    spec AS (
+      SELECT count(*) AS vocab,
+             SUM(c) AS n_tokens,
+             SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+             SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+      FROM tf
+    )
+    SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(vocab AS BIGINT) AS vocab,
+           CAST(f1 AS BIGINT) AS f1,
+           CAST(f2 AS BIGINT) AS f2,
+           CAST(ROUND((vocab + CASE WHEN f2 > 0 THEN f1 * f1 / (2.0 * f2)
+                                    ELSE f1 * (f1 - 1) / 2.0 END) * 1000.0, 0)
+                AS BIGINT) AS chao1_millipoints,
+           CAST(ROUND(f1 * 1000000.0 / n_tokens, 0) AS BIGINT)
+             AS unseen_mass_micropoints
+    FROM spec
+    """,
+)
+def vocab_coverage_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness scorecard for corpus growth planning: the
+    token frequency spectrum's singleton/doubleton counts feed Chao1
+    (Chao, Scand. J. Stat. 1984 — lower-bound estimate of the TOTAL
+    vocabulary including unseen types, with the standard bias-corrected
+    f1(f1-1)/2 fallback when f2 = 0) and the Good-Turing unseen-mass
+    estimate f1/N (Good, Biometrika 1953 — the probability the next
+    token is a NEW type). Together they answer the curation question
+    "how much unseen vocabulary is left in this source?" before paying
+    to crawl 10x more of it.
+
+    All spectrum quantities are exact integer aggregates of one token
+    explode + one (word) count + one 4-way conditional sum — two
+    partial-agg shuffles at any corpus size; the two estimator
+    divisions are single rounded doubles from identical integers."""
+    toks = spread(load_table(spark, sf_dir, "documents")).select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    tf = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    spec = tf.agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("f2"),
+    )
+    chao1 = F.when(
+        F.col("f2") > 0,
+        F.col("vocab") + F.col("f1") * F.col("f1") / (2.0 * F.col("f2")),
+    ).otherwise(F.col("vocab") + F.col("f1") * (F.col("f1") - 1) / 2.0)
+    return spec.select(
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        F.col("f1").cast("long").alias("f1"),
+        F.col("f2").cast("long").alias("f2"),
+        F.round(chao1 * 1000.0, 0).cast("bigint").alias("chao1_millipoints"),
+        F.round(F.col("f1") * 1000000.0 / F.col("n_tokens"), 0)
+        .cast("bigint")
+        .alias("unseen_mass_micropoints"),
+    )

@@ -41,3 +41,52 @@ def test_stl_trims_boundary_half_windows(spark):
     # 696 interior rows on a 720-hour fixture month
     n = hourly_load_seasonal_decomposition(spark, SF_DIR).count()
     assert n == 696
+
+
+def test_changepoint_finds_exact_step(spark):
+    """A clean step series (20 hours at 5/hr then 30 at 11/hr) must
+    split exactly at the step with the true segment means."""
+    from dataengineerchallenge_spark.queries.analytics import (
+        changepoint_from_series,
+    )
+
+    rows = [(3600 * i, 5 if i < 20 else 11) for i in range(50)]
+    d = spark.createDataFrame(rows, "hour_s long, y long")
+    r = changepoint_from_series(d).collect()[0]
+    assert r["n_left"] == 20 and r["n_right"] == 30
+    assert r["split_hour_s"] == 3600 * 19
+    assert r["mean_left_micropoints"] == 5_000_000
+    assert r["mean_right_micropoints"] == 11_000_000
+    assert r["reduction_micropoints"] > 0
+
+
+def test_changepoint_constant_series_zero_reduction(spark):
+    from dataengineerchallenge_spark.queries.analytics import (
+        changepoint_from_series,
+    )
+
+    d = spark.createDataFrame(
+        [(3600 * i, 7) for i in range(30)], "hour_s long, y long"
+    )
+    r = changepoint_from_series(d).collect()[0]
+    assert r["reduction_micropoints"] == 0
+    # tie on R == 0 everywhere -> earliest hour wins deterministically
+    assert r["split_hour_s"] == 0
+
+
+def test_changepoint_fixture_mass_balance(spark):
+    from dataengineerchallenge_spark.queries.analytics import (
+        hourly_load_changepoint,
+    )
+
+    r = hourly_load_changepoint(spark, SF_DIR).collect()[0]
+    total_mp = (
+        r["n_left"] * r["mean_left_micropoints"]
+        + r["n_right"] * r["mean_right_micropoints"]
+    )
+    n = r["n_left"] + r["n_right"]
+    # segment means recombine to the global mean within rounding slack
+    from dataengineerchallenge_spark.sources.tables import load_table
+
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert abs(total_mp / n - n_events * 1_000_000 / n) < 1_000
