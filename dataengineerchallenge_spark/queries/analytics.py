@@ -1225,3 +1225,142 @@ def changepoint_from_series(d: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("mean_right_micropoints"),
     )
+
+
+_PSI_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+span AS (
+  SELECT MIN(ts_s) AS lo, MAX(ts_s) AS hi,
+         MIN(cents) AS minc, MAX(cents) AS maxc
+  FROM e
+),
+binned AS (
+  SELECT event_type,
+         CASE WHEN ts_s < (lo + hi) // 2 THEN 0 ELSE 1 END AS epoch,
+         LEAST(9, ((cents - minc) * 10) // (maxc - minc + 1)) AS bin
+  FROM e CROSS JOIN span
+),
+cnt AS (
+  SELECT event_type, bin,
+         SUM(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS cb
+  FROM binned GROUP BY event_type, bin
+),
+grid AS (
+  SELECT t.event_type, g.bin
+  FROM (SELECT DISTINCT event_type FROM e) t
+  CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) g
+),
+dense AS (
+  SELECT grid.event_type, grid.bin,
+         COALESCE(cnt.ca, 0) AS ca, COALESCE(cnt.cb, 0) AS cb
+  FROM grid LEFT JOIN cnt
+    ON cnt.event_type = grid.event_type AND cnt.bin = grid.bin
+),
+tot AS (
+  SELECT event_type, SUM(ca) AS na, SUM(cb) AS nb FROM dense GROUP BY event_type
+),
+terms AS (
+  SELECT d.event_type, t.na, t.nb,
+         CAST(ROUND((
+             (d.ca + 1.0) / (t.na + 10) - (d.cb + 1.0) / (t.nb + 10)
+           ) * ln(((d.ca + 1.0) / (t.na + 10)) / ((d.cb + 1.0) / (t.nb + 10)))
+           * 1000000000.0, 0) AS BIGINT) AS term_nano
+  FROM dense d JOIN tot t USING (event_type)
+)
+SELECT event_type,
+       CAST(na AS BIGINT) AS n_first_half,
+       CAST(nb AS BIGINT) AS n_second_half,
+       CAST(ROUND(SUM(term_nano) / 1000.0, 0) AS BIGINT) AS psi_micropoints
+FROM terms GROUP BY event_type, na, nb
+"""
+
+
+@register("event_value_psi_drift", oracle=_PSI_ORACLE)
+def event_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the value distribution per event
+    type, first half vs second half of the time range — the standard
+    drift screen (credit-scoring lineage, now the default feature-drift
+    monitor) a feature pipeline runs before trusting last month's
+    normalization constants: PSI = Σ_bins (p_A − p_B)·ln(p_A/p_B) over
+    10 fixed-width value bins, Laplace +1 smoothed on a DENSE bin grid
+    so empty bins contribute finite mass instead of ±inf (the smoothing
+    convention stated in the docstring IS the contract — both engines
+    share it literally). Rule-of-thumb thresholds: <0.1 stable, >0.25
+    investigate.
+
+    Exactness: bin edges derive from global integer cents min/max with
+    pure integer arithmetic (floored products, no float widths); each
+    bin's PSI term is one double expression on integers, integerized to
+    nano-points before the 10-term sum. Plan: one scan → one (type,
+    bin, epoch) partial-agg, the 1-row span and the tiny grid broadcast
+    — at 100 TB the scan is the only corpus-sized stage."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    span = e.agg(
+        F.min("ts_s").alias("lo"),
+        F.max("ts_s").alias("hi"),
+        F.min("cents").alias("minc"),
+        F.max("cents").alias("maxc"),
+    )
+    binned = e.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.when(
+            F.col("ts_s") < F.floor((F.col("lo") + F.col("hi")) / 2), 0
+        ).otherwise(1).alias("epoch"),
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("cents") - F.col("minc")) * 10
+                / (F.col("maxc") - F.col("minc") + 1)
+            ),
+        ).cast("long").alias("bin"),
+    )
+    cnt = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("epoch") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("epoch") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(10).select(F.col("id").cast("long").alias("bin"))
+            )
+        )
+    )
+    dense = grid.join(cnt, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    tot = dense.groupBy("event_type").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    pa = (F.col("ca") + 1.0) / (F.col("na") + 10)
+    pb = (F.col("cb") + 1.0) / (F.col("nb") + 10)
+    terms = dense.join(tot, "event_type").select(
+        "event_type",
+        "na",
+        "nb",
+        F.round((pa - pb) * F.log(pa / pb) * 1000000000.0, 0)
+        .cast("bigint")
+        .alias("term_nano"),
+    )
+    return terms.groupBy("event_type", "na", "nb").agg(
+        F.round(F.sum("term_nano") / 1000.0, 0).cast("bigint").alias("psi_micropoints")
+    ).select(
+        "event_type",
+        F.col("na").cast("long").alias("n_first_half"),
+        F.col("nb").cast("long").alias("n_second_half"),
+        "psi_micropoints",
+    )

@@ -271,3 +271,102 @@ def ccnet_grid_mix_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.filter(F.expr(_SPARK_BUCKET) / 256.0 < rate).select(
         "doc_id", F.col("pred_lang").alias("lang"), "bucket"
     )
+
+
+_NEG_PROBES = 10
+_NEG_K = 3
+
+
+def _neg_oracle() -> str:
+    key = "CAST(c AS VARCHAR) || ':' || CAST(j AS VARCHAR)"
+    return f"""
+    WITH pos AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS item
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    np AS (SELECT COUNT(*) AS n_items FROM part),
+    users AS (SELECT DISTINCT c FROM pos),
+    probes AS (
+      SELECT u.c, j, ({duck_u32(key)}) % np.n_items AS cand
+      FROM users u CROSS JOIN (SELECT unnest(range(0, {_NEG_PROBES})) AS j)
+      CROSS JOIN np
+    ),
+    negs AS (
+      SELECT p.c, p.j, p.cand FROM probes p
+      LEFT JOIN pos ON pos.c = p.c AND pos.item = p.cand
+      WHERE pos.c IS NULL
+    ),
+    dedup AS (
+      SELECT c, j, cand,
+             ROW_NUMBER() OVER (PARTITION BY c, cand ORDER BY j) AS dup_rn
+      FROM negs
+    ),
+    ranked AS (
+      SELECT c, j, cand,
+             ROW_NUMBER() OVER (PARTITION BY c ORDER BY j) AS rn
+      FROM dedup WHERE dup_rn = 1
+    )
+    SELECT c AS custkey,
+           CAST(j AS BIGINT) AS probe_idx,
+           CAST(cand AS BIGINT) AS neg_partkey
+    FROM ranked WHERE rn <= {_NEG_K}
+    """
+
+
+@register("purchase_negative_samples", oracle=_neg_oracle())
+def purchase_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NEGATIVE SAMPLING for recommendation / contrastive
+    training pairs: for every purchasing customer, up to 3 parts they
+    have NEVER bought, drawn by hash-probe rejection (probe j's
+    candidate is md5-u32(custkey:j) mod |parts|; reject probes that hit
+    the positive set or repeat an earlier candidate, keep the first 3
+    survivors by probe order). The md5 probe stream is the repo's
+    cross-engine hash construct, so sampling is bit-reproducible across
+    engines, reruns, and repartitionings — no RNG state anywhere.
+
+    Scale shape: this is how negative sampling avoids the |users| x
+    |items| cross join — work is a CONSTANT 10 probe rows per user, and
+    the single big operation is the probes-vs-positives left-anti join,
+    an equi-join on (custkey, partkey) that shuffles 10|users| rows
+    against the distinct-pairs frame. A user whose probes all collide
+    with positives yields fewer than 3 negatives (probability (r/|P|)^10
+    at positive rate r — raise the probe budget, not a driver loop);
+    parts are contiguously keyed 0..n-1 so mod maps straight to a key,
+    a dimension-table property the fixture shares with TPC-H."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pos = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    n_items = load_table(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).alias("n_items")
+    )
+    users = pos.select("c").distinct()
+    key = "CAST(c AS STRING) || ':' || CAST(j AS STRING)"
+    probes = (
+        users.crossJoin(
+            F.broadcast(
+                users.sparkSession.range(_NEG_PROBES).select(
+                    F.col("id").cast("int").alias("j")
+                )
+            )
+        )
+        .crossJoin(F.broadcast(n_items))
+        .withColumn("cand", F.expr(spark_u32(key)) % F.col("n_items"))
+    )
+    negs = probes.join(pos, (probes["c"] == pos["c"]) & (probes["cand"] == pos["item"]), "left_anti")
+    w_dup = Window.partitionBy("c", "cand").orderBy("j")
+    w_rank = Window.partitionBy("c").orderBy("j")
+    return (
+        negs.withColumn("dup_rn", F.row_number().over(w_dup))
+        .filter(F.col("dup_rn") == 1)
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _NEG_K)
+        .select(
+            F.col("c").alias("custkey"),
+            F.col("j").cast("long").alias("probe_idx"),
+            F.col("cand").cast("long").alias("neg_partkey"),
+        )
+    )

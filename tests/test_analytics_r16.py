@@ -90,3 +90,46 @@ def test_changepoint_fixture_mass_balance(spark):
 
     n_events = load_table(spark, SF_DIR, "events").count()
     assert abs(total_mp / n - n_events * 1_000_000 / n) < 1_000
+
+
+def test_psi_nonnegative_and_partitions_events(spark):
+    """Every PSI term (x−y)·ln(x/y) is nonnegative, so the sum must be;
+    and the two epoch halves must partition the events exactly."""
+    from dataengineerchallenge_spark.queries.analytics import (
+        event_value_psi_drift,
+    )
+    from dataengineerchallenge_spark.sources.tables import load_table
+
+    rows = event_value_psi_drift(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["psi_micropoints"] >= 0
+    total = sum(r["n_first_half"] + r["n_second_half"] for r in rows)
+    assert total == load_table(spark, SF_DIR, "events").count()
+
+
+def test_negative_samples_never_positive(spark):
+    from dataengineerchallenge_spark.queries.mixing import (
+        purchase_negative_samples,
+    )
+    from dataengineerchallenge_spark.sources.tables import load_table
+
+    negs = purchase_negative_samples(spark, SF_DIR)
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    pos = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("l_partkey").alias("neg_partkey"),
+    )
+    assert negs.join(pos, ["custkey", "neg_partkey"], "left_semi").count() == 0
+    per_user = negs.groupBy("custkey").count().collect()
+    assert all(r["count"] <= 3 for r in per_user)
+    # valid item domain and no duplicate negative per user
+    n_parts = load_table(spark, SF_DIR, "part").count()
+    assert negs.filter(
+        (F.col("neg_partkey") < 0) | (F.col("neg_partkey") >= n_parts)
+    ).count() == 0
+    assert (
+        negs.groupBy("custkey", "neg_partkey").count().filter("count > 1").count()
+        == 0
+    )
