@@ -1769,3 +1769,206 @@ def vocab_coverage_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("unseen_mass_micropoints"),
     )
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 20
+
+
+@register(
+    "token_pmi_collocations",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    bg AS (
+      SELECT unnest([ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]) AS bg
+      FROM t WHERE len(ws) >= 2
+    ),
+    cbg AS (SELECT bg, count(*) AS cxy FROM bg GROUP BY bg),
+    uni AS (
+      SELECT w, count(*) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      ) GROUP BY w
+    ),
+    n AS (SELECT SUM(c) AS nt FROM uni),
+    scored AS (
+      SELECT cbg.bg, cbg.cxy,
+             CAST(ROUND(ln(cbg.cxy * 1.0 * n.nt / (u1.c * 1.0 * u2.c))
+                        * 1000000.0, 0) AS BIGINT) AS pmi_micropoints
+      FROM cbg
+      JOIN uni u1 ON u1.w = split_part(cbg.bg, ' ', 1)
+      JOIN uni u2 ON u2.w = split_part(cbg.bg, ' ', 2)
+      CROSS JOIN n
+      WHERE cbg.cxy >= {_PMI_MIN_COUNT}
+    )
+    SELECT bg AS bigram, CAST(cxy AS BIGINT) AS n_cooccur, pmi_micropoints
+    FROM scored ORDER BY pmi_micropoints DESC, bg LIMIT {_PMI_TOP}
+    """,
+)
+def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information (Church &
+    Hanks, CL 1990): PMI(w1,w2) = ln(c(w1w2)·N / (c(w1)·c(w2))) over
+    corpus bigrams with a min-count support floor (PMI's known failure
+    mode is hapax pairs — the floor is part of the operator, not a
+    fixture convenience). Top-{_PMI_TOP} by PMI is how tokenizer/phrase
+    vocabularies get seeded ("New York" becomes one unit) and how
+    boilerplate collocations get surfaced for dedup review.
+
+    Counts are exact integers; PMI is one rounded double per surviving
+    bigram (identical operand DAG both engines); the unigram count
+    table joins twice on the word key (broadcast at any realistic
+    vocabulary — a vocab that won't broadcast shuffles on the word key,
+    same plan). Top-k is TakeOrderedAndProject with a bigram
+    tie-break."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    bg = toks.filter(F.size("ws") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2),"
+                " i -> concat(ws[i], ' ', ws[i + 1]))"
+            )
+        ).alias("bg")
+    )
+    cbg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cxy"))
+    uni = docs.select(F.explode(F.split("text", " ")).alias("w")).groupBy(
+        "w"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    nt = uni.agg(F.sum("c").alias("nt"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        cbg.filter(F.col("cxy") >= _PMI_MIN_COUNT)
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .withColumn("w2", F.substring_index("bg", " ", -1))
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            F.col("bg").alias("bigram"),
+            F.col("cxy").cast("long").alias("n_cooccur"),
+            F.round(
+                F.log(
+                    F.col("cxy") * 1.0 * F.col("nt") / (F.col("c1") * 1.0 * F.col("c2"))
+                )
+                * 1000000.0,
+                0,
+            )
+            .cast("bigint")
+            .alias("pmi_micropoints"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_micropoints"), F.asc("bigram")).limit(
+        _PMI_TOP
+    )
+
+
+@register(
+    "source_jsd_matrix",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    cnt AS (SELECT source, w, count(*) AS c FROM tok GROUP BY source, w),
+    vocab AS (SELECT DISTINCT w FROM tok),
+    v AS (SELECT count(*) AS vsz FROM vocab),
+    srcs AS (SELECT DISTINCT source FROM tok),
+    tot AS (SELECT source, count(*) AS n FROM tok GROUP BY source),
+    dense AS (
+      SELECT s.source, vb.w, COALESCE(cnt.c, 0) AS c, tot.n
+      FROM srcs s CROSS JOIN vocab vb
+      LEFT JOIN cnt ON cnt.source = s.source AND cnt.w = vb.w
+      JOIN tot ON tot.source = s.source
+    ),
+    p AS (
+      SELECT source, w, (c + 1.0) / (n + (SELECT vsz FROM v)) AS p FROM dense
+    ),
+    pairs AS (
+      SELECT a.source AS sa, b.source AS sb, a.w,
+             a.p AS pa, b.p AS pb, (a.p + b.p) / 2.0 AS m
+      FROM p a JOIN p b ON a.w = b.w AND a.source < b.source
+    ),
+    terms AS (
+      SELECT sa, sb,
+             CAST(ROUND((pa * ln(pa / m) + pb * ln(pb / m)) / 2.0
+                        * 1000000000.0, 0) AS BIGINT) AS term_nano
+      FROM pairs
+    )
+    SELECT sa AS source_a, sb AS source_b,
+           CAST(ROUND(SUM(term_nano) / 1000.0, 0) AS BIGINT)
+             AS jsd_micropoints
+    FROM terms GROUP BY sa, sb
+    """,
+)
+def source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every two sources'
+    unigram distributions (Laplace-smoothed over the shared vocabulary)
+    — the source-redundancy matrix a mixing strategy reads before
+    assigning domain weights: near-zero JSD pairs are interchangeable
+    (down-weight one), high-JSD pairs add coverage. JSD over natural
+    log is bounded by ln 2 =~ 0.693, symmetric, and finite even on
+    disjoint support (unlike KL) — the reason it is the standard
+    corpus-similarity measure.
+
+    Per-word terms are identical double expressions on integer counts,
+    integerized to nano-points before the per-pair sum. Scale shape:
+    the per-source distribution is dense over the vocabulary by
+    construction (smoothing), so the pair join is |S|²/2 x V rows — at
+    real scale V is capped to the top-V vocabulary first (the standard
+    practice; one extra count-ordered filter), sources number in the
+    hundreds, and every stage is a partial-agg equi-join keyed on the
+    word."""
+    tok = spread(load_table(spark, sf_dir, "documents")).select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    cnt = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = tok.select("w").distinct()
+    vsz = vocab.agg(F.count(F.lit(1)).alias("vsz"))
+    srcs = tok.select("source").distinct()
+    tot = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    dense = (
+        srcs.crossJoin(vocab)
+        .join(cnt, ["source", "w"], "left")
+        .join(tot, "source")
+        .select(
+            "source", "w", F.coalesce("c", F.lit(0)).alias("c"), "n"
+        )
+    )
+    p = dense.crossJoin(F.broadcast(vsz)).select(
+        "source",
+        "w",
+        ((F.col("c") + 1.0) / (F.col("n") + F.col("vsz"))).alias("p"),
+    )
+    a = p.select(
+        F.col("source").alias("sa"), "w", F.col("p").alias("pa")
+    )
+    b = p.select(
+        F.col("source").alias("sb"), F.col("w").alias("wb"), F.col("p").alias("pb")
+    )
+    pairs = a.join(
+        b, (F.col("w") == F.col("wb")) & (F.col("sa") < F.col("sb"))
+    )
+    m = (F.col("pa") + F.col("pb")) / 2.0
+    terms = pairs.select(
+        "sa",
+        "sb",
+        F.round(
+            (
+                F.col("pa") * F.log(F.col("pa") / m)
+                + F.col("pb") * F.log(F.col("pb") / m)
+            )
+            / 2.0
+            * 1000000000.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("term_nano"),
+    )
+    return terms.groupBy("sa", "sb").agg(
+        F.round(F.sum("term_nano") / 1000.0, 0)
+        .cast("bigint")
+        .alias("jsd_micropoints")
+    ).select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        "jsd_micropoints",
+    )

@@ -90,3 +90,27 @@ def test_kn_fixture_bits_positive_and_bounded(spark):
         assert r["n_bigrams"] >= 1
         assert 0 < r["bits_micropoints"] < 40_000_000  # < 40 bits/bigram
         assert r["perplexity"] > 1.0
+
+
+def test_pmi_respects_support_floor_and_agrees_with_counts(spark):
+    from dataengineerchallenge_spark.queries.text import token_pmi_collocations
+
+    rows = token_pmi_collocations(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    assert all(r["n_cooccur"] >= 5 for r in rows)
+    # descending PMI with bigram tie-break
+    keys = [(-r["pmi_micropoints"], r["bigram"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_jsd_bounds_and_symmetric_pairs(spark):
+    import math
+
+    from dataengineerchallenge_spark.queries.text import source_jsd_matrix
+
+    rows = source_jsd_matrix(spark, SF_DIR).collect()
+    assert len(rows) == 190  # C(20, 2) unordered pairs
+    ln2_micro = math.log(2) * 1_000_000
+    for r in rows:
+        assert r["source_a"] < r["source_b"]  # canonical unordered key
+        assert 0 <= r["jsd_micropoints"] <= ln2_micro + 1
