@@ -546,37 +546,14 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bpe_merge_table")
-def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N4 tokenizer training: the first 16 BPE merges learned from the
-    corpus (operators/bpe.py — one corpus-wide word-frequency pass, then
-    per-round pair-count argmax + fold-based symbol rewrite on the tiny
-    word table). Rows-only per contract: the per-round argmax recursion
-    has no SQL twin; exact equivalence to a pure-Python reference BPE is
-    pinned in tests/test_bpe.py, determinism by tie-break is built in."""
-    from dataengineerchallenge_spark.operators.bpe import train_bpe
-
-    docs = load_table(spark, sf_dir, "documents")
-    merges = train_bpe(docs, "text", n_merges=16)
-    return spark.createDataFrame(
-        [(m["rank"], m["left"], m["right"], m["merged"], m["pair_freq"]) for m in merges],
-        "rank int, left string, right string, merged string, pair_freq bigint",
-    )
-
-
-@register("bpe_token_counts")
-def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N4 tokenizer applied: per-document BPE token counts under the
-    16-merge vocabulary learned by bpe_merge_table — the train→apply loop
-    a data pipeline runs to budget sequence packing in REAL tokens, not
-    whitespace ones. Rows-only (iterative, no SQL twin); equivalence to a
-    reference tokenizer is pinned in tests/test_bpe.py."""
-    from dataengineerchallenge_spark.operators.bpe import apply_bpe, train_bpe
-
-    docs = load_table(spark, sf_dir, "documents")
-    merges = train_bpe(docs, "text", n_merges=16)
-    return apply_bpe(docs, merges, "text", "doc_id")
-
+# bpe_merge_table / bpe_token_counts (rows-only) were DEREGISTERED in
+# r16: the `_explicit` twins below run the IDENTICAL 16-merge training
+# chain (same operators/bpe.py train/apply, same tie-breaks) but carry
+# the unrolled MATERIALIZED-CTE oracle, so keeping the rows-only pair
+# registered only duplicated the computation with a weaker check
+# (VERDICT r15 #1's "rows-only block shrinks" done-criterion). The
+# pure-Python-reference parity pins in tests/test_bpe.py still cover
+# the operators directly.
 
 _BPE_MERGES = 16
 

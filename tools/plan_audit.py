@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SKIP_PREFIXES = ("stream_", "predict_")
 # driver-loop training ops: plan of the RESULT is a trivial local
 # relation; auditing would just re-train
-SKIP_NAMES = {"bpe_merge_table", "bpe_token_counts", "kmeans_embedding_clusters"}
+SKIP_NAMES = {"bpe_merge_table_explicit", "bpe_token_counts_explicit", "kmeans_embedding_clusters"}
 
 
 def audit(sf_dir: str, out_path: str, execute: bool = False) -> None:
