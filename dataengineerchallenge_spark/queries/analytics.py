@@ -1328,8 +1328,15 @@ def event_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("epoch") == 0, 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("epoch") == 1, 1).otherwise(0)).alias("cb"),
     )
+    return _psi_finish(spark, cnt)
+
+
+def _psi_finish(spark: SparkSession, cnt: DataFrame) -> DataFrame:
+    """PSI from sparse per-(event_type, bin) epoch counts — shared by
+    the batch query and the streaming twin (which feeds reference
+    counts for ca and drained live registers for cb)."""
     grid = (
-        e.select("event_type")
+        cnt.select("event_type")
         .distinct()
         .crossJoin(
             F.broadcast(
@@ -1364,3 +1371,160 @@ def event_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb").cast("long").alias("n_second_half"),
         "psi_micropoints",
     )
+
+
+def _staged_psi_reference(spark: SparkSession, sf_dir: str) -> str:
+    """The FROZEN half of a production PSI monitor: global span stats
+    (epoch midpoint + integer cents bounds — the bin edges) and the
+    reference epoch's per-(event_type, bin) counts, staged once. A live
+    monitor never re-derives bin edges from current traffic; edges are
+    part of the reference contract."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        e = load_table(spark, sf_dir, "events").select(
+            "event_type",
+            F.unix_timestamp("ts").alias("ts_s"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        span = e.agg(
+            F.min("ts_s").alias("lo"),
+            F.max("ts_s").alias("hi"),
+            F.min("cents").alias("minc"),
+            F.max("cents").alias("maxc"),
+        )
+        write_result(span, str(out / "span"))
+        ref = (
+            e.crossJoin(F.broadcast(span))
+            .filter(F.col("ts_s") < F.floor((F.col("lo") + F.col("hi")) / 2))
+            .select("event_type", _psi_bin_col())
+            .groupBy("event_type", "bin")
+            .agg(F.count(F.lit(1)).alias("ca"))
+        )
+        write_result(ref, str(out / "ref"))
+
+    return staged(
+        spark,
+        "psi_ref",
+        Path(sf_dir) / "events.parquet",
+        "psi_ref_v1",
+        build,
+    )
+
+
+def _psi_bin_col():
+    """The shared integer bin expression (requires minc/maxc columns in
+    scope): least(9, (cents - minc) * 10 // (maxc - minc + 1))."""
+    return (
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("cents") - F.col("minc")) * 10
+                / (F.col("maxc") - F.col("minc") + 1)
+            ),
+        )
+        .cast("long")
+        .alias("bin")
+    )
+
+
+def _staged_psi_live_stream(spark: SparkSession, sf_dir: str) -> str:
+    """The second-half (live) events as 4 hash-partitioned files — the
+    multi-micro-batch delivery the PSI monitor tails."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.unix_timestamp("ts").alias("ts_s"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        span = e.agg(F.min("ts_s").alias("lo"), F.max("ts_s").alias("hi"))
+        live = (
+            e.crossJoin(F.broadcast(span))
+            .filter(F.col("ts_s") >= F.floor((F.col("lo") + F.col("hi")) / 2))
+            .select("event_id", "event_type", "cents")
+        )
+        write_result(live.repartition(4, "event_id"), str(out))
+
+    return staged(
+        spark,
+        "psi_live",
+        Path(sf_dir) / "events.parquet",
+        "psi_live_v1",
+        build,
+    )
+
+
+@register("stream_event_value_psi", oracle=_PSI_ORACLE)
+def stream_event_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE twin of ``event_value_psi_drift`` in the shape production
+    drift monitoring actually runs: bin edges and reference-epoch bin
+    counts FROZEN in a staged store, live traffic tailed as a file
+    stream, each micro-batch folding only its own per-(type, bin)
+    counts under an epoch_id-keyed overwrite (bin counts are sums —
+    linear registers — so the drained store equals the batch bin table
+    under any stream slicing, the cm/hll/MAD drain contract). The final
+    PSI joins frozen reference vs drained live through the SAME
+    ``_psi_finish`` as the batch query and therefore shares its oracle
+    hash-for-hash."""
+    import shutil
+    import tempfile
+
+    ref_root = _staged_psi_reference(spark, sf_dir)
+    payload = _staged_psi_live_stream(spark, sf_dir)
+    schema = spark.read.parquet(payload).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(payload)
+    )
+    span = spark.read.parquet(f"{ref_root}/span")
+    scratch = tempfile.mkdtemp(prefix="spark_graft_stream_psi_")
+    live_dir, ckpt = f"{scratch}/live", f"{scratch}/ckpt"
+
+    def update(mb: DataFrame, epoch_id: int) -> None:
+        (
+            mb.crossJoin(F.broadcast(span))
+            .select("event_type", _psi_bin_col())
+            .groupBy("event_type", "bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(f"{live_dir}/epoch_id={epoch_id}")
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(update)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("psi stream did not drain availableNow input in 300s")
+        live = (
+            spark.read.parquet(live_dir)
+            .groupBy("event_type", "bin")
+            .agg(F.sum("n").alias("cb"))
+        )
+        ref = spark.read.parquet(f"{ref_root}/ref")
+        cnt = ref.join(live, ["event_type", "bin"], "full_outer").select(
+            "event_type",
+            "bin",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        out = _psi_finish(spark, cnt)
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(scratch, ignore_errors=True)
+    return result

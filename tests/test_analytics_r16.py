@@ -133,3 +133,21 @@ def test_negative_samples_never_positive(spark):
         negs.groupBy("custkey", "neg_partkey").count().filter("count > 1").count()
         == 0
     )
+
+
+def test_stream_psi_equals_batch(spark):
+    """Frozen-reference streaming PSI must equal the batch half-split
+    computation row-for-row (linear bin registers drain to the batch
+    table under any slicing)."""
+    from dataengineerchallenge_spark.queries.analytics import (
+        event_value_psi_drift,
+        stream_event_value_psi,
+    )
+
+    batch = sorted(
+        tuple(r) for r in event_value_psi_drift(spark, SF_DIR).collect()
+    )
+    online = sorted(
+        tuple(r) for r in stream_event_value_psi(spark, SF_DIR).collect()
+    )
+    assert batch == online
