@@ -370,3 +370,76 @@ def purchase_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cand").cast("long").alias("neg_partkey"),
         )
     )
+
+
+@register(
+    "source_quantile_normalize_length",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, strlen(text) AS n_chars FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS nn FROM d),
+    per_src AS (SELECT source, COUNT(*) AS ns FROM d GROUP BY source),
+    ranked AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY d.source
+                                ORDER BY d.n_chars, d.doc_id) AS r,
+             per_src.ns, tot.nn
+      FROM d JOIN per_src USING (source) CROSS JOIN tot
+    ),
+    gq AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS gr,
+             n_chars AS norm_chars
+      FROM d
+    )
+    SELECT ranked.doc_id, ranked.source,
+           CAST(ranked.n_chars AS BIGINT) AS n_chars,
+           CAST(gq.norm_chars AS BIGINT) AS normalized_chars
+    FROM ranked
+    JOIN gq ON gq.gr = (ranked.r * ranked.nn + ranked.ns - 1) // ranked.ns
+    """,
+)
+def source_quantile_normalize_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source QUANTILE NORMALIZATION (the microarray-lineage
+    transform, Bolstad et al. 2003, now the standard cross-batch score
+    equalizer): each document's value is replaced by the GLOBAL
+    distribution's datum at the same within-source quantile, so every
+    source ends up with an identical marginal distribution and a single
+    threshold means the same thing in all of them. Demonstrated on doc
+    length (an integer, so the mapping is exact end to end); the same
+    plan normalizes any per-doc score a filter thresholds on.
+
+    Rank matching is nearest-rank: within-source rank r of n_s maps to
+    global rank ceil(r·N/n_s), all integer arithmetic with doc_id
+    tie-breaks — both engines select the identical global datum. The
+    within-source windows partition by source; the one global ordering
+    is fixture-grain (the 100 TB form is the two-level sampled range
+    rank the sorted-neighborhood operator demonstrates, or a mergeable
+    quantile sketch lookup — one substitution, same contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", F.length("text").alias("n_chars"))
+    tot = d.agg(F.count(F.lit(1)).alias("nn"))
+    per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    w_s = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = (
+        d.withColumn("r", F.row_number().over(w_s))
+        .join(F.broadcast(per_src), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "g_rank",
+            F.floor(
+                (F.col("r") * F.col("nn") + F.col("ns") - 1) / F.col("ns")
+            ).cast("long"),
+        )
+    )
+    w_g = Window.orderBy("n_chars", "doc_id")
+    glob = d.select(
+        F.row_number().over(w_g).cast("long").alias("gr"),
+        F.col("n_chars").alias("norm_chars"),
+    )
+    return ranked.join(glob, ranked["g_rank"] == glob["gr"]).select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("norm_chars").cast("long").alias("normalized_chars"),
+    )

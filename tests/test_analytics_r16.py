@@ -151,3 +151,28 @@ def test_stream_psi_equals_batch(spark):
         tuple(r) for r in stream_event_value_psi(spark, SF_DIR).collect()
     )
     assert batch == online
+
+
+def test_quantile_normalization_contract(spark):
+    """Within each source the mapping is monotone; each source's top
+    rank maps to the GLOBAL max (ceil(n_s*N/n_s) = N); and normalized
+    values are drawn from the global value multiset."""
+    from dataengineerchallenge_spark.queries.mixing import (
+        source_quantile_normalize_length,
+    )
+
+    rows = source_quantile_normalize_length(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    global_max = max(r["n_chars"] for r in rows)
+    global_values = {r["n_chars"] for r in rows}
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(
+            (r["n_chars"], r["doc_id"], r["normalized_chars"])
+        )
+    for vals in by_src.values():
+        vals.sort()
+        norms = [v[2] for v in vals]
+        assert norms == sorted(norms)  # monotone
+        assert norms[-1] == global_max
+        assert all(n in global_values for n in norms)
