@@ -65,19 +65,31 @@ def _staged_inverted_index(spark: SparkSession, sf_dir: str) -> str:
     term-sorted within buckets (row-group pruning on term)."""
 
     def build(out: Path) -> None:
-        p = postings_frame(load_table(spark, sf_dir, "documents"))
+        docs = load_table(spark, sf_dir, "documents")
+        p = postings_frame(docs)
         (
             p.repartition(_N_BUCKETS, "bucket")
             .sortWithinPartitions("term", "doc_id")
             .write.partitionBy("bucket")
             .parquet(str(out / "postings"))
         )
+        # per-doc lengths + 1-row corpus stats ride in the same slot so
+        # a BM25 serve needs NOTHING outside the index (df comes from
+        # the postings themselves: one row per (term, doc))
+        dl = docs.select(
+            "doc_id", F.size(F.split("text", " ")).cast("double").alias("dl")
+        )
+        dl.write.parquet(str(out / "doclen"))
+        dl.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("dl").alias("avgdl"),
+        ).write.parquet(str(out / "stats"))
 
     return staged(
         spark,
         "invidx",
         Path(sf_dir) / "documents.parquet",
-        "invidx_v1",
+        "invidx_v2",
         build,
     )
 
@@ -326,3 +338,70 @@ def stream_inverted_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch serves."""
     maintained = stream_postings_merge(spark, sf_dir)
     return _phrase_hits(maintained, _query_terms(spark, _PHRASE), _PHRASE)
+
+
+_BM25_ORACLE_SHARED = """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    stats AS (SELECT count(*)::DOUBLE AS n,
+                     avg(len(string_split(text, ' ')))::DOUBLE AS avgdl FROM documents),
+    dl AS (SELECT doc_id, len(string_split(text, ' '))::DOUBLE AS dl FROM documents),
+    tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+           WHERE term IN ('vector', 'stream', 'hash') GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+           WHERE term IN ('vector', 'stream', 'hash') GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                  * tf.tf * 2.2
+                  / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                  * 1000000) AS BIGINT) AS term_micropoints
+      FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
+    SELECT doc_id, CAST(SUM(term_micropoints) AS BIGINT) AS bm25_micropoints
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_micropoints DESC, doc_id LIMIT 20
+"""
+
+
+@register("bm25_search_inverted_staged", oracle=_BM25_ORACLE_SHARED)
+def bm25_search_inverted_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 SERVED ENTIRELY FROM THE STAGED INDEX — the
+    inline `bm25_keyword_search` re-tokenizes the corpus per query;
+    this reads postings for the 3 query terms (DPP + pushed term
+    literal, same pruning as the phrase serve), derives df as the
+    per-term postings rowcount, joins the store-resident doc-length
+    table, and broadcasts the store's 1-row (N, avgdl) stats. Identical
+    micropoint arithmetic and oracle as the scan path — at 100 TB the
+    difference is reading |postings(query terms)| + |docs| length rows
+    instead of tokenizing the corpus."""
+    path = _staged_inverted_index(spark, sf_dir)
+    terms = _CONJ_TERMS
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("term").isin(*terms)
+    )
+    hits = postings.join(
+        F.broadcast(_query_terms(spark, terms)), ["bucket", "term"]
+    ).select("term", "doc_id", F.col("tf").cast("double").alias("tf"))
+    df = hits.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    dl = spark.read.parquet(f"{path}/doclen")
+    stats = spark.read.parquet(f"{path}/stats")
+    idf = F.log(F.lit(1) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + 1.2 * (
+        F.lit(1) - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        hits.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * F.col("tf") * 2.2 / denom * 1_000_000, 0)
+            .cast("bigint")
+            .alias("term_micropoints"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_micropoints").alias("bm25_micropoints"))
+        .orderBy(F.desc("bm25_micropoints"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -124,3 +124,16 @@ def test_online_maintenance_equals_rebuild_and_multibatch(spark):
         for r in full.collect()
     }
     assert got == want
+
+
+def test_bm25_served_equals_scan_path(spark):
+    """The index-served BM25 must reproduce the scan-path top-20
+    (identical arithmetic, df from postings, dl/stats from the store)."""
+    from dataengineerchallenge_spark.queries.search import (
+        bm25_search_inverted_staged,
+    )
+    from dataengineerchallenge_spark.queries.text import bm25_keyword_search
+
+    served = [tuple(r) for r in bm25_search_inverted_staged(spark, SF_DIR).collect()]
+    scan = [tuple(r) for r in bm25_keyword_search(spark, SF_DIR).collect()]
+    assert served == scan and len(served) == 20
