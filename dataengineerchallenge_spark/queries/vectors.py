@@ -3314,3 +3314,112 @@ def ann_hard_negatives_served(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("neg_rank").cast("long").alias("neg_rank"),
         )
     )
+
+
+@register(
+    "sq8_adc_topk",
+    oracle=f"""
+    WITH lf AS (
+      SELECT u.pos::INT AS pos, u.v::DOUBLE AS v
+      FROM (SELECT unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings) u(v, pos)
+    ),
+    stats AS (SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM lf GROUP BY pos),
+    arrs AS (SELECT list(mn ORDER BY pos) AS mn_arr,
+                    list(mx ORDER BY pos) AS mx_arr FROM stats),
+    dq AS (
+      SELECT vec_id,
+             [CASE WHEN mx_arr[i] > mn_arr[i]
+                   THEN mn_arr[i]
+                        + round((embedding[i]::DOUBLE - mn_arr[i]) * 255
+                                / (mx_arr[i] - mn_arr[i]))
+                          * (mx_arr[i] - mn_arr[i]) / 255
+                   ELSE mn_arr[i] END
+              FOR i IN range(1, len(embedding) + 1)] AS dqv
+      FROM embeddings CROSS JOIN arrs
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             CAST(ROUND(list_sum(
+               [c.dqv[i] * q.embedding[i]::DOUBLE
+                FOR i IN range(1, len(q.embedding) + 1)]) * 10000, 0)
+               AS BIGINT) AS score_bp
+      FROM embeddings q JOIN dq c
+        ON q.vec_id < {_N_QUERIES} AND q.vec_id != c.vec_id
+    )
+    SELECT query_id, vec_id, score_bp
+    FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY score_bp DESC, vec_id) <= {_TOP_K}
+    """,
+)
+def sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 SCALAR QUANTIZATION (SQ8) rung — the 4x-compression tier the
+    ANN ladder had a gap at: PQ (m subvectors -> codebook ids, ~32x,
+    needs training) vs SQ8 (per-DIMENSION affine int8, 4x, training-
+    free — just per-dim min/max), which is FAISS's
+    ScalarQuantizer/QT_8bit and the usual first step down from float32
+    because recall loss is near zero. Asymmetric scoring (ADC): the
+    query stays exact float, candidates dequantize from their codes —
+    same stance as the PQ-ADC rungs.
+
+    Everything is a pure function of the corpus: per-dim min/max are
+    exact f32 reductions, the int8 code is one identically-rounded
+    double per (vector, dim), and the dot product is scored on the
+    dequantized values then landed on a BASIS-POINT integer grid with
+    vec_id tie-breaks (the hard-negatives ranking discipline) — so the
+    training-free quantizer hash-checks end to end, unlike the trained
+    PQ rungs which are rows-only by contract.
+
+    Scale shape: the stats frame is 64 rows (broadcast); codes live as
+    one int8-range array per vector (the store is |V| x 64 bytes — the
+    compression IS the point at 100 TB); scoring streams candidates
+    past the broadcast queries exactly like cosine_topk_exact, one scan
+    + one tiny-key top-k exchange. Recall-vs-exact pinned in
+    tests/test_vectors_r16.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lf = V.explode_vectors(emb, ["vec_id"], "embedding")
+    stats = lf.groupBy("pos").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    arrs = stats.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
+        ).alias("mn_arr"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
+        ).alias("mx_arr"),
+    )
+    dq = emb.crossJoin(F.broadcast(arrs)).select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(0, size(embedding) - 1), i -> "
+            "CASE WHEN mx_arr[i] > mn_arr[i] THEN mn_arr[i] "
+            "  + round((cast(embedding[i] AS double) - mn_arr[i]) * 255 "
+            "          / (mx_arr[i] - mn_arr[i])) "
+            "    * (mx_arr[i] - mn_arr[i]) / 255 "
+            "ELSE mn_arr[i] END)"
+        ).alias("dqv"),
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = F.broadcast(q).join(dq, F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            F.expr(
+                "aggregate(zip_with(dqv, q_emb, (x, y) -> x * cast(y AS double)),"
+                " 0D, (acc, z) -> acc + z)"
+            )
+            * 10000,
+            0,
+        )
+        .cast("bigint")
+        .alias("score_bp"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_bp"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _TOP_K)
+        .select("query_id", "vec_id", "score_bp")
+    )

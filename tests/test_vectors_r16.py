@@ -65,3 +65,67 @@ def test_served_mining_plan_never_scans_base_for_candidates(spark, qs):
     assert base_scans, "expected query-batch reads of the base table"
     for line in base_scans:
         assert "< 5)" in line, f"unfiltered base-table scan:\n{line.strip()[:200]}"
+
+
+def test_sq8_recall_vs_exact(spark):
+    """SQ8's selling point is near-lossless recall at 4x compression:
+    the int8-dequantized top-10 must recover >= 9 of the exact-dot
+    top-10 per query on the fixture, and scores must sit within 1% of
+    exact (the quantization step bounds the dot-product error)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataengineerchallenge_spark.queries.vectors import (
+        _N_QUERIES,
+        _TOP_K,
+        sq8_adc_topk,
+    )
+    from dataengineerchallenge_spark.sources.tables import load_table
+
+    SF = "/root/testdata/sf0.001"
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = (
+        F.broadcast(q)
+        .join(emb, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(embedding, q_emb,"
+                " (x, y) -> cast(x AS double) * cast(y AS double)),"
+                " 0D, (acc, z) -> acc + z)"
+            ).alias("dot"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("dot"), F.asc("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= _TOP_K)
+    )
+    exact_rows = exact.collect()
+    exact_sets: dict = {}
+    exact_best: dict = {}
+    for r in exact_rows:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        exact_best.setdefault(r["query_id"], r["dot"])  # rank 1 first
+    got = sq8_adc_topk(spark, SF).collect()
+    got_sets: dict = {}
+    got_best: dict = {}
+    for r in got:
+        got_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        b = got_best.get(r["query_id"])
+        if b is None or r["score_bp"] > b:
+            got_best[r["query_id"]] = r["score_bp"]
+    assert set(got_sets) == set(exact_sets) and len(got_sets) == _N_QUERIES
+    for qid, s in exact_sets.items():
+        assert len(got_sets[qid] & s) >= _TOP_K - 1, (qid, s, got_sets[qid])
+        assert abs(got_best[qid] / 10000.0 - exact_best[qid]) <= max(
+            0.01 * abs(exact_best[qid]), 0.01
+        )
