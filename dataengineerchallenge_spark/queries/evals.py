@@ -124,6 +124,15 @@ def auc_by_group(scored: DataFrame, group: str) -> DataFrame:
     g = scored.groupBy(group, "p").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
     )
+    return auc_from_score_groups(g, group)
+
+
+def auc_from_score_groups(g: DataFrame, group: str) -> DataFrame:
+    """AUC from pre-aggregated (group, p, cnt, pos) tallies. Split out
+    because the tallies are LINEAR REGISTERS (counts add across any
+    data slicing), which is what makes the streaming twin possible: a
+    drain folds per-batch tallies by addition and reuses this exact
+    ranking arithmetic."""
     w = (
         Window.partitionBy(group)
         .orderBy("p")
@@ -349,3 +358,115 @@ def classifier_brier_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ece_micropoints"),
     )
+
+
+def _staged_scored_doc_stream(spark: SparkSession, sf_dir: str) -> str:
+    """Documents written as 3 doc-hashed parquet files — the scored-
+    example delivery an online eval monitor tails (one file per
+    trigger; scoring happens inside the monitor, on the batch)."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "text"
+        )
+        write_result(docs.repartition(3, "doc_id"), str(out))
+
+    return staged(
+        spark,
+        "auc_delivery",
+        Path(sf_dir) / "documents.parquet",
+        "auc_delivery_v1",
+        build,
+    )
+
+
+@register(
+    "stream_classifier_auc",
+    oracle=f"""
+    WITH {_SCORED_CTE},
+    g AS (
+      SELECT source, p, COUNT(*) AS cnt, SUM(y) AS pos
+      FROM scored GROUP BY source, p
+    ),
+    r AS (
+      SELECT source, cnt, pos,
+             COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumprev
+      FROM g
+    ),
+    m AS (
+      SELECT source,
+             SUM(pos) AS np, SUM(cnt) - SUM(pos) AS nn,
+             SUM(pos * (2 * cumprev + cnt + 1)) AS rank2
+      FROM r GROUP BY source
+    )
+    SELECT source,
+           CAST(np AS BIGINT) AS n_pos,
+           CAST(nn AS BIGINT) AS n_neg,
+           CAST(ROUND((rank2 - np * (np + 1)) * 1000000.0 / (2 * np * nn), 0)
+                AS BIGINT) AS auc_micropoints
+    FROM m WHERE np > 0 AND nn > 0
+    """,
+)
+def stream_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE twin of ``classifier_auc_by_source`` — the eval family's
+    first streaming member, possible because AUC's sufficient
+    statistics are LINEAR: the (source, p) -> (cnt, pos) tallies add
+    across any data slicing, so each micro-batch scores only its own
+    documents and commits its own tallies under an epoch_id-keyed
+    overwrite (the cm/hll/MAD/PSI drain contract), and the drained fold
+    feeds the IDENTICAL ranking arithmetic (`auc_from_score_groups`).
+    An eval monitor in this shape tracks a live classifier's AUC
+    without ever re-scoring history. Shares the batch oracle
+    hash-for-hash."""
+    import shutil
+    import tempfile
+
+    payload = _staged_scored_doc_stream(spark, sf_dir)
+    schema = spark.read.parquet(payload).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(payload)
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_graft_stream_auc_")
+    tallies, ckpt = f"{scratch}/tallies", f"{scratch}/ckpt"
+
+    def update(mb: DataFrame, epoch_id: int) -> None:
+        toks = F.split("text", " ")
+        stop_hits = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+        scored = mb.select(
+            "source",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+            (stop_hits.cast("double") / F.size(toks)).alias("p"),
+        )
+        scored.groupBy("source", "p").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+        ).write.mode("overwrite").parquet(f"{tallies}/epoch_id={epoch_id}")
+
+    q = (
+        sdf.writeStream.foreachBatch(update)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("auc stream did not drain availableNow input in 300s")
+        g = (
+            spark.read.parquet(tallies)
+            .groupBy("source", "p")
+            .agg(F.sum("cnt").alias("cnt"), F.sum("pos").alias("pos"))
+        )
+        out = auc_from_score_groups(g, "source")
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(scratch, ignore_errors=True)
+    return result

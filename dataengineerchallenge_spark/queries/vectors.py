@@ -3423,3 +3423,166 @@ def sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= _TOP_K)
         .select("query_id", "vec_id", "score_bp")
     )
+
+
+# Shortlist size: measured recall@10 vs exact on the sf0.001 fixture is
+# 68% at 50, 84% at 100, 94% at 150 (tests probe) — 100 is the knee;
+# at larger corpora the constant becomes a vanishing fraction of |V|
+# while the rerank cost stays fixed.
+_BQ_SHORTLIST = 100
+
+
+@register(
+    "bq_hamming_rerank_topk",
+    oracle=f"""
+    WITH lf AS (
+      SELECT vec_id, u.pos::INT AS pos, u.v::DOUBLE AS v
+      FROM (SELECT vec_id, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings) u(vec_id, v, pos)
+    ),
+    med AS (
+      SELECT pos, v AS med FROM (
+        SELECT pos, v,
+               ROW_NUMBER() OVER (PARTITION BY pos ORDER BY v, vec_id) AS rn,
+               COUNT(*) OVER (PARTITION BY pos) AS n
+        FROM lf
+      ) WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)
+    ),
+    bits AS (
+      SELECT lf.vec_id, lf.pos,
+             CASE WHEN lf.v > med.med THEN 1 ELSE 0 END AS b
+      FROM lf JOIN med USING (pos)
+    ),
+    codes AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN pos < 32 THEN b * (1::BIGINT << pos)
+                           ELSE 0 END) AS BIGINT) AS fa,
+             CAST(SUM(CASE WHEN pos >= 32 THEN b * (1::BIGINT << (pos - 32))
+                           ELSE 0 END) AS BIGINT) AS fb
+      FROM bits GROUP BY vec_id
+    ),
+    short AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             CAST(bit_count(xor(q.fa, c.fa)) + bit_count(xor(q.fb, c.fb))
+                  AS INT) AS hamming
+      FROM codes q JOIN codes c
+        ON q.vec_id < {_N_QUERIES} AND q.vec_id != c.vec_id
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                 ORDER BY hamming, c.vec_id)
+              <= {_BQ_SHORTLIST}
+    ),
+    rerank AS (
+      SELECT s.query_id, s.vec_id, s.hamming,
+             CAST(ROUND(list_sum(
+               [q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE
+                FOR i IN range(1, len(q.embedding) + 1)]) * 10000, 0)
+               AS BIGINT) AS score_bp
+      FROM short s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings c ON c.vec_id = s.vec_id
+    )
+    SELECT query_id, vec_id, hamming, score_bp
+    FROM rerank
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score_bp DESC, vec_id) <= {_TOP_K}
+    """,
+)
+def bq_hamming_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 BINARY QUANTIZATION rung — the 32x tier below SQ8's 4x: one
+    bit per dimension (v > per-dim MEDIAN, packed into two int32
+    halves), Hamming-distance shortlist of 100, exact-dot
+    re-rank of the survivors — the bq+rescore pipeline every vector
+    store ships (FAISS binary indexes, pgvector/Qdrant binary
+    quantization) because Hamming on packed bits is orders cheaper
+    than float dot and the re-rank repairs the precision.
+
+    MEDIAN thresholds, not means, and not only for bit balance: the
+    median is a nearest-rank SELECTED DATUM (integer row_number
+    arithmetic, vec_id tie-break), so the bit boundary is an exact f32
+    value both engines compare identically — a mean threshold would
+    hang every bit on a float-accumulation-order edge. Codes, Hamming,
+    and the shortlist are all-integer; the re-rank lands on the
+    basis-point grid with id tie-breaks.
+
+    Scale shape: codes are 8 bytes/vector (the compression IS the
+    candidate-generation budget at 100 TB); the shortlist join streams
+    candidate codes past the broadcast query codes (same profile as
+    cosine_topk_exact but on 8-byte rows); only |shortlist| full
+    vectors are ever fetched for the re-rank — the fetch is a semi-join
+    by id, not a scan. Recall-vs-exact pinned in
+    tests/test_vectors_r16.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lf = V.explode_vectors(emb, ["vec_id"], "embedding")
+    w_med = Window.partitionBy("pos").orderBy("v", "vec_id")
+    med = (
+        lf.withColumn("rn", F.row_number().over(w_med))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("pos")))
+        .filter(F.col("rn") == F.ceil(F.col("n") / 2.0).cast("long"))
+        .select("pos", F.col("v").alias("med"))
+    )
+    bits = lf.join(F.broadcast(med), "pos").select(
+        "vec_id",
+        "pos",
+        F.when(F.col("v") > F.col("med"), 1).otherwise(0).alias("b"),
+    )
+    codes = bits.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("pos") < 32,
+                F.col("b").cast("bigint") * F.expr("shiftleft(1L, pos)"),
+            ).otherwise(0)
+        ).alias("fa"),
+        F.sum(
+            F.when(
+                F.col("pos") >= 32,
+                F.col("b").cast("bigint") * F.expr("shiftleft(1L, pos - 32)"),
+            ).otherwise(0)
+        ).alias("fb"),
+    )
+    qc = codes.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("fa").alias("qfa"),
+        F.col("fb").alias("qfb"),
+    )
+    hamming = (
+        F.bit_count(F.col("qfa").bitwiseXOR(F.col("fa")))
+        + F.bit_count(F.col("qfb").bitwiseXOR(F.col("fb")))
+    ).cast("int")
+    w_short = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    short = (
+        F.broadcast(qc)
+        .join(codes, F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", hamming.alias("hamming"))
+        .withColumn("_rn", F.row_number().over(w_short))
+        .filter(F.col("_rn") <= _BQ_SHORTLIST)
+        .drop("_rn")
+    )
+    qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    cv = emb.select("vec_id", F.col("embedding").alias("c_emb"))
+    rerank = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "hamming",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(q_emb, c_emb,"
+                    " (x, y) -> cast(x AS double) * cast(y AS double)),"
+                    " 0D, (acc, z) -> acc + z)"
+                )
+                * 10000,
+                0,
+            )
+            .cast("bigint")
+            .alias("score_bp"),
+        )
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.desc("score_bp"), F.asc("vec_id"))
+    return (
+        rerank.withColumn("_rn", F.row_number().over(w_top))
+        .filter(F.col("_rn") <= _TOP_K)
+        .select("query_id", "vec_id", "hamming", "score_bp")
+    )
