@@ -470,3 +470,117 @@ def stream_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_classifier_brier_ece",
+    oracle=f"""
+    WITH {_SCORED_CTE},
+    rows_fixed AS (
+      SELECT {_BIN} AS bin, y,
+             CAST(ROUND(p * 1000000.0, 0) AS BIGINT) AS p_micro,
+             CAST(ROUND((p - y) * (p - y) * 1000000000.0, 0) AS BIGINT)
+               AS brier_nano
+      FROM scored
+    ),
+    b AS (
+      SELECT bin, COUNT(*) AS n, SUM(y) AS n_pos, SUM(p_micro) AS sum_p,
+             SUM(brier_nano) AS bnano
+      FROM rows_fixed GROUP BY bin
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n,
+           CAST(ROUND(SUM(bnano) / (1000.0 * SUM(n)), 0) AS BIGINT)
+             AS brier_micropoints,
+           CAST(ROUND(SUM(n * ABS(ROUND(sum_p * 1.0 / n, 0)
+                                  - ROUND(n_pos * 1000000.0 / n, 0)))
+                      * 1.0 / SUM(n), 0) AS BIGINT)
+             AS ece_micropoints
+    FROM b
+    """,
+)
+def stream_classifier_brier_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE twin of ``classifier_brier_ece`` — like the AUC twin, the
+    calibration scorecard's sufficient statistics are LINEAR: per-bin
+    (n, positives, Σp_micro, Σbrier_nano) registers add across any
+    micro-batch slicing (the per-row integerization that made the batch
+    metric order-free is exactly what makes it drain-mergeable). Each
+    batch scores its own documents, commits 10-bin tallies under an
+    epoch_id-keyed overwrite; the drain folds by addition and closes
+    with the same two rounded divisions — shares the batch oracle
+    hash-for-hash."""
+    import shutil
+    import tempfile
+
+    payload = _staged_scored_doc_stream(spark, sf_dir)
+    schema = spark.read.parquet(payload).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(payload)
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_graft_stream_brier_")
+    tallies, ckpt = f"{scratch}/tallies", f"{scratch}/ckpt"
+
+    def update(mb: DataFrame, epoch_id: int) -> None:
+        toks = F.split("text", " ")
+        stop_hits = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+        scored = mb.select(
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+            (stop_hits.cast("double") / F.size(toks)).alias("p"),
+        )
+        rows_fixed = scored.select(
+            F.least(F.floor(F.col("p") * 10).cast("bigint"), F.lit(9)).alias("bin"),
+            "y",
+            F.round(F.col("p") * 1000000.0, 0).cast("bigint").alias("p_micro"),
+            F.round(
+                (F.col("p") - F.col("y")) * (F.col("p") - F.col("y")) * 1000000000.0,
+                0,
+            )
+            .cast("bigint")
+            .alias("brier_nano"),
+        )
+        rows_fixed.groupBy("bin").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("n_pos"),
+            F.sum("p_micro").alias("sum_p"),
+            F.sum("brier_nano").alias("bnano"),
+        ).write.mode("overwrite").parquet(f"{tallies}/epoch_id={epoch_id}")
+
+    q = (
+        sdf.writeStream.foreachBatch(update)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "brier stream did not drain availableNow input in 300s"
+            )
+        b = (
+            spark.read.parquet(tallies)
+            .groupBy("bin")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("n_pos").alias("n_pos"),
+                F.sum("sum_p").alias("sum_p"),
+                F.sum("bnano").alias("bnano"),
+            )
+        )
+        conf = F.round(F.col("sum_p") * 1.0 / F.col("n"), 0)
+        acc = F.round(F.col("n_pos") * 1000000.0 / F.col("n"), 0)
+        out = b.agg(
+            F.sum("n").cast("long").alias("n"),
+            F.round(F.sum("bnano") / (1000.0 * F.sum("n")), 0)
+            .cast("bigint")
+            .alias("brier_micropoints"),
+            F.round(F.sum(F.col("n") * F.abs(conf - acc)) * 1.0 / F.sum("n"), 0)
+            .cast("bigint")
+            .alias("ece_micropoints"),
+        )
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(scratch, ignore_errors=True)
+    return result

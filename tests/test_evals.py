@@ -105,3 +105,23 @@ def test_registered_auc_query_bounds(spark):
     # the weak scorer beats a 0-signal floor of base_rate/2.
     assert 0 < ap["ap_micropoints"] <= 1_000_000
     assert ap["ap_micropoints"] > base_rate / 2 * 1_000_000
+
+
+def test_stream_brier_ece_equals_batch(spark):
+    """The drained linear-register scorecard must equal the batch
+    computation exactly (bin tallies add under any stream slicing)."""
+    from dataengineerchallenge_spark.queries.evals import (
+        stream_classifier_brier_ece,
+    )
+
+    batch = classifier_brier_ece(spark, SF_DIR).collect()[0]
+    online = stream_classifier_brier_ece(spark, SF_DIR).collect()[0]
+    assert tuple(batch) == tuple(online)
+
+
+def test_stream_auc_equals_batch(spark):
+    from dataengineerchallenge_spark.queries.evals import stream_classifier_auc
+
+    batch = sorted(tuple(r) for r in classifier_auc_by_source(spark, SF_DIR).collect())
+    online = sorted(tuple(r) for r in stream_classifier_auc(spark, SF_DIR).collect())
+    assert batch == online
