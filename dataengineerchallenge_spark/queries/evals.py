@@ -207,6 +207,13 @@ def pr_auc(scored: DataFrame) -> DataFrame:
     g = scored.groupBy("p").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
     )
+    return pr_auc_from_score_groups(g)
+
+
+def pr_auc_from_score_groups(g: DataFrame) -> DataFrame:
+    """AP from pre-aggregated (p, cnt, pos) tallies — the same linear
+    registers the AUC drain folds, so the streaming twin reuses this
+    closing arithmetic verbatim."""
     w = Window.orderBy(F.desc("p")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -578,6 +585,86 @@ def stream_classifier_brier_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("ece_micropoints"),
         )
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(scratch, ignore_errors=True)
+    return result
+
+
+@register(
+    "stream_classifier_pr_auc",
+    oracle=f"""
+    WITH {_SCORED_CTE},
+    g AS (
+      SELECT p, COUNT(*) AS cnt, SUM(y) AS pos FROM scored GROUP BY p
+    ),
+    c AS (
+      SELECT p, pos,
+             SUM(pos) OVER (ORDER BY p DESC) AS cum_tp,
+             SUM(cnt) OVER (ORDER BY p DESC) AS cum_n
+      FROM g
+    ),
+    t AS (
+      SELECT CAST(ROUND(pos * 1000000000.0 * cum_tp / cum_n, 0) AS BIGINT)
+               AS term_nano,
+             pos
+      FROM c
+    )
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(COUNT(*) AS BIGINT) AS n_thresholds,
+           CAST(ROUND(SUM(term_nano) / (1000.0 * SUM(pos)), 0) AS BIGINT)
+             AS ap_micropoints
+    FROM t
+    """,
+)
+def stream_classifier_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE average precision — the third online eval, riding the
+    SAME (p) -> (cnt, pos) linear tallies as the AUC twin (one drain
+    schema serves both ranking metrics; a real monitor commits the
+    tallies once and reads every metric off them). Per-batch scoring +
+    epoch-keyed commits, drained fold closed by
+    ``pr_auc_from_score_groups`` — shares the batch oracle."""
+    import shutil
+    import tempfile
+
+    payload = _staged_scored_doc_stream(spark, sf_dir)
+    schema = spark.read.parquet(payload).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(payload)
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_graft_stream_ap_")
+    tallies, ckpt = f"{scratch}/tallies", f"{scratch}/ckpt"
+
+    def update(mb: DataFrame, epoch_id: int) -> None:
+        toks = F.split("text", " ")
+        stop_hits = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+        scored = mb.select(
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+            (stop_hits.cast("double") / F.size(toks)).alias("p"),
+        )
+        scored.groupBy("p").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+        ).write.mode("overwrite").parquet(f"{tallies}/epoch_id={epoch_id}")
+
+    q = (
+        sdf.writeStream.foreachBatch(update)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("ap stream did not drain availableNow input in 300s")
+        g = (
+            spark.read.parquet(tallies)
+            .groupBy("p")
+            .agg(F.sum("cnt").alias("cnt"), F.sum("pos").alias("pos"))
+        )
+        out = pr_auc_from_score_groups(g)
         result = spark.createDataFrame(out.collect(), out.schema)
     finally:
         if q.isActive:

@@ -125,3 +125,13 @@ def test_stream_auc_equals_batch(spark):
     batch = sorted(tuple(r) for r in classifier_auc_by_source(spark, SF_DIR).collect())
     online = sorted(tuple(r) for r in stream_classifier_auc(spark, SF_DIR).collect())
     assert batch == online
+
+
+def test_stream_pr_auc_equals_batch(spark):
+    from dataengineerchallenge_spark.queries.evals import (
+        stream_classifier_pr_auc,
+    )
+
+    batch = tuple(classifier_pr_auc(spark, SF_DIR).collect()[0])
+    online = tuple(stream_classifier_pr_auc(spark, SF_DIR).collect()[0])
+    assert batch == online
