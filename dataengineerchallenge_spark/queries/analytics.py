@@ -1131,9 +1131,9 @@ cand AS (
 ),
 scored AS (
   SELECT hour_s, idx, cum_s, n, s,
-         cum_s * cum_s * 1.0 / idx
-           + (s - cum_s) * (s - cum_s) * 1.0 / (n - idx)
-           - s * s * 1.0 / n AS red
+         cum_s * 1.0 * cum_s / idx
+           + (s - cum_s) * 1.0 * (s - cum_s) / (n - idx)
+           - s * 1.0 * s / n AS red
   FROM cand WHERE idx < n
 )
 SELECT hour_s AS split_hour_s,
@@ -1162,8 +1162,11 @@ def hourly_load_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-hour variance-reduction — the "did the load regime shift,
     and when?" primitive behind deploy-impact and incident timelines.
 
-    Exactness: S, cum_s, n are integers, so each candidate's R is the
-    identical double expression on identical integers in both engines;
+    Exactness: S, cum_s, n are integers widened to double BEFORE the
+    square (`cum_s * 1.0 * cum_s`, mirrored in the oracle) so the
+    bigint product never forms — bigint² would overflow ANSI mode once
+    total event count passes ~3e9; each candidate's R is the identical
+    double expression on identical integers in both engines;
     the argmax is deterministic with an hour tie-break. The candidate
     window runs over the AGGREGATED hourly series (calendar-bounded,
     same note as the seasonal decomposition) — at 100 TB the only
@@ -1196,12 +1199,12 @@ def changepoint_from_series(d: DataFrame) -> DataFrame:
         "hour_s", "idx", F.sum("y").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_s")
     ).crossJoin(F.broadcast(tot))
     red = (
-        F.col("cum_s") * F.col("cum_s") * 1.0 / F.col("idx")
+        F.col("cum_s") * 1.0 * F.col("cum_s") / F.col("idx")
         + (F.col("s") - F.col("cum_s"))
-        * (F.col("s") - F.col("cum_s"))
         * 1.0
+        * (F.col("s") - F.col("cum_s"))
         / (F.col("n") - F.col("idx"))
-        - F.col("s") * F.col("s") * 1.0 / F.col("n")
+        - F.col("s") * 1.0 * F.col("s") / F.col("n")
     )
     scored = cand.filter(F.col("idx") < F.col("n")).withColumn("red", red)
     best = scored.withColumn(

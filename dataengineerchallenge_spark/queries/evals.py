@@ -179,12 +179,14 @@ def auc_from_score_groups(g: DataFrame, group: str) -> DataFrame:
                AS term_nano,
              pos
       FROM c
+    ),
+    m AS (
+      SELECT SUM(pos) AS np, COUNT(*) AS nt, SUM(term_nano) AS st FROM t
     )
-    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
-           CAST(COUNT(*) AS BIGINT) AS n_thresholds,
-           CAST(ROUND(SUM(term_nano) / (1000.0 * SUM(pos)), 0) AS BIGINT)
-             AS ap_micropoints
-    FROM t
+    SELECT CAST(np AS BIGINT) AS n_pos,
+           CAST(nt AS BIGINT) AS n_thresholds,
+           CAST(ROUND(st / (1000.0 * np), 0) AS BIGINT) AS ap_micropoints
+    FROM m WHERE np > 0
     """,
 )
 def classifier_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,10 +232,18 @@ def pr_auc_from_score_groups(g: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("term_nano"),
     )
-    return t.agg(
-        F.sum("pos").cast("long").alias("n_pos"),
-        F.count(F.lit(1)).cast("long").alias("n_thresholds"),
-        F.round(F.sum("term_nano") / (1000.0 * F.sum("pos")), 0)
+    m = t.agg(
+        F.sum("pos").alias("np"),
+        F.count(F.lit(1)).alias("nt"),
+        F.sum("term_nano").alias("st"),
+    )
+    # Degenerate-input guard (mirrored in every oracle via WHERE np > 0):
+    # with zero positives Spark's st/np is NULL while DuckDB's is inf
+    # (whose BIGINT cast errors) — drop the row identically instead.
+    return m.filter(F.col("np") > 0).select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nt").cast("long").alias("n_thresholds"),
+        F.round(F.col("st") / (1000.0 * F.col("np")), 0)
         .cast("bigint")
         .alias("ap_micropoints"),
     )
@@ -611,12 +621,14 @@ def stream_classifier_brier_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS term_nano,
              pos
       FROM c
+    ),
+    m AS (
+      SELECT SUM(pos) AS np, COUNT(*) AS nt, SUM(term_nano) AS st FROM t
     )
-    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
-           CAST(COUNT(*) AS BIGINT) AS n_thresholds,
-           CAST(ROUND(SUM(term_nano) / (1000.0 * SUM(pos)), 0) AS BIGINT)
-             AS ap_micropoints
-    FROM t
+    SELECT CAST(np AS BIGINT) AS n_pos,
+           CAST(nt AS BIGINT) AS n_thresholds,
+           CAST(ROUND(st / (1000.0 * np), 0) AS BIGINT) AS ap_micropoints
+    FROM m WHERE np > 0
     """,
 )
 def stream_classifier_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:

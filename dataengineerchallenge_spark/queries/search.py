@@ -110,6 +110,14 @@ def _phrase_hits(postings: DataFrame, qt: DataFrame, terms) -> DataFrame:
     the join alone only arms partition-level DPP, while the literal
     lands in PushedFilters and row-group-prunes on the within-bucket
     term sort (verified in tests/test_search.py plan pins)."""
+    # The slot assignment below keys on term equality, so it is only
+    # correct for a 2-term phrase of DISTINCT tokens ("the the" would
+    # put both occurrences in both slots) — fail loudly on reuse.
+    if len(terms) != 2 or len(set(terms)) != 2:
+        raise ValueError(
+            "_phrase_hits requires exactly 2 distinct terms, got "
+            f"{list(terms)!r}"
+        )
     hits = (
         postings.filter(F.col("term").isin(*terms))
         .join(F.broadcast(qt), ["bucket", "term"])

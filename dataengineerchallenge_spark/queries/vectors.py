@@ -3488,7 +3488,9 @@ _BQ_SHORTLIST = 100
                                ORDER BY score_bp DESC, vec_id) <= {_TOP_K}
     """,
 )
-def bq_hamming_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bq_hamming_rerank_topk(
+    spark: SparkSession, sf_dir: str, shortlist: int = _BQ_SHORTLIST
+) -> DataFrame:
     """N3 BINARY QUANTIZATION rung — the 32x tier below SQ8's 4x: one
     bit per dimension (v > per-dim MEDIAN, packed into two int32
     halves), Hamming-distance shortlist of 100, exact-dot
@@ -3555,7 +3557,7 @@ def bq_hamming_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(codes, F.col("query_id") != F.col("vec_id"))
         .select("query_id", "vec_id", hamming.alias("hamming"))
         .withColumn("_rn", F.row_number().over(w_short))
-        .filter(F.col("_rn") <= _BQ_SHORTLIST)
+        .filter(F.col("_rn") <= shortlist)
         .drop("_rn")
     )
     qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))

@@ -72,11 +72,11 @@ def main() -> None:
     for r in truth_rows:
         truth.setdefault(r["query_id"], set()).add(r["vec_id"])
 
-    def run(fn):
+    def run(fn, **kw):
         best, rows = float("inf"), None
         for _ in range(args.iters):
             t0 = time.time()
-            rows = fn(spark, args.sf_dir).collect()
+            rows = fn(spark, args.sf_dir, **kw).collect()
             best = min(best, time.time() - t0)
         got: dict = {}
         for r in rows:
@@ -90,16 +90,13 @@ def main() -> None:
     bq_s, bq_rec = run(bq_hamming_rerank_topk)
     # second BQ point: shortlist scaled to 10% of the corpus — the knob
     # a production deployment turns as |V| grows (the registered rung
-    # pins the fixed-100 knee; this prices the proportional policy)
-    import dataengineerchallenge_spark.queries.vectors as VV
-
+    # pins the fixed-100 knee; this prices the proportional policy).
+    # Threaded through as a parameter (module default stays 100) so no
+    # concurrent use of the registered query observes a mutated global.
     n_corpus = emb.count()
-    saved = VV._BQ_SHORTLIST
-    VV._BQ_SHORTLIST = max(100, n_corpus // 10)
-    try:
-        bq10_s, bq10_rec = run(bq_hamming_rerank_topk)
-    finally:
-        VV._BQ_SHORTLIST = saved
+    bq10_s, bq10_rec = run(
+        bq_hamming_rerank_topk, shortlist=max(100, n_corpus // 10)
+    )
     tiers = {
         "exact_cosine": {
             "seconds": exact_s,
