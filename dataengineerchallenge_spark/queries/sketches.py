@@ -1125,3 +1125,259 @@ def stream_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result
+
+
+# ---------------------------------------------------------------------------
+# GK quantile summary (Greenwald & Khanna, SIGMOD 2001) — the last sketch
+# family to get an explicit hash-green twin next to cm/HLL/KMV/AMS. The
+# native approx_percentile rungs (queries/aggregates.py
+# approx_value_percentiles, kll_value_quantile_rollup) stay registered as
+# rows-only contrast; this summary is a deterministic function of the
+# data, so the ESTIMATE itself hash-verifies — the KMV discipline.
+#
+# Determinism: GK's insert/compress schedule is stream-order dependent,
+# so we fix the canonical processing order to (value, id) ascending. On a
+# sorted stream GK's compress with the fixed band schedule retains
+# exactly one tuple per 2εn ranks (every tuple reaches its full capacity
+# g = ⌊2εn⌋ before the next survivor is appointed, Δ = 0 throughout), so
+# the canonical summary collapses to the closed form
+#   {(v(r), g = s, Δ = 0) : r = s, 2s, …} ∪ {(v(n), …)},  s = ⌊n/100⌋,
+# computable by pure rank arithmetic over the cumulative value histogram
+# — no sequential pass, and both engines replay it bit-for-bit. ε = 0.005
+# (s = n/100): the summary holds ~100 tuples at ANY n, and a rank query
+# errs by < s ranks, the GK guarantee.
+_GK_EPS_INV = 100  # 1/(2ε): summary tuple spacing in ranks
+_GK_QUANTILES = (5000, 9000, 9500, 9900)  # q in basis points
+
+_GK_ORACLE = f"""
+WITH e AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+),
+g AS (SELECT c, COUNT(*) AS cnt FROM e GROUP BY c),
+cum AS (SELECT c, cnt, SUM(cnt) OVER (ORDER BY c) AS cum FROM g),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         GREATEST(1, CAST(SUM(cnt) AS BIGINT) // {_GK_EPS_INV}) AS s
+  FROM g
+),
+ranks AS (
+  SELECT DISTINCT r FROM (
+    SELECT unnest(range(s, n + 1, s)) AS r FROM tot
+    UNION ALL SELECT n FROM tot
+  )
+),
+summary AS (
+  SELECT r, c AS v FROM cum JOIN ranks ON cum >= r AND cum - cnt < r
+),
+targets AS (
+  SELECT q_bp, n, s, (q_bp * n + 9999) // 10000 AS t
+  FROM (SELECT unnest([{", ".join(str(q) for q in _GK_QUANTILES)}]) AS q_bp) q
+  CROSS JOIN tot
+),
+t2 AS (
+  SELECT q_bp, n, s, t, LEAST(n, ((t + s - 1) // s) * s) AS r_star
+  FROM targets
+),
+est AS (
+  SELECT t2.q_bp, t2.n, t2.s, t2.t, t2.r_star, summary.v AS est_c
+  FROM t2 JOIN summary ON summary.r = t2.r_star
+),
+ex AS (
+  SELECT t2.q_bp, cum.c AS exact_c
+  FROM cum JOIN t2 ON cum.cum >= t2.t AND cum.cum - cum.cnt < t2.t
+)
+SELECT CAST(est.q_bp AS BIGINT) AS q_bp,
+       CAST(est.n AS BIGINT) AS n_values,
+       CAST(est.s AS BIGINT) AS rank_step,
+       CAST(est.t AS BIGINT) AS target_rank,
+       CAST(est.r_star AS BIGINT) AS summary_rank,
+       CAST(est.est_c AS BIGINT) AS est_value_cents,
+       CAST(ex.exact_c AS BIGINT) AS exact_value_cents,
+       CAST(est.r_star - est.t AS BIGINT) AS rank_err,
+       CAST(CASE WHEN ex.exact_c > 0
+                 THEN ROUND((est.est_c - ex.exact_c) * 1000000.0 / ex.exact_c, 0)
+                 ELSE 0 END AS BIGINT) AS rel_err_micropoints
+FROM est JOIN ex ON ex.q_bp = est.q_bp
+"""
+
+
+def gk_quantiles_from_cents_counts(
+    spark: SparkSession, g: DataFrame
+) -> DataFrame:
+    """(c, cnt) value registers -> canonical GK summary -> quantile
+    scorecard. Split out because the registers are LINEAR (counts add
+    under any data slicing), which is what makes the streaming twin
+    share this closing arithmetic — the auc_from_score_groups pattern.
+
+    Scale shape: the only corpus-sized work is the (c, cnt) partial-agg
+    the caller does; everything here runs over DISTINCT cent values
+    (domain-bounded — for unbounded domains the same machinery rides on
+    fixed-resolution or HDR-style log2 buckets, trading the grid for a
+    relative-error bound). The rank window orders that bounded register
+    table, the summary is ~{_GK_EPS_INV} rows, and every join below
+    broadcasts a side measured in rows, not gigabytes."""
+    from pyspark.sql import Window
+
+    wc = Window.orderBy("c")
+    cum = g.select(
+        "c", "cnt", F.sum("cnt").over(wc).alias("cum")
+    )
+    tot = g.agg(F.sum("cnt").cast("long").alias("n")).select(
+        "n",
+        F.greatest(F.lit(1).cast("long"), F.expr(f"n div {_GK_EPS_INV}")).alias("s"),
+    )
+    ranks = (
+        tot.select(F.explode(F.sequence("s", "n", "s")).alias("r"))
+        .union(tot.select(F.col("n").alias("r")))
+        .distinct()
+    )
+    summary = cum.join(
+        F.broadcast(ranks),
+        (F.col("cum") >= F.col("r")) & (F.col("cum") - F.col("cnt") < F.col("r")),
+    ).select("r", F.col("c").alias("v"))
+    qf = spark.createDataFrame([(q,) for q in _GK_QUANTILES], "q_bp long")
+    t2 = (
+        qf.crossJoin(F.broadcast(tot))
+        .select("q_bp", "n", "s", F.expr("(q_bp * n + 9999) div 10000").alias("t"))
+        .withColumn(
+            "r_star", F.least(F.col("n"), F.expr("((t + s - 1) div s) * s"))
+        )
+    )
+    est = t2.join(F.broadcast(summary), F.col("r_star") == F.col("r")).drop("r")
+    ex = cum.join(
+        F.broadcast(t2.select("q_bp", F.col("t").alias("tt"))),
+        (F.col("cum") >= F.col("tt")) & (F.col("cum") - F.col("cnt") < F.col("tt")),
+    ).select("q_bp", F.col("c").alias("exact_c"))
+    return est.join(ex, "q_bp").select(
+        F.col("q_bp").cast("long"),
+        F.col("n").cast("long").alias("n_values"),
+        F.col("s").cast("long").alias("rank_step"),
+        F.col("t").cast("long").alias("target_rank"),
+        F.col("r_star").cast("long").alias("summary_rank"),
+        F.col("v").cast("long").alias("est_value_cents"),
+        F.col("exact_c").cast("long").alias("exact_value_cents"),
+        (F.col("r_star") - F.col("t")).cast("long").alias("rank_err"),
+        F.when(
+            F.col("exact_c") > 0,
+            F.round(
+                (F.col("v") - F.col("exact_c")) * 1000000.0 / F.col("exact_c"), 0
+            ),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("rel_err_micropoints"),
+    )
+
+
+@register("gk_value_quantiles", oracle=_GK_ORACLE)
+def gk_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GK(ε = 0.005) quantile summary of events.value with the
+    estimate itself hash-verified — the quantile family's answer to the
+    cm/HLL/KMV/AMS explicit twins (the native approx_percentile rungs
+    stay as rows-only contrast). The summary is built in CANONICAL
+    (value, id) order, where GK's deterministic band compaction retains
+    exactly one tuple per s = ⌊2εn⌋ = ⌊n/100⌋ ranks (see the closed-form
+    note above _GK_ORACLE); a rank-t query answers from the summary
+    tuple at rank ⌈t/s⌉·s, erring < s ranks — the GK guarantee, here
+    PINNED per row as rank_err ∈ [0, s) next to the exact nearest-rank
+    quantile and the relative value error in micropoints.
+
+    Exactness: values ride the cents grid, ranks are integers with the
+    (value, id) tie-break collapsing to value order (ties share a cent,
+    so the value AT a rank is id-free), target ranks use integer
+    ceiling arithmetic ((q·n + 9999) div 10⁴), and the one float
+    division lands in ROUND with the identical operand DAG both sides.
+
+    At 100 TB: one partial-agg shuffle to (cent, count) registers;
+    summary construction touches only the domain-bounded register
+    table. GK summaries also MERGE (Greenwald & Khanna 2004): combining
+    two ε-summaries and recompacting in canonical order gives the
+    canonical summary of the union — which is exactly how the streaming
+    twin folds per-batch registers below."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("c")
+    ).groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    return gk_quantiles_from_cents_counts(spark, g)
+
+
+def _staged_event_value_stream(spark: SparkSession, sf_dir: str) -> str:
+    """(event_id, value) written as 4 hash-partitioned files for the
+    multi-micro-batch replay (same shape as _staged_event_key_stream)."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        write_result(
+            ev.select("event_id", "value").repartition(4, "event_id"), str(out)
+        )
+
+    return staged(
+        spark,
+        "gk_events",
+        Path(sf_dir) / "events.parquet",
+        "gk_values:f4",
+        build,
+    )
+
+
+@register("stream_gk_value_quantiles", oracle=_GK_ORACLE)
+def stream_gk_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE twin of ``gk_value_quantiles`` (fifth online sketch next
+    to the cm/HLL/KMV/AMS twins): each micro-batch folds its OWN
+    (cent, count) register table into a run-scoped store via
+    foreachBatch — per-batch state is bounded by the value domain,
+    never by history. Registers are LINEAR (counts add), so the drained
+    store sums to EXACTLY the batch register table under any stream
+    slicing, and the canonical GK summary + quantile scorecard built
+    from it shares the batch query's DuckDB oracle hash-for-hash —
+    this is GK mergeability made operational: fold registers, then
+    recompact canonically at drain."""
+    import shutil
+    import tempfile
+
+    payload = _staged_event_value_stream(spark, sf_dir)
+    schema = spark.read.parquet(payload).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(payload)
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_graft_stream_gk_")
+    regs_dir, ckpt = f"{scratch}/regs", f"{scratch}/ckpt"
+
+    def update(mb: DataFrame, epoch_id: int) -> None:
+        # epoch_id-keyed overwrite: idempotent under micro-batch retry
+        # (a replayed epoch rewrites its own partition instead of
+        # append-double-counting the summed state).
+        reg = (
+            mb.select(F.round(F.col("value") * 100).cast("long").alias("c"))
+            .groupBy("c")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        reg.write.mode("overwrite").parquet(f"{regs_dir}/epoch_id={epoch_id}")
+
+    q = (
+        sdf.writeStream.foreachBatch(update)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("stream gk did not drain availableNow input in 300s")
+        g = (
+            spark.read.parquet(regs_dir)
+            .groupBy("c")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        out = gk_quantiles_from_cents_counts(spark, g)
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(scratch, ignore_errors=True)
+    return result

@@ -418,3 +418,59 @@ def test_stream_ams_equals_batch(spark):
         r["event_type"]: r.asDict() for r in stream_ams_f2(spark, SF_SMOKE).collect()
     }
     assert online == batch
+
+
+def test_gk_rank_error_within_guarantee(spark, qs):
+    """The GK contract, pinned per row: the summary answers a rank-t
+    query from the tuple at ⌈t/s⌉·s, so rank_err ∈ [0, s) and the
+    estimate never under-shoots the exact nearest-rank value."""
+    rows = qs["gk_value_quantiles"](spark, SF_DIR).collect()
+    assert {r["q_bp"] for r in rows} == {5000, 9000, 9500, 9900}
+    for r in rows:
+        assert 0 <= r["rank_err"] < r["rank_step"], r
+        assert r["est_value_cents"] >= r["exact_value_cents"], r
+        assert r["summary_rank"] == min(
+            r["n_values"],
+            -(-r["target_rank"] // r["rank_step"]) * r["rank_step"],
+        ), r
+
+
+def test_gk_closed_form_on_uniform_grid(spark):
+    """Hand-built registers with a known closed form: cents 1..997 each
+    count 1 gives n=997, s=9; q=0.99 targets rank ⌈987.03⌉=988, the
+    summary answers from rank 990 (rank_err 2); q=0.5 targets rank 499,
+    answered from 504 (rank_err 5) — both inside the <s guarantee."""
+    from dataengineerchallenge_spark.queries.sketches import (
+        gk_quantiles_from_cents_counts,
+    )
+
+    g = spark.createDataFrame([(c, 1) for c in range(1, 998)], "c long, cnt long")
+    got = {r["q_bp"]: r for r in gk_quantiles_from_cents_counts(spark, g).collect()}
+    assert got[9900]["target_rank"] == 988
+    assert got[9900]["summary_rank"] == 990
+    assert got[9900]["est_value_cents"] == 990
+    assert got[9900]["exact_value_cents"] == 988
+    assert got[9900]["rank_err"] == 2
+    assert got[5000]["target_rank"] == 499
+    assert got[5000]["est_value_cents"] == 504
+    assert got[5000]["exact_value_cents"] == 499
+    assert got[5000]["rank_err"] == 5
+
+
+def test_stream_gk_equals_batch(spark, qs):
+    """Stream≡batch: (cent, count) registers are linear, so the drained
+    store folds to the batch registers under any slicing; payload must
+    slice into ≥2 micro-batch files to make the pin meaningful."""
+    import glob
+
+    from dataengineerchallenge_spark.queries.sketches import (
+        _staged_event_value_stream,
+    )
+
+    payload = _staged_event_value_stream(spark, SF_DIR)
+    assert len(glob.glob(f"{payload}/part-*.parquet")) >= 2
+    batch = sorted(map(tuple, qs["gk_value_quantiles"](spark, SF_DIR).collect()))
+    stream = sorted(
+        map(tuple, qs["stream_gk_value_quantiles"](spark, SF_DIR).collect())
+    )
+    assert stream == batch
