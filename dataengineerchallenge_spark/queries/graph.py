@@ -22,11 +22,14 @@ _ITERS = 5
 _DAMPING = 0.85
 
 
-def _pagerank_oracle(iters: int) -> str:
+def _pagerank_oracle(iters: int, li_pred: str = "") -> str:
     """Unrolled power-iteration oracle: r0 = 1.0 everywhere, then
     r{i+1}(v) = 0.15 + 0.85 * sum over in-edges of r{i}(u)/outdeg(u).
     The co-purchase graph is symmetric, so nodes = distinct src and no
-    dangling-mass correction is needed (operators/graph.py docstring)."""
+    dangling-mass correction is needed (operators/graph.py docstring).
+    ``li_pred`` restricts the fact rows the edge list derives from —
+    the retraction rung passes the corpus-minus-takedown predicate so
+    the SAME oracle grades the delete-delta-maintained store."""
     steps = []
     for i in range(iters):
         steps.append(
@@ -46,7 +49,7 @@ def _pagerank_oracle(iters: int) -> str:
     WITH e AS (
       SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-      WHERE a.l_partkey <> b.l_partkey
+      WHERE a.l_partkey <> b.l_partkey{li_pred}
     ), nodes AS (
       SELECT DISTINCT src AS node FROM e
     ), od AS (
@@ -1048,6 +1051,95 @@ def part_copurchase_pagerank_appended(spark: SparkSession, sf_dir: str) -> DataF
     and degrees on real data, the standard this repo's ANN appends and
     MinHash delivery rungs already meet."""
     root = _staged_copurchase_edges_appended(spark, sf_dir)
+    sym = spark.read.parquet(f"{root}/sym")
+    deg = spark.read.parquet(f"{root}/symdeg").select("src", "outdeg")
+    ranks = pagerank(
+        sym.select("src", "dst"), iters=_ITERS, damping=_DAMPING, outdeg=deg
+    )
+    return ranks.select(F.col("node").alias("part_key"), F.round("pr", 4).alias("pr"))
+
+
+def _staged_copurchase_edges_retracted(spark: SparkSession, sf_dir: str) -> str:
+    """RETRACTION maintenance on the edge store — the delete half the
+    lifecycle was missing (build / append / streaming-append are all
+    proven; GDPR-class takedown was not). The takedown set is every
+    order with o_orderkey % 10 == 0; its line pairs aggregate into a
+    NEGATIVE (−w, −wr) delta that folds into the already-staged FULL
+    store by the same (src, dst) sum-merge the append path uses, then a
+    zero-support cleanup drops rows with wr == 0. Correct because both
+    supports are per-order pair counts partitioned BY ORDER: a deleted
+    order's contribution is independent of history, so subtracting it
+    leaves exactly the corpus-minus-takedown aggregate — and an edge
+    whose whole support came from deleted orders hits (0, 0) and is
+    swept, matching a from-scratch rebuild row-for-row (pinned in
+    tests/test_graph_r17.py; proven on real data by
+    `part_copurchase_pagerank_retracted` hash-matching the oracle
+    computed on the filtered corpus).
+
+    Which stores inherit this for free: every LINEAR register store —
+    count-min cells, AMS counters, the (cent, count) GK registers, the
+    per-score eval tallies — un-folds the same way (subtract the
+    delta's registers). Stores keyed on SELECTED data need tombstones
+    instead: KMV/bottom-k registers (a deleted minimum must be
+    re-filled from history), inverted-index postings and ANN codes
+    (per-doc rows — delete is an anti-join on doc_id, cheap but not
+    algebraic), and trained state (IVF centroids) is append-frozen by
+    contract and only retrains.
+
+    100 TB shape: the takedown delta touches only its own rows, the
+    fold is one (src, dst)-keyed shuffle over (store + delta), symdeg
+    re-derives |E|-bounded — history is never re-joined."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        base_root = _staged_copurchase_edges(spark, sf_dir)
+        base = spark.read.parquet(f"{base_root}/sym")
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        delta = _copurchase_pair_counts(li.filter(F.col("l_orderkey") % 10 == 0))
+        neg = delta.select(
+            "src", "dst", (-F.col("w")).alias("w"), (-F.col("wr")).alias("wr")
+        )
+        merged = (
+            base.unionByName(neg)
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"), F.sum("wr").cast("long").alias("wr"))
+            .filter(F.col("wr") > 0)
+        )
+        write_result(merged.repartition("src"), str(out / "sym"))
+        sym_staged = spark.read.parquet(str(out / "sym"))
+        write_result(
+            sym_staged.groupBy("src").agg(
+                F.count(F.lit(1)).alias("outdeg"), F.sum("w").alias("sw")
+            ),
+            str(out / "symdeg"),
+        )
+
+    return staged(
+        spark,
+        "gedges_ret",
+        Path(sf_dir) / "lineitem.parquet",
+        "copurchase_retract_v1",
+        build,
+    )
+
+
+@register(
+    "part_copurchase_pagerank_retracted",
+    oracle=_pagerank_oracle(_ITERS, li_pred=" AND a.l_orderkey % 10 != 0"),
+)
+def part_copurchase_pagerank_retracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete≡rebuild proof rung: PageRank served from the edge store
+    AFTER folding in the takedown orders' negative delta
+    (`_staged_copurchase_edges_retracted`), graded against the oracle
+    computed directly on the corpus WITHOUT those orders. A green row
+    proves the retraction left the store exactly as if the deleted
+    orders had never been ingested — the GDPR-class guarantee — and
+    completes the store lifecycle triple: build / append≡rebuild /
+    delete≡rebuild."""
+    root = _staged_copurchase_edges_retracted(spark, sf_dir)
     sym = spark.read.parquet(f"{root}/sym")
     deg = spark.read.parquet(f"{root}/symdeg").select("src", "outdeg")
     ranks = pagerank(
