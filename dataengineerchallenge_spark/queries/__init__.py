@@ -29,6 +29,7 @@ _MODULES = [
     "graph",
     "evals",
     "search",
+    "extraction",
 ]
 
 
