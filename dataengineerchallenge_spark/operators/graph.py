@@ -944,3 +944,108 @@ def truss(
     return final.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "support"
     )
+
+
+def _minlabel_fixpoint(nodes: DataFrame, e: DataFrame, hops: int) -> DataFrame:
+    """Synchronous (Jacobi) min-label propagation to fixpoint, capped at
+    ``hops`` rounds: m_k(v) = min(m_{k-1}(v), min over in-edges of
+    m_{k-1}(u)), labels initialized to the node id. Pure synchronous
+    updates so a fixed SQL unroll replays the schedule exactly; the
+    early break fires only at the fixpoint, where extra unrolled oracle
+    rounds are no-ops — either way both engines apply at most ``hops``
+    updates. Convergence is checked by the label SUM (labels only ever
+    decrease, so an unchanged sum is an unchanged labeling) — one tiny
+    scalar action per round instead of a change-detection join."""
+    m = nodes.select("node", F.col("node").alias("m")).localCheckpoint()
+    prev_sum = m.agg(F.sum("m")).collect()[0][0]
+    for _ in range(hops):
+        prop = e.join(m, e["src"] == m["node"]).select(
+            F.col("dst").alias("node"), "m"
+        )
+        m = (
+            m.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("m").alias("m"))
+            .localCheckpoint()
+        )
+        s = m.agg(F.sum("m")).collect()[0][0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return m
+
+
+def scc_fb_minlabel(
+    edges: DataFrame,
+    peels: int = 7,
+    hops: int = 18,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED edge list by
+    forward-backward min-label peeling (the FB-trim family: Fleischer,
+    Hendrickson & Pınar 2000's divide-and-conquer recast with min-label
+    pivots, per the Orzan/Pregel coloring variant): per peel round,
+
+      fwd(v) = min id that REACHES v   (min-label along edges),
+      bwd(v) = min id v CAN REACH      (min-label along reversed edges),
+
+    and every node with fwd(v) = bwd(v) = m is in the SCC of pivot m
+    (m reaches v and v reaches m, both through min-id m) — those nodes
+    are assigned scc_id = m and peeled; surviving SCCs lie wholly in
+    the remainder, so the rounds are exact, not approximate. ``peels``
+    and ``hops`` are FIXED schedule bounds shared with the SQL oracle
+    (every propagation is capped at ``hops`` synchronous rounds); on
+    any graph they cover, the result equals Tarjan's SCCs exactly —
+    pinned against an in-test Tarjan in tests/test_graph_r17.py.
+
+    Scale shape: each round is frontier-free Jacobi — one edge-join +
+    min-aggregate per hop over the ALIVE subgraph, which collapses
+    quickly (the bow-tie giant SCC is assigned in peel 1 via the
+    global-min pivot; later peels run on the tiny periphery). Rounds
+    are localCheckpoint-ed (the lazy-plan-doubling trap), the edge
+    frame is the loop invariant, and hop counts at 100 TB would ride
+    the same bucketed edge layout as pagerank."""
+    from pyspark import StorageLevel
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    alive_n = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    alive_e = e
+    assigned: DataFrame | None = None
+    for _ in range(peels):
+        if alive_n.isEmpty():
+            break
+        fwd = _minlabel_fixpoint(alive_n, alive_e, hops)
+        rev = alive_e.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        bwd = _minlabel_fixpoint(alive_n, rev, hops)
+        done = (
+            fwd.join(bwd.withColumnRenamed("m", "bm"), "node")
+            .filter(F.col("m") == F.col("bm"))
+            .select("node", F.col("m").alias("scc_id"))
+            .localCheckpoint()
+        )
+        assigned = (
+            done if assigned is None else assigned.union(done).localCheckpoint()
+        )
+        alive_n = alive_n.join(done.select("node"), "node", "left_anti").localCheckpoint()
+        alive_e = (
+            alive_e.join(
+                alive_n.select(F.col("node").alias("src")), "src", "left_semi"
+            )
+            .join(alive_n.select(F.col("node").alias("dst")), "dst", "left_semi")
+            .localCheckpoint()
+        )
+    e.unpersist()
+    if assigned is None:
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "node long, scc_id long")
+    return assigned

@@ -1679,3 +1679,125 @@ def stream_copurchase_edge_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = merged.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = pagerank(edges, iters=_ITERS, damping=_DAMPING, outdeg=deg)
     return ranks.select(F.col("node").alias("part_key"), F.round("pr", 4).alias("pr"))
+
+
+# Directed SCC (VERDICT r16 next-round #4). The graph: the purchase-
+# SEQUENCE digraph over parts — an edge u -> v when u's order line
+# immediately precedes v's inside one order (l_linenumber adjacency),
+# hash-sparsified to every 4th pair with the cross-engine md5-u32 draw
+# (the full successor graph is one giant SCC on this fixture — the
+# sparsified one has the classic bow-tie: a giant core plus a singleton
+# periphery, measured 1399 SCCs at sf0.1). The schedule bounds (peels,
+# hops) are FIXED and shared with the oracle; they exceed the measured
+# need (5 peels / 14 hops at sf0.1) with margin, and the result is
+# pinned against an in-test Tarjan in tests/test_graph_r17.py.
+_SCC_PEELS = 7
+_SCC_HOPS = 18
+
+
+def _scc_oracle(peels: int, hops: int) -> str:
+    """The FB min-label peeling unrolled: per peel, ``hops`` synchronous
+    min-propagation rounds forward and backward, the fwd==bwd pivot
+    assignment, then the alive-set contraction. EVERY round CTE is
+    MATERIALIZED — each is referenced twice (self union + edge join), so
+    un-materialized inlining would double the plan per round and go
+    exponential over ~250 rounds (the LPA/HITS oracle discipline)."""
+    from dataengineerchallenge_spark.functions.hashing import duck_u32
+
+    u32 = duck_u32("a.l_partkey || '~' || b.l_partkey")
+    parts = [
+        f"""e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey
+       AND b.l_linenumber = a.l_linenumber + 1
+      WHERE a.l_partkey != b.l_partkey AND ({u32}) % 4 = 0
+    ), n0 AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)
+    )"""
+    ]
+    for p in range(peels):
+        for tag, jsrc, jdst in (("f", "src", "dst"), ("b", "dst", "src")):
+            parts.append(
+                f"{tag}{p}_0 AS MATERIALIZED (SELECT node, node AS m FROM n{p})"
+            )
+            for k in range(1, hops + 1):
+                parts.append(
+                    f"""{tag}{p}_{k} AS MATERIALIZED (
+      SELECT node, MIN(m) AS m FROM (
+        SELECT node, m FROM {tag}{p}_{k - 1}
+        UNION ALL
+        SELECT e.{jdst} AS node, x.m
+        FROM e{p} e JOIN {tag}{p}_{k - 1} x ON x.node = e.{jsrc}
+      ) GROUP BY node)"""
+                )
+        parts.append(
+            f"""a{p} AS MATERIALIZED (
+      SELECT f.node, f.m AS scc_id FROM f{p}_{hops} f
+      JOIN b{p}_{hops} b ON b.node = f.node AND b.m = f.m)"""
+        )
+        parts.append(
+            f"""n{p + 1} AS MATERIALIZED (
+      SELECT node FROM n{p} WHERE node NOT IN (SELECT node FROM a{p}))"""
+        )
+        parts.append(
+            f"""e{p + 1} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{p} e
+      JOIN n{p + 1} s ON s.node = e.src
+      JOIN n{p + 1} d ON d.node = e.dst)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT node, scc_id FROM a{p}" for p in range(peels)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node AS part_key, CAST(scc_id AS BIGINT) AS scc_id
+    FROM ({union})"""
+    )
+
+
+@register("purchase_scc", oracle=_scc_oracle(_SCC_PEELS, _SCC_HOPS))
+def purchase_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the directed purchase-sequence
+    graph (G-family's missing directed labeling — the standard
+    preprocessing for dangling-mass analysis and link-farm detection
+    next to directed/personalized PageRank and HITS): scc_id = min
+    part key of each component, computed by forward-backward min-label
+    peeling over the existing BFS-style join machinery
+    (operators/graph.py scc_fb_minlabel) with a fixed (peels, hops)
+    schedule the oracle replays round-for-round. The fixture graph's
+    bow-tie comes out directly: one giant core SCC labeled by the
+    global min part plus a singleton periphery — all hash-checked."""
+    from dataengineerchallenge_spark.functions.hashing import spark_u32
+    from dataengineerchallenge_spark.operators.graph import scc_fb_minlabel
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
+        )
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+        .filter(
+            F.expr(
+                spark_u32("concat(cast(src as string), '~', cast(dst as string))")
+            )
+            % 4
+            == 0
+        )
+    )
+    out = scc_fb_minlabel(edges, peels=_SCC_PEELS, hops=_SCC_HOPS)
+    return out.select(
+        F.col("node").alias("part_key"), F.col("scc_id").cast("long").alias("scc_id")
+    )
