@@ -1949,3 +1949,136 @@ def source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sb").alias("source_b"),
         "jsd_micropoints",
     )
+
+
+# Top-V cap. Fidelity vs the uncapped matrix is a measured curve on
+# this fixture (Spearman over the 190 pairs): V=16 -> 0.64, V=20 ->
+# 0.77, V=24 -> 0.90, V=28 -> 0.98 — the synthetic sources differ
+# mostly in TAIL words, so aggressive caps reorder near-tied pairs.
+# V=24 (24 of 31 words) is the knee: a real cut that keeps rank
+# agreement >= 0.9 (pinned in tests/test_text_r17.py). On a real
+# corpus the trade runs the other way: Zipf tails are enormous and
+# carry per-word probabilities too small to move the matrix.
+_JSD_TOPV = 24
+
+
+@register(
+    "source_jsd_matrix_topv",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, count(*) AS c FROM tok GROUP BY w
+        QUALIFY row_number() OVER (ORDER BY c DESC, w) <= {_JSD_TOPV}
+      )
+    ),
+    tokv AS (SELECT tok.source, tok.w FROM tok JOIN vocab USING (w)),
+    cnt AS (SELECT source, w, count(*) AS c FROM tokv GROUP BY source, w),
+    v AS (SELECT count(*) AS vsz FROM vocab),
+    srcs AS (SELECT DISTINCT source FROM tok),
+    tot AS (SELECT source, count(*) AS n FROM tokv GROUP BY source),
+    dense AS (
+      SELECT s.source, vb.w, COALESCE(cnt.c, 0) AS c, tot.n
+      FROM srcs s CROSS JOIN vocab vb
+      LEFT JOIN cnt ON cnt.source = s.source AND cnt.w = vb.w
+      JOIN tot ON tot.source = s.source
+    ),
+    p AS (
+      SELECT source, w, (c + 1.0) / (n + (SELECT vsz FROM v)) AS p FROM dense
+    ),
+    pairs AS (
+      SELECT a.source AS sa, b.source AS sb, a.w,
+             a.p AS pa, b.p AS pb, (a.p + b.p) / 2.0 AS m
+      FROM p a JOIN p b ON a.w = b.w AND a.source < b.source
+    ),
+    terms AS (
+      SELECT sa, sb,
+             CAST(ROUND((pa * ln(pa / m) + pb * ln(pb / m)) / 2.0
+                        * 1000000000.0, 0) AS BIGINT) AS term_nano
+      FROM pairs
+    )
+    SELECT sa AS source_a, sb AS source_b,
+           CAST(ROUND(SUM(term_nano) / 1000.0, 0) AS BIGINT)
+             AS jsd_micropoints
+    FROM terms GROUP BY sa, sb
+    """,
+)
+def source_jsd_matrix_topv(
+    spark: SparkSession, sf_dir: str, top_v: int = _JSD_TOPV
+) -> DataFrame:
+    """The CAPPED-VOCABULARY form of ``source_jsd_matrix`` — the at-
+    scale variant that query's docstring prescribes, now registered
+    rather than asserted (the r15 hard-negatives lesson): vocabulary is
+    cut to the top ``top_v`` words by corpus frequency (count-desc,
+    word-asc tie-break — a SELECTED set, deterministic in both
+    engines) BEFORE densification, so the |S|² × V pair frame is
+    |S|² × top_v regardless of how the long tail grows. Counts and
+    per-source totals are restricted to the capped vocabulary and the
+    Laplace smoothing renormalizes over it — the standard top-V
+    practice. On the fixture the cap bites (24 of 31 words) and the
+    capped matrix keeps Spearman 0.90 pair-rank agreement with the
+    uncapped one (the measured V-vs-fidelity curve is above _JSD_TOPV;
+    pinned in tests/test_text_r17.py)."""
+    tok = spread(load_table(spark, sf_dir, "documents")).select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    wv = Window.orderBy(F.desc("c"), F.asc("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("_rn", F.row_number().over(wv))
+        .filter(F.col("_rn") <= top_v)
+        .select("w")
+    )
+    tokv = tok.join(F.broadcast(vocab), "w")
+    cnt = tokv.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    vsz = vocab.agg(F.count(F.lit(1)).alias("vsz"))
+    srcs = tok.select("source").distinct()
+    tot = tokv.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    dense = (
+        srcs.crossJoin(F.broadcast(vocab))
+        .join(cnt, ["source", "w"], "left")
+        .join(tot, "source")
+        .select("source", "w", F.coalesce("c", F.lit(0)).alias("c"), "n")
+    )
+    p = dense.crossJoin(F.broadcast(vsz)).select(
+        "source",
+        "w",
+        ((F.col("c") + 1.0) / (F.col("n") + F.col("vsz"))).alias("p"),
+    )
+    a = p.select(F.col("source").alias("sa"), "w", F.col("p").alias("pa"))
+    b = p.select(
+        F.col("source").alias("sb"), F.col("w").alias("wb"), F.col("p").alias("pb")
+    )
+    pairs = a.join(b, (F.col("w") == F.col("wb")) & (F.col("sa") < F.col("sb")))
+    m = (F.col("pa") + F.col("pb")) / 2.0
+    terms = pairs.select(
+        "sa",
+        "sb",
+        F.round(
+            (
+                F.col("pa") * F.log(F.col("pa") / m)
+                + F.col("pb") * F.log(F.col("pb") / m)
+            )
+            / 2.0
+            * 1000000000.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("term_nano"),
+    )
+    return (
+        terms.groupBy("sa", "sb")
+        .agg(
+            F.round(F.sum("term_nano") / 1000.0, 0)
+            .cast("bigint")
+            .alias("jsd_micropoints")
+        )
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "jsd_micropoints",
+        )
+    )
