@@ -1149,11 +1149,14 @@ def stream_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GK_EPS_INV = 100  # 1/(2ε): summary tuple spacing in ranks
 _GK_QUANTILES = (5000, 9000, 9500, 9900)  # q in basis points
 
-_GK_ORACLE = f"""
-WITH e AS (
-  SELECT CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
-),
-g AS (SELECT c, COUNT(*) AS cnt FROM e GROUP BY c),
+def _gk_oracle(regs_sql: str, unit: str = "cents") -> str:
+    """The canonical-GK closing arithmetic as SQL, over any (c, cnt)
+    register CTE — shared by the events-value rungs and the
+    token-weighted quality rung (cnt = token weight there: the GK rank
+    grid runs in weight units, which IS the weighted nearest-rank
+    generalization)."""
+    return f"""
+WITH g AS ({regs_sql}),
 cum AS (SELECT c, cnt, SUM(cnt) OVER (ORDER BY c) AS cum FROM g),
 tot AS (
   SELECT CAST(SUM(cnt) AS BIGINT) AS n,
@@ -1191,8 +1194,8 @@ SELECT CAST(est.q_bp AS BIGINT) AS q_bp,
        CAST(est.s AS BIGINT) AS rank_step,
        CAST(est.t AS BIGINT) AS target_rank,
        CAST(est.r_star AS BIGINT) AS summary_rank,
-       CAST(est.est_c AS BIGINT) AS est_value_cents,
-       CAST(ex.exact_c AS BIGINT) AS exact_value_cents,
+       CAST(est.est_c AS BIGINT) AS est_value_{unit},
+       CAST(ex.exact_c AS BIGINT) AS exact_value_{unit},
        CAST(est.r_star - est.t AS BIGINT) AS rank_err,
        CAST(CASE WHEN ex.exact_c > 0
                  THEN ROUND((est.est_c - ex.exact_c) * 1000000.0 / ex.exact_c, 0)
@@ -1201,8 +1204,14 @@ FROM est JOIN ex ON ex.q_bp = est.q_bp
 """
 
 
+_GK_ORACLE = _gk_oracle(
+    """SELECT CAST(ROUND(value * 100) AS BIGINT) AS c, COUNT(*) AS cnt
+       FROM events GROUP BY 1"""
+)
+
+
 def gk_quantiles_from_cents_counts(
-    spark: SparkSession, g: DataFrame
+    spark: SparkSession, g: DataFrame, unit: str = "cents"
 ) -> DataFrame:
     """(c, cnt) value registers -> canonical GK summary -> quantile
     scorecard. Split out because the registers are LINEAR (counts add
@@ -1254,8 +1263,8 @@ def gk_quantiles_from_cents_counts(
         F.col("s").cast("long").alias("rank_step"),
         F.col("t").cast("long").alias("target_rank"),
         F.col("r_star").cast("long").alias("summary_rank"),
-        F.col("v").cast("long").alias("est_value_cents"),
-        F.col("exact_c").cast("long").alias("exact_value_cents"),
+        F.col("v").cast("long").alias(f"est_value_{unit}"),
+        F.col("exact_c").cast("long").alias(f"exact_value_{unit}"),
         (F.col("r_star") - F.col("t")).cast("long").alias("rank_err"),
         F.when(
             F.col("exact_c") > 0,
@@ -1381,3 +1390,56 @@ def stream_gk_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result
+
+
+_GK_TWQ_REGS = """
+    SELECT CAST(ROUND(quality * 100000, 0) AS BIGINT) AS c,
+           CAST(SUM(n_words) AS BIGINT) AS cnt
+    FROM (
+      SELECT round(0.4 * least(n_words / 50.0, 1.0)
+                   + 0.3 * type_token_ratio
+                   + 0.3 * (1.0 - stopword_ratio), 5) AS quality,
+             n_words
+      FROM (
+        SELECT len(string_split(text, ' ')) AS n_words,
+               round(len(list_filter(string_split(text, ' '),
+                         w -> list_contains(['the', 'a'], w)))::DOUBLE
+                     / len(string_split(text, ' ')), 4) AS stopword_ratio,
+               round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                     / len(string_split(text, ' ')), 4) AS type_token_ratio
+        FROM documents
+      )
+    ) GROUP BY 1"""
+
+
+@register(
+    "gk_token_weighted_quality_quantiles",
+    oracle=_gk_oracle(_GK_TWQ_REGS, unit="upoints"),
+)
+def gk_token_weighted_quality_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The mergeable-GK form of ``token_weighted_quality_percentiles``
+    — the exact 100 TB shape that query's docstring names (its global
+    token-weight cumsum becomes this rung's register fold): registers
+    are (quality-in-1e-5-points, Σ token weight), the SAME linear
+    state the value rung folds, and the canonical GK summary runs its
+    rank grid in TOKEN units — which is precisely the weighted
+    nearest-rank generalization (the smallest quality whose cumulative
+    token mass crosses the target). rank_step s = ⌊W/100⌋ tokens, so
+    the estimate errs < 1% of the token budget — the guarantee a
+    curation threshold tuned on this summary inherits. Exact weighted
+    quantile + rank/relative error ride along, all hash-checked."""
+    from dataengineerchallenge_spark.queries.text import quality_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        quality_frame(docs)
+        .select(
+            F.round(F.col("quality") * 100000, 0).cast("long").alias("c"),
+            F.col("n_words").cast("long").alias("w"),
+        )
+        .groupBy("c")
+        .agg(F.sum("w").alias("cnt"))
+    )
+    return gk_quantiles_from_cents_counts(spark, g, unit="upoints")

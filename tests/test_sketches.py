@@ -474,3 +474,26 @@ def test_stream_gk_equals_batch(spark, qs):
         map(tuple, qs["stream_gk_value_quantiles"](spark, SF_DIR).collect())
     )
     assert stream == batch
+
+
+def test_gk_weighted_exact_matches_percentile_family(spark, qs):
+    """Cross-family consistency: the weighted GK rung's EXACT column
+    must select the same datum as token_weighted_quality_percentiles
+    at the shared percentiles (50, 90), and the estimate must err
+    under the s-token guarantee."""
+    gk = {
+        r["q_bp"]: r
+        for r in qs["gk_token_weighted_quality_quantiles"](spark, SF_DIR).collect()
+    }
+    twq = {
+        r["pct"]: r["token_weighted_quality"]
+        for r in qs["token_weighted_quality_percentiles"](spark, SF_DIR).collect()
+    }
+    for q_bp, pct in ((5000, 50), (9000, 90)):
+        assert gk[q_bp]["exact_value_upoints"] == round(twq[pct] * 100000), (
+            q_bp,
+            gk[q_bp],
+            twq[pct],
+        )
+        assert 0 <= gk[q_bp]["rank_err"] < gk[q_bp]["rank_step"]
+        assert gk[q_bp]["est_value_upoints"] >= gk[q_bp]["exact_value_upoints"]
