@@ -413,3 +413,40 @@ def bm25_search_inverted_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25_micropoints"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+_PHRASE_RETRACT_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+           WHERE doc_id % 10 != 0),
+m AS (SELECT doc_id, unnest(range(1, len(ws))) AS i, ws FROM t)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM m WHERE ws[i] = '{_PHRASE[0]}' AND ws[i + 1] = '{_PHRASE[1]}'
+GROUP BY doc_id
+"""
+
+
+@register("phrase_search_inverted_retracted", oracle=_PHRASE_RETRACT_ORACLE)
+def phrase_search_inverted_retracted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TOMBSTONE retraction on the inverted index — the per-doc-row
+    half of the store-retraction story (VERDICT r16 #2's "which stores
+    need tombstones"): postings are keyed by doc_id, so a takedown is
+    an ANTI-JOIN against the tombstone list at serve time (here every
+    doc_id % 10 == 0), not an algebraic un-fold like the edge store's
+    negative delta — cheap (broadcast anti-join riding the same
+    DPP-pruned bucket scan) but a real second mechanism, priced as
+    such. Graded against the phrase oracle computed on the corpus
+    WITHOUT the tombstoned docs, so a green row proves serve-time
+    filtering ≡ rebuild-without-docs. A compaction pass would fold the
+    tombstones into the store (drop the rows, rewrite the buckets) on
+    the same content-addressed slot versioning the appends use."""
+    path = _staged_inverted_index(spark, sf_dir)
+    postings = spark.read.parquet(f"{path}/postings")
+    tombstones = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    live = postings.join(F.broadcast(tombstones), "doc_id", "left_anti")
+    return _phrase_hits(live, _query_terms(spark, _PHRASE), _PHRASE)

@@ -1443,3 +1443,42 @@ def gk_token_weighted_quality_quantiles(
         .agg(F.sum("w").alias("cnt"))
     )
     return gk_quantiles_from_cents_counts(spark, g, unit="upoints")
+
+
+@register(
+    "gk_value_quantiles_retracted",
+    oracle=_gk_oracle(
+        """SELECT CAST(ROUND(value * 100) AS BIGINT) AS c, COUNT(*) AS cnt
+           FROM events WHERE event_id % 10 != 0 GROUP BY 1"""
+    ),
+)
+def gk_value_quantiles_retracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTION on the GK register store — the linear-register half
+    of the delete story (the edge store's negative-delta fold,
+    inherited for free exactly as part_copurchase_pagerank_retracted's
+    docstring claims): the takedown set (event_id % 10 == 0) aggregates
+    its own (cent, count) registers, folds in NEGATED, and a zero-count
+    sweep drops emptied cents; the canonical GK summary then closes
+    over the un-folded registers. Graded against the oracle computed
+    directly on the corpus WITHOUT the deleted events — a green row
+    proves register subtraction ≡ rebuild, no history re-scan. The
+    deleted slice is delta-sized work; the fold is one cent-keyed merge
+    of two register tables."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long").alias("c")
+    full = ev.select(cents).groupBy("c").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    deleted = (
+        ev.filter(F.col("event_id") % 10 == 0)
+        .select(cents)
+        .groupBy("c")
+        .agg((-F.count(F.lit(1))).alias("cnt"))
+    )
+    g = (
+        full.unionByName(deleted)
+        .groupBy("c")
+        .agg(F.sum("cnt").alias("cnt"))
+        .filter(F.col("cnt") > 0)
+    )
+    return gk_quantiles_from_cents_counts(spark, g)
