@@ -1531,3 +1531,112 @@ def stream_event_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result
+
+
+_EWMA_ORACLE = """
+WITH h AS (
+  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,
+         count(*) AS y
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(hour_s) AS lo, MAX(hour_s) AS hi FROM h),
+grid AS (SELECT unnest(range(lo, hi + 3600, 3600)) AS hour_s FROM bounds),
+d AS (
+  SELECT g.hour_s, COALESCE(h.y, 0) AS y,
+         ROW_NUMBER() OVER (ORDER BY g.hour_s) AS idx
+  FROM grid g LEFT JOIN h ON h.hour_s = g.hour_s
+),
+pairs AS (
+  SELECT t.hour_s, t.idx, t.y,
+         CASE WHEN j.idx = 1 THEN t.idx - 2 ELSE t.idx - j.idx END AS e,
+         j.y AS yj
+  FROM d t JOIN d j ON j.idx < t.idx
+  WHERE t.idx >= 2
+    AND (CASE WHEN j.idx = 1 THEN t.idx - 2 ELSE t.idx - j.idx END) <= 62
+),
+pred AS (
+  SELECT hour_s, idx, y,
+         SUM(CAST(ROUND(yj * 1000000000.0
+                        / CAST((1::BIGINT << e) AS DOUBLE), 0) AS BIGINT))
+           AS pred_nano
+  FROM pairs GROUP BY hour_s, idx, y
+)
+SELECT hour_s,
+       CAST(y AS BIGINT) AS y,
+       CAST(ROUND(pred_nano / 1000.0, 0) AS BIGINT) AS pred_micropoints,
+       CAST(y * 1000000 - ROUND(pred_nano / 1000.0, 0) AS BIGINT)
+         AS resid_micropoints,
+       CAST(CASE WHEN (y * 1000000 - ROUND(pred_nano / 1000.0, 0))
+                      * (y * 1000000 - ROUND(pred_nano / 1000.0, 0))
+                    > 9 * ROUND(pred_nano / 1000.0, 0) * 1000000
+                 THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+FROM pred
+"""
+
+
+@register("hourly_load_ewma_residuals", oracle=_EWMA_ORACLE)
+def hourly_load_ewma_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead EWMA forecast residuals on the hourly load —
+    simple exponential smoothing (Brown 1956; the EWMA control chart,
+    Roberts 1959) with α = 1/2, CHOSEN so every smoothing weight is an
+    exact power of two: l_t = (y_t + l_{t-1})/2 unrolls to weights
+    2^-(t-j), which both engines compute exactly as 1/(1<<e) — no libm
+    pow on data-dependent values, the discipline that keeps a smoother
+    hash-green where a general α would hang every weight on a
+    rounding edge. Each weighted term integerizes to nano-points
+    before the sum (order-free); lags beyond 62 are dropped because
+    their nano-terms round to zero identically in both engines (the
+    geometric tail is sub-integer) — which also BOUNDS the pair frame
+    at 62 rows per hour. The anomaly flag is the ±3σ Poisson rule in
+    pure integers: resid² > 9·pred·10⁶ micropoints².
+
+    At 100 TB the only corpus-sized work is the events→hour aggregate
+    (the calendar-bounded series note of the MAD/changepoint family);
+    the 62-lag window join is T×62 over the aggregated series."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_s")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    bounds = h.agg(F.min("hour_s").alias("lo"), F.max("hour_s").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("hour_s")
+    )
+    from pyspark.sql import Window
+
+    d = (
+        grid.join(h, "hour_s", "left")
+        .select("hour_s", F.coalesce("y", F.lit(0)).cast("long").alias("y"))
+        .withColumn("idx", F.row_number().over(Window.orderBy("hour_s")).cast("long"))
+    )
+    t = d.select(
+        F.col("hour_s"), F.col("idx").alias("ti"), F.col("y").alias("yt")
+    )
+    j = d.select(F.col("idx").alias("ji"), F.col("y").alias("yj"))
+    e = F.when(F.col("ji") == 1, F.col("ti") - 2).otherwise(
+        F.col("ti") - F.col("ji")
+    )
+    pairs = (
+        t.join(j, F.col("ji") < F.col("ti"))
+        .filter(F.col("ti") >= 2)
+        .withColumn("e", e)
+        .filter(F.col("e") <= 62)
+    )
+    term = F.expr(
+        "cast(round(yj * 1000000000.0 / cast(shiftleft(1L, e) as double), 0)"
+        " as bigint)"
+    )
+    pred = pairs.groupBy("hour_s", "yt").agg(
+        F.sum(term).alias("pred_nano")
+    )
+    pm = F.round(F.col("pred_nano") / 1000.0, 0).cast("bigint")
+    resid = (F.col("yt") * 1000000 - pm).cast("bigint")
+    return pred.select(
+        "hour_s",
+        F.col("yt").cast("long").alias("y"),
+        pm.alias("pred_micropoints"),
+        resid.alias("resid_micropoints"),
+        F.when(resid * resid > 9 * pm * 1000000, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("anomaly"),
+    )
