@@ -2082,3 +2082,100 @@ def source_jsd_matrix_topv(
             "jsd_micropoints",
         )
     )
+
+
+def _textrank_oracle(iters: int = 5) -> str:
+    """Weighted-pagerank unroll over the word co-occurrence graph —
+    the _weighted_pagerank_oracle CTE shape with the token-window edge
+    build swapped in."""
+    steps = []
+    for i in range(iters):
+        steps.append(
+            f"""r{i + 1} AS (
+      SELECT n.node, 0.15 + 0.85 * COALESCE(s.inflow, 0.0) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.pr * e.w / od.sw) AS inflow
+        FROM e
+        JOIN r{i} r ON e.src = r.node
+        JOIN od ON e.src = od.src
+        GROUP BY e.dst
+      ) s ON n.node = s.node
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    tok AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS i, ws FROM t),
+    dc AS (
+      SELECT a.ws[a.i] AS src, b.ws[b.i] AS dst, count(*) AS c
+      FROM tok a JOIN tok b
+        ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 2
+       AND a.ws[a.i] != b.ws[b.i]
+      GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT src, dst, SUM(c)::DOUBLE AS w FROM (
+        SELECT src, dst, c FROM dc
+        UNION ALL SELECT dst AS src, src AS dst, c FROM dc
+      ) GROUP BY src, dst
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    od AS (SELECT src, SUM(w) AS sw FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes),
+    {chain}
+    SELECT node AS word, ROUND(pr, 4) AS textrank FROM r{iters}
+    """
+
+
+@register("textrank_keywords", oracle=_textrank_oracle())
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scoring (Mihalcea & Tarau, EMNLP 2004):
+    weighted PageRank over the word CO-OCCURRENCE graph — words within
+    a ±2-token window are linked, edge weight = corpus co-occurrence
+    count — reusing the graph family's pagerank operator verbatim on a
+    text-derived graph (the RAKE rung's graph-based sibling; together
+    they cover both classic unsupervised keyphrase schools). Unlike
+    frequency ranking, TextRank rewards words that co-occur with many
+    DIFFERENT well-connected words, which on a Zipfian corpus
+    separates topical terms from uniformly-spread function words.
+
+    Scale shape: the token-window self-join fans out ≤ 2 pairs per
+    token (position-banded, never all-pairs within a doc); the edge
+    aggregate collapses to a VOCABULARY-sized graph, so the 5
+    power iterations run on |V| nodes no matter the corpus size —
+    the same aggregate-then-iterate shape as the hourly analytics."""
+    from dataengineerchallenge_spark.operators.graph import pagerank
+
+    toks = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    a = toks.select("doc_id", F.col("pos").alias("pa"), F.col("w").alias("wa"))
+    b = toks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pb"),
+        F.col("w").alias("wb"),
+    )
+    dc = (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_b"))
+            & (F.col("pb") - F.col("pa")).between(1, 2)
+            & (F.col("wa") != F.col("wb")),
+        )
+        .groupBy(F.col("wa").alias("src"), F.col("wb").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    e = (
+        dc.select("src", "dst", "c")
+        .unionByName(
+            dc.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "c"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("c").cast("double").alias("w"))
+    )
+    ranks = pagerank(e, iters=5, damping=0.85, weight="w")
+    return ranks.select(
+        F.col("node").alias("word"), F.round("pr", 4).alias("textrank")
+    )
