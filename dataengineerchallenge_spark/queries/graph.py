@@ -1801,3 +1801,99 @@ def purchase_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("node").alias("part_key"), F.col("scc_id").cast("long").alias("scc_id")
     )
+
+
+@register(
+    "part_association_rules",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+    f AS (SELECT l_partkey, COUNT(*) AS fr FROM op GROUP BY l_partkey),
+    p AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS supp
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    rules AS (
+      SELECT u AS antecedent, v AS consequent, supp FROM p
+      UNION ALL
+      SELECT v AS antecedent, u AS consequent, supp FROM p
+    )
+    SELECT r.antecedent, r.consequent, CAST(r.supp AS BIGINT) AS support,
+           CAST(ROUND(r.supp * 1000000.0 / fa.fr, 0) AS BIGINT)
+             AS confidence_micropoints,
+           CAST(ROUND((r.supp * 1.0 / n.n_orders
+                       - fa.fr * 1.0 * fc.fr / (n.n_orders * 1.0 * n.n_orders))
+                      * 1000000000.0, 0) AS BIGINT) AS leverage_nanopoints
+    FROM rules r
+    JOIN f fa ON fa.l_partkey = r.antecedent
+    JOIN f fc ON fc.l_partkey = r.consequent
+    CROSS JOIN n
+    """,
+)
+def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED association rules (Agrawal, Imieliński & Swami 1993) on
+    the supported pair frame — the rule layer `part_pair_affinity`'s
+    symmetric lift stops short of: each supported pair yields both
+    u⇒v and v⇒u with CONFIDENCE = supp/freq(antecedent) (direction
+    matters: a niche part implying a staple is high-confidence, the
+    reverse is not) and LEVERAGE = P(u,v) − P(u)P(v) (Piatetsky-
+    Shapiro; the additive independence gap, robust where ratio-lift
+    explodes on rare pairs). All frequencies are exact integers; the
+    two float expressions integerize with identical operand DAGs.
+
+    Scale: identical dataflow to part_pair_affinity (distinct-collapse,
+    orderkey-shuffled self-join with bounded per-order fanout,
+    broadcast frequency attach) — the rule expansion is 2 rows per
+    supported pair."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = op.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    freq = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("fr"))
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= 2)
+    )
+    rules = pairs.select(
+        F.col("u").alias("antecedent"), F.col("v").alias("consequent"), "supp"
+    ).unionByName(
+        pairs.select(
+            F.col("v").alias("antecedent"), F.col("u").alias("consequent"), "supp"
+        )
+    )
+    fa = freq.select(F.col("l_partkey").alias("antecedent"), F.col("fr").alias("fa"))
+    fc = freq.select(F.col("l_partkey").alias("consequent"), F.col("fr").alias("fc"))
+    return (
+        rules.join(F.broadcast(fa), "antecedent")
+        .join(F.broadcast(fc), "consequent")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("supp").cast("long").alias("support"),
+            F.round(F.col("supp") * 1000000.0 / F.col("fa"), 0)
+            .cast("bigint")
+            .alias("confidence_micropoints"),
+            F.round(
+                (
+                    F.col("supp") * 1.0 / F.col("n_orders")
+                    - F.col("fa")
+                    * 1.0
+                    * F.col("fc")
+                    / (F.col("n_orders") * 1.0 * F.col("n_orders"))
+                )
+                * 1000000000.0,
+                0,
+            )
+            .cast("bigint")
+            .alias("leverage_nanopoints"),
+        )
+    )

@@ -443,3 +443,66 @@ def source_quantile_normalize_length(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("n_chars").cast("long").alias("n_chars"),
         F.col("norm_chars").cast("long").alias("normalized_chars"),
     )
+
+
+@register(
+    "sqrt_temperature_mix_weights",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    r AS (
+      SELECT source, n_tokens,
+             CAST(ROUND(sqrt(n_tokens) * 1000000.0, 0) AS BIGINT) AS sq_micro
+      FROM s
+    ),
+    t AS (SELECT SUM(n_tokens) AS tn, SUM(sq_micro) AS tsq FROM r)
+    SELECT r.source, r.n_tokens,
+           CAST(ROUND(r.n_tokens * 1000000.0 / t.tn, 0) AS BIGINT)
+             AS raw_share_micropoints,
+           CAST(ROUND(r.sq_micro * 1000000.0 / t.tsq, 0) AS BIGINT)
+             AS temp_share_micropoints
+    FROM r CROSS JOIN t
+    """,
+)
+def sqrt_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing weights at τ = 1/2 — the
+    up-weight-the-tail reweighting multi-corpus LLM recipes apply
+    (domain weight ∝ n^τ; τ=0.7 in GPT-3's mixture, τ≈0.5 in
+    multilingual sampling à la mBERT/XLM-R): small sources gain share,
+    the head loses, without the uniform extreme of τ=0. τ is PINNED at
+    1/2 because n^0.5 = sqrt(n) is IEEE-754 CORRECTLY ROUNDED in both
+    engines — a general pow(n, 0.7) is libm-implementation-defined and
+    would hang every share on a last-ulp edge (the discipline note the
+    EWMA rung's α=1/2 shares). Each sqrt integerizes to micropoints
+    per source BEFORE the normalizing sum, so the denominator is
+    order-free bigint addition; raw token shares ride along so the
+    output IS the reweighting decision table.
+
+    Scale: one (source, Σ tokens) partial-agg over the corpus; the
+    normalization runs on |sources| rows."""
+    s = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"))
+    )
+    r = s.select(
+        "source",
+        "n_tokens",
+        F.round(F.sqrt("n_tokens") * 1000000.0, 0).cast("long").alias("sq_micro"),
+    )
+    t = r.agg(
+        F.sum("n_tokens").alias("tn"), F.sum("sq_micro").alias("tsq")
+    )
+    return r.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_tokens",
+        F.round(F.col("n_tokens") * 1000000.0 / F.col("tn"), 0)
+        .cast("bigint")
+        .alias("raw_share_micropoints"),
+        F.round(F.col("sq_micro") * 1000000.0 / F.col("tsq"), 0)
+        .cast("bigint")
+        .alias("temp_share_micropoints"),
+    )

@@ -450,3 +450,58 @@ def phrase_search_inverted_retracted(
     )
     live = postings.join(F.broadcast(tombstones), "doc_id", "left_anti")
     return _phrase_hits(live, _query_terms(spark, _PHRASE), _PHRASE)
+
+
+_SLOP = 3
+
+_PROXIMITY_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+m AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS i, ws FROM t),
+aa AS (SELECT doc_id, i FROM m WHERE ws[i] = '{_PHRASE[0]}'),
+bb AS (SELECT doc_id, i AS j FROM m WHERE ws[i] = '{_PHRASE[1]}'),
+hit AS (
+  SELECT DISTINCT bb.doc_id, bb.j
+  FROM bb JOIN aa ON aa.doc_id = bb.doc_id
+   AND bb.j - aa.i BETWEEN 1 AND {_SLOP}
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM hit GROUP BY doc_id
+"""
+
+
+@register("proximity_search_inverted_staged", oracle=_PROXIMITY_ORACLE)
+def proximity_search_inverted_staged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PROXIMITY (slop) query served from the staged postings store —
+    the relaxation between exact phrase (slop 1, the adjacency rung)
+    and bag-of-words AND (slop ∞, the conjunctive rung): count the
+    occurrences of term B with term A at most {_SLOP} positions
+    before it, per document. Same DPP-pruned two-bucket read and
+    broadcast term frame as the phrase serve; the positional match is
+    a higher-order array predicate (EXISTS over the A-positions per
+    B-position) instead of the +1 intersect — positions already ride
+    the postings, so slop costs no extra index state."""
+    path = _staged_inverted_index(spark, sf_dir)
+    postings = spark.read.parquet(f"{path}/postings")
+    qt = _query_terms(spark, _PHRASE)
+    hits = (
+        postings.filter(F.col("term").isin(*_PHRASE))
+        .join(F.broadcast(qt), ["bucket", "term"])
+        .select("doc_id", "slot", "positions")
+    )
+    a = hits.filter(F.col("slot") == 0).select(
+        "doc_id", F.col("positions").alias("pos_a")
+    )
+    b = hits.filter(F.col("slot") == 1).select(
+        "doc_id", F.col("positions").alias("pos_b")
+    )
+    n = F.expr(
+        f"size(filter(pos_b, y -> exists(pos_a,"
+        f" x -> y - x >= 1 AND y - x <= {_SLOP})))"
+    )
+    return (
+        a.join(b, "doc_id")
+        .select("doc_id", n.cast("long").alias("n_matches"))
+        .filter(F.col("n_matches") >= 1)
+    )
