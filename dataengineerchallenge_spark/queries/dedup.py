@@ -1801,3 +1801,145 @@ def suffix_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_len=_SUFFIX_SPAN_MIN,
         key_words=_SUFFIX_KEY_WORDS,
     )
+
+
+# Fellegi-Sunter m-probabilities: literal convention values (no labeled
+# pairs ship with the fixture — the standard bootstrap before an EM fit;
+# u-probabilities ARE estimated from the data, per field, as the
+# agreement rate over all blocked pairs).
+_FS_M = {"brand": 0.9, "noun": 0.9, "price": 0.95}
+
+
+@register(
+    "part_linkage_scores",
+    oracle=f"""
+    WITH p AS (
+      SELECT p_partkey AS k, p_type, p_size, p_brand,
+             string_split(p_name, ' ')[2] AS noun,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part
+    ),
+    pairs AS (
+      SELECT a.k AS u, b.k AS v,
+             CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END AS ag_brand,
+             CASE WHEN a.noun = b.noun THEN 1 ELSE 0 END AS ag_noun,
+             CASE WHEN abs(a.cents - b.cents) <= 50 THEN 1 ELSE 0 END AS ag_price
+      FROM p a JOIN p b
+        ON a.p_type = b.p_type AND a.p_size = b.p_size AND a.k < b.k
+    ),
+    ustat AS (
+      SELECT COUNT(*) AS n,
+             SUM(ag_brand) AS sb, SUM(ag_noun) AS sn, SUM(ag_price) AS sp
+      FROM pairs
+    ),
+    scored AS (
+      SELECT pr.u, pr.v,
+             pr.ag_brand * 4 + pr.ag_noun * 2 + pr.ag_price AS agreement_bits,
+             CAST(ROUND(CASE WHEN pr.ag_brand = 1
+                   THEN ln({_FS_M['brand']} / (us.sb * 1.0 / us.n))
+                   ELSE ln({1 - _FS_M['brand']} / (1.0 - us.sb * 1.0 / us.n))
+                   END * 1000000.0, 0) AS BIGINT)
+             + CAST(ROUND(CASE WHEN pr.ag_noun = 1
+                   THEN ln({_FS_M['noun']} / (us.sn * 1.0 / us.n))
+                   ELSE ln({1 - _FS_M['noun']} / (1.0 - us.sn * 1.0 / us.n))
+                   END * 1000000.0, 0) AS BIGINT)
+             + CAST(ROUND(CASE WHEN pr.ag_price = 1
+                   THEN ln({_FS_M['price']} / (us.sp * 1.0 / us.n))
+                   ELSE ln({1 - _FS_M['price']} / (1.0 - us.sp * 1.0 / us.n))
+                   END * 1000000.0, 0) AS BIGINT) AS weight_micropoints
+      FROM pairs pr CROSS JOIN ustat us
+    )
+    SELECT u AS part_a, v AS part_b,
+           CAST(agreement_bits AS BIGINT) AS agreement_bits,
+           weight_micropoints
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (ORDER BY weight_micropoints DESC, u, v) <= 100
+    """,
+)
+def part_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage à la Fellegi & Sunter (JASA 1969)
+    over the part catalog — the scoring layer entity resolution runs
+    where the string-similarity family (EDJoin/sorted-neighborhood)
+    only generates candidates: blocked pairs (same p_type AND p_size —
+    a real two-field blocking pass) get a per-field agreement vector
+    (brand equality, name-noun equality, retail price within 50
+    cents), and each field contributes the FS log-odds weight
+    ln(m/u) on agreement or ln((1−m)/(1−u)) on disagreement. The
+    u-probabilities are ESTIMATED FROM THE DATA per field (agreement
+    rate over all blocked pairs — exact integer ratios), m's are the
+    standard literal bootstrap absent labeled pairs (the EM starting
+    point, documented in _FS_M). Per-field weights integerize to
+    micropoints before the 3-term sum; top-100 by total weight with
+    (u, v) tie-break.
+
+    Scale: blocking bounds the pair frame (|block|² per (type, size)
+    cell, never all-pairs); the u-estimate is one aggregate over the
+    pair frame; weights are a broadcast 1-row attach. ln() on
+    identical double operands is the JSD/PSI family's proven
+    cross-engine surface."""
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"),
+        "p_type",
+        "p_size",
+        "p_brand",
+        F.element_at(F.split("p_name", " "), 2).alias("noun"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_type") == F.col("b.p_type"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.k") < F.col("b.k")),
+    ).select(
+        F.col("a.k").alias("u"),
+        F.col("b.k").alias("v"),
+        F.when(F.col("a.p_brand") == F.col("b.p_brand"), 1).otherwise(0).alias("ag_brand"),
+        F.when(F.col("a.noun") == F.col("b.noun"), 1).otherwise(0).alias("ag_noun"),
+        F.when(
+            F.abs(F.col("a.cents") - F.col("b.cents")) <= 50, 1
+        ).otherwise(0).alias("ag_price"),
+    )
+    ustat = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ag_brand").alias("sb"),
+        F.sum("ag_noun").alias("sn"),
+        F.sum("ag_price").alias("sp"),
+    )
+
+    def fterm(ag: str, s: str, m: float):
+        u = F.col(s) * 1.0 / F.col("n")
+        return (
+            F.round(
+                F.when(F.col(ag) == 1, F.log(F.lit(m) / u))
+                .otherwise(F.log(F.lit(1 - m) / (1.0 - u)))
+                * 1000000.0,
+                0,
+            )
+        ).cast("bigint")
+
+    scored = pairs.crossJoin(F.broadcast(ustat)).select(
+        "u",
+        "v",
+        (F.col("ag_brand") * 4 + F.col("ag_noun") * 2 + F.col("ag_price"))
+        .cast("long")
+        .alias("agreement_bits"),
+        (
+            fterm("ag_brand", "sb", _FS_M["brand"])
+            + fterm("ag_noun", "sn", _FS_M["noun"])
+            + fterm("ag_price", "sp", _FS_M["price"])
+        ).alias("weight_micropoints"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("weight_micropoints"), F.asc("u"), F.asc("v"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 100)
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            "agreement_bits",
+            "weight_micropoints",
+        )
+    )
