@@ -1943,3 +1943,97 @@ def part_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight_micropoints",
         )
     )
+
+
+_CONTAM_N = 8  # n-gram order for the contamination screen
+_CONTAM_EVAL_SRC = "src0"  # the held-out "benchmark" source
+
+
+@register(
+    "eval_contamination_ngrams",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+               FROM documents),
+    g AS (
+      SELECT doc_id, source,
+             list_distinct([array_to_string(ws[i:i + {_CONTAM_N - 1}], ' ')
+                            FOR i IN range(1, len(ws) - {_CONTAM_N - 2})])
+               AS grams
+      FROM t WHERE len(ws) >= {_CONTAM_N}
+    ),
+    ev AS (
+      SELECT doc_id, unnest(grams) AS gram FROM g
+      WHERE source = '{_CONTAM_EVAL_SRC}'
+    ),
+    train AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g
+      WHERE source != '{_CONTAM_EVAL_SRC}'
+    ),
+    hits AS (
+      SELECT ev.doc_id, COUNT(*) AS n_hit
+      FROM ev JOIN train ON train.gram = ev.gram
+      GROUP BY ev.doc_id
+    )
+    SELECT g.doc_id,
+           CAST(len(g.grams) AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+           CAST(ROUND(COALESCE(h.n_hit, 0) * 1000000.0 / len(g.grams), 0)
+                AS BIGINT) AS contamination_micropoints
+    FROM g LEFT JOIN hits h ON h.doc_id = g.doc_id
+    WHERE g.source = '{_CONTAM_EVAL_SRC}'
+    """,
+)
+def eval_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-CONTAMINATION screen (the n-gram overlap audit every
+    LLM eval protocol runs before trusting a score — GPT-3 §4's
+    13-gram screen, PaLM's 8-gram variant): treating one source as the
+    held-out benchmark, report per eval document how many of its
+    distinct {_CONTAM_N}-gram shingles appear anywhere in the other
+    sources' text — the exact overlap statistic that decides whether
+    an eval doc is quarantined from the training corpus (the converse
+    of dedup: there the match is deleted, here it flags the SCORE).
+
+    Scale: the gram inventory is the span-dedup family's shape (one
+    explode + distinct per side); the screen is an equi-join on the
+    gram key — at 100 TB the train side collapses to a distinct-gram
+    table (or its Bloom/xxhash64 form, the dup_span_trim_docs_hashed
+    crossover note applies verbatim). Nothing is all-pairs."""
+    t = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", F.split("text", " ").alias("ws")
+    ).filter(F.size("ws") >= _CONTAM_N)
+    grams = t.select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size(ws) - {_CONTAM_N - 1}),"
+                f" i -> array_join(slice(ws, i, {_CONTAM_N}), ' '))"
+            )
+        ).alias("grams"),
+    )
+    ev = grams.filter(F.col("source") == _CONTAM_EVAL_SRC)
+    ev_grams = ev.select("doc_id", F.explode("grams").alias("gram"))
+    train = (
+        grams.filter(F.col("source") != _CONTAM_EVAL_SRC)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    hits = (
+        ev_grams.join(train, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        ev.select("doc_id", F.size("grams").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) * 1000000.0 / F.col("n_grams"), 0
+            )
+            .cast("bigint")
+            .alias("contamination_micropoints"),
+        )
+    )

@@ -1897,3 +1897,96 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("leverage_nanopoints"),
         )
     )
+
+
+@register(
+    "copurchase_link_prediction",
+    oracle="""
+    WITH e0 AS (
+      SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
+             GREATEST(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    deg AS (SELECT u AS z, COUNT(*) AS d FROM e GROUP BY u),
+    wedge AS (
+      SELECT a.u AS u, b.v AS v, a.v AS z
+      FROM e a JOIN e b ON a.v = b.u AND a.u < b.v
+      WHERE NOT EXISTS (SELECT 1 FROM e0 x WHERE x.u = a.u AND x.v = b.v)
+    ),
+    sc AS (
+      SELECT w.u, w.v,
+             COUNT(*) AS cn,
+             SUM(CAST(ROUND(1000000.0 / ln(d.d), 0) AS BIGINT)) AS aa_micro
+      FROM wedge w JOIN deg d ON d.z = w.z
+      GROUP BY w.u, w.v
+    )
+    SELECT u AS part_a, v AS part_b,
+           CAST(cn AS BIGINT) AS common_neighbors,
+           CAST(aa_micro AS BIGINT) AS adamic_adar_micropoints
+    FROM sc
+    QUALIFY ROW_NUMBER() OVER (ORDER BY cn DESC, aa_micro DESC, u, v) <= 100
+    """,
+)
+def copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION on the support>=2 co-purchase graph — the
+    "products likely to be bought together next" primitive
+    (Liben-Nowell & Kleinberg 2003): for every NON-adjacent pair at
+    distance 2, common-neighbor count and Adamic-Adar (Σ 1/ln deg(z)
+    over shared neighbors — rare shared neighbors weigh more), top-100
+    with deterministic tie-breaks. Per-wedge AA terms integerize to
+    micropoints before the sum (a wedge center always has deg >= 2, so
+    ln never hits zero); ln() on identical integer-derived operands is
+    the FS/JSD family's proven surface. Served from the STAGED edge
+    store — candidate generation is the triangle machinery's wedge
+    join, bounded by Σ deg², never all-pairs, and the existing-edge
+    exclusion is one anti-join against the store."""
+    root = _staged_copurchase_edges(spark, sf_dir)
+    canon = (
+        spark.read.parquet(f"{root}/sym")
+        .filter((F.col("wr") >= 2) & (F.col("src") < F.col("dst")))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+    e = canon.unionByName(
+        canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = e.groupBy(F.col("u").alias("z")).agg(F.count(F.lit(1)).alias("d"))
+    a = e.select(F.col("u").alias("wu"), F.col("v").alias("z"))
+    b = e.select(F.col("u").alias("z"), F.col("v").alias("wv"))
+    wedge = (
+        a.join(b, "z")
+        .filter(F.col("wu") < F.col("wv"))
+        .join(
+            canon.select(F.col("u").alias("wu"), F.col("v").alias("wv")),
+            ["wu", "wv"],
+            "left_anti",
+        )
+    )
+    sc = (
+        wedge.join(F.broadcast(deg), "z")
+        .groupBy("wu", "wv")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(
+                F.round(1000000.0 / F.log(F.col("d")), 0).cast("bigint")
+            ).alias("aa_micro"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.desc("cn"), F.desc("aa_micro"), F.asc("wu"), F.asc("wv")
+    )
+    return (
+        sc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 100)
+        .select(
+            F.col("wu").alias("part_a"),
+            F.col("wv").alias("part_b"),
+            F.col("cn").cast("long").alias("common_neighbors"),
+            F.col("aa_micro").cast("long").alias("adamic_adar_micropoints"),
+        )
+    )

@@ -2179,3 +2179,69 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("word"), F.round("pr", 4).alias("textrank")
     )
+
+
+def _bpe_fertility_oracle(n_merges: int) -> str:
+    return (
+        _bpe_oracle_prefix(n_merges)
+        + f""",
+    nt AS MATERIALIZED (
+      SELECT word, CAST(len(syms) AS BIGINT) AS n_tok FROM w{n_merges}
+    ),
+    pd AS (
+      SELECT t.source, SUM(n.n_tok) AS nb, COUNT(*) AS nw
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+            FROM documents) t
+      JOIN nt n USING (word)
+      WHERE len(t.word) > 0
+      GROUP BY t.source
+    )
+    SELECT source,
+           CAST(nw AS BIGINT) AS n_ws_tokens,
+           CAST(nb AS BIGINT) AS n_bpe_tokens,
+           CAST(ROUND(nb * 1000000.0 / nw, 0) AS BIGINT)
+             AS fertility_micropoints
+    FROM pd"""
+    )
+
+
+@register("bpe_fertility_by_source", oracle=_bpe_fertility_oracle(_BPE_MERGES))
+def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per source — BPE tokens emitted per
+    whitespace word under the trained 16-merge vocabulary, the
+    standard tokenizer-fit diagnostic (fertility ≈ 1 on well-covered
+    text, rising on domains the merges never saw; the number
+    multilingual tokenizer papers report per language, e.g. mBERT's
+    fertility tables): a source with outlier fertility pays
+    proportionally more of the token budget per word, which reprices
+    both packing and the domain-mix weights. Composes the hash-green
+    train → apply chain (`bpe_token_counts_explicit`) with one extra
+    source rollup, all inside the same unrolled-replay oracle.
+
+    Scale: identical to the apply rung (one exploded corpus pass
+    joined against the broadcast rewritten-word table) plus a
+    |sources|-row aggregate."""
+    from dataengineerchallenge_spark.operators.bpe import apply_bpe, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", n_merges=_BPE_MERGES)
+    per_doc = apply_bpe(docs, merges, "text", "doc_id")
+    src = spread(docs).select("doc_id", "source")
+    return (
+        per_doc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "source",
+            "n_ws_tokens",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens") * 1000000.0 / F.col("n_ws_tokens"), 0
+            )
+            .cast("bigint")
+            .alias("fertility_micropoints"),
+        )
+    )
