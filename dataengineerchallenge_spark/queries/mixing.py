@@ -506,3 +506,47 @@ def sqrt_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("temp_share_micropoints"),
     )
+
+
+_STRAT_K = 10
+
+
+@register(
+    "stratified_sample_docs",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ({duck_u32("doc_id || '~strat'")}), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS draw_rank
+    FROM r WHERE rn <= {_STRAT_K}
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED exact-k sampling — k = {_STRAT_K} docs per source,
+    drawn by ranking each stratum on the cross-engine md5-u32 of the
+    doc id (+ salt, doc_id tie-break): every stratum is guaranteed its
+    full quota regardless of size skew, the property
+    `events_hash_sample`'s Bernoulli thinning can't give (its per-
+    stratum counts are binomial) and `weighted_sample_docs`' global
+    A-ES draw doesn't target. The draw_rank column makes the sample
+    NESTED: the k=5 sample is exactly rows with draw_rank <= 5, so one
+    materialization serves every smaller quota — the property that
+    lets an eval-set refresh shrink without re-drawing.
+
+    Scale: one hash + per-stratum top-k (TakeOrderedAndProject within
+    partitions after a source-keyed exchange) — no global sort."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(spark_u32("concat(cast(doc_id as string), '~strat')"))
+    w = Window.partitionBy("source").orderBy(h, F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("draw_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("draw_rank") <= _STRAT_K)
+    )

@@ -18,6 +18,7 @@ from dataengineerchallenge_spark.ml.features import (
     user_feature_frame,
 )
 from dataengineerchallenge_spark.ml.models import _fit_predict, key_split, time_split
+from dataengineerchallenge_spark.functions.hashing import duck_u32, spark_u32
 from dataengineerchallenge_spark.operators.sessionize import events_session_cte
 from dataengineerchallenge_spark.registry import register
 
@@ -245,5 +246,71 @@ def loo_target_encode_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("vc").cast("long").alias("value_cents"),
             F.round(enc, 0).cast("bigint").alias("loo_micropoints"),
+        )
+    )
+
+
+_KFOLD_K = 5
+
+
+@register(
+    "kfold_assignment_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             ({duck_u32("doc_id || '~fold'")}) % {_KFOLD_K} AS fold,
+             len(string_split(text, ' ')) AS n_words,
+             round(0.4 * least(len(string_split(text, ' ')) / 50.0, 1.0)
+                   + 0.3 * round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                                 / len(string_split(text, ' ')), 4)
+                   + 0.3 * (1.0 - round(len(list_filter(string_split(text, ' '),
+                                w -> list_contains(['the', 'a'], w)))::DOUBLE
+                                / len(string_split(text, ' ')), 4)), 5) AS q
+      FROM documents
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(ROUND(q * 100000, 0) AS BIGINT)) AS BIGINT)
+             AS sum_quality_upoints
+    FROM d GROUP BY fold
+    """,
+)
+def kfold_assignment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic K-FOLD assignment + per-fold balance audit — the
+    split hygiene step before any cross-validated fit (D6 family): fold
+    = md5-u32(doc_id ‖ salt) mod {_KFOLD_K}, so the assignment is a pure
+    function of the key (reproducible across runs, engines, and
+    cluster sizes — never Spark's `randomSplit`, whose partitioning-
+    dependent RNG cannot be replayed by an oracle). Per fold: doc
+    count, token count, and summed quality in integer 1e-5 points —
+    the three balance checks that catch a skewed split before it
+    poisons a validation score. Balance itself is pinned in
+    tests/test_ml.py-style bounds via the oracle hash; the fold hash
+    reuses the engine's one cross-engine u32 construct.
+
+    Scale: one map pass + a {_KFOLD_K}-row aggregate."""
+    from dataengineerchallenge_spark.queries.text import quality_frame
+    from dataengineerchallenge_spark.sources.tables import load_table
+
+    docs = quality_frame(load_table(spark, sf_dir, "documents"))
+    fold = F.expr(spark_u32("concat(cast(doc_id as string), '~fold')")) % _KFOLD_K
+    return (
+        docs.select(
+            fold.alias("fold"),
+            F.col("n_words").cast("long").alias("w"),
+            F.round(F.col("quality") * 100000, 0).cast("long").alias("qu"),
+        )
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("n_tokens"),
+            F.sum("qu").cast("long").alias("sum_quality_upoints"),
+        )
+        .select(
+            F.col("fold").cast("long"),
+            "n_docs",
+            "n_tokens",
+            "sum_quality_upoints",
         )
     )

@@ -293,3 +293,62 @@ def dq_benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(obs - F.col("benford_share")), 4).alias("abs_dev"),
         )
     )
+
+
+@register(
+    "event_key_skew_profile",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, COUNT(*) AS c
+      FROM events GROUP BY event_type, user_id
+    ),
+    t AS (
+      SELECT event_type, SUM(c) AS n, COUNT(*) AS n_keys,
+             SUM(c * c) AS sum_sq, MAX(c) AS top_c
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(ROUND(sum_sq * 1000000.0 / (n * 1.0 * n), 0) AS BIGINT)
+             AS hhi_micropoints,
+           CAST(ROUND(top_c * 1000000.0 / n, 0) AS BIGINT)
+             AS top_key_share_micropoints
+    FROM t
+    """,
+)
+def event_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEY-SKEW profiler — the pre-join audit that decides whether a
+    shuffle needs salting BEFORE it stalls a stage (the decision the
+    skew-safe sessionizer's BENCH_skew crossover prices): per
+    event_type, the Herfindahl-Hirschman concentration of the user_id
+    distribution (HHI = Σ share² — 1/n_keys when uniform, → 1 as one
+    key dominates) and the top key's share. Σc² is an exact bigint
+    (the AMS F2 sketch's moment, computed exactly here), widened to
+    double only inside the final ROUND — so the profile is hash-exact
+    and cheap enough to run on every ingest.
+
+    Scale: one (type, key) partial-agg — the same two-level shape as
+    every sketch register build; no sort, no collect."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+        F.max("c").alias("top_c"),
+    )
+    return t.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.round(F.col("sum_sq") * 1000000.0 / (F.col("n") * 1.0 * F.col("n")), 0)
+        .cast("bigint")
+        .alias("hhi_micropoints"),
+        F.round(F.col("top_c") * 1000000.0 / F.col("n"), 0)
+        .cast("bigint")
+        .alias("top_key_share_micropoints"),
+    )
