@@ -352,3 +352,100 @@ def event_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("top_key_share_micropoints"),
     )
+
+
+@register(
+    "stream_event_key_skew_profile",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, COUNT(*) AS c
+      FROM events GROUP BY event_type, user_id
+    ),
+    t AS (
+      SELECT event_type, SUM(c) AS n, COUNT(*) AS n_keys,
+             SUM(c * c) AS sum_sq, MAX(c) AS top_c
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(ROUND(sum_sq * 1000000.0 / (n * 1.0 * n), 0) AS BIGINT)
+             AS hhi_micropoints,
+           CAST(ROUND(top_c * 1000000.0 / n, 0) AS BIGINT)
+             AS top_key_share_micropoints
+    FROM t
+    """,
+)
+def stream_event_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE twin of ``event_key_skew_profile`` — skew monitoring as a
+    continuously maintained register store, so the salt-or-not decision
+    tracks the live key distribution instead of yesterday's profile:
+    each micro-batch folds its OWN (event_type, user_id, count)
+    partials via foreachBatch (epoch-keyed overwrite, idempotent under
+    retry); counts are LINEAR, so the drained store sums to exactly the
+    batch registers under any stream slicing, and the HHI/top-share
+    closing arithmetic (Σc² recomputed from folded counts at drain —
+    Σc² itself is NOT linear, which is why the register is the count
+    table, not the moment) shares the batch oracle hash-for-hash."""
+    import shutil
+    import tempfile
+
+    from dataengineerchallenge_spark.queries.sketches import (
+        _staged_event_type_user_stream,
+    )
+
+    payload = _staged_event_type_user_stream(spark, sf_dir)
+    schema = spark.read.parquet(payload).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(payload)
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_graft_stream_skew_")
+    regs_dir, ckpt = f"{scratch}/regs", f"{scratch}/ckpt"
+
+    def update(mb: DataFrame, epoch_id: int) -> None:
+        reg = mb.groupBy("event_type", "user_id").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        reg.write.mode("overwrite").parquet(f"{regs_dir}/epoch_id={epoch_id}")
+
+    q = (
+        sdf.writeStream.foreachBatch(update)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("stream skew did not drain in 300s")
+        c = (
+            spark.read.parquet(regs_dir)
+            .groupBy("event_type", "user_id")
+            .agg(F.sum("c").alias("c"))
+        )
+        t = c.groupBy("event_type").agg(
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+            F.max("c").alias("top_c"),
+        )
+        out = t.select(
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.round(
+                F.col("sum_sq") * 1000000.0 / (F.col("n") * 1.0 * F.col("n")), 0
+            )
+            .cast("bigint")
+            .alias("hhi_micropoints"),
+            F.round(F.col("top_c") * 1000000.0 / F.col("n"), 0)
+            .cast("bigint")
+            .alias("top_key_share_micropoints"),
+        )
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(scratch, ignore_errors=True)
+    return result
