@@ -65,7 +65,10 @@ HEADLINE = [
     "near_dup_incremental_minhash",  # N2 incremental dedup vs staged band store (round 7)
     "ivf_pq_residual_serve_fresh_topk",      # N3 residual (IVFADC) fresh serve (round 8)
     "ivf_pq_trained_rerank_topk",            # N3 full production stack: trained + re-rank (round 10)
-    "ivf_pq_trained_rerank_k64_topk",        # N3 production codebook resolution (round 11)
+    # ivf_pq_trained_rerank_k64_topk rotated out r17 (byte budget): the
+    # k=256 trained re-rank above exercises the identical serve plan at
+    # the production codebook resolution; the k=64 point stays priced in
+    # BENCH_ann.json. Registered and sweep-checked as before.
     "elb_geo_traffic",                       # J6+ longest-prefix-match CIDR enrichment (round 11)
     "cm_heavy_hitters",                      # A6+ count-min frequency sketch (round 12)
     "exact_dedup_bloom_prefilter",           # N1+ Bloom membership prefilter (round 12)
@@ -95,7 +98,10 @@ HEADLINE = [
     # ivf_pq_serve_rerank_topk (superseded by the trained re-rank stack)
     # and the two seeded minhash delivery rungs (explicit twins cover them).
     "part_copurchase_pagerank_staged",       # G1 staged-edge serve twin (round 15)
-    "weighted_copurchase_pagerank_staged",   # G1+++ staged serve (round 15)
+    # weighted_copurchase_pagerank_staged rotated out r17 (byte budget):
+    # same staged serve + power-iteration profile as the unweighted twin
+    # above with one extra weight column — nothing new to time.
+    # Registered and sweep-checked as before.
     "purchase_hits_staged",                  # G5 staged serve (round 15)
     "directed_purchase_pagerank_staged",     # G1+ staged serve (round 15)
     "copurchase_components_staged",          # G4 staged serve (round 15)
@@ -107,6 +113,8 @@ HEADLINE = [
     "kmv_event_type_overlap",                # A6++++ KMV set algebra: pairwise audience overlap (round 15)
     "rake_keyphrases",                       # N4+++++ document-local keyphrase extraction (round 15)
     "phrase_search_inverted_staged",         # IR+ staged positional-postings phrase serve, DPP-pruned (round 16)
+    "gk_value_quantiles",                    # A-gk explicit GK summary, hash-verified estimate (round 17)
+    "extract_main_text",                     # N4-ext jusText-class boilerplate removal (round 17)
     # copurchase_deterministic_walks is registry-only: same staged-serve
     # join+window profile per step as coreness, nothing new to time.
     # ccnet_grid_mix (the grid sampler) is registry-only: one map

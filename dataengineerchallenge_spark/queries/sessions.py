@@ -630,75 +630,74 @@ def session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "session_funnel",
-    oracle=_CTE
-    + """
-, f1 AS (
-    SELECT skey, session_id,
-           MIN(CASE WHEN url = 'view' THEN ts_s END) AS t1
-    FROM sess GROUP BY skey, session_id
+    "user_conversion_funnel",
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+    FROM events
+), f1 AS (
+    SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts_s END) AS t1
+    FROM e GROUP BY user_id
 ), f2 AS (
-    SELECT f.skey, f.session_id, f.t1,
-           MIN(CASE WHEN s.url = 'click' AND s.ts_s > f.t1
-                    THEN s.ts_s END) AS t2
-    FROM f1 f JOIN sess s
-      ON s.skey = f.skey AND s.session_id = f.session_id
-    GROUP BY f.skey, f.session_id, f.t1
+    SELECT f.user_id, f.t1,
+           MIN(CASE WHEN e.event_type = 'click' AND e.ts_s > f.t1
+                    THEN e.ts_s END) AS t2
+    FROM f1 f JOIN e ON e.user_id = f.user_id
+    GROUP BY f.user_id, f.t1
 ), f3 AS (
-    SELECT f.skey, f.session_id, f.t1, f.t2,
-           MIN(CASE WHEN s.url = 'purchase' AND s.ts_s > f.t2
-                    THEN s.ts_s END) AS t3
-    FROM f2 f JOIN sess s
-      ON s.skey = f.skey AND s.session_id = f.session_id
-    GROUP BY f.skey, f.session_id, f.t1, f.t2
+    SELECT f.user_id, f.t1, f.t2,
+           MIN(CASE WHEN e.event_type = 'purchase' AND e.ts_s > f.t2
+                    THEN e.ts_s END) AS t3
+    FROM f2 f JOIN e ON e.user_id = f.user_id
+    GROUP BY f.user_id, f.t1, f.t2
 ), c AS (
     SELECT COUNT(*) AS c0, COUNT(t1) AS c1, COUNT(t2) AS c2, COUNT(t3) AS c3
     FROM f3
 )
-SELECT s.stage, s.n_sessions, s.conversion_micropoints FROM (
-  SELECT 0 AS ord, 'all_sessions' AS stage, CAST(c0 AS BIGINT) AS n_sessions,
+SELECT s.stage, s.n_users, s.conversion_micropoints FROM (
+  SELECT 'all_users' AS stage, CAST(c0 AS BIGINT) AS n_users,
          CAST(1000000 AS BIGINT) AS conversion_micropoints FROM c
   UNION ALL
-  SELECT 1, 'view', CAST(c1 AS BIGINT),
+  SELECT 'view', CAST(c1 AS BIGINT),
          CAST(CASE WHEN c0 > 0 THEN ROUND(c1 * 1000000.0 / c0, 0)
                    ELSE 0 END AS BIGINT) FROM c
   UNION ALL
-  SELECT 2, 'view_then_click', CAST(c2 AS BIGINT),
+  SELECT 'view_then_click', CAST(c2 AS BIGINT),
          CAST(CASE WHEN c1 > 0 THEN ROUND(c2 * 1000000.0 / c1, 0)
                    ELSE 0 END AS BIGINT) FROM c
   UNION ALL
-  SELECT 3, 'view_click_purchase', CAST(c3 AS BIGINT),
+  SELECT 'view_click_purchase', CAST(c3 AS BIGINT),
          CAST(CASE WHEN c2 > 0 THEN ROUND(c3 * 1000000.0 / c2, 0)
                    ELSE 0 END AS BIGINT) FROM c
 ) s
 """,
 )
-def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered conversion funnel view → click → purchase WITHIN a
-    session (the product-analytics staple: each stage requires an event
-    of its type STRICTLY LATER than the previous stage's first hit, so
-    a purchase before the first view does not convert) — per stage, the
-    sessions reaching it and the step conversion rate in micropoints.
-    The strict-inequality progression rule on epoch seconds is the
-    deterministic tie policy both engines share.
+def user_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase over the USER
+    lifetime (the product-analytics staple: each stage requires an
+    event of its type STRICTLY LATER than the previous stage's first
+    hit, so a purchase before the first view does not convert) — per
+    stage, the users reaching it and the step conversion rate in
+    micropoints. User-lifetime scope, not session scope: the fixture's
+    sessions average ~1 event, so a within-session funnel is vacuously
+    zero past stage one — the lifetime funnel has real progression to
+    grade (non-degeneracy pinned in tests/test_misc_r17.py). The
+    strict-inequality rule on epoch seconds is the deterministic tie
+    policy both engines share.
 
-    Scale shape: sessionization is the one event-level shuffle (shared
-    machinery with every session query, skew-safe twin available);
-    each stage is then one conditional-min aggregate per session — no
-    event-level self-join, the stage times ride GROUP BY re-aggregation
-    of the same sessionized frame."""
-    from dataengineerchallenge_spark.operators.sessionize import with_session_ids
-
-    ev = load_table(spark, sf_dir, "events")
-    sess = with_session_ids(ev).select(
-        F.col("user_id").alias("skey"), "session_id", "event_type", "ts_s"
+    Scale shape: three conditional-min aggregates keyed on user_id —
+    each stage re-aggregates the keyed frame (no event-level
+    self-join), all partial-agg friendly."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("ts_s")
     )
-    f1 = sess.groupBy("skey", "session_id").agg(
+    f1 = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts_s"))).alias("t1")
     )
     f2 = (
-        f1.join(sess, ["skey", "session_id"])
-        .groupBy("skey", "session_id", "t1")
+        f1.join(ev, "user_id")
+        .groupBy("user_id", "t1")
         .agg(
             F.min(
                 F.when(
@@ -709,8 +708,8 @@ def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     f3 = (
-        f2.join(sess, ["skey", "session_id"])
-        .groupBy("skey", "session_id", "t1", "t2")
+        f2.join(ev, "user_id")
+        .groupBy("user_id", "t1", "t2")
         .agg(
             F.min(
                 F.when(
@@ -736,13 +735,13 @@ def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return c.select(
             F.lit(name).alias("stage"),
-            F.col(cur).cast("long").alias("n_sessions"),
+            F.col(cur).cast("long").alias("n_users"),
             conv.alias("conversion_micropoints"),
         )
 
     all_row = c.select(
-        F.lit("all_sessions").alias("stage"),
-        F.col("c0").cast("long").alias("n_sessions"),
+        F.lit("all_users").alias("stage"),
+        F.col("c0").cast("long").alias("n_users"),
         F.lit(1000000).cast("long").alias("conversion_micropoints"),
     )
     return (
