@@ -749,3 +749,92 @@ def user_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("c1", "c2", "view_then_click"))
         .unionByName(stage("c2", "c3", "view_click_purchase"))
     )
+
+
+@register(
+    "purchase_attribution_last_touch",
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+    FROM events
+), lagged AS (
+    SELECT user_id, event_id, event_type, ts_s,
+           last_value(CASE WHEN event_type != 'purchase' THEN ts_s END
+                      IGNORE NULLS) OVER w AS prev_ts,
+           last_value(CASE WHEN event_type != 'purchase' THEN event_type END
+                      IGNORE NULLS) OVER w AS prev_type
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), attributed AS (
+    SELECT CASE WHEN prev_ts IS NOT NULL AND ts_s - prev_ts <= 1800
+                THEN prev_type ELSE 'direct' END AS channel
+    FROM lagged WHERE event_type = 'purchase'
+), tot AS (SELECT COUNT(*) AS n FROM attributed)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(ROUND(COUNT(*) * 1000000.0 / ANY_VALUE(tot.n), 0) AS BIGINT)
+         AS share_micropoints
+FROM attributed CROSS JOIN tot
+GROUP BY channel
+""",
+)
+def purchase_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LAST-TOUCH attribution: every purchase is credited to the user's
+    most recent NON-purchase event within a 30-minute lookback (the
+    as-of-join pattern as a window — last_value IGNORE NULLS over the
+    per-user event order), falling back to 'direct' when nothing
+    qualifies. The two IGNORE-NULLS window reads are gated on the SAME
+    predicate, so they select fields of the same row — the standard
+    trick that keeps the as-of lookup a single window pass instead of
+    a range join. Deterministic ordering tie-break on (ts_s, event_id).
+    Output: per-channel purchase counts + credit share in micropoints.
+
+    Scale: one user-keyed window over events (the sessionizer's
+    exchange+sort, skew notes shared) and a |channels|-row rollup."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("ts_s")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.col("event_type") != "purchase"
+    lagged = ev.select(
+        "event_type",
+        "ts_s",
+        F.last(F.when(non_purchase, F.col("ts_s")), ignorenulls=True)
+        .over(w)
+        .alias("prev_ts"),
+        F.last(F.when(non_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("prev_type"),
+    )
+    attributed = lagged.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("prev_ts").isNotNull()
+            & (F.col("ts_s") - F.col("prev_ts") <= 1800),
+            F.col("prev_type"),
+        )
+        .otherwise("direct")
+        .alias("channel")
+    )
+    tot = attributed.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        attributed.groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.col("n_purchases").cast("long"),
+            F.round(F.col("n_purchases") * 1000000.0 / F.col("n"), 0)
+            .cast("bigint")
+            .alias("share_micropoints"),
+        )
+    )

@@ -3588,3 +3588,101 @@ def bq_hamming_rerank_topk(
         .filter(F.col("_rn") <= _TOP_K)
         .select("query_id", "vec_id", "hamming", "score_bp")
     )
+
+
+@register(
+    "embedding_source_centroid_similarity",
+    oracle="""
+    WITH lf AS (
+      SELECT d.source, u.pos::INT AS dim,
+             CAST(ROUND(u.v::DOUBLE * 1000000, 0) AS BIGINT) AS vi
+      FROM (SELECT vec_id, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings) u(vec_id, v, pos)
+      JOIN documents d ON d.doc_id = u.vec_id
+    ),
+    cen AS (
+      SELECT source, dim, CAST(SUM(vi) AS BIGINT) AS c
+      FROM lf GROUP BY source, dim
+    ),
+    dots AS (
+      SELECT a.source AS sa, b.source AS sb,
+             CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+      FROM cen a JOIN cen b ON a.dim = b.dim AND a.source < b.source
+      GROUP BY a.source, b.source
+    ),
+    norms AS (
+      SELECT source, CAST(SUM(c * c) AS BIGINT) AS n2 FROM cen GROUP BY source
+    )
+    SELECT d.sa AS source_a, d.sb AS source_b,
+           CAST(ROUND(d.dot / (sqrt(na.n2) * sqrt(nb.n2)) * 10000, 0)
+                AS BIGINT) AS cosine_bp
+    FROM dots d
+    JOIN norms na ON na.source = d.sa
+    JOIN norms nb ON nb.source = d.sb
+    """,
+)
+def embedding_source_centroid_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise cosine of per-source embedding CENTROIDS — the
+    embedding-space counterpart of the token-space JSD matrix (two
+    independent redundancy readouts for the same mixing decision): a
+    near-1 centroid pair says two sources occupy the same semantic
+    region even when their token mixes differ. Centroid sums are
+    per-dimension BIGINT sums of per-element micro-integerized floats
+    (order-free — a raw float sum would hang on accumulation order);
+    dot and norms are exact bigint moments (bounded: (Σ|v|·10⁶)²·64 ≪
+    2⁶³ at these SFs — at larger corpora the centroid would integerize
+    the MEAN per dim onto a fixed grid instead); the one double
+    expression (dot/√·√) lands in ROUND with the identical DAG.
+
+    Scale: one explode + (source, dim) partial-agg (64·|S| rows of
+    state), then a |S|²·64 pair join on the dim key — corpus-sized
+    work is the single embedding scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    lf = (
+        emb.join(docs, "vec_id")
+        .select("source", F.posexplode("embedding").alias("dim", "v"))
+        .select(
+            "source",
+            "dim",
+            F.round(F.col("v").cast("double") * 1000000, 0)
+            .cast("long")
+            .alias("vi"),
+        )
+    )
+    cen = lf.groupBy("source", "dim").agg(F.sum("vi").alias("c"))
+    a = cen.select(
+        F.col("source").alias("sa"), "dim", F.col("c").alias("ca")
+    )
+    b = cen.select(
+        F.col("source").alias("sb"), F.col("dim").alias("dimb"), F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, (F.col("dim") == F.col("dimb")) & (F.col("sa") < F.col("sb")))
+        .groupBy("sa", "sb")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    norms = cen.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("c")).alias("n2")
+    )
+    na = norms.select(F.col("source").alias("sa"), F.col("n2").alias("na"))
+    nb = norms.select(F.col("source").alias("sb"), F.col("n2").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "sa")
+        .join(F.broadcast(nb), "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.round(
+                F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))) * 10000,
+                0,
+            )
+            .cast("bigint")
+            .alias("cosine_bp"),
+        )
+    )
