@@ -630,128 +630,6 @@ def session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "user_conversion_funnel",
-    oracle="""
-WITH e AS (
-    SELECT user_id, event_type,
-           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
-    FROM events
-), f1 AS (
-    SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts_s END) AS t1
-    FROM e GROUP BY user_id
-), f2 AS (
-    SELECT f.user_id, f.t1,
-           MIN(CASE WHEN e.event_type = 'click' AND e.ts_s > f.t1
-                    THEN e.ts_s END) AS t2
-    FROM f1 f JOIN e ON e.user_id = f.user_id
-    GROUP BY f.user_id, f.t1
-), f3 AS (
-    SELECT f.user_id, f.t1, f.t2,
-           MIN(CASE WHEN e.event_type = 'purchase' AND e.ts_s > f.t2
-                    THEN e.ts_s END) AS t3
-    FROM f2 f JOIN e ON e.user_id = f.user_id
-    GROUP BY f.user_id, f.t1, f.t2
-), c AS (
-    SELECT COUNT(*) AS c0, COUNT(t1) AS c1, COUNT(t2) AS c2, COUNT(t3) AS c3
-    FROM f3
-)
-SELECT s.stage, s.n_users, s.conversion_micropoints FROM (
-  SELECT 'all_users' AS stage, CAST(c0 AS BIGINT) AS n_users,
-         CAST(1000000 AS BIGINT) AS conversion_micropoints FROM c
-  UNION ALL
-  SELECT 'view', CAST(c1 AS BIGINT),
-         CAST(CASE WHEN c0 > 0 THEN ROUND(c1 * 1000000.0 / c0, 0)
-                   ELSE 0 END AS BIGINT) FROM c
-  UNION ALL
-  SELECT 'view_then_click', CAST(c2 AS BIGINT),
-         CAST(CASE WHEN c1 > 0 THEN ROUND(c2 * 1000000.0 / c1, 0)
-                   ELSE 0 END AS BIGINT) FROM c
-  UNION ALL
-  SELECT 'view_click_purchase', CAST(c3 AS BIGINT),
-         CAST(CASE WHEN c2 > 0 THEN ROUND(c3 * 1000000.0 / c2, 0)
-                   ELSE 0 END AS BIGINT) FROM c
-) s
-""",
-)
-def user_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered conversion funnel view → click → purchase over the USER
-    lifetime (the product-analytics staple: each stage requires an
-    event of its type STRICTLY LATER than the previous stage's first
-    hit, so a purchase before the first view does not convert) — per
-    stage, the users reaching it and the step conversion rate in
-    micropoints. User-lifetime scope, not session scope: the fixture's
-    sessions average ~1 event, so a within-session funnel is vacuously
-    zero past stage one — the lifetime funnel has real progression to
-    grade (non-degeneracy pinned in tests/test_misc_r17.py). The
-    strict-inequality rule on epoch seconds is the deterministic tie
-    policy both engines share.
-
-    Scale shape: three conditional-min aggregates keyed on user_id —
-    each stage re-aggregates the keyed frame (no event-level
-    self-join), all partial-agg friendly."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.unix_timestamp("ts").alias("ts_s")
-    )
-    f1 = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts_s"))).alias("t1")
-    )
-    f2 = (
-        f1.join(ev, "user_id")
-        .groupBy("user_id", "t1")
-        .agg(
-            F.min(
-                F.when(
-                    (F.col("event_type") == "click") & (F.col("ts_s") > F.col("t1")),
-                    F.col("ts_s"),
-                )
-            ).alias("t2")
-        )
-    )
-    f3 = (
-        f2.join(ev, "user_id")
-        .groupBy("user_id", "t1", "t2")
-        .agg(
-            F.min(
-                F.when(
-                    (F.col("event_type") == "purchase")
-                    & (F.col("ts_s") > F.col("t2")),
-                    F.col("ts_s"),
-                )
-            ).alias("t3")
-        )
-    )
-    c = f3.agg(
-        F.count(F.lit(1)).alias("c0"),
-        F.count("t1").alias("c1"),
-        F.count("t2").alias("c2"),
-        F.count("t3").alias("c3"),
-    )
-
-    def stage(prev, cur, name):
-        conv = (
-            F.when(F.col(prev) > 0, F.round(F.col(cur) * 1000000.0 / F.col(prev), 0))
-            .otherwise(0)
-            .cast("bigint")
-        )
-        return c.select(
-            F.lit(name).alias("stage"),
-            F.col(cur).cast("long").alias("n_users"),
-            conv.alias("conversion_micropoints"),
-        )
-
-    all_row = c.select(
-        F.lit("all_users").alias("stage"),
-        F.col("c0").cast("long").alias("n_users"),
-        F.lit(1000000).cast("long").alias("conversion_micropoints"),
-    )
-    return (
-        all_row.unionByName(stage("c0", "c1", "view"))
-        .unionByName(stage("c1", "c2", "view_then_click"))
-        .unionByName(stage("c2", "c3", "view_click_purchase"))
-    )
-
-
-@register(
     "purchase_attribution_last_touch",
     oracle="""
 WITH e AS (
