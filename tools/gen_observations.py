@@ -467,6 +467,38 @@ micro-batch, with stream-vs-batch row parity pinned in pytest.
         r["pct"]: (r["doc_weighted_quality"], r["token_weighted_quality"])
         for r in run("token_weighted_quality_percentiles")
     }
+    # r17 readouts: GK scorecard, extraction recovery, contamination,
+    # SCC bow-tie, fertility, skew, attribution, temperature mix,
+    # retraction economics
+    gk = {r["q_bp"]: r for r in run("gk_value_quantiles")}
+    ext = run("extract_main_text")
+    ext_n = len(ext)
+    ext_intact = sum(1 for r in ext if r["body_intact"] == 1)
+    cont = run("eval_contamination_ngrams")
+    cont_hot = sum(1 for r in cont if r["contamination_micropoints"] >= 250_000)
+    cont_tot = sum(r["n_grams"] for r in cont)
+    cont_hit = sum(r["n_contaminated"] for r in cont)
+    scc_rows = run("purchase_scc")
+    scc_sizes: dict = {}
+    for r in scc_rows:
+        scc_sizes[r["scc_id"]] = scc_sizes.get(r["scc_id"], 0) + 1
+    scc_giant = max(scc_sizes.values()) if scc_sizes else 0
+    fert = sorted(run("bpe_fertility_by_source"), key=lambda r: -r["fertility_micropoints"])
+    skew = sorted(run("event_key_skew_profile"), key=lambda r: -r["hhi_micropoints"])
+    att = sorted(run("purchase_attribution_last_touch"), key=lambda r: -r["n_purchases"])
+    bench_ret = load_artifact("BENCH_retract.json")
+    retract_para = ""
+    if bench_ret:
+        br = bench_ret["results"]
+        retract_para = (
+            " The economics are measured, not\n"
+            f"asserted (`BENCH_retract.json`, {bench_ret['fact_rows']:,}-row synthetic fact):\n"
+            f"the fold beats rebuild {br['parts300_delete_1_in_32']['fold_speedup']}x when the store collapses to\n"
+            f"{br['parts300_delete_1_in_32']['store_collapse_pct']}% of the fact (the at-scale shape) and LOSES\n"
+            f"({br['parts50000_delete_1_in_8']['fold_speedup']}x) when the pair domain is so sparse the store outweighs\n"
+            "the fact - the honest crossover a deployment checks before enabling\n"
+            "fold-maintenance."
+        )
     cc_chain = None
     if graph_bench:
         chain_keys = sorted(
@@ -934,6 +966,66 @@ isolated 1.09), and an Arrow `maxRecordsPerBatch` sweep
 (2k/10k/50k/100k) moves it < 0.1 s — batch sizing is not the cause; the
 one-time r10→r12 step is environment-era drift, watched at the new
 level, no longer one-directional.''' if bench_var else "")}{r7_rows_para}{langid_para}
+
+## 5.9 Round-17 readouts: lifecycle, quantiles, the crawl front
+
+### Takedown without rebuild (the retraction lifecycle)
+
+All three store mechanisms now prove delete-delta ≡ rebuild on real
+data: the edge store folds the deleted orders' NEGATIVE pair counts
+(`part_copurchase_pagerank_retracted` hash-matches the oracle computed
+on the corpus without them), the GK cent registers subtract
+(`gk_value_quantiles_retracted`), and the inverted index anti-joins a
+tombstone list on the same DPP-pruned serve
+(`phrase_search_inverted_retracted`).{retract_para}
+
+### Quantiles with a hash-verified estimate (GK)
+
+The explicit GK(ε=0.005) summary answers rank queries within its
+guarantee on the events value distribution — per percentile
+(`gk_value_quantiles`, all cents):
+{md_table([(q / 100, r["est_value_cents"], r["exact_value_cents"], r["rank_err"], r["rank_step"]) for q, r in sorted(gk.items())], ["pct", "GK estimate", "exact", "rank err", "step s"])}
+Every rank error sits inside the < s bound, the streaming twin folds
+to the identical table, and the token-weighted sibling
+(`gk_token_weighted_quality_quantiles`) runs the same grid in token
+units — a curation threshold tuned there errs by < 1% of the token
+budget by construction.
+
+### The crawl front: boilerplate removal that proves itself
+
+`extract_main_text` wraps every document in deterministic boilerplate
+(nav/cookie/footer) and takes it back apart with the two-pass
+jusText-class classifier: **{ext_intact} of {ext_n} documents reassemble
+byte-identically** with every boilerplate block dropped; the remaining
+{ext_n - ext_intact} are the zero-stopword docs whose whole body the
+stopword-density rule rejects — jusText's documented language
+dependence, visible in the output rather than patched around.
+
+### Is the eval set contaminated?
+
+Treating src0 as a held-out benchmark, the 8-gram screen
+(`eval_contamination_ngrams`) finds {cont_hit:,} of {cont_tot:,} eval
+shingles ({100.0 * cont_hit / max(cont_tot, 1):.1f}%) elsewhere in the corpus;
+{cont_hot} of {len(cont)} eval docs exceed 25% contamination — exactly the
+docs an eval protocol quarantines before trusting their scores (the
+synthetic near-dups planted across sources are what it catches).
+
+### Structure, skew, and credit
+
+- The purchase-sequence digraph's SCC labeling (`purchase_scc`) shows
+  the classic bow-tie: one giant core of {scc_giant} parts among
+  {len(scc_sizes)} components, the rest singleton periphery.
+- Tokenizer fit (`bpe_fertility_by_source`): fertility spans
+  {fert[-1]["fertility_micropoints"] / 1e6:.3f}–{fert[0]["fertility_micropoints"] / 1e6:.3f} BPE tokens per word across sources — a
+  narrow band, as expected when every source draws from one vocabulary;
+  on multilingual data this table is what reprices the token budget.
+- Key skew (`event_key_skew_profile`): worst HHI
+  {skew[0]["hhi_micropoints"] / 1e6:.4f} ({skew[0]["event_type"]}) against the uniform floor
+  {1.0 / skew[0]["n_keys"]:.4f} — no salting needed on this fixture, and the online
+  twin keeps that answer current as traffic shifts.
+- Last-touch attribution (`purchase_attribution_last_touch`):
+  {", ".join(f"{r['channel']} {r['share_micropoints'] / 10000:.1f}%" for r in att)} of purchase credit within the
+  30-minute lookback.
 
 ## 6. What additional data would sharpen these conclusions
 
