@@ -1576,14 +1576,21 @@ FROM pred
 
 @register("hourly_load_ewma_residuals", oracle=_EWMA_ORACLE)
 def hourly_load_ewma_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-step-ahead EWMA forecast residuals on the hourly load —
-    simple exponential smoothing (Brown 1956; the EWMA control chart,
-    Roberts 1959) with α = 1/2, CHOSEN so every smoothing weight is an
-    exact power of two: l_t = (y_t + l_{t-1})/2 unrolls to weights
-    2^-(t-j), which both engines compute exactly as 1/(1<<e) — no libm
-    pow on data-dependent values, the discipline that keeps a smoother
-    hash-green where a general α would hang every weight on a
-    rounding edge. Each weighted term integerizes to nano-points
+    """One-step-ahead EWMA FORECAST residuals + anomaly flags on the
+    hourly load — the prediction-side sibling of the smoothing rung
+    ``per_minute_load_ewma`` (which pioneered this module's α = 1/2
+    exact-decay discipline for its trailing-30 normalized feature):
+    where that rung SMOOTHS the current minute for a feature column,
+    this one PREDICTS hour t from hours < t only (l_{t-1}, the honest
+    forecast — no self-inclusion), scores the residual, and raises an
+    integer 3σ flag — the EWMA control chart (Roberts 1959) rather
+    than the EWMA feature. α = 1/2 keeps every weight an exact power
+    of two: l_t = (y_t + l_{t-1})/2 unrolls to weights 2^-(t-j),
+    computed exactly as 1/(1<<e) — no libm pow on data-dependent
+    values. Unlike the smoother's normalized in-array fold, the terms
+    here integerize to nano-points individually before a flat SUM, so
+    the unbounded-horizon recursion (with the doubled-oldest-weight
+    boundary making weights sum to exactly 1) stays order-free. Each weighted term integerizes to nano-points
     before the sum (order-free); lags beyond 62 are dropped because
     their nano-terms round to zero identically in both engines (the
     geometric tail is sub-integer) — which also BOUNDS the pair frame
