@@ -1989,9 +1989,12 @@ def eval_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     13-gram screen, PaLM's 8-gram variant): treating one source as the
     held-out benchmark, report per eval document how many of its
     distinct {_CONTAM_N}-gram shingles appear anywhere in the other
-    sources' text — the exact overlap statistic that decides whether
-    an eval doc is quarantined from the training corpus (the converse
-    of dedup: there the match is deleted, here it flags the SCORE).
+    sources' text. This is the EVAL-side converse of
+    ``decontaminate_train_corpus`` (which flags TRAIN docs colliding
+    with an id-designated benchmark at 5-gram width): that rung
+    decides what to DROP from training, this one scores how much each
+    eval document's NUMBER can still be trusted — together they cover
+    both directions of the quarantine decision.
 
     Scale: the gram inventory is the span-dedup family's shape (one
     explode + distinct per side); the screen is an equi-join on the

@@ -472,7 +472,10 @@ def sqrt_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     up-weight-the-tail reweighting multi-corpus LLM recipes apply
     (domain weight ∝ n^τ; τ=0.7 in GPT-3's mixture, τ≈0.5 in
     multilingual sampling à la mBERT/XLM-R): small sources gain share,
-    the head loses, without the uniform extreme of τ=0. τ is PINNED at
+    the head loses, without the uniform extreme of τ=0. This rung
+    computes the WEIGHT TABLE; ``corpus_mix_by_source`` is the
+    execution half (hash-acceptance sampling toward target
+    proportions) that such a table feeds. τ is PINNED at
     1/2 because n^0.5 = sqrt(n) is IEEE-754 CORRECTLY ROUNDED in both
     engines — a general pow(n, 0.7) is libm-implementation-defined and
     would hang every share on a last-ulp edge (the discipline note the
