@@ -1023,6 +1023,12 @@ synthetic near-dups planted across sources are what it catches).
   {skew[0]["hhi_micropoints"] / 1e6:.4f} ({skew[0]["event_type"]}) against the uniform floor
   {1.0 / skew[0]["n_keys"]:.4f} — no salting needed on this fixture, and the online
   twin keeps that answer current as traffic shifts.
+- Embedding anisotropy (`embedding_principal_component`): the
+  48-step power iterate's Rayleigh quotient certifies the top variance
+  direction, and the finding is NEGATIVE — the synthetic embeddings
+  are near-isotropic (measured λ2/λ1 0.93-0.98), so all-but-the-top
+  post-processing has nothing to subtract here; on real sentence
+  embeddings this same rung is the subtract-or-not decision.
 - Last-touch attribution (`purchase_attribution_last_touch`):
   {", ".join(f"{r['channel']} {r['share_micropoints'] / 10000:.1f}%" for r in att)} of purchase credit within the
   30-minute lookback.
