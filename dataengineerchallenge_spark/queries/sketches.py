@@ -1482,3 +1482,139 @@ def gk_value_quantiles_retracted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") > 0)
     )
     return gk_quantiles_from_cents_counts(spark, g)
+
+
+_GK_GROUPED_ORACLE = f"""
+WITH g AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, c, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum
+  FROM g
+),
+tot AS (
+  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n,
+         GREATEST(1, CAST(SUM(cnt) AS BIGINT) // {_GK_EPS_INV}) AS s
+  FROM g GROUP BY event_type
+),
+targets AS (
+  SELECT t.event_type, q.q_bp, t.n, t.s,
+         (q.q_bp * t.n + 9999) // 10000 AS t
+  FROM tot t CROSS JOIN
+       (SELECT unnest([{", ".join(str(q) for q in _GK_QUANTILES)}]) AS q_bp) q
+),
+t2 AS (
+  SELECT event_type, q_bp, n, s, t,
+         LEAST(n, ((t + s - 1) // s) * s) AS r_star
+  FROM targets
+),
+est AS (
+  SELECT t2.event_type, t2.q_bp, t2.n, t2.s, t2.t, t2.r_star,
+         cum.c AS est_c
+  FROM t2 JOIN cum ON cum.event_type = t2.event_type
+   AND cum.cum >= t2.r_star AND cum.cum - cum.cnt < t2.r_star
+),
+ex AS (
+  SELECT t2.event_type, t2.q_bp, cum.c AS exact_c
+  FROM t2 JOIN cum ON cum.event_type = t2.event_type
+   AND cum.cum >= t2.t AND cum.cum - cum.cnt < t2.t
+)
+SELECT est.event_type,
+       CAST(est.q_bp AS BIGINT) AS q_bp,
+       CAST(est.n AS BIGINT) AS n_values,
+       CAST(est.s AS BIGINT) AS rank_step,
+       CAST(est.r_star - est.t AS BIGINT) AS rank_err,
+       CAST(est.est_c AS BIGINT) AS est_value_cents,
+       CAST(ex.exact_c AS BIGINT) AS exact_value_cents
+FROM est JOIN ex
+  ON ex.event_type = est.event_type AND ex.q_bp = est.q_bp
+"""
+
+
+@register("gk_value_quantiles_by_type", oracle=_GK_GROUPED_ORACLE)
+def gk_value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED GK summaries — one canonical ε = 0.005 summary PER
+    event_type from a single pass (the per-tenant/per-shard percentile
+    serving shape: s and the rank grid are per GROUP, so every group
+    carries its own < s rank-error guarantee regardless of size skew).
+    This is the property that makes the GK family shardable at 100 TB:
+    the register fold, the grid, and the query rule all key on the
+    group, and a group's summary is exactly what the global rung would
+    build on that group alone — no cross-group state.
+
+    Same exactness discipline as `gk_value_quantiles`; the windows
+    partition by type so the register table never globally sorts."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wc = Window.partitionBy("event_type").orderBy("c")
+    cum = g.select(
+        "event_type", "c", "cnt", F.sum("cnt").over(wc).alias("cum")
+    )
+    tot = g.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n")
+    ).select(
+        "event_type",
+        "n",
+        F.greatest(F.lit(1).cast("long"), F.expr(f"n div {_GK_EPS_INV}")).alias("s"),
+    )
+    qf = spark.createDataFrame([(q,) for q in _GK_QUANTILES], "q_bp long")
+    t2 = (
+        tot.crossJoin(F.broadcast(qf))
+        .select(
+            "event_type",
+            "q_bp",
+            "n",
+            "s",
+            F.expr("(q_bp * n + 9999) div 10000").alias("t"),
+        )
+        .withColumn(
+            "r_star", F.least(F.col("n"), F.expr("((t + s - 1) div s) * s"))
+        )
+    )
+    est = cum.join(
+        F.broadcast(t2.withColumnRenamed("event_type", "et")),
+        (F.col("event_type") == F.col("et"))
+        & (F.col("cum") >= F.col("r_star"))
+        & (F.col("cum") - F.col("cnt") < F.col("r_star")),
+    ).select(
+        "event_type", "q_bp", "n", "s", "t", "r_star", F.col("c").alias("est_c")
+    )
+    ex = cum.join(
+        F.broadcast(
+            t2.select(
+                F.col("event_type").alias("et2"),
+                F.col("q_bp").alias("qb2"),
+                F.col("t").alias("tt"),
+            )
+        ),
+        (F.col("event_type") == F.col("et2"))
+        & (F.col("cum") >= F.col("tt"))
+        & (F.col("cum") - F.col("cnt") < F.col("tt")),
+    ).select(
+        F.col("event_type").alias("et3"),
+        F.col("qb2"),
+        F.col("c").alias("exact_c"),
+    )
+    return est.join(
+        ex,
+        (F.col("event_type") == F.col("et3")) & (F.col("q_bp") == F.col("qb2")),
+    ).select(
+        "event_type",
+        F.col("q_bp").cast("long"),
+        F.col("n").cast("long").alias("n_values"),
+        F.col("s").cast("long").alias("rank_step"),
+        (F.col("r_star") - F.col("t")).cast("long").alias("rank_err"),
+        F.col("est_c").cast("long").alias("est_value_cents"),
+        F.col("exact_c").cast("long").alias("exact_value_cents"),
+    )

@@ -497,3 +497,39 @@ def test_gk_weighted_exact_matches_percentile_family(spark, qs):
         )
         assert 0 <= gk[q_bp]["rank_err"] < gk[q_bp]["rank_step"]
         assert gk[q_bp]["est_value_upoints"] >= gk[q_bp]["exact_value_upoints"]
+
+
+def test_gk_grouped_guarantee_per_type(spark, qs):
+    """Every event_type carries its own < s rank-error guarantee, and
+    each group's summary equals what the GLOBAL rung would build on
+    that group alone (shardability — no cross-group state)."""
+    rows = qs["gk_value_quantiles_by_type"](spark, SF_DIR).collect()
+    types = {r["event_type"] for r in rows}
+    assert len(types) == 5
+    for r in rows:
+        assert 0 <= r["rank_err"] < r["rank_step"], r
+        assert r["est_value_cents"] >= r["exact_value_cents"], r
+    from dataengineerchallenge_spark.queries.sketches import (
+        gk_quantiles_from_cents_counts,
+    )
+    from dataengineerchallenge_spark.sources import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    one_type = sorted(types)[0]
+    solo = {
+        r["q_bp"]: r
+        for r in gk_quantiles_from_cents_counts(
+            spark,
+            ev.filter(F.col("event_type") == one_type)
+            .select(F.round(F.col("value") * 100).cast("long").alias("c"))
+            .groupBy("c")
+            .agg(F.count(F.lit(1)).alias("cnt")),
+        ).collect()
+    }
+    grouped = {
+        r["q_bp"]: r for r in rows if r["event_type"] == one_type
+    }
+    for q in grouped:
+        assert grouped[q]["est_value_cents"] == solo[q]["est_value_cents"]
+        assert grouped[q]["exact_value_cents"] == solo[q]["exact_value_cents"]
+        assert grouped[q]["rank_err"] == solo[q]["rank_err"]
