@@ -1949,9 +1949,7 @@ _CONTAM_N = 8  # n-gram order for the contamination screen
 _CONTAM_EVAL_SRC = "src0"  # the held-out "benchmark" source
 
 
-@register(
-    "eval_contamination_ngrams",
-    oracle=f"""
+_CONTAM_ORACLE = f"""
     WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws
                FROM documents),
     g AS (
@@ -1981,8 +1979,10 @@ _CONTAM_EVAL_SRC = "src0"  # the held-out "benchmark" source
                 AS BIGINT) AS contamination_micropoints
     FROM g LEFT JOIN hits h ON h.doc_id = g.doc_id
     WHERE g.source = '{_CONTAM_EVAL_SRC}'
-    """,
-)
+    """
+
+
+@register("eval_contamination_ngrams", oracle=_CONTAM_ORACLE)
 def eval_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-CONTAMINATION screen (the n-gram overlap audit every
     LLM eval protocol runs before trusting a score — GPT-3 §4's
@@ -2040,3 +2040,116 @@ def eval_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("contamination_micropoints"),
         )
     )
+
+
+def _staged_train_doc_stream(spark: SparkSession, sf_dir: str) -> str:
+    """The non-benchmark sources' documents written as 3 hash-
+    partitioned files for the multi-micro-batch replay (the delivery-
+    stream shape) — the TRAIN side of the contamination screen arriving
+    as crawl drops."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        docs = spread(load_table(spark, sf_dir, "documents"))
+        write_result(
+            docs.filter(F.col("source") != _CONTAM_EVAL_SRC)
+            .select("doc_id", "text")
+            .repartition(3, "doc_id"),
+            str(out),
+        )
+
+    return staged(
+        spark,
+        "contam_train",
+        Path(sf_dir) / "documents.parquet",
+        f"contam_train:{_CONTAM_EVAL_SRC}:f3",
+        build,
+    )
+
+
+@register("stream_eval_contamination", oracle=_CONTAM_ORACLE)
+def stream_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE twin of ``eval_contamination_ngrams`` — the shape a live
+    crawl actually needs: every TRAIN drop folds its own distinct
+    {_CONTAM_N}-gram set into a run-scoped store via foreachBatch
+    (epoch-keyed overwrite, idempotent under retry; a distinct-UNION
+    is slicing-invariant, so the drained store equals the batch train
+    gram set exactly), and the eval source is re-scored against the
+    maintained store at drain — contamination numbers that stay
+    current as the crawl grows, without re-scanning history. Shares
+    the batch query's DuckDB oracle hash-for-hash."""
+    import shutil
+    import tempfile
+
+    payload = _staged_train_doc_stream(spark, sf_dir)
+    schema = spark.read.parquet(payload).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(payload)
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_graft_stream_contam_")
+    grams_dir, ckpt = f"{scratch}/grams", f"{scratch}/ckpt"
+
+    def grams_of(df: DataFrame) -> DataFrame:
+        ws = F.split("text", " ")
+        return (
+            df.filter(F.size(ws) >= _CONTAM_N)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(
+                        F.expr(
+                            f"transform(sequence(1, size(split(text, ' ')) - {_CONTAM_N - 1}),"
+                            f" i -> array_join(slice(split(text, ' '), i, {_CONTAM_N}), ' '))"
+                        )
+                    )
+                ).alias("gram"),
+            )
+        )
+
+    def update(mb: DataFrame, epoch_id: int) -> None:
+        reg = grams_of(mb).select("gram").distinct()
+        reg.write.mode("overwrite").parquet(f"{grams_dir}/epoch_id={epoch_id}")
+
+    q = (
+        sdf.writeStream.foreachBatch(update)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("stream contamination did not drain in 300s")
+        train = spark.read.parquet(grams_dir).select("gram").distinct()
+        ev_docs = spread(load_table(spark, sf_dir, "documents")).filter(
+            F.col("source") == _CONTAM_EVAL_SRC
+        )
+        ev_grams = grams_of(ev_docs)
+        totals = ev_grams.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_grams")
+        )
+        hits = (
+            ev_grams.join(train, "gram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        out = totals.join(hits, "doc_id", "left").select(
+            "doc_id",
+            F.col("n_grams").cast("long"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) * 1000000.0 / F.col("n_grams"), 0
+            )
+            .cast("bigint")
+            .alias("contamination_micropoints"),
+        )
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(scratch, ignore_errors=True)
+    return result
