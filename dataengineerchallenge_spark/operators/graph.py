@@ -958,6 +958,7 @@ def _minlabel_fixpoint(nodes: DataFrame, e: DataFrame, hops: int) -> DataFrame:
     scalar action per round instead of a change-detection join."""
     m = nodes.select("node", F.col("node").alias("m")).localCheckpoint()
     prev_sum = m.agg(F.sum("m")).collect()[0][0]
+    converged = False
     for _ in range(hops):
         prop = e.join(m, e["src"] == m["node"]).select(
             F.col("dst").alias("node"), "m"
@@ -970,8 +971,15 @@ def _minlabel_fixpoint(nodes: DataFrame, e: DataFrame, hops: int) -> DataFrame:
         )
         s = m.agg(F.sum("m")).collect()[0][0]
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged and hops > 0:
+        raise RuntimeError(
+            f"min-label propagation did not reach its fixpoint within "
+            f"hops={hops}; a truncated labeling would split SCCs — raise "
+            f"the hop budget (schedule bounds are shared with the oracle)"
+        )
     return m
 
 
@@ -997,7 +1005,10 @@ def scc_fb_minlabel(
     and ``hops`` are FIXED schedule bounds shared with the SQL oracle
     (every propagation is capped at ``hops`` synchronous rounds); on
     any graph they cover, the result equals Tarjan's SCCs exactly —
-    pinned against an in-test Tarjan in tests/test_graph_r17.py.
+    pinned against an in-test Tarjan in tests/test_graph_r17.py. On a
+    graph the bounds do NOT cover, the operator RAISES (exhausted peels
+    with alive nodes, or a propagation that never proved its fixpoint)
+    rather than silently returning a partial or split-SCC labeling.
 
     Scale shape: each round is frontier-free Jacobi — one edge-join +
     min-aggregate per hop over the ALIVE subgraph, which collapses
@@ -1043,6 +1054,14 @@ def scc_fb_minlabel(
             )
             .join(alive_n.select(F.col("node").alias("dst")), "dst", "left_semi")
             .localCheckpoint()
+        )
+    if not alive_n.isEmpty():
+        e.unpersist()
+        raise RuntimeError(
+            f"scc_fb_minlabel exhausted its peel budget (peels={peels}) "
+            f"with unassigned nodes remaining; a partial labeling would "
+            f"silently drop nodes — raise the schedule bounds (they are "
+            f"shared with the SQL oracle)"
         )
     e.unpersist()
     if assigned is None:

@@ -1560,17 +1560,20 @@ pred AS (
                         / CAST((1::BIGINT << e) AS DOUBLE), 0) AS BIGINT))
            AS pred_nano
   FROM pairs GROUP BY hour_s, idx, y
+),
+fin AS (
+  SELECT hour_s,
+         CAST(y AS BIGINT) AS y,
+         CAST(ROUND(pred_nano / 1000.0, 0) AS BIGINT) AS pred_micropoints
+  FROM pred
 )
-SELECT hour_s,
-       CAST(y AS BIGINT) AS y,
-       CAST(ROUND(pred_nano / 1000.0, 0) AS BIGINT) AS pred_micropoints,
-       CAST(y * 1000000 - ROUND(pred_nano / 1000.0, 0) AS BIGINT)
-         AS resid_micropoints,
-       CAST(CASE WHEN (y * 1000000 - ROUND(pred_nano / 1000.0, 0))
-                      * (y * 1000000 - ROUND(pred_nano / 1000.0, 0))
-                    > 9 * ROUND(pred_nano / 1000.0, 0) * 1000000
+SELECT hour_s, y, pred_micropoints,
+       y * 1000000 - pred_micropoints AS resid_micropoints,
+       CAST(CASE WHEN CAST(y * 1000000 - pred_micropoints AS HUGEINT)
+                      * CAST(y * 1000000 - pred_micropoints AS HUGEINT)
+                    > 9 * CAST(pred_micropoints AS HUGEINT) * 1000000
                  THEN 1 ELSE 0 END AS BIGINT) AS anomaly
-FROM pred
+FROM fin
 """
 
 
@@ -1583,7 +1586,10 @@ def hourly_load_ewma_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     where that rung SMOOTHS the current minute for a feature column,
     this one PREDICTS hour t from hours < t only (l_{t-1}, the honest
     forecast — no self-inclusion), scores the residual, and raises an
-    integer 3σ flag — the EWMA control chart (Roberts 1959) rather
+    integer 3σ flag (compared in exact wide-integer domains — Spark
+    decimal(38,0) vs DuckDB HUGEINT — so resid² never overflows int64
+    and both engines decide the flag on identical exact values; the
+    same widen-before-square class of fix as the changepoint rung) rather
     than the EWMA feature. α = 1/2 keeps every weight an exact power
     of two: l_t = (y_t + l_{t-1})/2 unrolls to weights 2^-(t-j),
     computed exactly as 1/(1<<e) — no libm pow on data-dependent
@@ -1637,12 +1643,17 @@ def hourly_load_ewma_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pm = F.round(F.col("pred_nano") / 1000.0, 0).cast("bigint")
     resid = (F.col("yt") * 1000000 - pm).cast("bigint")
+    # Flag compared in decimal(38,0) (exact integers, no int64 overflow)
+    # — DuckDB mirrors with HUGEINT, so both engines decide on identical
+    # exact values even when |resid| or pred exceed the bigint² range.
+    resid_w = resid.cast("decimal(38,0)")
+    pm_w = pm.cast("decimal(38,0)")
     return pred.select(
         "hour_s",
         F.col("yt").cast("long").alias("y"),
         pm.alias("pred_micropoints"),
         resid.alias("resid_micropoints"),
-        F.when(resid * resid > 9 * pm * 1000000, 1)
+        F.when(resid_w * resid_w > F.lit(9) * pm_w * F.lit(1000000), 1)
         .otherwise(0)
         .cast("bigint")
         .alias("anomaly"),

@@ -48,10 +48,11 @@ from pyspark.sql import functions as F
 from dataengineerchallenge_spark.registry import register
 from dataengineerchallenge_spark.sources.tables import load_table
 
-# Wrap geometry: body text is split into ceil-even chunks of >= ~20
-# tokens (floor(n/20) chunks, evenly sized, so no body chunk is ever
-# classified "short" — min doc length is 10 tokens -> one whole-doc
-# chunk). Boilerplate templates are stopword-free by construction.
+# Wrap geometry: body text is split into nch = floor(n/20) BALANCED
+# chunks (sizes floor(n/nch) and floor(n/nch)+1, so every body chunk
+# is >= 20 tokens and never classified "short" at any doc length; min
+# doc length is 10 tokens -> one whole-doc chunk). Boilerplate
+# templates are stopword-free by construction.
 _CHUNK = 20
 _NAV = (
     '<div class="nav"><a href="/">Home</a> <a href="/docs">Docs</a>'
@@ -78,14 +79,16 @@ WITH wrapped AS (
   FROM documents
 ),
 sized AS (
-  SELECT doc_id, text, toks, n, nch, (n + nch - 1) // nch AS sz FROM wrapped
+  SELECT doc_id, text, toks, n, nch, n // nch AS q, n % nch AS r FROM wrapped
 ),
 html AS (
   SELECT doc_id, text,
          '<html><head><title>doc ' || doc_id || '</title></head><body>'
          || '{_NAV}' || '{_COOKIE}'
          || array_to_string(
-              [ '<p>' || array_to_string(toks[(i - 1) * sz + 1 : LEAST(n, i * sz)], ' ') || '</p>'
+              [ '<p>' || array_to_string(
+                  toks[(i - 1) * q + LEAST(i - 1, r) + 1
+                       : i * q + LEAST(i, r)], ' ') || '</p>'
                 FOR i IN range(1, nch + 1) ], '')
          || '{_FOOTER}' || '</body></html>' AS page
   FROM sized
@@ -159,22 +162,31 @@ FROM fin GROUP BY doc_id
 
 def wrap_documents_html(docs: DataFrame) -> DataFrame:
     """(doc_id, text) -> (doc_id, text, page): the deterministic
-    boilerplate wrap both engines replay token-for-token. Chunk sizes
-    are ceil-even so the shortest body chunk stays >= sz - (nch - 1)
-    >= 17 tokens — never in the 'short' class."""
+    boilerplate wrap both engines replay token-for-token. Chunks are
+    BALANCED — the first ``n mod nch`` chunks take ``floor(n/nch)+1``
+    tokens, the rest ``floor(n/nch)`` — so the shortest body chunk is
+    ``floor(n/nch) >= 20`` tokens (``nch = n div 20`` implies
+    ``n >= 20*nch``), never in the 'short' class at ANY doc length.
+    (All-ceil sizing had a collapsing last chunk for most n >= 261.)"""
     toks = F.split("text", " ")
     n = F.size(toks)
     nch = F.greatest(F.lit(1), F.expr(f"size(split(text, ' ')) div {_CHUNK}"))
-    d = docs.select(
-        "doc_id",
-        "text",
-        toks.alias("toks"),
-        n.alias("n"),
-        nch.alias("nch"),
-    ).withColumn("sz", F.expr("(n + nch - 1) div nch"))
+    d = (
+        docs.select(
+            "doc_id",
+            "text",
+            toks.alias("toks"),
+            n.alias("n"),
+            nch.alias("nch"),
+        )
+        .withColumn("q", F.expr("n div nch"))
+        .withColumn("r", F.expr("n % nch"))
+    )
     body = F.expr(
         "array_join(transform(sequence(1, nch),"
-        " i -> concat('<p>', array_join(slice(toks, (i - 1) * sz + 1, sz), ' '),"
+        " i -> concat('<p>', array_join("
+        "slice(toks, (i - 1) * q + least(i - 1, r) + 1,"
+        " q + if(i <= r, 1, 0)), ' '),"
         " '</p>')), '')"
     )
     return d.select(

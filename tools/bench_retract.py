@@ -146,12 +146,15 @@ def main() -> None:
                 fold(f"{scratch}/fd_chk")
                 rb = spark.read.parquet(f"{scratch}/rb_chk")
                 fd = spark.read.parquet(f"{scratch}/fd_chk")
+                # w is an integer-valued double (distinct-order support),
+                # so sums are exact and row-for-row equality is
+                # well-defined — include it, not just (src, dst, wr).
                 mismatch = (
-                    rb.select("src", "dst", "wr")
-                    .exceptAll(fd.select("src", "dst", "wr"))
+                    rb.select("src", "dst", "w", "wr")
+                    .exceptAll(fd.select("src", "dst", "w", "wr"))
                     .count()
-                    + fd.select("src", "dst", "wr")
-                    .exceptAll(rb.select("src", "dst", "wr"))
+                    + fd.select("src", "dst", "w", "wr")
+                    .exceptAll(rb.select("src", "dst", "w", "wr"))
                     .count()
                 )
                 assert mismatch == 0, f"fold != rebuild at K={k}: {mismatch} rows"

@@ -489,16 +489,22 @@ micro-batch, with stream-vs-batch row parity pinned in pytest.
     bench_ret = load_artifact("BENCH_retract.json")
     retract_para = ""
     if bench_ret:
-        br = bench_ret["results"]
-        retract_para = (
-            " The economics are measured, not\n"
-            f"asserted (`BENCH_retract.json`, {bench_ret['fact_rows']:,}-row synthetic fact):\n"
-            f"the fold beats rebuild {br['parts300_delete_1_in_32']['fold_speedup']}x when the store collapses to\n"
-            f"{br['parts300_delete_1_in_32']['store_collapse_pct']}% of the fact (the at-scale shape) and LOSES\n"
-            f"({br['parts50000_delete_1_in_8']['fold_speedup']}x) when the pair domain is so sparse the store outweighs\n"
-            "the fact - the honest crossover a deployment checks before enabling\n"
-            "fold-maintenance."
-        )
+        # Derive the collapsed/sparse regime rows from the results
+        # themselves (min/max part_domain) so a regenerated bench with a
+        # non-default --parts list still renders instead of KeyError-ing.
+        br_rows = [r for r in bench_ret["results"].values() if r.get("fold_speedup")]
+        if br_rows:
+            collapsed = min(br_rows, key=lambda r: r["part_domain"])
+            sparse = max(br_rows, key=lambda r: r["part_domain"])
+            retract_para = (
+                " The economics are measured, not\n"
+                f"asserted (`BENCH_retract.json`, {bench_ret['fact_rows']:,}-row synthetic fact):\n"
+                f"the fold beats rebuild {collapsed['fold_speedup']}x when the store collapses to\n"
+                f"{collapsed['store_collapse_pct']}% of the fact (the at-scale shape) and LOSES\n"
+                f"({sparse['fold_speedup']}x) when the pair domain is so sparse the store outweighs\n"
+                "the fact - the honest crossover a deployment checks before enabling\n"
+                "fold-maintenance."
+            )
     cc_chain = None
     if graph_bench:
         chain_keys = sorted(
