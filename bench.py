@@ -78,7 +78,10 @@ HEADLINE = [
     # BUILD cost it uniquely measured is now carried by the staged
     # store's build half (BENCH_graph.json build_* rows). Registered and
     # sweep-checked as before.
-    "hll_explicit_user_counts",              # A6+ hash-verified HyperLogLog (round 12)
+    # hll_explicit_user_counts rotated out r18 (byte budget): the sketch
+    # family keeps three timed representatives (cm_heavy_hitters,
+    # kmv_distinct_users, gk_value_quantiles) with the same
+    # register-fold profile. Registered and sweep-checked as before.
     "hourly_load_anomalies_mad",             # A+ robust anomaly screen (round 12)
     "part_copurchase_triangles",             # G2 degree-oriented triangles, persisted invariant (round 13)
     "part_copurchase_hops",                  # G3 BFS frontier expansion (round 13)
@@ -103,7 +106,10 @@ HEADLINE = [
     # above with one extra weight column — nothing new to time.
     # Registered and sweep-checked as before.
     "purchase_hits_staged",                  # G5 staged serve (round 15)
-    "directed_purchase_pagerank_staged",     # G1+ staged serve (round 15)
+    # directed_purchase_pagerank_staged rotated out r18 (byte budget):
+    # same staged-serve power-iteration profile as the unweighted twin
+    # above plus the broadcast dangling-sum — nothing new to time.
+    # Registered and sweep-checked as before.
     "copurchase_components_staged",          # G4 staged serve (round 15)
     "payload_near_dups",                     # N5+ perceptual aHash near-dup (round 15)
     "corpus_lang_quality_buckets",           # N4+++ CCNet lang x perplexity grid (round 15)
@@ -115,6 +121,8 @@ HEADLINE = [
     "phrase_search_inverted_staged",         # IR+ staged positional-postings phrase serve, DPP-pruned (round 16)
     "gk_value_quantiles",                    # A-gk explicit GK summary, hash-verified estimate (round 17)
     "extract_main_text",                     # N4-ext jusText-class boilerplate removal (round 17)
+    "quality_classifier_scored_auc",         # QC trained IRLS filter: train -> score -> eval (round 18)
+    "copurchase_weighted_distances",         # G12 min-plus Bellman-Ford from the staged edge store (round 18)
     # copurchase_deterministic_walks is registry-only: same staged-serve
     # join+window profile per step as coreness, nothing new to time.
     # ccnet_grid_mix (the grid sampler) is registry-only: one map

@@ -631,6 +631,85 @@ def hop_distances(
     return visited
 
 
+def weighted_sssp(
+    edges: DataFrame,
+    source=None,
+    rounds: int = 24,
+    src: str = "src",
+    dst: str = "dst",
+    cost: str = "cost",
+) -> DataFrame:
+    """(node, dist) single-source shortest-path distances over a DIRECTED
+    edge list with non-negative INTEGER costs — synchronous (Jacobi)
+    Bellman-Ford relaxation, the min-plus sibling of both
+    ``hop_distances`` (swap MIN(hops+1) for MIN(dist+cost)) and
+    ``_minlabel_fixpoint`` (swap min-label for min-distance):
+
+        d_{k+1}(v) = min(d_k(v), min over in-edges (u,v) of d_k(u) + c(u,v)).
+
+    Integer costs make every distance an exact bigint, so min-plus is
+    fully deterministic and a fixed-round SQL unroll replays the schedule
+    exactly (Spark may early-exit at the fixpoint; extra unrolled oracle
+    rounds are no-ops either way — the SCC-schedule discipline). Unlike
+    BFS, a weighted wave can REVISIT settled nodes through cheaper long
+    paths, so there is no frontier anti-join: each round relaxes the full
+    reached set (which collapses onto a stable region quickly). The
+    fixpoint proof is the (count, sum) pair — reached nodes only get
+    added and distances only decrease, so an unchanged pair is an
+    unchanged labeling (the _minlabel_fixpoint argument, extended with
+    the count because the node set grows). Exhausting ``rounds`` without
+    a proven fixpoint RAISES rather than returning too-long distances
+    (the scc_fb_minlabel guard).
+
+    Scale shape: each round is one edge-join + min-aggregate over
+    reached×out-edges, localCheckpoint-ed; the edge frame is the loop
+    invariant and rides the staged bucketed layout at 100 TB. Bellman-
+    Ford needs ≤ (longest shortest path in EDGES) rounds — diameter-ish,
+    not |V| — and the scheduled bound is picked from measured
+    convergence with margin, shared with the oracle."""
+    from pyspark import StorageLevel
+
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(cost).alias("cost")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if source is None:
+        source = e.agg(F.min("src")).collect()[0][0]
+    seed_t = edges.schema[src].dataType.simpleString()
+    d = e.sparkSession.createDataFrame(
+        [(source, 0)], f"node {seed_t}, dist long"
+    ).localCheckpoint()
+    prev = d.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+    ).collect()[0]
+    prev = (prev["n"], prev["s"])
+    converged = False
+    for _ in range(rounds):
+        relax = d.join(e, d["node"] == e["src"]).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("cost")).alias("dist")
+        )
+        d = (
+            d.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        chk = d.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+        ).collect()[0]
+        if (chk["n"], chk["s"]) == prev:
+            converged = True
+            break
+        prev = (chk["n"], chk["s"])
+    e.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"weighted_sssp did not reach its fixpoint within rounds={rounds};"
+            f" truncated distances would be silently too long — raise the"
+            f" schedule bound (it is shared with the oracle)"
+        )
+    return d
+
+
 def label_propagation(
     edges: DataFrame,
     iters: int = 5,

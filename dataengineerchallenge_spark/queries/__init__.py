@@ -30,6 +30,7 @@ _MODULES = [
     "evals",
     "search",
     "extraction",
+    "classifier",
 ]
 
 

@@ -483,12 +483,16 @@ def _duck_u32_of(col: str, offset: int = 0) -> str:
     )
 
 
-def _mhx_oracle(new_only: bool) -> str:
+def _mhx_oracle(new_only: bool, corpus_pred: str = "") -> str:
     """Oracle for the explicit-hash banded near-dup: full-corpus explicit
     MinHash banding → band-collision candidates → exact Jaccard ≥ 0.5.
     With ``new_only`` the pair set is restricted to pairs involving a
     delivery doc (doc_id ≥ 4/5 of the corpus) — by the hash family's
-    statelessness that EQUALS the incremental sign-batch-only plan."""
+    statelessness that EQUALS the incremental sign-batch-only plan.
+    ``corpus_pred`` removes docs from the corpus BEFORE banding (the
+    retraction rung passes the takedown predicate); the delivery split
+    boundary stays a function of the FULL corpus count, matching the
+    Spark side."""
     scope = (
         """
     CROSS JOIN (SELECT count(*) * 4 // 5 AS split FROM documents) sp
@@ -497,7 +501,8 @@ def _mhx_oracle(new_only: bool) -> str:
         else ""
     )
     return f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents{corpus_pred}),
     s AS (SELECT doc_id,
                  list_distinct([array_to_string(ws[i:i+2], ' ')
                                 FOR i IN range(1, len(ws)-1)]) AS sh
@@ -2153,3 +2158,47 @@ def stream_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result
+
+
+@register(
+    "near_dup_minhash_retracted",
+    oracle=_mhx_oracle(new_only=True, corpus_pred=" WHERE doc_id % 10 != 0"),
+)
+def near_dup_minhash_retracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOMBSTONE retraction on the committed MinHash band store — the
+    near-dup store's leg of the retraction lifecycle (VERDICT r17
+    next-round #3b, completing the mechanism trio: edge-store negative
+    fold, GK register subtraction, and now the second per-row anti-join
+    store next to postings/ANN codes): a takedown list (doc_id % 10 ==
+    0) is anti-joined out of the appended base+delivery1 band store at
+    serve time — band rows are per-doc, so retraction is row removal,
+    never an un-fold — and the incoming delivery2 batch drops its own
+    tombstoned docs before signing. Graded against the full banding
+    oracle computed on the corpus WITHOUT the takedown set (split
+    boundary still from the full corpus count), restricted to pairs
+    involving a delivery doc: a green row proves store tombstoning ≡
+    re-signing the surviving corpus from scratch — no tombstoned doc can
+    surface as either endpoint of a served candidate pair.
+
+    Delta-sized extra cost: one broadcast anti-join on the store read;
+    the signing pass already touches only the batch."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n_docs = docs.count()
+    split2 = n_docs * 4 // 5
+    tombstones = docs.select("doc_id").filter(F.col("doc_id") % 10 == 0)
+    live_docs = docs.filter(F.col("doc_id") % 10 != 0)
+    new = live_docs.filter(F.col("doc_id") >= split2)
+    new_bands = D.minhash_band_frame_explicit(
+        new, "doc_id", "text", n=_MH_N,
+        num_hashes=_MH_HASHES, band_rows=_MH_BAND_ROWS,
+    )
+    store = spark.read.parquet(
+        _staged_minhash_bands_explicit_appended(spark, sf_dir)
+    ).join(F.broadcast(tombstones), "doc_id", "left_anti")
+    batch_band_rows = (n_docs - split2) * (_MH_HASHES // _MH_BAND_ROWS)
+    cand = D.band_collision_pairs(
+        store, new_bands, batch_band_rows=batch_band_rows
+    ).unionByName(D.band_collision_pairs(new_bands))
+    return D.verify_jaccard(
+        live_docs, "doc_id", "text", cand, n=_MH_N, threshold=0.5
+    )

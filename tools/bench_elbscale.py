@@ -1,0 +1,253 @@
+"""At-scale ELB `.log.gz` replay (VERDICT r17 next-round #7): measure the
+flagship parse → sessionize → geo-LPM → latency-percentile path on its
+REAL input shape — one multi-million-line gzipped text log — instead of
+the ~1k-line pytest fixture, so SURVEY §2.1 S1's single-gzip-partition →
+post-parse-repartition note becomes a measured number.
+
+Three serving modes over the same staged log:
+
+- ``single``  : parse with the gzip file's natural 1-task scan (gzip is
+                unsplittable — the pathology).
+- ``spread``  : `read_elb_log(..., spread=True)` — raw LINES round-robin
+                repartitioned before the parse, so decompression stays
+                1-task but the expensive from_csv parse runs on all
+                cores (sources/elb.py's documented mitigation).
+- ``parquet`` : parse once → columnar materialization → the three
+                queries run from parquet (the ingest-then-serve shape a
+                real deployment runs; ingest cost priced separately).
+
+The log itself is generated ONCE per (lines, ips) into a content-
+addressed slot by Spark expressions (xxhash64-driven pseudo-noise — the
+repo's no-rand discipline; ~20-hit session bursts per IP separated by
+40-minute gaps, plus sentinel '-' backends), written as a SINGLE gzip
+part so the unsplittable-scan story is genuine.
+
+Usage: python tools/bench_elbscale.py [--lines 10000000] [--iters 2]
+Writes BENCH_elbscale.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 8g pyspark-shell")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+BASE_TS = 1437555600  # match tools/gen_elb_log.py's log date
+
+
+def staged_big_log(spark, lines: int, n_ips: int) -> str:
+    """Deterministic big ELB log in a parameter-addressed staging slot,
+    one gzip part file."""
+    from dataengineerchallenge_spark.staging import staging_root
+
+    slot = staging_root(spark) / f"spark_graft_elbscale_{lines}_{n_ips}"
+    if (slot / "_SUCCESS").exists():
+        return str(slot)
+    df = spark.range(lines)
+    u = (F.col("id") % n_ips).alias("u")
+    seq = (F.col("id") / n_ips).cast("long").alias("seq")
+    h = F.abs(F.xxhash64("id"))
+    df = df.select("id", u, seq, h.alias("h"))
+    # ~20-hit bursts per ip separated by 40 min => multi-session keys
+    ts_s = (
+        F.lit(BASE_TS)
+        + (F.col("u") % 1800)
+        + (F.col("seq") / 20).cast("long") * 2400
+        + (F.col("seq") % 20) * (20 + F.col("h") % 45)
+    )
+    ts_str = F.concat(
+        F.date_format(F.to_timestamp(ts_s), "yyyy-MM-dd'T'HH:mm:ss"),
+        F.lit("."),
+        F.lpad((F.col("h") % 1000000).cast("string"), 6, "0"),
+        F.lit("Z"),
+    )
+    ip = F.concat(
+        F.lit("10."),
+        ((F.col("u") / 65536) % 256).cast("long").cast("string"),
+        F.lit("."),
+        ((F.col("u") / 256) % 256).cast("long").cast("string"),
+        F.lit("."),
+        (F.col("u") % 256).cast("string"),
+    )
+    path = F.concat(F.lit("/shop/p/"), (F.col("h") % 5000).cast("string"))
+    url = F.concat(F.lit("https://paytm.com:443"), path)
+    backend = F.when(F.col("h") % 97 == 0, F.lit("-")).otherwise(
+        F.concat(
+            F.lit("10.0.4."), (100 + F.col("h") % 150).cast("string"), F.lit(":80")
+        )
+    )
+    bt = F.when(F.col("h") % 97 == 0, F.lit("-1")).otherwise(
+        F.format_number((F.col("h") % 900000) / 1000000.0, 6)
+    )
+    status = F.when(F.col("h") % 53 == 0, F.lit(500)).otherwise(F.lit(200))
+    line = F.concat_ws(
+        " ",
+        ts_str,
+        F.lit("elb1"),
+        F.concat(ip, F.lit(":"), (30000 + F.col("h") % 30000).cast("string")),
+        backend,
+        F.lit("0.000050"),
+        bt,
+        F.lit("0.000040"),
+        status.cast("string"),
+        status.cast("string"),
+        F.lit("0"),
+        (200 + F.col("h") % 9000).cast("string"),
+        F.concat(F.lit('"GET '), url, F.lit(' HTTP/1.1"')),
+        F.lit('"Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36"'),
+        F.lit("- -"),
+    )
+    (
+        df.select(line.alias("value"))
+        .repartition(1)
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .text(str(slot))
+    )
+    return str(slot)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lines", type=int, default=10_000_000)
+    ap.add_argument("--ips", type=int, default=50_000)
+    ap.add_argument("--iters", type=int, default=2)
+    args = ap.parse_args()
+
+    from dataengineerchallenge_spark.operators.joins import lpm_join
+    from dataengineerchallenge_spark.operators.sessionize import session_stats
+    from dataengineerchallenge_spark.queries.elb import _cidr_rows
+    from dataengineerchallenge_spark.session import get_spark
+    from dataengineerchallenge_spark.sources.elb import (
+        parse_elb,
+        read_elb_log,
+        valid_requests,
+    )
+
+    spark = get_spark("bench_elbscale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    log_dir = staged_big_log(spark, args.lines, args.ips)
+    gen_s = round(time.time() - t0, 2)
+    gz_bytes = sum(
+        os.path.getsize(p) for p in glob.glob(f"{log_dir}/part-*.gz")
+    )
+
+    def pipeline_counts(req):
+        """The three flagship consumers, each closed by a small action."""
+        out = {}
+        t = time.time()
+        sess = session_stats(
+            req, key="client_ip", ts="ts", url="url",
+            order_col=["client_port", "url"],
+        )
+        out["sessionize_rows"] = sess.count()
+        out["sessionize_s"] = round(time.time() - t, 2)
+        t = time.time()
+        blocks = spark.createDataFrame(
+            [r[:4] for r in _cidr_rows()],
+            "region string, prefix_len int, ip_lo long, ip_hi long",
+        )
+        oct_ = lambda i: F.get(F.split("client_ip", "\\."), i).cast("long")  # noqa: E731
+        ips = (
+            req.select("client_ip").distinct()
+            .withColumn(
+                "ip_int",
+                oct_(0) * 16777216 + oct_(1) * 65536 + oct_(2) * 256 + oct_(3),
+            )
+        )
+        lpm = lpm_join(ips, blocks).select("client_ip", "region")
+        geo = (
+            req.join(lpm, "client_ip", "left")
+            .groupBy(F.coalesce("region", F.lit("unrouted")).alias("region"))
+            .agg(F.count(F.lit(1)).alias("n_requests"))
+        )
+        out["geo_rows"] = geo.count()
+        out["geo_s"] = round(time.time() - t, 2)
+        t = time.time()
+        pct = (
+            req.filter(F.col("url_path").isNotNull() & (F.col("backend_time") >= 0))
+            .groupBy("url_path")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.percentile_approx("backend_time", 0.95, 10000).alias("p95"),
+            )
+        )
+        out["pctl_rows"] = pct.count()
+        out["pctl_s"] = round(time.time() - t, 2)
+        return out
+
+    results: dict = {}
+    for mode in ("single", "spread"):
+        best: dict = {}
+        for _ in range(args.iters):
+            req = valid_requests(
+                parse_elb(read_elb_log(spark, log_dir, spread=(mode == "spread")))
+            )
+            r = pipeline_counts(req)
+            for k, v in r.items():
+                best[k] = min(best[k], v) if k.endswith("_s") and k in best else v
+        results[mode] = best
+        print(mode, best, flush=True)
+
+    # ingest-then-serve: one parse pass materialized columnar
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="spark_graft_elbscale_pq_")
+    try:
+        t = time.time()
+        cols = [
+            "ts", "client_ip", "client_port", "url", "url_path",
+            "backend_time", "sent_bytes", "elb_status",
+        ]
+        valid_requests(
+            parse_elb(read_elb_log(spark, log_dir, spread=True))
+        ).select(*cols).write.mode("overwrite").parquet(f"{scratch}/req")
+        ingest_s = round(time.time() - t, 2)
+        best = {}
+        for _ in range(args.iters):
+            req = spark.read.parquet(f"{scratch}/req")
+            r = pipeline_counts(req)
+            for k, v in r.items():
+                best[k] = min(best[k], v) if k.endswith("_s") and k in best else v
+        best["ingest_s"] = ingest_s
+        results["parquet"] = best
+        print("parquet", best, flush=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    # cross-mode agreement: same valid-line universe in every mode
+    rows = {m: r["sessionize_rows"] for m, r in results.items()}
+    assert len(set(rows.values())) == 1, f"mode row counts diverge: {rows}"
+
+    out = {
+        "metric": "elb_scale_replay",
+        "lines": args.lines,
+        "ips": args.ips,
+        "gzip_bytes": gz_bytes,
+        "gen_s": gen_s,
+        "iters": args.iters,
+        "cpus": spark.sparkContext.defaultParallelism,
+        "results": results,
+    }
+    dest = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_elbscale.json",
+    )
+    with open(dest, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
