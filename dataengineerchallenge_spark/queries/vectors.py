@@ -3919,12 +3919,14 @@ def ivf_pq_serve_retracted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PCR_COMPONENTS = 4
 
 
-def _pcr_oracle(r: int = _PCR_COMPONENTS, iters: int = _PC_ITERS) -> str:
-    """Unrolled top-r power iteration WITH Hotelling deflation: component
-    c runs the same 0-init left-fold matvec chain as `_pc_oracle` on
-    cov{c}, then cov{c+1} = cov{c} - ((nrm_c * v_c[i]) * v_c[t]) —
-    explicit parenthesization shared with the driver-side Python loop so
-    every double op applies in the identical order."""
+def _pcr_chain(r: int = _PCR_COMPONENTS, iters: int = _PC_ITERS) -> str:
+    """The WITH-body of the unrolled top-r power iteration WITH Hotelling
+    deflation (shared by the r4 rung and the ABTT whitening rung):
+    component c runs the same 0-init left-fold matvec chain as
+    `_pc_oracle` on cov{c}, then cov{c+1} = cov{c} -
+    ((nrm_c * v_c[i]) * v_c[t]) — explicit parenthesization shared with
+    the driver-side Python loop so every double op applies in the
+    identical order. Ends at v{r}_{iters}; callers append their tail."""
     blocks = []
     for c in range(1, r + 1):
         steps = [
@@ -3962,16 +3964,7 @@ def _pcr_oracle(r: int = _PCR_COMPONENTS, iters: int = _PC_ITERS) -> str:
             )
         blocks.append(",\n    ".join(steps))
     chain = ",\n    ".join(blocks)
-    finals = "\n    UNION ALL\n    ".join(
-        f"""SELECT {c} AS component, t AS dim,
-           CAST(ROUND(v.varr[t] * 1000000, 0) AS BIGINT)
-             AS loading_micropoints,
-           CAST(ROUND(v.nrm / 1000000.0, 0) AS BIGINT) AS lambda_micropoints
-    FROM v{c}_{iters} v, (SELECT unnest(range(1, {_PC_DIMS + 1})) AS t)"""
-        for c in range(1, r + 1)
-    )
-    return f"""
-    WITH lf AS (
+    return f"""lf AS (
       SELECT u.vec_id, u.pos::INT AS i,
              CAST(ROUND(u.v::DOUBLE * 1000000, 0) AS BIGINT) AS vi
       FROM (SELECT vec_id, unnest(embedding) AS v,
@@ -3997,7 +3990,20 @@ def _pcr_oracle(r: int = _PCR_COMPONENTS, iters: int = _PC_ITERS) -> str:
     cov1 AS MATERIALIZED (
       SELECT i, list(c ORDER BY j) AS carr FROM cc GROUP BY i
     ),
-    {chain}
+    {chain}"""
+
+
+def _pcr_oracle(r: int = _PCR_COMPONENTS, iters: int = _PC_ITERS) -> str:
+    finals = "\n    UNION ALL\n    ".join(
+        f"""SELECT {c} AS component, t AS dim,
+           CAST(ROUND(v.varr[t] * 1000000, 0) AS BIGINT)
+             AS loading_micropoints,
+           CAST(ROUND(v.nrm / 1000000.0, 0) AS BIGINT) AS lambda_micropoints
+    FROM v{c}_{iters} v, (SELECT unnest(range(1, {_PC_DIMS + 1})) AS t)"""
+        for c in range(1, r + 1)
+    )
+    return f"""
+    WITH {_pcr_chain(r, iters)}
     {finals}
     """
 
@@ -4028,12 +4034,42 @@ def embedding_principal_components_r4(
     keeps that distributed-iteration form as the contrast; this rung is
     what a production job would run.
 
-    Contracts (tests/test_vectors_r18.py): per-component Rayleigh
+    Contracts (tests/test_r18.py): per-component Rayleigh
     quotient against numpy eigh's spectrum, pairwise orthogonality
     |vᵢ·vⱼ| bounded on the integer grid, and ABTT's residual-variance
     readout (Σ top-4 λ honest against the near-isotropic fixture
     spectrum — the same negative result PC1 reports, now with 4× the
     evidence)."""
+    comps, _mi, _nn = _pcr_train(spark, sf_dir, _PCR_COMPONENTS)
+    out_rows = []
+    for comp, (v, nrm) in enumerate(comps, start=1):
+        for t in range(_PC_DIMS):
+            out_rows.append(
+                (
+                    comp,
+                    t + 1,
+                    int(_half_up(v[t] * 1000000)),
+                    int(_half_up(nrm / 1000000.0)),
+                )
+            )
+    return spark.createDataFrame(
+        out_rows,
+        "component long, dim long, loading_micropoints long,"
+        " lambda_micropoints long",
+    )
+
+
+def _pcr_train(
+    spark: SparkSession, sf_dir: str, r: int
+) -> tuple[list[tuple[list[float], float]], dict, int]:
+    """The shared deflation-ladder trainer: ONE distributed exact-moment
+    scan, then the driver replays the oracle's covariance DAG and
+    left-fold power/deflation schedule in IEEE doubles. Returns
+    ([(unit vector, |Cv| norm)] per component, per-dim integer moment
+    sums, corpus count) — the r4 rung integerizes the trace, the ABTT
+    whitening rung consumes the raw doubles (bit-equal to the oracle's
+    v{c}_{iters} CTEs by the fold-parity argument the r4 rung
+    hash-verifies every round)."""
     import math
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -4046,7 +4082,7 @@ def embedding_principal_components_r4(
     )
     nn = lf.agg(F.count_distinct("vec_id").alias("n")).collect()[0]["n"]
     mrows = lf.groupBy("i").agg(F.sum("vi").alias("mi")).collect()
-    mi = {r["i"]: r["mi"] for r in mrows}
+    mi = {r0["i"]: r0["mi"] for r0 in mrows}
     a = lf.select("vec_id", F.col("i").alias("ia"), F.col("vi").alias("va"))
     b = lf.select(
         F.col("vec_id").alias("vb"), F.col("i").alias("jb"), F.col("vi").alias("wb")
@@ -4063,8 +4099,8 @@ def embedding_principal_components_r4(
     for r0 in srows:
         i, j, s = r0["i"], r0["j"], r0["s"]
         cov[i - 1][j - 1] = s * 1.0 / nn - mi[i] * 1.0 * mi[j] / (nn * 1.0 * nn)
-    out_rows = []
-    for comp in range(1, _PCR_COMPONENTS + 1):
+    comps = []
+    for comp in range(1, r + 1):
         v = [0.125] * _PC_DIMS
         nrm = 0.0
         for _ in range(_PC_ITERS):
@@ -4079,24 +4115,12 @@ def embedding_principal_components_r4(
                 acc = acc + w[t] * w[t]
             nrm = math.sqrt(acc)
             v = [w[t] / nrm for t in range(_PC_DIMS)]
-        for t in range(_PC_DIMS):
-            out_rows.append(
-                (
-                    comp,
-                    t + 1,
-                    int(_half_up(v[t] * 1000000)),
-                    int(_half_up(nrm / 1000000.0)),
-                )
-            )
-        if comp < _PCR_COMPONENTS:
+        comps.append((v, nrm))
+        if comp < r:
             for i in range(_PC_DIMS):
                 for t in range(_PC_DIMS):
                     cov[i][t] = cov[i][t] - ((nrm * v[i]) * v[t])
-    return spark.createDataFrame(
-        out_rows,
-        "component long, dim long, loading_micropoints long,"
-        " lambda_micropoints long",
-    )
+    return comps, mi, nn
 
 
 def _half_up(x: float) -> float:
@@ -4106,3 +4130,174 @@ def _half_up(x: float) -> float:
     import math
 
     return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+_ABTT_R = 2
+
+
+def _abtt_oracle() -> str:
+    """WITH-chain = the r=2 deflation ladder, then the whitening tail:
+    mean-center every micro-integerized vector, subtract its projection
+    on each top component SEQUENTIALLY (w ← w − (w·u_k)u_k — for the
+    near-orthogonal u's this is ABTT's subtraction, replayed in one
+    fixed order both engines share), and run exact cosine top-k on the
+    whitened vectors. All reductions are 0-init left folds."""
+    d = _PC_DIMS
+    steps = [
+        f"""mu AS MATERIALIZED (
+      SELECT list(mi * 1.0 / n ORDER BY i) AS mu
+      FROM (SELECT m.i, m.mi, nn.n FROM m CROSS JOIN nn)
+    ), dv AS MATERIALIZED (
+      SELECT vec_id,
+             [CAST(ROUND(embedding[t]::DOUBLE * 1000000, 0) AS BIGINT)
+              FOR t IN range(1, {d + 1})] AS arr
+      FROM embeddings
+    ), wh0 AS MATERIALIZED (
+      SELECT vec_id,
+             [dv.arr[t] * 1.0 - mu.mu[t] FOR t IN range(1, {d + 1})] AS w
+      FROM dv CROSS JOIN mu
+    )"""
+    ]
+    for c in range(1, _ABTT_R + 1):
+        steps.append(
+            f"""dt{c} AS MATERIALIZED (
+      SELECT wh{c - 1}.vec_id,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               [wh{c - 1}.w[s] * u.varr[s] FOR s IN range(1, {d + 1})]),
+               (a, b) -> a + b) AS dot
+      FROM wh{c - 1} CROSS JOIN v{c}_{_PC_ITERS} u
+    ), wh{c} AS MATERIALIZED (
+      SELECT wh{c - 1}.vec_id,
+             [wh{c - 1}.w[t] - (dt{c}.dot * u.varr[t])
+              FOR t IN range(1, {d + 1})] AS w
+      FROM wh{c - 1}
+      JOIN dt{c} ON dt{c}.vec_id = wh{c - 1}.vec_id
+      CROSS JOIN v{c}_{_PC_ITERS} u
+    )"""
+        )
+    steps.append(
+        f"""nrm2 AS MATERIALIZED (
+      SELECT vec_id,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               [w[t] * w[t] FOR t IN range(1, {d + 1})]),
+               (a, b) -> a + b) AS n2
+      FROM wh{_ABTT_R}
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               [q.w[t] * c.w[t] FOR t IN range(1, {d + 1})]),
+               (a, b) -> a + b) AS dot
+      FROM wh{_ABTT_R} q JOIN wh{_ABTT_R} c
+        ON q.vec_id < {_N_QUERIES} AND c.vec_id != q.vec_id
+    )"""
+    )
+    tail = ",\n    ".join(steps)
+    return f"""
+    WITH {_pcr_chain(_ABTT_R)},
+    {tail}
+    SELECT p.query_id, p.vec_id,
+           CAST(ROUND(p.dot / (sqrt(nq.n2) * sqrt(nc.n2)) * 10000, 0)
+                AS BIGINT) AS whitened_cosine_bp
+    FROM pairs p
+    JOIN nrm2 nq ON nq.vec_id = p.query_id
+    JOIN nrm2 nc ON nc.vec_id = p.vec_id
+    QUALIFY row_number() OVER (PARTITION BY p.query_id
+             ORDER BY CAST(ROUND(p.dot / (sqrt(nq.n2) * sqrt(nc.n2)) * 10000, 0)
+                      AS BIGINT) DESC, p.vec_id) <= {_TOP_K}
+    """
+
+
+def _dlit(v: float) -> str:
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+@register("abtt_whitened_topk", oracle=_abtt_oracle())
+def abtt_whitened_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-BUT-THE-TOP whitened similarity search (Mu & Viswanath, ICLR
+    2018 — the post-processing the deflation ladder exists for): every
+    embedding is mean-centered and its projections on the top
+    {_ABTT_R} principal directions subtracted, then exact cosine top-k
+    runs on the WHITENED vectors — the docstring promise of the PC1/r4
+    rungs made executable, completing the measure → decide → apply arc
+    (and on this near-isotropic fixture the honest expectation is that
+    whitened and plain rankings mostly agree — the operator is the
+    instrument either way, and the test pins that the residual
+    projections are actually near-zero, i.e. the subtraction really
+    happened).
+
+    Exactness: the components come from `_pcr_train` (bit-equal to the
+    oracle's v{{c}}_{{48}} CTEs — the fold-parity the r4 rung
+    hash-verifies) and re-enter the plan as exact shortest-repr double
+    literals; the mean enters as the identical mi·1.0/n DAG; whitening
+    is one fixed sequential order (w ← w − (w·u_k)u_k) both engines
+    replay; every reduction is a 0-init left fold; the one rounded
+    division closes scoring.
+
+    Scale: whitening is a MAP over the corpus (two broadcast 64-vectors
+    of literals), so it pipelines into any downstream consumer — here
+    the exact top-k oracle shape (J8); at 100 TB the whitened vectors
+    feed the same IVF-PQ build the raw vectors do, with the train cost
+    unchanged (one moment scan, driver-side ladder)."""
+    comps, mi, nn = _pcr_train(spark, sf_dir, _ABTT_R)
+    mu = [mi[i] * 1.0 / nn for i in range(1, _PC_DIMS + 1)]
+    mu_lit = "array(" + ", ".join(_dlit(v) for v in mu) + ")"
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x ->"
+            " cast(round(cast(x as double) * 1000000, 0) as bigint))"
+        ).alias("arr"),
+    ).select(
+        "vec_id",
+        F.expr(f"zip_with(arr, {mu_lit}, (a, m) -> a * 1.0 - m)").alias("w"),
+    )
+    for v, _nrm in comps:
+        u_lit = "array(" + ", ".join(_dlit(x) for x in v) + ")"
+        df = df.withColumn(
+            "dot",
+            F.expr(
+                f"aggregate(zip_with(w, {u_lit}, (a, b) -> a * b), 0D,"
+                " (a, b) -> a + b)"
+            ),
+        ).select(
+            "vec_id",
+            F.expr(f"zip_with(w, {u_lit}, (a, b) -> a - (dot * b))").alias("w"),
+        )
+    df = df.withColumn(
+        "n2",
+        F.expr("aggregate(transform(w, x -> x * x), 0D, (a, b) -> a + b)"),
+    ).localCheckpoint()
+    q = df.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w").alias("qw"),
+        F.col("n2").alias("qn2"),
+    )
+    pairs = df.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(qw, w, (a, b) -> a * b), 0D, (a, b) -> a + b)"
+        ).alias("dot"),
+        "qn2",
+        "n2",
+    )
+    score = (
+        F.round(
+            F.col("dot") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("n2"))) * 10000,
+            0,
+        )
+        .cast("bigint")
+        .alias("whitened_cosine_bp")
+    )
+    scored = pairs.select("query_id", "vec_id", score)
+    w_win = Window.partitionBy("query_id").orderBy(
+        F.desc("whitened_cosine_bp"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w_win))
+        .filter(F.col("_rn") <= _TOP_K)
+        .select("query_id", "vec_id", "whitened_cosine_bp")
+    )

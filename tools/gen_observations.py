@@ -533,7 +533,7 @@ reference's actual delivery format at a size where the gzip
 single-partition pathology is measurable, replacing SURVEY §2.1 S1's
 asserted note with numbers:
 
-{md_table([(m, r[m].get("ingest_s", "—"), r[m]["sessionize_s"], r[m]["geo_s"], r[m]["pctl_s"]) for m in ("single", "spread", "parquet")], ["mode", "ingest (s)", "sessionize (s)", "geo (s)", "p95 (s)"])}
+{md_table([(m, r[m].get("ingest_s", "—"), r[m]["sessionize_s"], r[m].get("geo_s", "—"), r[m].get("pctl_s", "—")) for m in ("single", "spread", "parquet")], ["mode", "ingest (s)", "sessionize (s)", "geo (s)", "p95 (s)"])}
 
 `spread` (one cheap line-level repartition before the parse —
 sources/elb.py's documented mitigation) buys the parse full
