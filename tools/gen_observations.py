@@ -1079,10 +1079,11 @@ synthetic near-dups planted across sources are what it catches).
 
 ### Train → score → eval, closed and hash-verified
 
-The IRLS quality classifier (`quality_classifier_irls`) learns the
-composite quality rule from three raw surface counts in 8 Newton
-rounds — the weight trace freezes on the integer-register fixpoint
-(round 8 = round 7 to nano precision: w = [{w_fin["w0_nano"] / 1e9:.3f},
+The trained quality classifier (`quality_classifier_irls`) learns the
+composite quality rule from three raw surface counts in 12 Newton
+rounds on the algebraic-sigmoid link (libm exp() measured OFF the hash
+path by tools/exp_parity.py) — the weight trace settles on the
+integer-register grid (round 12 ≈ round 11 to ~1e-7: w = [{w_fin["w0_nano"] / 1e9:.3f},
 {w_fin["w1_nano"] / 1e9:.4f}, {w_fin["w2_nano"] / 1e9:.4f}, {w_fin["w3_nano"] / 1e9:.4f}]),
 and the trained scores graded by the engine's own exact AUC machinery
 (`quality_classifier_scored_auc`) average {qauc_pool / 10000:.1f}% AUC across
