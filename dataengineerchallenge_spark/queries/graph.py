@@ -2088,3 +2088,204 @@ def copurchase_weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("node").alias("part_key"),
         F.col("dist").cast("long").alias("dist_microcost"),
     )
+
+
+_BC_PIVOTS = 4
+_BC_DEPTH = 14
+_BC_G = 1_000_000_000
+
+
+def _betweenness_oracle(pivots: int = _BC_PIVOTS, depth: int = _BC_DEPTH) -> str:
+    """Unrolled pivot-exact Brandes: per pivot a level-synchronous BFS
+    with integer path counts (f{j}_{k}: node, sigma), then the backward
+    dependency accumulation on the 1e-9 INTEGER grid —
+    delta(v) = Σ over successors w of (sigma_v * (G + delta_w)) div
+    sigma_w — every operation is exact integer arithmetic, so the whole
+    operator is float-free. Levels beyond the measured depth are empty
+    frames (no-ops), the SCC fixed-schedule discipline."""
+    parts = []
+    finals = []
+    for j in range(1, pivots + 1):
+        steps = [
+            f"""p{j} AS MATERIALIZED (
+      SELECT src AS s FROM deg
+      QUALIFY row_number() OVER (ORDER BY d DESC, src) = {j}
+    ), f{j}_0 AS MATERIALIZED (
+      SELECT s AS node, CAST(1 AS BIGINT) AS sigma FROM p{j}
+    ), vis{j}_0 AS MATERIALIZED (SELECT node FROM f{j}_0)"""
+        ]
+        for k in range(1, depth + 1):
+            steps.append(
+                f"""f{j}_{k} AS MATERIALIZED (
+      SELECT e.dst AS node, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+      FROM f{j}_{k - 1} f JOIN e ON e.src = f.node
+      WHERE e.dst NOT IN (SELECT node FROM vis{j}_{k - 1})
+      GROUP BY e.dst
+    ), vis{j}_{k} AS MATERIALIZED (
+      SELECT node FROM vis{j}_{k - 1} UNION ALL SELECT node FROM f{j}_{k}
+    )"""
+            )
+        steps.append(
+            f"""d{j}_{depth} AS MATERIALIZED (
+      SELECT node, sigma, CAST(0 AS BIGINT) AS delta FROM f{j}_{depth}
+    )"""
+        )
+        for k in range(depth - 1, 0, -1):
+            steps.append(
+                f"""d{j}_{k} AS MATERIALIZED (
+      SELECT f.node, f.sigma,
+             CAST(COALESCE(SUM((f.sigma * ({_BC_G} + w.delta)) // w.sigma), 0)
+                  AS BIGINT) AS delta
+      FROM f{j}_{k} f
+      LEFT JOIN e ON e.src = f.node
+      LEFT JOIN d{j}_{k + 1} w ON w.node = e.dst
+      GROUP BY f.node, f.sigma
+    )"""
+            )
+        parts.append(",\n    ".join(steps))
+        finals.extend(
+            f"SELECT node, delta FROM d{j}_{k}" for k in range(1, depth)
+        )
+    chain = ",\n    ".join(parts)
+    union = "\n      UNION ALL ".join(finals)
+    return f"""
+    WITH e0 AS (
+      SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
+             GREATEST(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ), e AS MATERIALIZED (
+      SELECT u AS src, v AS dst FROM e0
+      UNION ALL SELECT v, u FROM e0
+    ), deg AS MATERIALIZED (
+      SELECT src, COUNT(*) AS d FROM e GROUP BY src
+    ),
+    {chain}
+    SELECT node AS part_key,
+           CAST(SUM(delta) AS BIGINT) AS betweenness_nano
+    FROM ({union})
+    GROUP BY node
+    """
+
+
+@register(
+    "copurchase_pivot_betweenness",
+    oracle=_betweenness_oracle(),
+)
+def copurchase_pivot_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT-EXACT BETWEENNESS on the support>=2 co-purchase graph —
+    the betweenness-class centrality the graph family lacked (named in
+    VERDICT r17 What's-missing #4 next to weighted SSSP; pre-landed
+    here): Brandes' dependency accumulation (Brandes 2001) run EXACTLY
+    from a deterministic pivot set (the {_BC_PIVOTS} highest-degree
+    nodes, min-id tie-break — the k-pivot estimator of Brandes & Pich
+    2007 with hash-free deterministic pivots), so the output is the
+    exact aggregate dependency of every node w.r.t. those sources —
+    the "which products broker the co-purchase traffic" readout.
+
+    Float-free by construction: forward BFS path counts sigma are exact
+    integers (level-synchronous unrolled frontier joins — the
+    hop_distances machinery carrying a SUM instead of a flag), and the
+    backward pass runs Brandes' delta on the 1e-9 INTEGER grid:
+    delta(v) = Σ_succ (sigma_v · (10⁹ + delta_w)) div sigma_w — integer
+    division both engines compute identically, nested exactly alike
+    through the level recursion (measured: max sigma 60, max depth 9,
+    max product 3.7e13 — far inside int64; the {_BC_DEPTH}-level
+    schedule is the purchase_scc margin discipline, and the Spark side
+    RAISES if a BFS is still expanding at the bound).
+
+    Scale: per pivot, forward = one frontier×edges join per level over
+    the staged support-filtered edge frame; backward = one
+    level-to-level join per level; pivot count is the precision/cost
+    dial (exact-all-sources Brandes is |V| pivots — the estimator's
+    point is that brokerage ranking stabilizes at k ≪ |V|)."""
+    root = _staged_copurchase_edges(spark, sf_dir)
+    canon = (
+        spark.read.parquet(f"{root}/sym")
+        .filter(F.col("wr") >= 2)
+        .select("src", "dst")
+    )
+    from pyspark import StorageLevel
+
+    e = canon.persist(StorageLevel.MEMORY_AND_DISK)
+    pivots = [
+        r["src"]
+        for r in e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .orderBy(F.desc("d"), F.asc("src"))
+        .limit(_BC_PIVOTS)
+        .collect()
+    ]
+    spark_sess = spark
+    deltas = []
+    for s in pivots:
+        levels = [
+            spark_sess.createDataFrame(
+                [(s, 1)], "node long, sigma long"
+            ).localCheckpoint()
+        ]
+        visited = levels[0].select("node")
+        while True:
+            if len(levels) > _BC_DEPTH:
+                e.unpersist()
+                raise RuntimeError(
+                    f"betweenness BFS exceeded the depth={_BC_DEPTH} "
+                    f"schedule shared with the oracle — raise _BC_DEPTH"
+                )
+            nxt = (
+                levels[-1]
+                .join(e, levels[-1]["node"] == e["src"])
+                .join(visited.select(F.col("node").alias("dst")), "dst", "left_anti")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("sigma").alias("sigma"))
+                .localCheckpoint()
+            )
+            if nxt.isEmpty():
+                break
+            levels.append(nxt)
+            visited = visited.union(nxt.select("node")).localCheckpoint()
+        # backward: delta at the deepest level is 0; walk levels upward
+        dprev = levels[-1].withColumn("delta", F.lit(0).cast("long"))
+        for k in range(len(levels) - 2, 0, -1):
+            f = levels[k]
+            w = dprev.select(
+                F.col("node").alias("wnode"),
+                F.col("sigma").alias("wsigma"),
+                F.col("delta").alias("wdelta"),
+            )
+            t = (
+                f.join(e, f["node"] == e["src"], "left")
+                .join(w, F.col("dst") == F.col("wnode"), "left")
+                .groupBy("node", "sigma")
+                .agg(
+                    F.coalesce(
+                        F.sum(
+                            F.expr(
+                                f"(sigma * ({_BC_G} + wdelta)) div wsigma"
+                            )
+                        ),
+                        F.lit(0),
+                    )
+                    .cast("long")
+                    .alias("delta")
+                )
+                .localCheckpoint()
+            )
+            deltas.append(t.select("node", "delta"))
+            dprev = t
+        if len(levels) > 1:
+            pass  # levels[-1] contributes delta 0 rows
+        deltas.append(
+            levels[-1].select("node", F.lit(0).cast("long").alias("delta"))
+            if len(levels) > 1
+            else spark_sess.createDataFrame([], "node long, delta long")
+        )
+    e.unpersist()
+    out = deltas[0]
+    for d in deltas[1:]:
+        out = out.unionByName(d)
+    return out.groupBy(F.col("node").alias("part_key")).agg(
+        F.sum("delta").cast("long").alias("betweenness_nano")
+    )

@@ -6,14 +6,17 @@
   bit-for-bit (pins the CPython<->JVM left-fold parity the driver-side
   design rides), pairwise orthogonality on the integer grid, and
   per-component Rayleigh against numpy's spectrum.
-- IRLS classifier: closed-form two-point logit recovery (the separable
-  pin asked for — the two-value design has the exact solution
-  w1 = logit(p+)−logit(p−) over 2, w0 = their mean), Newton-step decay,
-  and the scored AUC landing in its measured band.
+- Newton classifier: Hadamard closed-form recovery (σ̃⁻¹(3/4) = 1 so
+  w = (0, 1, 0, 0) exactly), Newton-step decay onto the integer-grid
+  fixpoint, and the scored AUC landing in its measured band.
+- ABTT whitening: residual projections near-zero (exact on the last
+  subtracted direction, non-orthogonality-bounded on the rest).
 - store retractions: no tombstoned id may surface from the retracted
   ANN serve or the retracted MinHash near-dup.
 - GK day rollup: register fold over the staged day store equals the
   direct grouped rung row-for-row.
+- pivot betweenness: equality with an independent in-test Brandes on
+  the same integer grid (the Tarjan-pin pattern).
 """
 
 from __future__ import annotations
@@ -282,3 +285,67 @@ def test_gk_rollup_equals_direct_grouped(spark):
     roll = gk_value_quantile_rollup(spark, SF_DIR)
     direct = gk_value_quantiles_by_type(spark, SF_DIR)
     assert _rows(roll) == _rows(direct)
+
+
+# --- pivot betweenness ---------------------------------------------------
+
+
+def test_pivot_betweenness_matches_reference_brandes(spark):
+    """The registered rung must equal an independent in-test Brandes
+    run (deque BFS + descending-level dependency accumulation on the
+    same 1e-9 integer grid) from the same deterministic pivot set —
+    the Tarjan-pin pattern for the dependency pass."""
+    from collections import defaultdict, deque
+
+    from pyspark.sql import functions as F
+
+    from dataengineerchallenge_spark.queries.graph import (
+        _BC_G,
+        _BC_PIVOTS,
+        _staged_copurchase_edges,
+        copurchase_pivot_betweenness,
+    )
+
+    got = {
+        r["part_key"]: r["betweenness_nano"]
+        for r in copurchase_pivot_betweenness(spark, SF_DIR).collect()
+    }
+    root = _staged_copurchase_edges(spark, SF_DIR)
+    canon = (
+        spark.read.parquet(f"{root}/sym")
+        .filter((F.col("wr") >= 2) & (F.col("src") < F.col("dst")))
+        .select("src", "dst")
+        .collect()
+    )
+    adj = defaultdict(list)
+    for r in canon:
+        adj[r["src"]].append(r["dst"])
+        adj[r["dst"]].append(r["src"])
+    deg = {n: len(a) for n, a in adj.items()}
+    pivots = sorted(deg, key=lambda n: (-deg[n], n))[:_BC_PIVOTS]
+    ref: dict = defaultdict(int)
+    for s in pivots:
+        level = {s: 0}
+        sigma = {s: 1}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in level:
+                    level[w] = level[u] + 1
+                    sigma[w] = 0
+                    q.append(w)
+                if level[w] == level[u] + 1:
+                    sigma[w] += sigma[u]
+        delta = {v: 0 for v in level}
+        for v in sorted(level, key=lambda x: (-level[x], x)):
+            for w in adj[v]:
+                if level.get(w) == level[v] + 1:
+                    delta[v] += (sigma[v] * (_BC_G + delta[w])) // sigma[w]
+        for v in level:
+            if v != s:
+                ref[v] += delta[v]
+    assert got == dict(ref)
+    # brokers exist: some node that is NOT a pivot carries real mass
+    top = max((v, k) for k, v in got.items() if k not in pivots)
+    assert top[0] > _BC_G  # > 1.0 dependency units
