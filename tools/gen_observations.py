@@ -514,6 +514,35 @@ micro-batch, with stream-vs-batch row parity pinned in pytest.
     sssp = sorted(
         run("copurchase_weighted_distances"), key=lambda r: r["dist_microcost"]
     )
+    bc_rows = run("copurchase_pivot_betweenness")
+    from pyspark.sql import functions as _F
+
+    from dataengineerchallenge_spark.queries.graph import (
+        _BC_PIVOTS,
+        _staged_copurchase_edges,
+    )
+
+    _bc_root = _staged_copurchase_edges(spark, sf_dir)
+    bc_piv = [
+        r["src"]
+        for r in spark.read.parquet(f"{_bc_root}/sym")
+        .filter(_F.col("wr") >= 2)
+        .groupBy("src")
+        .agg(_F.count(_F.lit(1)).alias("d"))
+        .orderBy(_F.desc("d"), _F.asc("src"))
+        .limit(_BC_PIVOTS)
+        .collect()
+    ]
+    bc_top = max(
+        ((r["part_key"], r["betweenness_nano"]) for r in bc_rows),
+        key=lambda kv: kv[1],
+    )
+    bc_broker_note = (
+        "is itself a pivot — on this fixture degree and brokerage coincide"
+        if bc_top[0] in bc_piv
+        else "is NOT a pivot: the parts that carry co-purchase traffic are"
+        " not simply the parts with the most edges"
+    )
     pcs = run("embedding_principal_components_r4")
     pc_lams = sorted(
         {r["component"]: r["lambda_micropoints"] for r in pcs}.items()
@@ -1092,14 +1121,18 @@ nonlinear rule, trained, scored and graded without leaving the hash
 gate. The signs read correctly: distinct-word count pulls quality up
 (w3 > 0), stopword hits pull it down (w2 < 0).
 
-### Distance, not hops
+### Distance, not hops — and brokers, not just hubs
 
 `copurchase_weighted_distances` prices every part's cheapest
 association path from the anchor product (cost = 10⁶/support):
 distances span {sssp[0]["dist_microcost"] / 1e6:.2f}–{sssp[-1]["dist_microcost"] / 1e6:.2f} support-units across
 {len(sssp)} reached parts with {len({r["dist_microcost"] for r in sssp})} distinct values — a genuine metric
 (BFS hops on the same graph take ≤ 6 values), so "related products
-within radius r" is now a real query.
+within radius r" is now a real query. Its sibling
+`copurchase_pivot_betweenness` ranks the BROKERS — exact Brandes
+dependency from the {len(bc_piv)} highest-degree pivots, float-free on an
+integer grid — and the top broker ({bc_top[0]}, {bc_top[1] / 1e9:.1f} dependency units)
+{bc_broker_note}.
 
 ### Four components, same honest negative
 
