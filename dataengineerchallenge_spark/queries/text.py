@@ -640,6 +640,64 @@ def _bpe_token_counts_oracle(n_merges: int) -> str:
     )
 
 
+def _staged_bpe_merges(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once staged MERGE TABLE (r18, VERDICT r17 What's-wrong #3):
+    the 16-merge greedy train chain runs ONCE per fixture content
+    version and publishes its 16-row table content-addressed; every
+    consumer (merge-table rung, apply rung, fertility rollup) serves
+    from the staged rows instead of replaying training inline — the
+    same staged-store discipline as the edge/index/band stores. Before
+    this split the fertility query executed 38 sub-queries / 59 scans
+    per call (PLAN_AUDIT r17) because the train chain re-ran inside it."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        from dataengineerchallenge_spark.operators.bpe import train_bpe
+
+        docs = load_table(spark, sf_dir, "documents")
+        merges = train_bpe(docs, "text", n_merges=_BPE_MERGES)
+        write_result(
+            spark.createDataFrame(
+                [
+                    (m["rank"], m["left"], m["right"], m["merged"], m["pair_freq"])
+                    for m in merges
+                ],
+                "merge_rank int, lhs string, rhs string, merged string,"
+                " pair_freq bigint",
+            ),
+            str(out),
+            coalesce_to=1,
+        )
+
+    return staged(
+        spark,
+        "bpe_merges",
+        Path(sf_dir) / "documents.parquet",
+        f"bpe:m{_BPE_MERGES}",
+        build,
+    )
+
+
+def _staged_bpe_merges_list(spark: SparkSession, sf_dir: str) -> list[dict]:
+    """The staged merge table rematerialized as the rank-ordered list
+    apply_bpe consumes (16 rows — the drained-store KB-scale shape)."""
+    rows = spark.read.parquet(_staged_bpe_merges(spark, sf_dir)).collect()
+    rows.sort(key=lambda r: r["merge_rank"])
+    return [
+        {
+            "rank": r["merge_rank"],
+            "left": r["lhs"],
+            "right": r["rhs"],
+            "merged": r["merged"],
+            "pair_freq": r["pair_freq"],
+        }
+        for r in rows
+    ]
+
+
 @register("bpe_merge_table_explicit", oracle=_bpe_merge_table_oracle(_BPE_MERGES))
 def bpe_merge_table_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N4 tokenizer training, HASH-GREEN twin of ``bpe_merge_table``: the
@@ -656,17 +714,10 @@ def bpe_merge_table_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: training cost is one corpus-wide word-frequency shuffle; the
     16 merge rounds iterate on the distinct-word table (KB-scale here,
     MB-scale at 100 TB) with a 1-row argmax collect per round — the same
-    driver-side stance as an MLlib fit."""
-    from dataengineerchallenge_spark.operators.bpe import train_bpe
-
-    docs = load_table(spark, sf_dir, "documents")
-    merges = train_bpe(docs, "text", n_merges=_BPE_MERGES)
-    return spark.createDataFrame(
-        [
-            (m["rank"], m["left"], m["right"], m["merged"], m["pair_freq"])
-            for m in merges
-        ],
-        "merge_rank int, lhs string, rhs string, merged string, pair_freq bigint",
+    driver-side stance as an MLlib fit. The chain runs ONCE through the
+    staged store (r18); this rung is build+serve."""
+    return spark.read.parquet(_staged_bpe_merges(spark, sf_dir)).select(
+        "merge_rank", "lhs", "rhs", "merged", "pair_freq"
     )
 
 
@@ -682,11 +733,12 @@ def bpe_token_counts_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: apply is a broadcast join of the rewritten distinct-word
     table onto one exploded corpus pass (operators/bpe.py:apply_bpe) —
-    corpus bytes are touched exactly once."""
-    from dataengineerchallenge_spark.operators.bpe import apply_bpe, train_bpe
+    corpus bytes are touched exactly once; the merge table is SERVED
+    from the staged store (r18), never re-trained inline."""
+    from dataengineerchallenge_spark.operators.bpe import apply_bpe
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = train_bpe(docs, "text", n_merges=_BPE_MERGES)
+    merges = _staged_bpe_merges_list(spark, sf_dir)
     return apply_bpe(docs, merges, "text", "doc_id")
 
 
@@ -2220,11 +2272,14 @@ def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: identical to the apply rung (one exploded corpus pass
     joined against the broadcast rewritten-word table) plus a
-    |sources|-row aggregate."""
-    from dataengineerchallenge_spark.operators.bpe import apply_bpe, train_bpe
+    |sources|-row aggregate. Serves the merge table from the staged
+    store (r18, VERDICT r17 What's-wrong #3: the inline train replay
+    made this query execute 38 sub-queries / 59 scans per call —
+    staging cuts it to the apply pass + a 16-row store read)."""
+    from dataengineerchallenge_spark.operators.bpe import apply_bpe
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = train_bpe(docs, "text", n_merges=_BPE_MERGES)
+    merges = _staged_bpe_merges_list(spark, sf_dir)
     per_doc = apply_bpe(docs, merges, "text", "doc_id")
     src = spread(docs).select("doc_id", "source")
     return (
