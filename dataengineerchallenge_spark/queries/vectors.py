@@ -3899,8 +3899,12 @@ def ivf_pq_serve_retracted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     slot versioning the appends use.
 
     Plan shape: the broadcast anti-join rides the same DPP-pruned bucket
-    seek as ``ivf_pq_serve_topk`` — delta-sized extra work, zero base
-    scans."""
+    seek as ``ivf_pq_serve_topk`` — delta-sized extra work (measured
+    noise-level in BENCH_tombstone.json; the retracted serve is in fact
+    FASTER, candidates shrink). The tombstone list itself is derived
+    here from the base table's vec_id column (one column-pruned scan of
+    the fixture); a real deployment supplies the takedown list as its
+    own tiny input, and the codes-side plan is unchanged either way."""
     root = _staged_ivfpq_index(spark, sf_dir)
     codes = spark.read.parquet(f"{root}/codes")
     tombstones = (
