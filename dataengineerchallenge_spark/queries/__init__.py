@@ -31,6 +31,7 @@ _MODULES = [
     "search",
     "extraction",
     "classifier",
+    "regressor",
 ]
 
 

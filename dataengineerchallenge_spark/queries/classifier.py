@@ -121,6 +121,12 @@ def _qc_delta_exprs() -> list[str]:
 
 
 _QC_DELTAS = _qc_delta_exprs()
+# det(H) alone, over the same widened register names — evaluated
+# driver-side before the Cramer deltas so a singular Hessian raises a
+# described error instead of a bare ZeroDivisionError mid-eval.
+_QC_DET = _det4(
+    [[f"h{min(i, j)}{max(i, j)}d" for j in range(4)] for i in range(4)]
+)
 
 _QC_FEATS_SQL = f"""
 feats AS MATERIALIZED (
@@ -262,7 +268,19 @@ def newton_trace(
         row = scored.agg(
             *[F.expr(t).alias(n) for n, t in zip(names, terms)]
         ).collect()[0]
+        if any(row[n] is None for n in names):
+            raise RuntimeError(
+                "quality classifier Newton round: NULL g/H registers — "
+                "the feature frame is empty (sum over zero rows); train "
+                "needs at least one document"
+            )
         env = {f"{n}d": row[n] / 100000000.0 for n in names}
+        if eval(_QC_DET, {"__builtins__": {}}, dict(env)) == 0.0:  # noqa: S307
+            raise RuntimeError(
+                "quality classifier Newton round: singular Hessian "
+                "(det(H) == 0) — features are collinear or the frame is "
+                "degenerate; refusing to divide (raise-don't-truncate)"
+            )
         deltas = [eval(d, {"__builtins__": {}}, dict(env)) for d in _QC_DELTAS]  # noqa: S307 — repo-generated arithmetic text, no names beyond the register env
         w = tuple(w[k] + deltas[k] for k in range(4))
         trace.append(w)
@@ -278,7 +296,7 @@ def train_quality_irls(
 
 @register("quality_classifier_irls", oracle=_qc_oracle_trace())
 def quality_classifier_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRAIN rung: the full Newton weight trace (rounds 0..8,
+    """TRAIN rung: the full Newton weight trace (rounds 0.._QC_ROUNDS,
     nano-integerized) hash-verified against the unrolled oracle — every
     gradient, Hessian register and Cramer solve of every round must
     agree bit-for-bit for any row to match. See the module docstring
@@ -340,8 +358,9 @@ def quality_classifier_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_classifier_scored_auc(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """SCORE + EVAL rung — the closed loop: the trained round-8 weights
-    score every document (micropoint sigmoid grid), and the scores feed
+    """SCORE + EVAL rung — the closed loop: the trained final-round
+    (``_QC_ROUNDS``) weights score every document (micropoint sigmoid
+    grid), and the scores feed
     the ALREADY-GREEN exact tie-corrected AUC machinery
     (queries/evals.py:auc_by_group) per source shard. One rung, three
     lifecycle stages, one hash: train (unrolled CTEs) → score (one map

@@ -2195,7 +2195,10 @@ def near_dup_minhash_retracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = spark.read.parquet(
         _staged_minhash_bands_explicit_appended(spark, sf_dir)
     ).join(F.broadcast(tombstones), "doc_id", "left_anti")
-    batch_band_rows = (n_docs - split2) * (_MH_HASHES // _MH_BAND_ROWS)
+    # size the collision-join estimate from the LIVE batch (tombstoned
+    # docs are already excluded from `new`, ~10% of the delivery slice —
+    # the full-slice count would overstate the broadcast/shuffle size)
+    batch_band_rows = new.count() * (_MH_HASHES // _MH_BAND_ROWS)
     cand = D.band_collision_pairs(
         store, new_bands, batch_band_rows=batch_band_rows
     ).unionByName(D.band_collision_pairs(new_bands))

@@ -2061,7 +2061,7 @@ def copurchase_weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame
     proven (count, sum) fixpoint and RAISES if the budget is ever
     insufficient.
     The triangle-inequality contract (dist(v) <= dist(u) + cost(u, v)
-    for every edge) is pinned in tests/test_graph_r18.py.
+    for every edge) is pinned in tests/test_r18.py.
 
     Scale: the staged support-filtered edge frame is the loop invariant
     (no fact-table touch at serve time); each round is one edge-join +
@@ -2275,8 +2275,6 @@ def copurchase_pivot_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             deltas.append(t.select("node", "delta"))
             dprev = t
-        if len(levels) > 1:
-            pass  # levels[-1] contributes delta 0 rows
         deltas.append(
             levels[-1].select("node", F.lit(0).cast("long").alias("delta"))
             if len(levels) > 1

@@ -1,0 +1,396 @@
+"""In-engine trained ridge regressor — hash-green train → score → eval
+closing the reference's MLE goals 2-3 (/root/reference/README.md:21-23:
+predict session length and unique URL visits for a given IP), which
+until this round were answered only by rows-only MLlib fits
+(ml/models.py). VERDICT r18 next-round #1.
+
+The round-18 quality classifier proved the recipe (integer g/H
+registers, one shared Cramer expression text evaluated by DuckDB SQL
+and CPython, weights re-entering plans as exact shortest-repr
+literals); ridge/OLS is strictly easier — the normal equations
+
+    (XᵀX + λ·diag(0,1,1,1)) w = Xᵀy
+
+need ONE moment pass over the training rows, no iteration. Both MLE
+targets share the same design matrix, so one 18-register aggregate
+(10 upper-triangle XᵀX terms + 4 Xᵀy terms per target) trains BOTH
+models: y_a = avg session seconds, y_b = avg unique URLs per session.
+
+Model: per-user behavioral frame from the same sessionizer every batch
+query uses (operators/sessionize.py), x = (1, n_sessions, avg_hits,
+active_span_hours) — features that do not leak either target — split
+80/20 by the engine's one cross-engine u32 hash (never randomSplit:
+partitioning-dependent RNG has no oracle). λ = 2⁻⁶ (a power of two —
+exactly representable, so the diagonal shift is bit-identical in both
+engines), applied to the non-intercept diagonal only (standard ridge).
+
+Float discipline (classifier.py's, minus the loop):
+
+- Every corpus-sized reduction integerizes per-term to the 1e-8 grid
+  before summing (order-free bigint addition); measured magnitudes at
+  sf0.1 keep every register < 1e17 (int64 headroom ~100×; at larger
+  corpora the grid coarsens, the documented classifier trade).
+- The 4×4 solve is Cramer by cofactor expansion — the SAME generated
+  expression text as the classifier (register names match by
+  construction), evaluated driver-side for Spark and inline for
+  DuckDB: identical IEEE ops in identical order.
+- Trained weights re-enter the scoring plan as CAST('repr' AS DOUBLE)
+  literals; the oracle carries them as stored doubles through
+  MATERIALIZED CTEs. Predictions land on the 1e-6 integer grid.
+- The mean-predictor baseline in the error summary is derived from the
+  SAME registers (mean = g0d / h00d), so the skill readout needs no
+  second pass.
+
+Scale (100 TB): train is ONE map-side-combinable 18-register aggregate
+over the feature frame (itself one sessionize + one per-user agg);
+the solve is a driver-side 4×4; scoring is a stateless map with
+broadcast-literal weights. Nothing iterates, nothing collects beyond
+18 bigints.
+
+Exact-fit pin (tests/test_r19.py): on a 4-row Hadamard design with
+y = x1 and λ = 0, the solver recovers w = (0, 1, 0, 0) bit-exactly
+(XᵀX = 4I, all Cramer terms integer-valued in IEEE), the same
+closed-form recovery argument the classifier pinned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineerchallenge_spark.functions.hashing import duck_u32, spark_u32
+from dataengineerchallenge_spark.operators.sessionize import (
+    events_session_cte,
+    session_stats,
+)
+from dataengineerchallenge_spark.queries.classifier import (
+    _QC_DELTAS,
+    _QC_DET,
+    _half_up,
+    _wlit,
+)
+from dataengineerchallenge_spark.registry import register
+from dataengineerchallenge_spark.sources.tables import load_table
+
+_RG_LAM = 0.015625  # 2^-6 — exact in binary, exact diagonal shift
+_RG_MOD = 10
+_RG_TRAIN_BUCKETS = 8
+_RG_SALT = "~ridge"
+_RG_X = ("1.0", "x1", "x2", "x3")
+_RG_HKEYS = [(k, l) for k in range(4) for l in range(4) if k <= l]
+
+# one term-text generator, consumed verbatim by BOTH engines
+_RG_HTERMS = {
+    (k, l): (
+        f"sum(cast(round(({_RG_X[k]} * {_RG_X[l]})"
+        f" * 100000000.0, 0) as bigint))"
+    )
+    for (k, l) in _RG_HKEYS
+}
+
+
+def _rg_gterms(ycol: str) -> list[str]:
+    return [
+        f"sum(cast(round(({x} * {ycol}) * 100000000.0, 0) as bigint))"
+        for x in _RG_X
+    ]
+
+
+# prediction text over the frame columns — w{i} placeholders are
+# substituted with exact literals (Spark) or CTE-qualified names (SQL)
+_RG_Z = "(((w0 + (x1 * w1)) + (x2 * w2)) + (x3 * w3))"
+
+_RG_REG_NAMES = (
+    [f"h{k}{l}" for (k, l) in _RG_HKEYS]
+    + [f"ga{i}" for i in range(4)]
+    + [f"gb{i}" for i in range(4)]
+)
+_RG_REG_TERMS = (
+    [_RG_HTERMS[kl] for kl in _RG_HKEYS] + _rg_gterms("ya") + _rg_gterms("yb")
+)
+
+
+def _rg_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, x1, x2, x3, ya, yb, bucket) — mirrors the oracle's
+    ufeat CTE token for token over the shared sessionizer."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = session_stats(ev)
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("x1"),
+            F.round(F.avg("n_hits"), 4).alias("x2"),
+            ((F.max("end_s") - F.min("start_s")) / 3600.0).alias("x3"),
+            F.round(F.avg("duration_s"), 4).alias("ya"),
+            F.round(F.avg("n_unique_urls"), 4).alias("yb"),
+        )
+        .withColumn(
+            "bucket",
+            F.expr(spark_u32(f"concat(cast(user_id as string), '{_RG_SALT}')"))
+            % _RG_MOD,
+        )
+    )
+
+
+def ridge_fit(
+    train: DataFrame, lam: float = _RG_LAM
+) -> tuple[tuple[float, ...], tuple[float, ...], float, float]:
+    """ONE distributed 18-register moment pass over ``train`` (columns
+    x1 x2 x3 ya yb), then two driver-side Cramer solves sharing the
+    penalized Hessian env. Returns (w_a, w_b, mean_a, mean_b) — the
+    means are the baseline predictors, free from the same registers."""
+    row = train.agg(
+        *[F.expr(t).alias(n) for n, t in zip(_RG_REG_NAMES, _RG_REG_TERMS)]
+    ).collect()[0]
+    if any(row[n] is None for n in _RG_REG_NAMES):
+        raise RuntimeError(
+            "ridge fit: NULL moment registers — the training frame is "
+            "empty (sum over zero rows); fit needs at least one user"
+        )
+    henv = {
+        f"h{k}{l}d": row[f"h{k}{l}"] / 100000000.0 for (k, l) in _RG_HKEYS
+    }
+    for k in (1, 2, 3):
+        henv[f"h{k}{k}d"] = row[f"h{k}{k}"] / 100000000.0 + lam
+    if eval(_QC_DET, {"__builtins__": {}}, dict(henv)) == 0.0:  # noqa: S307
+        raise RuntimeError(
+            "ridge fit: singular penalized normal matrix (det == 0) — "
+            "features are collinear and lambda is zero; refusing to "
+            "divide (raise-don't-truncate)"
+        )
+    ws = []
+    for g in ("ga", "gb"):
+        env = dict(henv)
+        for i in range(4):
+            env[f"g{i}d"] = row[f"{g}{i}"] / 100000000.0
+        ws.append(
+            tuple(
+                eval(d, {"__builtins__": {}}, dict(env))  # noqa: S307 — repo-generated arithmetic text
+                for d in _QC_DELTAS
+            )
+        )
+    mean_a = (row["ga0"] / 100000000.0) / (row["h00"] / 100000000.0)
+    mean_b = (row["gb0"] / 100000000.0) / (row["h00"] / 100000000.0)
+    return ws[0], ws[1], mean_a, mean_b
+
+
+def train_session_ridge(
+    spark: SparkSession, sf_dir: str
+) -> tuple[tuple[float, ...], tuple[float, ...], float, float]:
+    feats = _rg_feats(spark, sf_dir).localCheckpoint()
+    return ridge_fit(feats.filter(F.col("bucket") < _RG_TRAIN_BUCKETS))
+
+
+def _pred_text(w: tuple[float, ...]) -> str:
+    zt = _RG_Z
+    for i in range(4):
+        zt = zt.replace(f"w{i}", _wlit(w[i]))
+    return zt
+
+
+def _rg_oracle_head() -> str:
+    """sessions → ufeat → train split → registers → widened env →
+    two weight CTEs (wa, wb) — the shared prefix of all three rungs."""
+    gh = ",\n           ".join(
+        [f"{_RG_HTERMS[(k, l)]} AS h{k}{l}" for (k, l) in _RG_HKEYS]
+        + [f"{t} AS ga{i}" for i, t in enumerate(_rg_gterms("ya"))]
+        + [f"{t} AS gb{i}" for i, t in enumerate(_rg_gterms("yb"))]
+    )
+    widen_h = ", ".join(
+        f"h{k}{l} / 100000000.0"
+        + (f" + {_RG_LAM!r}" if k == l and k > 0 else "")
+        + f" AS h{k}{l}d"
+        for (k, l) in _RG_HKEYS
+    )
+    cte = events_session_cte()
+    solves = []
+    for tag, g in (("wa", "ga"), ("wb", "gb")):
+        widen_g = ", ".join(
+            f"{g}{i} / 100000000.0 AS g{i}d" for i in range(4)
+        )
+        solves.append(
+            f"""sd{tag} AS MATERIALIZED (
+      SELECT {widen_g}, {widen_h} FROM s
+    ), {tag} AS MATERIALIZED (
+      SELECT ({_QC_DELTAS[0]}) AS w0, ({_QC_DELTAS[1]}) AS w1,
+             ({_QC_DELTAS[2]}) AS w2, ({_QC_DELTAS[3]}) AS w3
+      FROM sd{tag}
+    )"""
+        )
+    return f"""{cte}, ufeat AS MATERIALIZED (
+      SELECT skey AS user_id,
+             CAST(COUNT(*) AS DOUBLE) AS x1,
+             round(AVG(n_hits), 4) AS x2,
+             (MAX(end_s) - MIN(start_s)) / 3600.0 AS x3,
+             round(AVG(duration_s), 4) AS ya,
+             round(AVG(n_unique_urls), 4) AS yb,
+             ({duck_u32(f"CAST(skey AS VARCHAR) || '{_RG_SALT}'")})
+               % {_RG_MOD} AS bucket
+      FROM sessions GROUP BY skey
+    ), tr AS MATERIALIZED (
+      SELECT * FROM ufeat WHERE bucket < {_RG_TRAIN_BUCKETS}
+    ), s AS MATERIALIZED (
+      SELECT {gh} FROM tr
+    ), {", ".join(solves)}"""
+
+
+def _rg_z_sql(tag: str) -> str:
+    zt = _RG_Z
+    for i in range(4):
+        zt = zt.replace(f"w{i}", f"{tag}.w{i}")
+    return zt
+
+
+@register(
+    "session_length_ridge",
+    oracle=f"""
+    {_rg_oracle_head()}
+    SELECT 'avg_session_s' AS target,
+           CAST(ROUND(w0 * 1000000000.0, 0) AS BIGINT) AS w0_nano,
+           CAST(ROUND(w1 * 1000000000.0, 0) AS BIGINT) AS w1_nano,
+           CAST(ROUND(w2 * 1000000000.0, 0) AS BIGINT) AS w2_nano,
+           CAST(ROUND(w3 * 1000000000.0, 0) AS BIGINT) AS w3_nano
+    FROM wa
+    UNION ALL
+    SELECT 'avg_unique_urls' AS target,
+           CAST(ROUND(w0 * 1000000000.0, 0) AS BIGINT) AS w0_nano,
+           CAST(ROUND(w1 * 1000000000.0, 0) AS BIGINT) AS w1_nano,
+           CAST(ROUND(w2 * 1000000000.0, 0) AS BIGINT) AS w2_nano,
+           CAST(ROUND(w3 * 1000000000.0, 0) AS BIGINT) AS w3_nano
+    FROM wb
+    """,
+)
+def session_length_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN rung: exact ridge weight vectors for BOTH per-IP MLE
+    targets (session length, unique URLs — README.md:21-23), nano-
+    integerized and hash-verified against the closed-form normal-
+    equation oracle — every XᵀX/Xᵀy register and both Cramer solves
+    must agree bit-for-bit. One moment pass trains both models;
+    tests/test_r19.py pins the Hadamard exact-fit recovery
+    (w = (0, 1, 0, 0) at λ = 0) and ridge shrinkage toward it."""
+    wa, wb, _, _ = train_session_ridge(spark, sf_dir)
+    rows = [
+        ("avg_session_s", *[_half_up(w * 1000000000.0) for w in wa]),
+        ("avg_unique_urls", *[_half_up(w * 1000000000.0) for w in wb]),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "target string, w0_nano long, w1_nano long, w2_nano long, "
+        "w3_nano long",
+    )
+
+
+@register(
+    "session_ridge_holdout_predictions",
+    oracle=f"""
+    {_rg_oracle_head()}, te AS MATERIALIZED (
+      SELECT * FROM ufeat WHERE bucket >= {_RG_TRAIN_BUCKETS}
+    )
+    SELECT te.user_id,
+           CAST(ROUND(ya * 1000000.0, 0) AS BIGINT) AS session_s_micro,
+           CAST(ROUND(({_rg_z_sql("wa")}) * 1000000.0, 0) AS BIGINT)
+             AS pred_session_s_micro,
+           CAST(ROUND(yb * 1000000.0, 0) AS BIGINT) AS unique_urls_micro,
+           CAST(ROUND(({_rg_z_sql("wb")}) * 1000000.0, 0) AS BIGINT)
+             AS pred_unique_urls_micro
+    FROM te CROSS JOIN wa CROSS JOIN wb
+    """,
+)
+def session_ridge_holdout_predictions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCORE rung: per-IP predictions for both targets on the held-out
+    hash buckets (the users the model never saw) — the reference's own
+    question answered hash-green: 'given an IP, expect this session
+    length and this many unique visits'. Weights re-enter the plan as
+    exact literals; predictions land on the 1e-6 grid. Scoring is a
+    stateless map pass — no join, no shuffle beyond the feature agg."""
+    feats = _rg_feats(spark, sf_dir).localCheckpoint()
+    wa, wb, _, _ = ridge_fit(
+        feats.filter(F.col("bucket") < _RG_TRAIN_BUCKETS)
+    )
+    te = feats.filter(F.col("bucket") >= _RG_TRAIN_BUCKETS)
+    micro = "cast(round({} * 1000000.0, 0) as bigint)"
+    return te.select(
+        "user_id",
+        F.expr(micro.format("ya")).alias("session_s_micro"),
+        F.expr(micro.format(f"({_pred_text(wa)})")).alias(
+            "pred_session_s_micro"
+        ),
+        F.expr(micro.format("yb")).alias("unique_urls_micro"),
+        F.expr(micro.format(f"({_pred_text(wb)})")).alias(
+            "pred_unique_urls_micro"
+        ),
+    )
+
+
+@register(
+    "session_ridge_error_summary",
+    oracle=f"""
+    {_rg_oracle_head()}, te AS MATERIALIZED (
+      SELECT * FROM ufeat WHERE bucket >= {_RG_TRAIN_BUCKETS}
+    ), ea AS (
+      SELECT CAST(ROUND(abs(ya - ({_rg_z_sql("wa")})) * 1000000.0, 0)
+               AS BIGINT) AS err,
+             CAST(ROUND(abs(ya - (SELECT g0d / h00d FROM sdwa))
+               * 1000000.0, 0) AS BIGINT) AS berr
+      FROM te CROSS JOIN wa
+    ), eb AS (
+      SELECT CAST(ROUND(abs(yb - ({_rg_z_sql("wb")})) * 1000000.0, 0)
+               AS BIGINT) AS err,
+             CAST(ROUND(abs(yb - (SELECT g0d / h00d FROM sdwb))
+               * 1000000.0, 0) AS BIGINT) AS berr
+      FROM te CROSS JOIN wb
+    )
+    SELECT 'avg_session_s' AS target,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(ROUND(SUM(err) * 1.0 / COUNT(*), 0) AS BIGINT)
+             AS mae_micro,
+           CAST(ROUND(SUM(berr) * 1.0 / COUNT(*), 0) AS BIGINT)
+             AS baseline_mae_micro
+    FROM ea
+    UNION ALL
+    SELECT 'avg_unique_urls' AS target,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(ROUND(SUM(err) * 1.0 / COUNT(*), 0) AS BIGINT)
+             AS mae_micro,
+           CAST(ROUND(SUM(berr) * 1.0 / COUNT(*), 0) AS BIGINT)
+             AS baseline_mae_micro
+    FROM eb
+    """,
+)
+def session_ridge_error_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVAL rung: held-out MAE per target (1e-6 grid) next to the
+    train-mean baseline MAE — the skill readout, derived from the SAME
+    moment registers (baseline mean = g0d / h00d, no second pass). A
+    model worth shipping must beat its mean predictor; the margin is
+    pinned in tests/test_r19.py and priced against the MLlib fits in
+    OBSERVATIONS.md (VERDICT r18 stretch #7)."""
+    feats = _rg_feats(spark, sf_dir).localCheckpoint()
+    wa, wb, mean_a, mean_b = ridge_fit(
+        feats.filter(F.col("bucket") < _RG_TRAIN_BUCKETS)
+    )
+    te = feats.filter(F.col("bucket") >= _RG_TRAIN_BUCKETS)
+    err = "cast(round(abs({} - ({})) * 1000000.0, 0) as bigint)"
+    parts = []
+    for target, ycol, w, mean in (
+        ("avg_session_s", "ya", wa, mean_a),
+        ("avg_unique_urls", "yb", wb, mean_b),
+    ):
+        scored = te.select(
+            F.expr(err.format(ycol, _pred_text(w))).alias("err"),
+            F.expr(err.format(ycol, _wlit(mean))).alias("berr"),
+        )
+        parts.append(
+            scored.agg(
+                F.lit(target).alias("target"),
+                F.count(F.lit(1)).cast("long").alias("n_test"),
+                F.expr(
+                    "cast(round(sum(err) * 1.0 / count(1), 0) as bigint)"
+                ).alias("mae_micro"),
+                F.expr(
+                    "cast(round(sum(berr) * 1.0 / count(1), 0) as bigint)"
+                ).alias("baseline_mae_micro"),
+            )
+        )
+    return parts[0].unionByName(parts[1])

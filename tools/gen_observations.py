@@ -509,6 +509,15 @@ micro-batch, with stream-vs-batch row parity pinned in pytest.
     # store retractions, ELB at-scale replay
     irls = sorted(run("quality_classifier_irls"), key=lambda r: r["round"])
     w_fin = irls[-1]
+    # derive the sign reading from the ACTUAL trained weights — a
+    # retrain that flips a sign must flip the prose with it
+    _dir = lambda nano: ("up (", "> 0)") if nano > 0 else ("down (", "< 0)")  # noqa: E731
+    w3_dir = _dir(w_fin["w3_nano"])
+    w2_dir = _dir(w_fin["w2_nano"])
+    qc_sign_note = (
+        f"distinct-word count pulls quality {w3_dir[0]}w3 {w3_dir[1]}, "
+        f"stopword hits pull it {w2_dir[0]}w2 {w2_dir[1]}"
+    )
     qauc = run("quality_classifier_scored_auc")
     qauc_pool = sum(r["auc_micropoints"] for r in qauc) / max(len(qauc), 1)
     sssp = sorted(
@@ -1118,8 +1127,7 @@ and the trained scores graded by the engine's own exact AUC machinery
 (`quality_classifier_scored_auc`) average {qauc_pool / 10000:.1f}% AUC across
 {len(qauc)} source shards — the honest ceiling of a 3-feature mimic of a
 nonlinear rule, trained, scored and graded without leaving the hash
-gate. The signs read correctly: distinct-word count pulls quality up
-(w3 > 0), stopword hits pull it down (w2 < 0).
+gate. The learned signs: {qc_sign_note}.
 
 ### Distance, not hops — and brokers, not just hubs
 
