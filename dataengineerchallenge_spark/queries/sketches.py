@@ -372,18 +372,23 @@ def _rho_case_sql(w: str) -> str:
     return f"CASE {whens} ELSE 25 END"
 
 
-_HLL_ORACLE = f"""
+def _hll_oracle(src: str = "events") -> str:
+    """The explicit-HLL oracle over any events-shaped relation ``src``
+    — parameterized (r19) so the slice-store retraction rung can grade
+    its re-fold against the estimator computed directly on the corpus
+    minus the takedown."""
+    return f"""
 WITH hashed AS (
   SELECT ev.event_type,
          ({_HLL_DUCK_H}) // 16777216 AS bucket,
          ({_HLL_DUCK_H}) % 16777216 AS w
-  FROM (SELECT DISTINCT event_type, user_id FROM events) ev
+  FROM (SELECT DISTINCT event_type, user_id FROM {src}) ev
 ), regs AS (
   SELECT event_type, bucket, MAX({_rho_case_sql('w')}) AS m_j
   FROM hashed GROUP BY event_type, bucket
 ), spine AS (
   SELECT t.event_type, s.bucket
-  FROM (SELECT DISTINCT event_type FROM events) t,
+  FROM (SELECT DISTINCT event_type FROM {src}) t,
        (SELECT unnest(range(0, {_HLL_M})) AS bucket) s
 ), filled AS (
   SELECT s.event_type, COALESCE(r.m_j, 0) AS m_j
@@ -396,7 +401,7 @@ WITH hashed AS (
   FROM filled GROUP BY event_type
 ), ex AS (
   SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
-  FROM events GROUP BY event_type
+  FROM {src} GROUP BY event_type
 )
 SELECT est.event_type,
        ROUND(CASE WHEN est.e_raw <= 2.5 * {_HLL_M} AND est.v_zero > 0
@@ -405,6 +410,9 @@ SELECT est.event_type,
        ex.exact_users
 FROM est JOIN ex ON est.event_type = ex.event_type
 """
+
+
+_HLL_ORACLE = _hll_oracle()
 
 
 def _hll_rho():
@@ -572,6 +580,107 @@ def stream_hll_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result
+
+
+_HLL_RETRACT_MOD = 5  # retract every 5th day slice (~20% of the corpus)
+_HLL_DAY_TOMB_SQL = (
+    "(CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400)"
+    f" % {_HLL_RETRACT_MOD}"
+)
+
+
+def _staged_hll_day_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once DAY-SLICE HLL store — the (group, slice) register
+    store the retraction coverage matrix (SURVEY §2.11 row 6) routes
+    max-register deletes through, and exactly the state shape the
+    online twin already commits per epoch (`stream_hll_user_counts`
+    writes per-epoch regs + pairs; this is the same pair of frames
+    keyed by day instead of epoch_id):
+
+    - ``regs``:  (day_s, event_type, bucket, m_j) per-day max-rho
+      registers — max-mergeable within any surviving slice subset.
+    - ``pairs``: (day_s, event_type, user_id) per-day distinct pairs —
+      the grading-column slice store (exact distinct is re-folded by
+      distinct-union, which is slicing-invariant like the twin's drain).
+
+    One events scan at build; any day-subset serve is a register fold
+    over this store, never a raw-history rescan."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        day = F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias(
+            "day_s"
+        )
+        pairs = ev.select(day, "event_type", "user_id").distinct()
+        h = F.expr(_HLL_SPARK_H)
+        hashed = pairs.select(
+            "day_s",
+            "event_type",
+            (h / 16777216).cast("long").alias("bucket"),
+            (h % 16777216).alias("w"),
+        )
+        regs = hashed.groupBy("day_s", "event_type", "bucket").agg(
+            F.max(_hll_rho()).alias("m_j")
+        )
+        write_result(regs.repartition("event_type"), str(out / "regs"))
+        write_result(pairs.repartition("event_type"), str(out / "pairs"))
+
+    return staged(
+        spark,
+        "hll_dayslices",
+        Path(sf_dir) / "events.parquet",
+        "hll_day_slices:v1",
+        build,
+    )
+
+
+@register(
+    "hll_user_counts_retracted",
+    oracle=_hll_oracle(
+        f"(SELECT * FROM events WHERE {_HLL_DAY_TOMB_SQL} != 0)"
+    ),
+)
+def hll_user_counts_retracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTION on the HLL register store — the LAST cell of the
+    retraction coverage matrix (SURVEY §2.11 row 6) made executable
+    (VERDICT r18 next-round #2). MAX registers are NOT linear: a
+    removed user may own a register's extreme, so there is no negative
+    fold (the GK/edge-store subtract route is closed). The documented
+    route is the slice re-fold: the day-grain register store
+    (`_staged_hll_day_store` — the same regs+pairs state the online
+    twin commits per epoch) DROPS the tombstoned day slices (every
+    {_HLL_RETRACT_MOD}th day) and re-folds the survivors by max;
+    distinct-pair slices re-fold the exact grading column the same way.
+    Graded against the estimator computed DIRECTLY on the corpus minus
+    the takedown — a green row proves slice re-fold ≡ rebuild, with
+    delta cost ∝ surviving slices (a (day, type, bucket)-bounded
+    register table), never a raw-history rescan. Takedown grain is the
+    slice key by construction: finer deletes (a single user) re-slice
+    or rebuild — the honest limit the matrix documents for the
+    non-linear extremes."""
+    root = _staged_hll_day_store(spark, sf_dir)
+    tomb = (F.col("day_s") / 86400).cast("long") % _HLL_RETRACT_MOD == 0
+    regs = (
+        spark.read.parquet(f"{root}/regs")
+        .filter(~tomb)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    live_pairs = (
+        spark.read.parquet(f"{root}/pairs")
+        .filter(~tomb)
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    types = live_pairs.select("event_type").distinct()
+    exact = live_pairs.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return _hll_estimate(spark, regs, types, exact)
 
 
 _KMV_K = 64

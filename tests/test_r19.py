@@ -93,6 +93,71 @@ def test_ridge_beats_mean_baseline_on_holdout(spark):
     assert sess["mae_micro"] < sess["baseline_mae_micro"]
 
 
+def test_hll_day_store_full_fold_equals_batch(spark):
+    """Folding ALL day slices must reproduce the batch rung exactly —
+    the slicing-invariance that makes dropping slices a valid delete."""
+    from pyspark.sql import functions as F
+
+    from dataengineerchallenge_spark.queries.sketches import (
+        _hll_estimate,
+        _staged_hll_day_store,
+        hll_explicit_user_counts,
+    )
+
+    root = _staged_hll_day_store(spark, SF_DIR)
+    regs = (
+        spark.read.parquet(f"{root}/regs")
+        .groupBy("event_type", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    pairs = (
+        spark.read.parquet(f"{root}/pairs")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    folded = _hll_estimate(
+        spark,
+        regs,
+        pairs.select("event_type").distinct(),
+        pairs.groupBy("event_type").agg(
+            F.count_distinct("user_id").alias("exact_users")
+        ),
+    )
+    assert _rows(folded) == _rows(hll_explicit_user_counts(spark, SF_DIR))
+
+
+def test_hll_retracted_registers_dominated(spark):
+    """Dropping slices can only LOWER a max register — and the
+    tombstoned days must actually remove register mass somewhere."""
+    from pyspark.sql import functions as F
+
+    from dataengineerchallenge_spark.queries.sketches import (
+        _HLL_RETRACT_MOD,
+        _staged_hll_day_store,
+    )
+
+    root = _staged_hll_day_store(spark, SF_DIR)
+    all_regs = spark.read.parquet(f"{root}/regs")
+    tomb = (F.col("day_s") / 86400).cast("long") % _HLL_RETRACT_MOD == 0
+    assert all_regs.filter(tomb).count() > 0  # the takedown is non-empty
+    full = all_regs.groupBy("event_type", "bucket").agg(
+        F.max("m_j").alias("m_full")
+    )
+    live = (
+        all_regs.filter(~tomb)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("m_j").alias("m_live"))
+    )
+    joined = full.join(live, ["event_type", "bucket"], "left")
+    assert (
+        joined.filter(F.col("m_live") > F.col("m_full")).count() == 0
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
 def test_ridge_predictions_cover_holdout_users(spark):
     from pyspark.sql import functions as F
 
