@@ -287,6 +287,59 @@ def newton_trace(
     return trace
 
 
+def newton_trace_grouped(
+    gfeats: DataFrame, rounds: int = _QC_ROUNDS
+) -> list[tuple[float, float, float, float]]:
+    """`newton_trace` over GROUPED sufficient statistics — a
+    (y, x1, x2, x3, cnt) frame where identical feature rows carry a
+    count. Because every per-row register term is a pure function of
+    (y, x), multiplying the identically-rounded integer term by ``cnt``
+    reproduces the per-row sum EXACTLY for ANY weight vector — the
+    grouped table is a sufficient statistic for the whole Newton
+    trajectory, which is what lets the streaming twin commit per-epoch
+    grouped registers and close at drain bit-for-bit."""
+    gfeats = gfeats.localCheckpoint()
+    names = [f"g{i}" for i in range(4)] + [f"h{k}{l}" for (k, l) in _QC_HTERMS]
+    inner_g = [f"(({x} * (y - p)))" for x in _QC_X]
+    inner_h = [
+        f"(({_QC_X[k]} * {_QC_X[l]}) * r)" for (k, l) in _QC_HTERMS
+    ]
+    terms = [
+        f"sum(cnt * cast(round({t} * 100000000.0, 0) as bigint))"
+        for t in inner_g + inner_h
+    ]
+    w = (0.0, 0.0, 0.0, 0.0)
+    trace = [w]
+    for _ in range(rounds):
+        pt, rt = _QC_P, _QC_R
+        for i in range(4):
+            pt = pt.replace(f"w{i}", _wlit(w[i]))
+            rt = rt.replace(f"w{i}", _wlit(w[i]))
+        scored = gfeats.withColumn("p", F.expr(pt)).withColumn(
+            "r", F.expr(rt)
+        )
+        row = scored.agg(
+            *[F.expr(t).alias(n) for n, t in zip(names, terms)]
+        ).collect()[0]
+        if any(row[n] is None for n in names):
+            raise RuntimeError(
+                "quality classifier Newton round: NULL g/H registers — "
+                "the grouped feature frame is empty; train needs at "
+                "least one document"
+            )
+        env = {f"{n}d": row[n] / 100000000.0 for n in names}
+        if eval(_QC_DET, {"__builtins__": {}}, dict(env)) == 0.0:  # noqa: S307
+            raise RuntimeError(
+                "quality classifier Newton round: singular Hessian "
+                "(det(H) == 0) — features are collinear or the frame is "
+                "degenerate; refusing to divide (raise-don't-truncate)"
+            )
+        deltas = [eval(d, {"__builtins__": {}}, dict(env)) for d in _QC_DELTAS]  # noqa: S307 — repo-generated arithmetic text
+        w = tuple(w[k] + deltas[k] for k in range(4))
+        trace.append(w)
+    return trace
+
+
 def train_quality_irls(
     spark: SparkSession, sf_dir: str
 ) -> list[tuple[float, float, float, float]]:
@@ -294,16 +347,9 @@ def train_quality_irls(
     return newton_trace(_qc_feats(spark, sf_dir))
 
 
-@register("quality_classifier_irls", oracle=_qc_oracle_trace())
-def quality_classifier_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRAIN rung: the full Newton weight trace (rounds 0.._QC_ROUNDS,
-    nano-integerized) hash-verified against the unrolled oracle — every
-    gradient, Hessian register and Cramer solve of every round must
-    agree bit-for-bit for any row to match. See the module docstring
-    for the discipline; tests/test_r18.py pins the Hadamard
-    closed-form recovery (σ̃⁻¹(3/4) = 1, so w = (0, 1, 0, 0) exactly)
-    plus Newton-step decay onto the integer-grid fixpoint."""
-    trace = train_quality_irls(spark, sf_dir)
+def _trace_frame(spark: SparkSession, trace) -> DataFrame:
+    """Nano-integerized (round, w0..w3) rows — shared by the batch rung
+    and the streaming twin so the two emit byte-identical frames."""
     rows = [
         (
             r,
@@ -318,6 +364,103 @@ def quality_classifier_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "round long, w0_nano long, w1_nano long, w2_nano long, w3_nano long",
     )
+
+
+@register("quality_classifier_irls", oracle=_qc_oracle_trace())
+def quality_classifier_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN rung: the full Newton weight trace (rounds 0.._QC_ROUNDS,
+    nano-integerized) hash-verified against the unrolled oracle — every
+    gradient, Hessian register and Cramer solve of every round must
+    agree bit-for-bit for any row to match. See the module docstring
+    for the discipline; tests/test_r18.py pins the Hadamard
+    closed-form recovery (σ̃⁻¹(3/4) = 1, so w = (0, 1, 0, 0) exactly)
+    plus Newton-step decay onto the integer-grid fixpoint."""
+    return _trace_frame(spark, train_quality_irls(spark, sf_dir))
+
+
+def _staged_qc_feature_stream(spark: SparkSession, sf_dir: str) -> str:
+    """(y, x1, x2, x3) feature rows written as 4 hash-partitioned files
+    for the multi-micro-batch replay (the _staged_event_*_stream
+    shape)."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        feats = _qc_feats(spark, sf_dir).select("y", "x1", "x2", "x3")
+        write_result(feats.repartition(4, "x1", "x2", "x3"), str(out))
+
+    return staged(
+        spark,
+        "qc_feats",
+        Path(sf_dir) / "documents.parquet",
+        "qc_feature_stream:v1",
+        build,
+    )
+
+
+@register("stream_quality_classifier_irls", oracle=_qc_oracle_trace())
+def stream_quality_classifier_irls(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ONLINE twin of ``quality_classifier_irls`` (VERDICT r18
+    next-round #3 — the newest register family keeps the every-store-
+    has-an-online-twin invariant): each micro-batch commits its OWN
+    (y, x1, x2, x3) → count grouped registers under an epoch_id-keyed
+    overwrite (the cm/HLL/GK/AUC drain contract). The grouped table is
+    a SUFFICIENT STATISTIC for the entire Newton trajectory — every
+    g/H term is a pure per-row function of (y, x), so cnt-weighting
+    the identically-rounded integer term reproduces the per-row sum
+    exactly for ANY weight vector — and counts ADD across any stream
+    slicing, so the drained fold + `newton_trace_grouped` close emits
+    the batch trace bit-for-bit and shares the batch rung's unrolled
+    DuckDB oracle hash-for-hash. At 100 TB the committed state is
+    bounded by the distinct feature grid per epoch, never by history,
+    and training never re-reads raw documents."""
+    import shutil
+    import tempfile
+
+    payload = _staged_qc_feature_stream(spark, sf_dir)
+    schema = spark.read.parquet(payload).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(payload)
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_graft_stream_qc_")
+    regs_dir, ckpt = f"{scratch}/regs", f"{scratch}/ckpt"
+
+    def update(mb: DataFrame, epoch_id: int) -> None:
+        # epoch_id-keyed overwrite: idempotent under micro-batch retry
+        reg = mb.groupBy("y", "x1", "x2", "x3").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        reg.write.mode("overwrite").parquet(f"{regs_dir}/epoch_id={epoch_id}")
+
+    q = (
+        sdf.writeStream.foreachBatch(update)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "classifier stream did not drain availableNow input in 300s"
+            )
+        g = (
+            spark.read.parquet(regs_dir)
+            .groupBy("y", "x1", "x2", "x3")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        out = _trace_frame(spark, newton_trace_grouped(g))
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(scratch, ignore_errors=True)
+    return result
 
 
 @register(

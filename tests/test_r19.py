@@ -158,6 +158,50 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+def test_stream_classifier_trace_equals_batch(spark):
+    """Drained grouped-register fold + Newton close must emit the batch
+    weight trace row-for-row (the linear-register stream≡batch pin)."""
+    from dataengineerchallenge_spark.queries.classifier import (
+        quality_classifier_irls,
+        stream_quality_classifier_irls,
+    )
+
+    assert _rows(stream_quality_classifier_irls(spark, SF_DIR)) == _rows(
+        quality_classifier_irls(spark, SF_DIR)
+    )
+
+
+def test_grouped_newton_trace_equals_per_row(spark):
+    """cnt-weighted grouped registers are a sufficient statistic: on a
+    frame with duplicated rows, the grouped trace equals the per-row
+    trace at every round."""
+    from pyspark.sql import functions as F
+
+    from dataengineerchallenge_spark.queries.classifier import (
+        newton_trace,
+        newton_trace_grouped,
+    )
+
+    rows = [
+        (1, 1.0, 0.0, 2.0),
+        (1, 1.0, 0.0, 2.0),
+        (0, 3.0, 1.0, 1.0),
+        (1, 2.0, 0.0, 4.0),
+        (0, 5.0, 2.0, 2.0),
+        (0, 5.0, 2.0, 2.0),
+        (0, 5.0, 2.0, 2.0),
+    ]
+    feats = spark.createDataFrame(
+        rows, "y int, x1 double, x2 double, x3 double"
+    )
+    grouped = feats.groupBy("y", "x1", "x2", "x3").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    assert newton_trace_grouped(grouped, rounds=4) == newton_trace(
+        feats, rounds=4
+    )
+
+
 def test_ridge_predictions_cover_holdout_users(spark):
     from pyspark.sql import functions as F
 
