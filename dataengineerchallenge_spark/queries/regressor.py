@@ -132,16 +132,14 @@ def _rg_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ridge_fit(
-    train: DataFrame, lam: float = _RG_LAM
+def ridge_solve(
+    row, lam: float = _RG_LAM
 ) -> tuple[tuple[float, ...], tuple[float, ...], float, float]:
-    """ONE distributed 18-register moment pass over ``train`` (columns
-    x1 x2 x3 ya yb), then two driver-side Cramer solves sharing the
-    penalized Hessian env. Returns (w_a, w_b, mean_a, mean_b) — the
-    means are the baseline predictors, free from the same registers."""
-    row = train.agg(
-        *[F.expr(t).alias(n) for n, t in zip(_RG_REG_NAMES, _RG_REG_TERMS)]
-    ).collect()[0]
+    """Driver-side close over the 18 integer moment registers (any
+    mapping name → bigint): widen, penalize the non-intercept diagonal,
+    run two shared-text Cramer solves. Split out of :func:`ridge_fit`
+    so the streaming twin's drained register fold closes through the
+    IDENTICAL arithmetic."""
     if any(row[n] is None for n in _RG_REG_NAMES):
         raise RuntimeError(
             "ridge fit: NULL moment registers — the training frame is "
@@ -172,6 +170,19 @@ def ridge_fit(
     mean_a = (row["ga0"] / 100000000.0) / (row["h00"] / 100000000.0)
     mean_b = (row["gb0"] / 100000000.0) / (row["h00"] / 100000000.0)
     return ws[0], ws[1], mean_a, mean_b
+
+
+def ridge_fit(
+    train: DataFrame, lam: float = _RG_LAM
+) -> tuple[tuple[float, ...], tuple[float, ...], float, float]:
+    """ONE distributed 18-register moment pass over ``train`` (columns
+    x1 x2 x3 ya yb), then the driver-side :func:`ridge_solve`. Returns
+    (w_a, w_b, mean_a, mean_b) — the means are the baseline
+    predictors, free from the same registers."""
+    row = train.agg(
+        *[F.expr(t).alias(n) for n, t in zip(_RG_REG_NAMES, _RG_REG_TERMS)]
+    ).collect()[0]
+    return ridge_solve(row, lam)
 
 
 def train_session_ridge(
@@ -241,9 +252,7 @@ def _rg_z_sql(tag: str) -> str:
     return zt
 
 
-@register(
-    "session_length_ridge",
-    oracle=f"""
+_RG_TRAIN_ORACLE = f"""
     {_rg_oracle_head()}
     SELECT 'avg_session_s' AS target,
            CAST(ROUND(w0 * 1000000000.0, 0) AS BIGINT) AS w0_nano,
@@ -258,8 +267,10 @@ def _rg_z_sql(tag: str) -> str:
            CAST(ROUND(w2 * 1000000000.0, 0) AS BIGINT) AS w2_nano,
            CAST(ROUND(w3 * 1000000000.0, 0) AS BIGINT) AS w3_nano
     FROM wb
-    """,
-)
+    """
+
+
+@register("session_length_ridge", oracle=_RG_TRAIN_ORACLE)
 def session_length_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAIN rung: exact ridge weight vectors for BOTH per-IP MLE
     targets (session length, unique URLs — README.md:21-23), nano-
@@ -394,3 +405,99 @@ def session_ridge_error_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return parts[0].unionByName(parts[1])
+
+
+def _staged_ridge_feature_stream(spark: SparkSession, sf_dir: str) -> str:
+    """(user_id, x1, x2, x3, ya, yb, bucket) feature rows written as 4
+    hash-partitioned files for the multi-micro-batch replay."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        write_result(
+            _rg_feats(spark, sf_dir).repartition(4, "user_id"), str(out)
+        )
+
+    return staged(
+        spark,
+        "ridge_feats",
+        Path(sf_dir) / "events.parquet",
+        "ridge_feature_stream:v1",
+        build,
+    )
+
+
+@register("stream_session_length_ridge", oracle=_RG_TRAIN_ORACLE)
+def stream_session_length_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE twin of ``session_length_ridge`` — the purest register
+    twin in the repo: the trainer's state is EXACTLY 18 bigint moment
+    registers, linear in the rows by construction, so each micro-batch
+    aggregates its own partial registers over its train-bucket rows and
+    commits them under an epoch_id-keyed overwrite (the cm/HLL/GK/AUC
+    drain contract); the drained fold is one 18-column SUM, and
+    :func:`ridge_solve` closes through the identical Cramer arithmetic.
+    Unlike the classifier twin (which must carry the grouped feature
+    grid because Newton revisits the data), nothing here scales with
+    history — per-epoch state is 18 integers, full stop. Shares the
+    batch rung's closed-form normal-equation oracle hash-for-hash, and
+    stream ≡ batch is pinned row-for-row in pytest."""
+    import shutil
+    import tempfile
+
+    payload = _staged_ridge_feature_stream(spark, sf_dir)
+    schema = spark.read.parquet(payload).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(payload)
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_graft_stream_ridge_")
+    regs_dir, ckpt = f"{scratch}/regs", f"{scratch}/ckpt"
+
+    def update(mb: DataFrame, epoch_id: int) -> None:
+        # epoch_id-keyed overwrite: idempotent under micro-batch retry
+        reg = mb.filter(F.col("bucket") < _RG_TRAIN_BUCKETS).agg(
+            *[
+                F.expr(t).alias(n)
+                for n, t in zip(_RG_REG_NAMES, _RG_REG_TERMS)
+            ]
+        )
+        # an all-holdout batch sums over zero rows -> NULL registers;
+        # drop the row (contributes nothing) instead of folding NULLs
+        reg.na.drop().write.mode("overwrite").parquet(
+            f"{regs_dir}/epoch_id={epoch_id}"
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(update)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "ridge stream did not drain availableNow input in 300s"
+            )
+        row = (
+            spark.read.parquet(regs_dir)
+            .agg(*[F.sum(n).alias(n) for n in _RG_REG_NAMES])
+            .collect()[0]
+        )
+        wa, wb, _, _ = ridge_solve(row)
+        rows = [
+            ("avg_session_s", *[_half_up(w * 1000000000.0) for w in wa]),
+            ("avg_unique_urls", *[_half_up(w * 1000000000.0) for w in wb]),
+        ]
+        result = spark.createDataFrame(
+            rows,
+            "target string, w0_nano long, w1_nano long, w2_nano long, "
+            "w3_nano long",
+        )
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(scratch, ignore_errors=True)
+    return result

@@ -158,6 +158,19 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+def test_stream_ridge_weights_equal_batch(spark):
+    """Drained 18-register fold + ridge_solve must emit the batch
+    weight rows bit-for-bit (linearity of the moment registers)."""
+    from dataengineerchallenge_spark.queries.regressor import (
+        session_length_ridge,
+        stream_session_length_ridge,
+    )
+
+    assert _rows(stream_session_length_ridge(spark, SF_DIR)) == _rows(
+        session_length_ridge(spark, SF_DIR)
+    )
+
+
 def test_stream_classifier_trace_equals_batch(spark):
     """Drained grouped-register fold + Newton close must emit the batch
     weight trace row-for-row (the linear-register stream≡batch pin)."""
