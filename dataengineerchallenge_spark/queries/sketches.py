@@ -686,11 +686,15 @@ def hll_user_counts_retracted(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMV_K = 64
 
 
-def _kmv_oracle() -> str:
+def _kmv_oracle(src: str = "events") -> str:
+    """The KMV oracle over any events-shaped relation ``src`` —
+    parameterized (r19) so the slice re-fold retraction rung grades
+    against the estimator computed directly on the corpus minus the
+    takedown (the _hll_oracle pattern)."""
     from dataengineerchallenge_spark.functions.hashing import duck_u32
 
     return f"""
-    WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+    WITH pairs AS (SELECT DISTINCT event_type, user_id FROM {src}),
     h AS (
       SELECT event_type, user_id, ({duck_u32("user_id")}) AS h FROM pairs
     ),
@@ -761,6 +765,108 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(est, 4).alias("kmv_users"),
             F.round(F.abs(est - F.col("n")) / F.col("n"), 4).alias("rel_err"),
         )
+    )
+
+
+def _staged_kmv_day_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once DAY-SLICE KMV register store: per (day_s, event_type)
+    the bottom-{k} (h, user_id) rows — exactly the k-row (group, slice)
+    register `kmv_distinct_users`' scale note promises. Bottom-k
+    sketches merge by re-rank (bottom-k of a union = bottom-k of
+    per-slice bottom-ks), so any day-subset serve — rollup OR
+    retraction — is a fold over this store, never a raw rescan."""
+    from pathlib import Path
+
+    from pyspark.sql import Window
+
+    from dataengineerchallenge_spark.functions.hashing import spark_u32
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        day = F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias(
+            "day_s"
+        )
+        pairs = ev.select(day, "event_type", "user_id").distinct()
+        hashed = pairs.withColumn("h", F.expr(spark_u32("user_id")))
+        w = Window.partitionBy("day_s", "event_type").orderBy("h", "user_id")
+        regs = (
+            hashed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _KMV_K)
+            .select("day_s", "event_type", "h", "user_id")
+        )
+        write_result(regs.repartition("event_type"), str(out))
+
+    return staged(
+        spark,
+        "kmv_dayslices",
+        Path(sf_dir) / "events.parquet",
+        "kmv_day_slices:v1",
+        build,
+    )
+
+
+@register(
+    "kmv_user_counts_retracted",
+    oracle=_kmv_oracle(
+        f"(SELECT * FROM events WHERE {_HLL_DAY_TOMB_SQL} != 0)"
+    ),
+)
+def kmv_user_counts_retracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTION on the KMV register store — the matrix row 6 sibling
+    of ``hll_user_counts_retracted``, so BOTH non-linear extremes
+    (max registers, min-k registers) now have executable delete routes
+    and `kmv_distinct_users`' asserted (group, slice) register store is
+    a registered query, not a docstring promise. MIN-k registers cannot
+    subtract (a removed user may own a retained minimum); the route is
+    the slice re-fold: drop the tombstoned day slices (the shared
+    every-{_HLL_RETRACT_MOD}th-day takedown), dedup the surviving
+    bottom-k lists on (type, hash, user) — the same user surfaces from
+    several day slices — and re-rank to the global k-th minimum.
+    Bottom-k mergeability guarantees the union of surviving slice
+    registers CONTAINS the true bottom-k of the surviving corpus, so
+    the re-fold is exact; graded against the estimator computed
+    directly on the corpus minus the takedown. The exact grading
+    column re-folds from the day-grain pair slices
+    (`_staged_hll_day_store`), the same grading-side store the HLL
+    retraction documents. Delta cost ∝ k · surviving slices."""
+    from pyspark.sql import Window
+
+    root = _staged_kmv_day_store(spark, sf_dir)
+    tomb = (F.col("day_s") / 86400).cast("long") % _HLL_RETRACT_MOD == 0
+    live = (
+        spark.read.parquet(root)
+        .filter(~tomb)
+        .select("event_type", "h", "user_id")
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h", "user_id")
+    kth = (
+        live.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == _KMV_K)
+        .select("event_type", F.col("h").alias("hk"))
+    )
+    pair_root = _staged_hll_day_store(spark, sf_dir)
+    nd = (
+        spark.read.parquet(f"{pair_root}/pairs")
+        .filter(~tomb)
+        .select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    est = F.when(
+        F.col("hk").isNotNull(),
+        F.lit(float(_KMV_K - 1))
+        * F.lit(4294967296.0)
+        / (F.col("hk") + F.lit(1)),
+    ).otherwise(F.col("n").cast("double"))
+    return nd.join(kth, "event_type", "left").select(
+        "event_type",
+        F.col("n").cast("long").alias("exact_users"),
+        F.round(est, 4).alias("kmv_users"),
+        F.round(F.abs(est - F.col("n")) / F.col("n"), 4).alias("rel_err"),
     )
 
 

@@ -158,6 +158,40 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+def test_kmv_day_store_full_fold_equals_batch(spark):
+    """Folding ALL KMV day slices (dedup + re-rank) must reproduce the
+    batch rung's kth-minimum per type — bottom-k mergeability as a
+    test, the same slicing-invariance that licenses dropping slices."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataengineerchallenge_spark.queries.sketches import (
+        _KMV_K,
+        _staged_kmv_day_store,
+        kmv_distinct_users,
+    )
+
+    root = _staged_kmv_day_store(spark, SF_DIR)
+    live = (
+        spark.read.parquet(root)
+        .select("event_type", "h", "user_id")
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h", "user_id")
+    folded_kth = {
+        r["event_type"]: r["h"]
+        for r in live.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == _KMV_K)
+        .collect()
+    }
+    batch = {
+        r["event_type"]: r["kmv_users"]
+        for r in kmv_distinct_users(spark, SF_DIR).collect()
+    }
+    for et, hk in folded_kth.items():
+        assert abs(batch[et] - round((_KMV_K - 1) * 4294967296.0 / (hk + 1), 4)) < 1e-9
+
+
 def test_stream_ridge_weights_equal_batch(spark):
     """Drained 18-register fold + ridge_solve must emit the batch
     weight rows bit-for-bit (linearity of the moment registers)."""
