@@ -116,13 +116,21 @@ HEADLINE = [
     "semantic_dedup_corpus",                 # N3+ SemDeDup keep-one corpus (round 15)
     "copurchase_communities_lpa",            # G6 label-propagation communities, staged serve (round 15)
     "copurchase_coreness",                   # G7 h-index k-core decomposition, staged serve (round 15)
-    "kmv_event_type_overlap",                # A6++++ KMV set algebra: pairwise audience overlap (round 15)
+    # kmv_event_type_overlap rotated out r19 (byte budget): the KMV
+    # family keeps kmv_distinct_users as its timed representative — the
+    # overlap rung folds the same bottom-k registers plus one pairwise
+    # union-rerank, nothing new to time. Registered and sweep-checked.
     "rake_keyphrases",                       # N4+++++ document-local keyphrase extraction (round 15)
     "phrase_search_inverted_staged",         # IR+ staged positional-postings phrase serve, DPP-pruned (round 16)
     "gk_value_quantiles",                    # A-gk explicit GK summary, hash-verified estimate (round 17)
     "extract_main_text",                     # N4-ext jusText-class boilerplate removal (round 17)
     "quality_classifier_scored_auc",         # QC trained IRLS filter: train -> score -> eval (round 18)
     "copurchase_weighted_distances",         # G12 min-plus Bellman-Ford from the staged edge store (round 18)
+    "session_length_ridge",                  # RG exact normal-equation trainer, one moment pass (round 19)
+    # copurchase_spectral_bipartition is registry-only: 48 checkpointed
+    # rounds of tiny joins means timing it times the scheduler, and its
+    # per-round profile is the staged join+agg shape pagerank_staged
+    # already times. Hash-checked in every sweep as usual.
     # copurchase_deterministic_walks is registry-only: same staged-serve
     # join+window profile per step as coreness, nothing new to time.
     # ccnet_grid_mix (the grid sampler) is registry-only: one map
