@@ -602,6 +602,10 @@ justifies giving up the oracle hash."""
         for r in run("hll_user_counts_retracted")
     }
     kmv_ret = {r["event_type"]: r["rel_err"] for r in run("kmv_user_counts_retracted")}
+    # showcase the type the takedown moved most (an unmoved register is
+    # correct too — recurring users re-own their extremes — but the
+    # moved one demonstrates the re-fold is doing real work)
+    hll_show = max(hll_ret, key=lambda t: abs(hll_full[t] - hll_ret[t][0]))
     spec_rows = run("copurchase_spectral_bipartition")
     spec_sides = {0: 0, 1: 0}
     for r in spec_rows:
@@ -1217,12 +1221,17 @@ batch rungs bit-for-bit and share the batch oracles.
 retraction matrix's last row: max/min registers cannot subtract, so
 the day-slice register stores (the state the online twins commit per
 epoch) drop the tombstoned days and re-fold the survivors — max by
-max, bottom-k by dedup + re-rank. On the every-5th-day takedown the
-refolded HLL estimates track the shrunken exact counts per type
-(e.g. {next(iter(hll_ret))}: {hll_ret[next(iter(hll_ret))][0]:.0f} est vs {hll_ret[next(iter(hll_ret))][1]} exact, full-corpus
-est {hll_full[next(iter(hll_ret))]:.0f}), and the KMV re-fold's relative error stays
-≤ {max(kmv_ret.values()):.3f} across all {len(kmv_ret)} types — slice re-fold ≡ rebuild, proven
-against corpus-minus-takedown oracles, never a raw-history rescan.
+max, bottom-k by dedup + re-rank. The every-5th-day takedown on this
+fixture removes no user OUTRIGHT (every user recurs on surviving
+days), which is itself the instructive case: the re-fold must
+reproduce the surviving corpus's registers exactly — and the oracle
+hash proves it does (e.g. {hll_show}: {hll_ret[hll_show][0]:.0f} est vs
+{hll_ret[hll_show][1]} exact, identical to the direct build on the
+retained events), with the KMV re-fold's relative error ≤
+{max(kmv_ret.values()):.3f} across all {len(kmv_ret)} types — slice re-fold ≡ rebuild, proven
+against corpus-minus-takedown oracles, never a raw-history rescan,
+and a user who DOES vanish with their slices takes their register
+extremes with them by construction (the domination pin).
 
 ### The spectral lens, with its eyes open
 
