@@ -501,3 +501,179 @@ def stream_session_length_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result
+
+
+# --- MLE goal 1: next-minute load, the same recipe on the time axis ---
+
+_LD_FEAT_SQL = """
+base AS (
+  SELECT CAST(floor(epoch(date_trunc('minute', ts))) AS BIGINT) AS m,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), feat AS MATERIALIZED (
+  SELECT m AS minute_epoch_s,
+         CAST(coalesce(sum(n) OVER (ORDER BY m
+              RANGE BETWEEN 60 PRECEDING AND 60 PRECEDING), 0) AS DOUBLE)
+           AS x1,
+         round(coalesce(avg(n) OVER (ORDER BY m
+              RANGE BETWEEN 300 PRECEDING AND 60 PRECEDING), 0.0), 4)
+           AS x2,
+         CAST(CAST((m / 60) % 60 AS INT) AS DOUBLE) AS x3,
+         CAST(n AS DOUBLE) AS ya
+  FROM base
+), bounds AS MATERIALIZED (
+  SELECT MIN(minute_epoch_s) AS tmin, MAX(minute_epoch_s) AS tmax
+  FROM feat
+)"""
+
+
+def _ld_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(minute_epoch_s, x1=prev_1m, x2=avg_5m, x3=minute_of_hour,
+    ya=n_requests) — the hash-green load_features frame re-aliased to
+    the regressor's column contract. sum_5m is deliberately dropped:
+    it is 5·avg_5m up to window-edge rounding, the near-collinear pair
+    the ridge penalty exists for but the honest model simply omits."""
+    from dataengineerchallenge_spark.ml.features import load_feature_frame
+
+    f = load_feature_frame(spark, sf_dir)
+    return f.select(
+        "minute_epoch_s",
+        F.col("prev_1m").cast("double").alias("x1"),
+        F.col("avg_5m").alias("x2"),
+        F.col("minute_of_hour").cast("double").alias("x3"),
+        F.col("n_requests").cast("double").alias("ya"),
+    )
+
+
+def _ld_oracle_head() -> str:
+    """feat → temporal 80/20 split → registers → widened env → weight
+    CTE (wa) — the load model's shared oracle prefix. ONE target, so
+    the gb registers are aliased copies of ga (ridge_solve's 2-target
+    contract, second solve discarded)."""
+    gh = ",\n           ".join(
+        [f"{_RG_HTERMS[(k, l)]} AS h{k}{l}" for (k, l) in _RG_HKEYS]
+        + [f"{t} AS ga{i}" for i, t in enumerate(_rg_gterms("ya"))]
+    )
+    widen_h = ", ".join(
+        f"h{k}{l} / 100000000.0"
+        + (f" + {_RG_LAM!r}" if k == l and k > 0 else "")
+        + f" AS h{k}{l}d"
+        for (k, l) in _RG_HKEYS
+    )
+    widen_g = ", ".join(f"ga{i} / 100000000.0 AS g{i}d" for i in range(4))
+    return f"""WITH {_LD_FEAT_SQL}, tr AS MATERIALIZED (
+      SELECT f.* FROM feat f CROSS JOIN bounds b
+      WHERE f.minute_epoch_s <= b.tmin + ((b.tmax - b.tmin) * 8) // 10
+    ), s AS MATERIALIZED (
+      SELECT {gh} FROM tr
+    ), sdwa AS MATERIALIZED (
+      SELECT {widen_g}, {widen_h} FROM s
+    ), wa AS MATERIALIZED (
+      SELECT ({_QC_DELTAS[0]}) AS w0, ({_QC_DELTAS[1]}) AS w1,
+             ({_QC_DELTAS[2]}) AS w2, ({_QC_DELTAS[3]}) AS w3
+      FROM sdwa
+    )"""
+
+
+def _ld_fit(spark: SparkSession, sf_dir: str):
+    """Temporal-split fit: integer cutoff tmin + 8(tmax−tmin) div 10
+    (both engines' floor division agrees on non-negative operands),
+    then the shared 14-register moment pass + Cramer close."""
+    feats = _ld_feats(spark, sf_dir).localCheckpoint()
+    b = feats.agg(
+        F.min("minute_epoch_s").alias("tmin"),
+        F.max("minute_epoch_s").alias("tmax"),
+    ).collect()[0]
+    cutoff = b["tmin"] + ((b["tmax"] - b["tmin"]) * 8) // 10
+    train = feats.filter(F.col("minute_epoch_s") <= cutoff)
+    names = [f"h{k}{l}" for (k, l) in _RG_HKEYS] + [
+        f"ga{i}" for i in range(4)
+    ]
+    terms = [_RG_HTERMS[kl] for kl in _RG_HKEYS] + _rg_gterms("ya")
+    row = train.agg(
+        *[F.expr(t).alias(n) for n, t in zip(names, terms)]
+    ).collect()[0]
+    regs = {n: row[n] for n in names}
+    for i in range(4):
+        regs[f"gb{i}"] = regs[f"ga{i}"]  # ridge_solve's 2-target contract
+    wa, _, mean_a, _ = ridge_solve(regs)
+    return feats, cutoff, wa, mean_a
+
+
+@register(
+    "next_minute_load_ridge",
+    oracle=f"""
+    {_ld_oracle_head()}
+    SELECT 'n_requests' AS target,
+           CAST(ROUND(w0 * 1000000000.0, 0) AS BIGINT) AS w0_nano,
+           CAST(ROUND(w1 * 1000000000.0, 0) AS BIGINT) AS w1_nano,
+           CAST(ROUND(w2 * 1000000000.0, 0) AS BIGINT) AS w2_nano,
+           CAST(ROUND(w3 * 1000000000.0, 0) AS BIGINT) AS w3_nano
+    FROM wa
+    """,
+)
+def next_minute_load_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLE goal 1 answered hash-green (README.md:19 — expected load in
+    the next minute), completing the set: with the r19 session ridge
+    (goals 2-3) every ML question the reference poses now trains,
+    scores and grades inside the hash gate, and the rows-only MLlib
+    fits (`predict_next_minute_load`) remain as priced contrast. Same
+    exact normal-equation machinery on the time axis: x = (1, prev_1m,
+    avg_5m, minute_of_hour) from the hash-green `load_features` frame
+    (sum_5m dropped — 5·avg_5m up to edge rounding, the collinear
+    trap), TEMPORAL 80/20 split on an integer cutoff (a random split
+    would leak the future — ml/models.py's own discipline), one
+    14-register integerized moment pass, shared-text Cramer close."""
+    _, _, wa, _ = _ld_fit(spark, sf_dir)
+    rows = [("n_requests", *[_half_up(w * 1000000000.0) for w in wa])]
+    return spark.createDataFrame(
+        rows,
+        "target string, w0_nano long, w1_nano long, w2_nano long, "
+        "w3_nano long",
+    )
+
+
+@register(
+    "load_ridge_error_summary",
+    oracle=f"""
+    {_ld_oracle_head()}, te AS MATERIALIZED (
+      SELECT f.* FROM feat f CROSS JOIN bounds b
+      WHERE f.minute_epoch_s > b.tmin + ((b.tmax - b.tmin) * 8) // 10
+    ), ea AS (
+      SELECT CAST(ROUND(abs(ya - ({_rg_z_sql("wa")})) * 1000000.0, 0)
+               AS BIGINT) AS err,
+             CAST(ROUND(abs(ya - x1) * 1000000.0, 0) AS BIGINT) AS perr
+      FROM te CROSS JOIN wa
+    )
+    SELECT 'n_requests' AS target,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(ROUND(SUM(err) * 1.0 / COUNT(*), 0) AS BIGINT)
+             AS mae_micro,
+           CAST(ROUND(SUM(perr) * 1.0 / COUNT(*), 0) AS BIGINT)
+             AS persistence_mae_micro
+    FROM ea
+    """,
+)
+def load_ridge_error_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVAL rung for the load model: held-out MAE next to the
+    PERSISTENCE baseline (ŷ = last minute's load — the naive
+    forecaster MASE normalizes by, `forecast_backtest_hourly_load`'s
+    yardstick on the minute grain). A forecaster worth shipping must
+    beat persistence; the margin is pinned in tests/test_r19.py."""
+    feats, cutoff, wa, _ = _ld_fit(spark, sf_dir)
+    te = feats.filter(F.col("minute_epoch_s") > cutoff)
+    err = "cast(round(abs({} - ({})) * 1000000.0, 0) as bigint)"
+    scored = te.select(
+        F.expr(err.format("ya", _pred_text(wa))).alias("err"),
+        F.expr(err.format("ya", "x1")).alias("perr"),
+    )
+    return scored.agg(
+        F.lit("n_requests").alias("target"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.expr(
+            "cast(round(sum(err) * 1.0 / count(1), 0) as bigint)"
+        ).alias("mae_micro"),
+        F.expr(
+            "cast(round(sum(perr) * 1.0 / count(1), 0) as bigint)"
+        ).alias("persistence_mae_micro"),
+    )

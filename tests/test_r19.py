@@ -158,6 +158,21 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+def test_load_ridge_beats_persistence(spark):
+    """MLE goal 1's forecaster must beat the naive persistence
+    baseline (ŷ = last minute's load) on the held-out tail — measured
+    42× at sf0.001 (the sparse fixture's load is ≈1 req/min, which the
+    intercept captures and persistence cannot: any zero-minute gap
+    costs persistence a full unit)."""
+    from dataengineerchallenge_spark.queries.regressor import (
+        load_ridge_error_summary,
+    )
+
+    r = load_ridge_error_summary(spark, SF_DIR).collect()[0]
+    assert r["n_test"] > 0
+    assert r["mae_micro"] < r["persistence_mae_micro"]
+
+
 def test_kmv_day_store_full_fold_equals_batch(spark):
     """Folding ALL KMV day slices (dedup + re-rank) must reproduce the
     batch rung's kth-minimum per type — bottom-k mergeability as a
