@@ -583,6 +583,7 @@ Row counts agree across all three modes (asserted in the bench)."""
     # spectral bipartition, batched betweenness
     ridge_w = {r["target"]: r for r in run("session_length_ridge")}
     ridge_err = {r["target"]: r for r in run("session_ridge_error_summary")}
+    ld_err = run("load_ridge_error_summary")[0]
     ridge_bench = load_artifact("BENCH_ridge.json")
     ridge_price_para = ""
     if ridge_bench:
@@ -1195,7 +1196,7 @@ registers subtract, which re-fold) is in SURVEY §2.11 RET+.{elb_para}
 
 ## 5.11 Round-19 readouts: the reference's own predictions, hash-green
 
-### MLE goals 2-3 answered exactly
+### All three MLE goals answered exactly
 
 The exact ridge regressor (`session_length_ridge`) trains BOTH per-IP
 models the reference asks for (README.md:21-23) from ONE integerized
@@ -1206,6 +1207,15 @@ train-mean baseline's {ridge_err["avg_session_s"]["baseline_mae_micro"] / 1e6:.2
 {ridge_err["avg_session_s"]["n_test"]} unseen users; the unique-URL model shows the same shape
 ({ridge_err["avg_unique_urls"]["mae_micro"] / 1e6:.4f} vs {ridge_err["avg_unique_urls"]["baseline_mae_micro"] / 1e6:.4f}).
 {ridge_price_para}
+
+MLE goal 1 closes the same way: `next_minute_load_ridge` forecasts
+next-minute load from (prev_1m, avg_5m, minute_of_hour) under a
+temporal 80/20 integer-cutoff split (the future never leaks), and
+`load_ridge_error_summary` reports held-out MAE
+{ld_err["mae_micro"] / 1e6:.2f} requests vs the persistence forecaster's
+{ld_err["persistence_mae_micro"] / 1e6:.2f} on {ld_err["n_test"]} held-out minutes — every ML
+question the reference poses (README.md:19-23) now trains, scores
+and grades inside the hash gate.
 
 Both trainers now have ONLINE twins: the ridge's per-epoch state is
 EXACTLY 18 bigint moment registers (`stream_session_length_ridge` —
