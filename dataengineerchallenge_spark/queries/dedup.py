@@ -2195,10 +2195,14 @@ def near_dup_minhash_retracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = spark.read.parquet(
         _staged_minhash_bands_explicit_appended(spark, sf_dir)
     ).join(F.broadcast(tombstones), "doc_id", "left_anti")
-    # size the collision-join estimate from the LIVE batch (tombstoned
-    # docs are already excluded from `new`, ~10% of the delivery slice —
-    # the full-slice count would overstate the broadcast/shuffle size)
-    batch_band_rows = new.count() * (_MH_HASHES // _MH_BAND_ROWS)
+    # size the collision-join estimate from the LIVE batch — free
+    # arithmetic on the already-known n_docs (no extra Spark action):
+    # the delivery slice is [split2, n_docs) and the takedown rule
+    # removes exactly the doc_id % 10 == 0 tenth of it
+    live_new = (n_docs - split2) - (
+        (n_docs - 1) // 10 - (split2 - 1) // 10
+    )
+    batch_band_rows = live_new * (_MH_HASHES // _MH_BAND_ROWS)
     cand = D.band_collision_pairs(
         store, new_bands, batch_band_rows=batch_band_rows
     ).unionByName(D.band_collision_pairs(new_bands))

@@ -73,6 +73,11 @@ from dataengineerchallenge_spark.registry import register
 from dataengineerchallenge_spark.sources.tables import load_table
 
 _RG_LAM = 0.015625  # 2^-6 — exact in binary, exact diagonal shift
+# int64 saturation guard for the 1e-8-grid moment registers: Spark's
+# non-ANSI double→bigint cast clamps at ±(2^63−1) silently while DuckDB
+# errors, so a register anywhere near the edge means the two engines
+# have already diverged. 9e17 leaves a ~10× margin under 2^63 ≈ 9.22e18.
+_RG_REG_BOUND = int(9e17)
 _RG_MOD = 10
 _RG_TRAIN_BUCKETS = 8
 _RG_SALT = "~ridge"
@@ -145,6 +150,15 @@ def ridge_solve(
             "ridge fit: NULL moment registers — the training frame is "
             "empty (sum over zero rows); fit needs at least one user"
         )
+    for n in _RG_REG_NAMES:
+        if abs(row[n]) > _RG_REG_BOUND:
+            raise RuntimeError(
+                f"ridge fit: moment register {n} = {row[n]} exceeds the "
+                f"int64 headroom bound {_RG_REG_BOUND} — the 1e-8 grid "
+                "saturates on this corpus; coarsen the grid rather than "
+                "let Spark's non-ANSI cast truncate silently "
+                "(raise-don't-truncate)"
+            )
     henv = {
         f"h{k}{l}d": row[f"h{k}{l}"] / 100000000.0 for (k, l) in _RG_HKEYS
     }
@@ -677,3 +691,131 @@ def load_ridge_error_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(round(sum(perr) * 1.0 / count(1), 0) as bigint)"
         ).alias("persistence_mae_micro"),
     )
+
+
+_LD_REG_NAMES = [f"h{k}{l}" for (k, l) in _RG_HKEYS] + [
+    f"ga{i}" for i in range(4)
+]
+_LD_REG_TERMS = [_RG_HTERMS[kl] for kl in _RG_HKEYS] + _rg_gterms("ya")
+
+
+def _staged_load_feature_stream(spark: SparkSession, sf_dir: str) -> str:
+    """(minute_epoch_s, x1, x2, x3, ya) feature rows written as 4
+    hash-partitioned files for the multi-micro-batch replay — the load
+    twin of `_staged_ridge_feature_stream`."""
+    from pathlib import Path
+
+    from dataengineerchallenge_spark.sources.sinks import write_result
+    from dataengineerchallenge_spark.staging import staged
+
+    def build(out: Path) -> None:
+        write_result(
+            _ld_feats(spark, sf_dir).repartition(4, "minute_epoch_s"),
+            str(out),
+        )
+
+    return staged(
+        spark,
+        "load_feats",
+        Path(sf_dir) / "events.parquet",
+        "load_feature_stream:v1",
+        build,
+    )
+
+
+@register(
+    "stream_next_minute_load_ridge",
+    oracle=f"""
+    {_ld_oracle_head()}
+    SELECT 'n_requests' AS target,
+           CAST(ROUND(w0 * 1000000000.0, 0) AS BIGINT) AS w0_nano,
+           CAST(ROUND(w1 * 1000000000.0, 0) AS BIGINT) AS w1_nano,
+           CAST(ROUND(w2 * 1000000000.0, 0) AS BIGINT) AS w2_nano,
+           CAST(ROUND(w3 * 1000000000.0, 0) AS BIGINT) AS w3_nano
+    FROM wa
+    """,
+)
+def stream_next_minute_load_ridge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ONLINE twin of ``next_minute_load_ridge`` (VERDICT r19 next-round
+    #5) — MLE goal 1 is the naturally online question ("expected load in
+    the NEXT minute"), and its trainer state is the same linear moment
+    registers as the session ridge: 14 bigints (10 Hessian + 4 gradient,
+    one target), so each micro-batch aggregates its own partial
+    registers over its train-window rows and commits them under an
+    epoch_id-keyed overwrite; the drained fold is one 14-column SUM and
+    :func:`ridge_solve` closes through the identical Cramer arithmetic
+    (gb aliased to ga — the 2-target contract, second solve discarded).
+    The temporal cutoff is computed once from the staged payload before
+    the stream starts — in production the train-window boundary is
+    fixed configuration by train time, and a row's membership is then
+    row-local, exactly like the session twin's bucket predicate. Shares
+    the batch rung's closed-form oracle hash-for-hash; stream ≡ batch
+    weights pinned bit-for-bit in pytest."""
+    import shutil
+    import tempfile
+
+    payload = _staged_load_feature_stream(spark, sf_dir)
+    b = (
+        spark.read.parquet(payload)
+        .agg(
+            F.min("minute_epoch_s").alias("tmin"),
+            F.max("minute_epoch_s").alias("tmax"),
+        )
+        .collect()[0]
+    )
+    cutoff = b["tmin"] + ((b["tmax"] - b["tmin"]) * 8) // 10
+    schema = spark.read.parquet(payload).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(payload)
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_graft_stream_loadridge_")
+    regs_dir, ckpt = f"{scratch}/regs", f"{scratch}/ckpt"
+
+    def update(mb: DataFrame, epoch_id: int) -> None:
+        # epoch_id-keyed overwrite: idempotent under micro-batch retry
+        reg = mb.filter(F.col("minute_epoch_s") <= cutoff).agg(
+            *[
+                F.expr(t).alias(n)
+                for n, t in zip(_LD_REG_NAMES, _LD_REG_TERMS)
+            ]
+        )
+        # an all-holdout batch sums over zero rows -> NULL registers;
+        # drop the row (contributes nothing) instead of folding NULLs
+        reg.na.drop().write.mode("overwrite").parquet(
+            f"{regs_dir}/epoch_id={epoch_id}"
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(update)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "load ridge stream did not drain availableNow input in 300s"
+            )
+        row = (
+            spark.read.parquet(regs_dir)
+            .agg(*[F.sum(n).alias(n) for n in _LD_REG_NAMES])
+            .collect()[0]
+        )
+        regs = {n: row[n] for n in _LD_REG_NAMES}
+        for i in range(4):
+            regs[f"gb{i}"] = regs[f"ga{i}"]  # 2-target contract
+        wa, _, _, _ = ridge_solve(regs)
+        result = spark.createDataFrame(
+            [("n_requests", *[_half_up(w * 1000000000.0) for w in wa])],
+            "target string, w0_nano long, w1_nano long, w2_nano long, "
+            "w3_nano long",
+        )
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(scratch, ignore_errors=True)
+    return result

@@ -1121,13 +1121,18 @@ def ivf_pq_trained_rerank_k64_topk(spark: SparkSession, sf_dir: str) -> DataFram
 # predicate — ivf_pq_serve_fresh_topk: all compute the same math, so the
 # same SQL is the truth for all. ``limit`` widens the per-query cut for
 # the exact re-rank rung's candidate stage (top-R, not top-k).
-def _oracle_ivf_pq(qpred: str, limit: int = _TOP_K, cand_pred: str = "") -> str:
+def _oracle_ivf_pq(
+    qpred: str, limit: int = _TOP_K, cand_pred: str = "", n_probes: int = 2
+) -> str:
     """``cand_pred`` restricts the CANDIDATE side only (the retraction
-    rung passes the takedown predicate): the index — centroids,
-    assignments, codes — is the frozen full-corpus build, and retraction
-    removes vectors from the served inverted lists, exactly the FAISS
-    remove_ids semantics (quantizer untouched, same as appends serve
-    against frozen codebooks)."""
+    rung passes the takedown predicate, the pre-filtered rung the
+    metadata predicate): the index — centroids, assignments, codes — is
+    the frozen full-corpus build, and retraction removes vectors from
+    the served inverted lists, exactly the FAISS remove_ids semantics
+    (quantizer untouched, same as appends serve against frozen
+    codebooks). ``n_probes`` widens the per-query probe cut (the
+    post-filtered rung's recall lever); default 2 keeps every existing
+    oracle byte-identical."""
     return (
         _oracle_pq(qpred)
         + f"""
@@ -1146,7 +1151,7 @@ def _oracle_ivf_pq(qpred: str, limit: int = _TOP_K, cand_pred: str = "") -> str:
     probes AS (
       SELECT vec_id AS query_id, clabel AS probe_label
       FROM csims WHERE {qpred}
-      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) <= 2
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) <= {n_probes}
     ),
     cand AS (
       SELECT p.query_id, a.vec_id
@@ -1764,6 +1769,151 @@ def ivf_pq_serve_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vroot = _staged_ivfpq_vectors(spark, sf_dir)
     batch = spark.read.parquet(_staged_fresh_query_batch(spark, sf_dir))
     return _rerank_from_index(spark, root, vroot, batch)
+
+
+# ---------------------------------------------------------------------------
+# Attribute-FILTERED ANN serve (VERDICT r19 next-round #1): top-k under a
+# metadata predicate — the single most common production vector-search
+# request ("similar docs WHERE lang = 'en'"). Both standard strategies,
+# hash-green, sharing one predicate TEXT consumed verbatim by Spark
+# (F.expr) and DuckDB (WHERE clause), on the documents frame joined by
+# doc_id == vec_id. Selectivity tiers for the recall pin + crossover
+# bench (tools/bench_annfilter.py): fraction-passing measured on the
+# fixture corpus in tests/test_vectors.py.
+_ANNFILT_PRED = "lang = 'en'"  # medium tier (~40% pass) — the registered one
+_ANNFILT_PRED_HIGH = "n_chars >= 100"  # high tier (~90% pass)
+_ANNFILT_PRED_LOW = "lang = 'en' AND n_chars >= 400"  # low tier (~8% pass)
+_ANNFILT_POST_PROBES = 4  # post-filter widens the probe budget 2 -> 4
+
+
+def _annfilt_allowed(
+    spark: SparkSession, sf_dir: str, pred: str = _ANNFILT_PRED
+) -> DataFrame:
+    """(vec_id) rows passing the metadata predicate — the broadcast
+    filter frame both filtered rungs consume. One column-pruned scan of
+    the documents metadata (doc_id == vec_id by fixture contract, the
+    same link embedding_source_centroid_similarity rides)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.expr(pred))
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+
+
+def _annfilt_cand_pred(pred: str) -> str:
+    """The oracle-side twin of `_annfilt_allowed`, injected into the
+    IVF-PQ oracle's cand CTE so the predicate restricts candidates
+    exactly where the Spark semi-join does."""
+    return f" AND a.vec_id IN (SELECT doc_id FROM documents WHERE {pred})"
+
+
+def _prefiltered_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    pred: str = _ANNFILT_PRED,
+    n_probes: int = 2,
+) -> DataFrame:
+    """PRE-FILTER body (parameterized over predicate + probes so the
+    bench/pin sweep runs the exact registered dataflow): the predicate
+    is pushed INTO the inverted-list scan — a broadcast semi-join on the
+    codes rows BEFORE any ADC scoring — so filtered-out vectors never
+    reach the lookup join. Per-query work shrinks WITH the filter; the
+    risk is the opposite end: at low selectivity the probed lists may
+    hold fewer than k passing vectors (the filtered-ANN starvation
+    problem), which this strategy answers with fewer-than-k rows rather
+    than widened probes."""
+    root = _staged_ivfpq_index(spark, sf_dir)
+    batch = spark.read.parquet(_staged_fresh_query_batch(spark, sf_dir))
+    probes, qlut = _fresh_query_luts(spark, root, batch, n_probes)
+    codes = spark.read.parquet(f"{root}/codes")
+    live = codes.join(
+        F.broadcast(_annfilt_allowed(spark, sf_dir, pred)), "vec_id", "left_semi"
+    )
+    return _adc_serve_topk(live, probes, qlut)
+
+
+def _postfiltered_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    pred: str = _ANNFILT_PRED,
+    n_probes: int = _ANNFILT_POST_PROBES,
+    r: int = _RERANK_R,
+) -> DataFrame:
+    """POST-FILTER body: serve UNfiltered with a widened probe budget
+    ({_ANNFILT_POST_PROBES} probes, ADC top-``r`` candidates), then
+    apply the predicate to the candidates and exact-rerank the
+    survivors to top-k from their true float vectors (the second
+    DPP-pruned seek `ivf_pq_serve_rerank_topk` uses). Candidate
+    generation cost does NOT shrink with the filter — the widened
+    probes are the hedge against post-filter starvation, and at low
+    selectivity even they starve (measured in BENCH_annfilter.json)."""
+    root = _staged_ivfpq_index(spark, sf_dir)
+    vroot = _staged_ivfpq_vectors(spark, sf_dir)
+    batch = spark.read.parquet(_staged_fresh_query_batch(spark, sf_dir))
+    probes, qlut = _fresh_query_luts(spark, root, batch, n_probes)
+    codes = spark.read.parquet(f"{root}/codes")
+    cand = _adc_serve_candidates(codes, probes, qlut, r)
+    kept = cand.join(
+        F.broadcast(_annfilt_allowed(spark, sf_dir, pred)), "vec_id", "left_semi"
+    )
+    return _exact_rerank_tail(spark, vroot, batch, kept)
+
+
+@register(
+    "ivf_pq_serve_filtered_topk",
+    oracle=_oracle_ivf_pq(
+        f"vec_id >= {_FRESH_LO} AND vec_id < {_FRESH_HI}",
+        cand_pred=_annfilt_cand_pred(_ANNFILT_PRED),
+    ),
+)
+def ivf_pq_serve_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-filtered ANN serve, PRE-FILTER strategy (VERDICT r19
+    next-round #1a): top-k similar under ``{_ANNFILT_PRED}``, the
+    predicate pushed into the inverted-list scan before ADC scoring —
+    a broadcast semi-join of the metadata-passing vec_ids against the
+    bucket-partitioned codes, riding the same DPP-pruned probe seek as
+    ``ivf_pq_serve_topk``. This is the strategy that WINS at low
+    selectivity (the ADC work shrinks with the filter) and at 100 TB it
+    is a metadata-pushdown into the list scan, never a corpus pass.
+    Hash-green: the oracle is the shared IVF-PQ SQL with the identical
+    predicate restricting its cand CTE."""
+    return _prefiltered_serve(spark, sf_dir)
+
+
+@register(
+    "ivf_pq_serve_postfiltered_topk",
+    oracle=f"""
+    SELECT c.query_id, c.vec_id,
+           round(list_cosine_similarity(q.embedding, v.embedding), 4) AS cosine
+    FROM ({_oracle_ivf_pq(
+        f"vec_id >= {_FRESH_LO} AND vec_id < {_FRESH_HI}",
+        limit=_RERANK_R,
+        n_probes=_ANNFILT_POST_PROBES,
+    )}) c
+    JOIN documents d ON d.doc_id = c.vec_id AND ({_ANNFILT_PRED})
+    JOIN embeddings q ON q.vec_id = c.query_id
+    JOIN embeddings v ON v.vec_id = c.vec_id
+    QUALIFY row_number() OVER (PARTITION BY c.query_id
+             ORDER BY list_cosine_similarity(q.embedding, v.embedding) DESC,
+                      c.vec_id) <= {_TOP_K}
+    """,
+)
+def ivf_pq_serve_postfiltered_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Attribute-filtered ANN serve, POST-FILTER strategy (VERDICT r19
+    next-round #1b): serve UNfiltered with a widened probe budget
+    ({_ANNFILT_POST_PROBES} probes vs the default 2) to ADC
+    top-{_RERANK_R}, THEN apply ``{_ANNFILT_PRED}`` to the candidates
+    and exact-rerank the survivors to top-{_TOP_K}. The standard
+    filtered-search fallback when the index cannot push predicates:
+    candidate cost is selectivity-independent, and the widened budget
+    is the hedge against starvation — which still loses at low
+    selectivity (recall-vs-selectivity pinned in tests/test_vectors.py,
+    crossover vs pre-filter measured in BENCH_annfilter.json).
+    Hash-green end-to-end: widened-probe IVF-PQ oracle cut at top-R,
+    predicate join, exact-cosine rerank — each stage the shared SQL."""
+    return _postfiltered_serve(spark, sf_dir)
 
 
 @register(

@@ -154,6 +154,11 @@ def main() -> None:
         tuple(r) for r in hll_user_counts_retracted(spark, sf).collect()
     )
     assert a == b, "hll refold != rebuild"
+    ka = sorted(tuple(r) for r in kmv_rebuild().collect())
+    kb = sorted(
+        tuple(r) for r in kmv_user_counts_retracted(spark, sf).collect()
+    )
+    assert ka == kb, "kmv refold != rebuild"
 
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

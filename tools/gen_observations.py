@@ -511,7 +511,11 @@ micro-batch, with stream-vs-batch row parity pinned in pytest.
     w_fin = irls[-1]
     # derive the sign reading from the ACTUAL trained weights — a
     # retrain that flips a sign must flip the prose with it
-    _dir = lambda nano: ("up (", "> 0)") if nano > 0 else ("down (", "< 0)")  # noqa: E731
+    _dir = lambda nano: (  # noqa: E731
+        ("up (", "> 0)")
+        if nano > 0
+        else (("down (", "< 0)") if nano < 0 else ("flat (", "= 0)"))
+    )
     w3_dir = _dir(w_fin["w3_nano"])
     w2_dir = _dir(w_fin["w2_nano"])
     qc_sign_note = (
