@@ -1917,6 +1917,45 @@ def ivf_pq_serve_postfiltered_topk(
 
 
 @register(
+    "ivf_pq_serve_filtered_retracted_topk",
+    oracle=_oracle_ivf_pq(
+        f"vec_id >= {_FRESH_LO} AND vec_id < {_FRESH_HI}",
+        cand_pred=" AND a.vec_id % 10 != 0"
+        + _annfilt_cand_pred(_ANNFILT_PRED),
+    ),
+)
+def ivf_pq_serve_filtered_retracted_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILTERED ∘ RETRACTED composition (VERDICT r19 stretch #7): the
+    lifecycle must stay closed as the serve surface widens — tombstoned
+    vectors (vec_id % 10 == 0, the shared takedown rule) must vanish
+    from FILTERED serves too, by construction, not by accident of rung
+    structure. The tombstone anti-join is applied to the inverted code
+    lists FIRST (the retraction is a property of the store), then the
+    metadata semi-join prunes the survivors (the filter is a property
+    of the request); both are broadcast-delta-sized and ride the same
+    DPP-pruned probe seek, so composing them adds no new shuffle.
+    Graded against the shared IVF-PQ oracle with BOTH predicates on its
+    cand CTE: a green row proves serve-time tombstoning composed with
+    the pushed filter ≡ a list rebuild without the tombstoned vectors,
+    filtered — live rows passing the predicate, exactly."""
+    root = _staged_ivfpq_index(spark, sf_dir)
+    batch = spark.read.parquet(_staged_fresh_query_batch(spark, sf_dir))
+    probes, qlut = _fresh_query_luts(spark, root, batch, 2)
+    codes = spark.read.parquet(f"{root}/codes")
+    tombstones = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .filter(F.col("vec_id") % 10 == 0)
+    )
+    live = codes.join(F.broadcast(tombstones), "vec_id", "left_anti").join(
+        F.broadcast(_annfilt_allowed(spark, sf_dir)), "vec_id", "left_semi"
+    )
+    return _adc_serve_topk(live, probes, qlut)
+
+
+@register(
     "ann_serve_recall_at_k",
     oracle=f"""
     WITH approx AS (
