@@ -58,7 +58,11 @@ HEADLINE = [
     "incremental_sessionize_merge",  # W2+ state merge (round 3)
     "dq_referential_integrity",      # N+ audit battery (round 3)
     "multimodal_synth_codec_audit",  # N5 codec encode/decode (round 4)
-    "ivf_pq_serve_topk",             # N3 serve-only path over the prebuilt index (round 6)
+    # ivf_pq_serve_topk rotated out r20 (query budget): the filtered
+    # serve added below times a strict SUPERSET of the same staged
+    # serve plan (identical DPP-pruned list seek + ADC scoring, plus
+    # the predicate semi-join); the unfiltered point stays priced in
+    # BENCH_ann.json. Registered and sweep-checked as before.
     # ivf_pq_serve_fresh_topk rotated out r15 (byte budget): the residual
     # rung below exercises the same fresh-batch routing plus the faithful
     # IVFADC scoring — strictly a superset of the retired plan.
@@ -127,6 +131,15 @@ HEADLINE = [
     "quality_classifier_scored_auc",         # QC trained IRLS filter: train -> score -> eval (round 18)
     "copurchase_weighted_distances",         # G12 min-plus Bellman-Ford from the staged edge store (round 18)
     "session_length_ridge",                  # RG exact normal-equation trainer, one moment pass (round 19)
+    "ivf_pq_serve_filtered_topk",            # N3-filt attribute-filtered ANN serve, predicate pushed into the list scan (round 20)
+    # ivf_pq_serve_postfiltered_topk / ivf_pq_serve_filtered_retracted_topk
+    # are registry-only: same staged serve plan family as the line above
+    # (widened probes / one extra anti-join); the strategy crossover is
+    # priced where it belongs, BENCH_annfilter.json.
+    # copurchase_spectral_profile / copurchase_spectral_quadrants are
+    # registry-only for the same reason as the bipartition below: 2×48
+    # checkpointed rounds of tiny joins times the scheduler, and the
+    # cadence question has its own artifact (BENCH_spectral.json).
     # copurchase_spectral_bipartition is registry-only: 48 checkpointed
     # rounds of tiny joins means timing it times the scheduler, and its
     # per-round profile is the staged join+agg shape pagerank_staged

@@ -14,6 +14,15 @@
   bit-for-bit (the session twin's pin, on the time axis).
 - ridge register headroom guard: a register beyond the int64 bound
   raises a described error instead of truncating (ADVICE r19).
+- spectral profile / quadrants: K_m closed form (both deflated
+  directions read λ̂ = m bit-for-bit on the 1e-6 grid), the 4-clique
+  chain's two-eigenpair structure (quadrants recover all four blocks;
+  direction 1 splits halves, direction 2 ends-vs-middle), and the
+  sf0.01 conductance readout (quadrants refine the bipartition
+  exactly; every quadrant < 0.5 while the 2-way cut is 0.28).
+- betweenness accuracy-vs-pivots: doubling the pivot budget improves
+  rank accuracy vs exact all-sources Brandes, and the integer-grid
+  scores rank exactly like the float estimator (rho = 1.0).
 """
 
 from __future__ import annotations
@@ -180,3 +189,197 @@ def test_ridge_register_bound_raises():
     row["h00"] = _RG_REG_BOUND + 1
     with pytest.raises(RuntimeError, match="headroom"):
         ridge_solve(row)
+
+
+def _km_edges(spark, m):
+    """Complete graph K_m, symmetric edge list."""
+    rows = [(a, b) for a in range(m) for b in range(m) if a != b]
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_spectral_profile_km_exact_eigenvalue(spark):
+    """On K_m every zero-sum vector is an exact Laplacian eigenvector
+    with eigenvalue m, and both deflated directions live in that
+    subspace up to renorm floor error |Σx| < n — so the Rayleigh
+    readout λ̂ = m − (Σx)²/xᵀx rounds to m on the 1e-6 grid
+    bit-for-bit (the closed-form pin the profile rung's docstring
+    promises)."""
+    from dataengineerchallenge_spark.queries.graph import (
+        _sb_lambda_text,
+        _sb_rayleigh,
+        spectral_second_direction,
+        spectral_smoothing,
+    )
+
+    m = 6
+    e = _km_edges(spark, m)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    degc = deg.localCheckpoint()
+    c = 2 * (m - 1)
+    lam = _sb_lambda_text(str(c))
+    x1 = spectral_smoothing(spark, e)
+    x2 = spectral_second_direction(spark, e, x1)
+    for x in (x1, x2):
+        row = (
+            _sb_rayleigh(x, e, degc, c)
+            .select(F.expr(lam).alias("l"))
+            .collect()[0]
+        )
+        assert row["l"] == m * 1_000_000
+
+
+def _clique_chain_edges(spark, k=4, cliques=4):
+    """Path of `cliques` K_k blocks bridged tail-to-head — the
+    two-eigenpair closed-form graph: v2 splits (A,B | C,D), v3 splits
+    (A,D | B,C), so the quadrant labels separate all four blocks."""
+    rows = []
+    for ci in range(cliques):
+        base = ci * k
+        for a in range(k):
+            for b in range(a + 1, k):
+                rows += [(base + a, base + b), (base + b, base + a)]
+    for ci in range(cliques - 1):
+        u, v = ci * k + k - 1, (ci + 1) * k
+        rows += [(u, v), (v, u)]
+    return rows
+
+
+def test_spectral_quadrants_recover_clique_chain(spark):
+    """4-clique chain: within-block signs are uniform in BOTH
+    directions, the four (sign1, sign2) quadrant labels are all
+    distinct, direction 1 groups the chain halves (A,B | C,D) and
+    direction 2 groups ends-vs-middle (A,D | B,C) — the known
+    two-eigenpair structure of a path quotient."""
+    from dataengineerchallenge_spark.queries.graph import (
+        spectral_second_direction,
+        spectral_smoothing,
+    )
+
+    k, cliques = 4, 4
+    e = spark.createDataFrame(
+        _clique_chain_edges(spark, k, cliques), "src long, dst long"
+    )
+    x1f = spectral_smoothing(spark, e)
+    x1 = {r["node"]: r["v"] for r in x1f.collect()}
+    x2 = {
+        r["node"]: r["v"]
+        for r in spectral_second_direction(spark, e, x1f).collect()
+    }
+    s1 = {v: 1 if x1[v] > 0 else 0 for v in x1}
+    s2 = {v: 1 if x2[v] > 0 else 0 for v in x2}
+    blocks = [
+        [ci * k + a for a in range(k)] for ci in range(cliques)
+    ]
+    lab = []
+    for blk in blocks:
+        b1 = {s1[v] for v in blk}
+        b2 = {s2[v] for v in blk}
+        assert len(b1) == 1 and len(b2) == 1
+        lab.append((b1.pop(), b2.pop()))
+    assert len(set(lab)) == 4
+    # direction 1: chain halves; direction 2: ends vs middle
+    assert lab[0][0] == lab[1][0] != lab[2][0] == lab[3][0]
+    assert lab[0][1] == lab[3][1] != lab[1][1] == lab[2][1]
+
+
+def test_spectral_quadrants_refine_bipartition_sf001(spark, qs):
+    """sf0.01 conductance readout (the quadrants rung's promised pin):
+    the 4-way partition REFINES the bipartition exactly (side ==
+    bipartition side per node — both read the same direction-1
+    iterate), all four quadrants are substantively populated (measured
+    465/572/429/426), and the conductance price of the finer cut is
+    honest: every quadrant's conductance stays below 0.5 (measured
+    0.39–0.47) while the 2-way cut sits at 0.28 — smaller parts have
+    smaller volume, so refinement costs conductance by construction;
+    what the pin guards is that no quadrant degenerates into a
+    near-random shred (≥ 0.5 would mean more cut than kept)."""
+    sf01 = "/root/testdata/sf0.01"
+    from dataengineerchallenge_spark.queries.graph import (
+        _staged_copurchase_edges,
+    )
+
+    quad = {
+        r["part_key"]: (r["side"], r["quadrant"])
+        for r in qs["copurchase_spectral_quadrants"](spark, sf01).collect()
+    }
+    bip = {
+        r["part_key"]: r["side"]
+        for r in qs["copurchase_spectral_bipartition"](spark, sf01).collect()
+    }
+    assert all(quad[v][0] == bip[v] for v in quad)
+    root = _staged_copurchase_edges(spark, sf01)
+    edges = [
+        (r["src"], r["dst"])
+        for r in spark.read.parquet(f"{root}/sym")
+        .filter(F.col("wr") >= 2)
+        .select("src", "dst")
+        .collect()
+        if r["src"] < r["dst"]
+    ]
+    m = len(edges)
+    labels = {q for _, q in quad.values()}
+    assert labels == {0, 1, 2, 3}
+    for lbl in labels:
+        assert sum(1 for _, q in quad.values() if q == lbl) >= 100
+        cut = sum(
+            1
+            for s, d in edges
+            if (quad[s][1] == lbl) != (quad[d][1] == lbl)
+        )
+        vol = sum(
+            1 for s, d in edges for v in (s, d) if quad[v][1] == lbl
+        )
+        assert cut / max(1, min(vol, 2 * m - vol)) < 0.5
+
+
+def test_betweenness_accuracy_improves_with_pivots(spark):
+    """The accuracy-vs-pivot-count pin (VERDICT r19 next-round #3) at
+    test SF: against exact all-sources Brandes (float, in-test — 200
+    sources), doubling the pivot budget must not lose rank accuracy
+    (measured sf0.001: rho 0.51 → 0.72, top-10 overlap 0.4 → 0.5), and
+    the integer-grid Spark scores must rank EXACTLY like the float
+    estimator run from the same pivots (rho = 1.0 — the 1e-9 grid
+    costs nothing in ordering). BENCH_betweenness.json carries the
+    sf0.01 curve the registered k=4 default is judged by."""
+    from pyspark.sql import functions as F
+
+    from dataengineerchallenge_spark.queries.graph import (
+        _staged_copurchase_edges,
+        pivot_betweenness_frame,
+    )
+    from tools.bench_betweenness import (
+        exact_brandes,
+        pivot_estimate,
+        spearman,
+    )
+
+    root = _staged_copurchase_edges(spark, SF_DIR)
+    canon = (
+        spark.read.parquet(f"{root}/sym")
+        .filter(F.col("wr") >= 2)
+        .select("src", "dst")
+    )
+    adj: dict = {}
+    for r in canon.collect():
+        adj.setdefault(r["src"], []).append(r["dst"])
+    exact = exact_brandes(adj)
+    by_deg = sorted(adj, key=lambda v: (-len(adj[v]), v))
+
+    rhos = {}
+    for k in (4, 8):
+        est = {
+            r["part_key"]: r["betweenness_nano"]
+            for r in pivot_betweenness_frame(spark, canon, k).collect()
+        }
+        nodes = sorted(est)
+        rhos[k] = spearman(
+            [float(est[v]) for v in nodes], [exact[v] for v in nodes]
+        )
+        ftwin = pivot_estimate(adj, by_deg[:k])
+        assert (
+            spearman(
+                [float(est[v]) for v in nodes], [ftwin[v] for v in nodes]
+            )
+            == 1.0
+        )
+    assert rhos[8] > rhos[4] > 0.5

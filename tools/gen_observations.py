@@ -616,6 +616,62 @@ justifies giving up the oracle hash."""
     for r in spec_rows:
         spec_sides[r["side"]] += 1
 
+    # r20 readouts: filtered ANN crossover, spectral profile/quadrants,
+    # betweenness accuracy-vs-pivots, spectral checkpoint cadence
+    annfilter_bench = load_artifact("BENCH_annfilter.json")
+    bc_bench = load_artifact("BENCH_betweenness.json")
+    spec_cad_bench = load_artifact("BENCH_spectral.json")
+    spec_lams = {
+        r["direction"]: r["lambda_l_micropoints"] / 1e6
+        for r in run("copurchase_spectral_profile")
+    }
+    quad_sizes: dict[int, int] = {}
+    for r in run("copurchase_spectral_quadrants"):
+        quad_sizes[r["quadrant"]] = quad_sizes.get(r["quadrant"], 0) + 1
+
+    annfilter_para = ""
+    if annfilter_bench:
+        tiers = annfilter_bench["tiers"]
+        hi, lo = tiers["high"], tiers["low"]
+        annfilter_para = f"""at high selectivity
+({hi["pass_frac"]:.0%} of the corpus passes `{hi["pred"]}`) post-filter's
+widened probes + exact rerank win recall ({hi["post"]["recall_at_k"]:.2f} vs
+{hi["pre"]["recall_at_k"]:.2f}); at low selectivity ({lo["pass_frac"]:.0%} passes
+`{lo["pred"]}`) the post-filter candidate set starves ({lo["post"]["rows"]} rows
+served vs pre's {lo["pre"]["rows"]}) while pre-filter holds recall
+{lo["pre"]["recall_at_k"]:.2f} ≥ post's {lo["post"]["recall_at_k"]:.2f}"""
+
+    bc_para = ""
+    if bc_bench:
+        cv = {c["pivots"]: c for c in bc_bench["curve"]}
+        ks = sorted(cv)
+        bc_para = f"""rank correlation vs exact climbs
+{" → ".join(f"{cv[k]['spearman_vs_exact']:.2f}" for k in ks)} over k = {"/".join(str(k) for k in ks)}
+while EXECUTIONS STAY PINNED at {cv[ks[0]]["execs"]} and wall clock flat
+(~{min(c["secs_median"] for c in cv.values()):.0f}–{max(c["secs_median"] for c in cv.values()):.0f} s) — pivot count scales the keyed frame's width, not
+the driver round-trips, so accuracy is the only axis that moves.
+Top-decile overlap climbs {" → ".join(f"{cv[k]['top_decile_overlap']:.2f}" for k in ks)}; exact-top-10
+identification stays hard at every k (0.1–0.3) because the exact head
+is a smooth near-tie band (top-30 scores span 83k→42k with no
+separated leaders) — an honest limit of ANY head-ranking estimator on
+this graph, not of the pivot budget"""
+
+    spec_cad_para = ""
+    if spec_cad_bench:
+        cads = spec_cad_bench["cadences"]
+        curve = " / ".join(
+            f"{cads[m]['median_s']:.0f} s" for m in sorted(cads, key=int)
+        )
+        spec_cad_para = f""". The checkpoint-cadence
+question (can m matvecs ride one execution barrier?) is now a
+MEASURED NEGATIVE (BENCH_spectral.json): {curve} at m = {"/".join(sorted(cads, key=int))} —
+each round references the prior iterate 4×, Spark materializes no
+common subtree without an exchange boundary, so fused-block work
+grows ~4^m while barriers shrink only linearly; per-round
+materialization is the optimal schedule for this loop shape and
+stays the registered default (trajectory asserted bit-identical at
+every cadence, so the dial was free to try)"""
+
     cc_chain = None
     if graph_bench:
         chain_keys = sorted(
@@ -1260,6 +1316,52 @@ power method's round budget — but the sign pattern reaches the
 low-eigenvalue good-cut subspace fast, which is what a bipartition
 needs. Its sibling `copurchase_pivot_betweenness` now batches all
 pivots into one keyed frame: 146 → 40 executions, hash unchanged.
+
+## 5.12 Round-20 readouts: filtered serving, the spectrum as a query, priced dials
+
+### Filtered ANN: the crossover, measured both ways
+
+`ivf_pq_serve_filtered_topk` (predicate pushed into the inverted-list
+scan before ADC scoring) and `ivf_pq_serve_postfiltered_topk`
+(widened probes, then filter + exact rerank) answer the most common
+production vector-search request — top-k WHERE metadata predicate —
+and BENCH_annfilter.json measures where each wins: {annfilter_para}.
+The registered default is the pre-filter (never starves, predicate
+prunes partitions before any distance math); the post-filter rung is
+the high-selectivity specialist. Composition with retraction stays
+closed: `ivf_pq_serve_filtered_retracted_topk` proves tombstoned
+vectors never surface from filtered serves either.
+
+### The spectrum is now a query
+
+`copurchase_spectral_profile` reads the Rayleigh quotient of both
+deflated directions off one extra exact matvec each — at {sf_dir.rsplit("/", 1)[-1]}
+λ̂(1) = {spec_lams.get(1, 0):.3f}, λ̂(2) = {spec_lams.get(2, 0):.3f} on the 1e-6 grid, hash-green against
+the fully-unrolled two-chain oracle (on K_m both read exactly m —
+the closed-form pin). `copurchase_spectral_quadrants` cuts on both
+sign patterns: a 4-way partition ({"/".join(str(quad_sizes[k]) for k in sorted(quad_sizes))} nodes) that exactly
+REFINES the bipartition, every quadrant's conductance < 0.5 vs the
+2-way cut's 0.28 — refinement costs conductance by construction
+(smaller parts, smaller volume), and the near-degenerate eigengap
+(λ3 − λ2 measured {abs(spec_lams.get(2, 0) - spec_lams.get(1, 0)):.3f} here) is named, not hidden: the two
+directions span the good-cut subspace; they are not resolved
+eigenvectors{spec_cad_para}.
+
+### Betweenness: the pivot dial now has a price tag
+
+BENCH_betweenness.json sweeps k = 4…64 pivots against exact
+all-sources Brandes (float, in-bench — the thing you cannot run at
+100 TB): {bc_para}. The registered rung keeps k = 4 — its hash is
+frozen by contract — and the integer-grid scores rank EXACTLY like
+the float estimator at every budget (ρ = 1.0): the 1e-9 grid costs
+nothing in ordering.
+
+### MLE goal 1 joins the online-twin family
+
+`stream_next_minute_load_ridge` commits the load forecaster's 14
+moment registers per epoch; the drained fold reproduces the batch
+weights bit-for-bit (pinned) and shares the batch oracle — every
+trainer in the repo is now an incremental store.
 
 ## 6. What additional data would sharpen these conclusions
 
