@@ -132,10 +132,11 @@ HEADLINE = [
     "copurchase_weighted_distances",         # G12 min-plus Bellman-Ford from the staged edge store (round 18)
     "session_length_ridge",                  # RG exact normal-equation trainer, one moment pass (round 19)
     "ivf_pq_serve_filtered_topk",            # N3-filt attribute-filtered ANN serve, predicate pushed into the list scan (round 20)
-    # ivf_pq_serve_postfiltered_topk / ivf_pq_serve_filtered_retracted_topk
-    # are registry-only: same staged serve plan family as the line above
-    # (widened probes / one extra anti-join); the strategy crossover is
-    # priced where it belongs, BENCH_annfilter.json.
+    # ivf_pq_serve_postfiltered_topk / ivf_pq_serve_filtered_rerank_topk /
+    # ivf_pq_serve_filtered_retracted_topk are registry-only: same staged
+    # serve plan family as the line above (widened probes / rerank tail /
+    # one extra anti-join); the strategy crossover is priced where it
+    # belongs, BENCH_annfilter.json.
     # copurchase_spectral_profile / copurchase_spectral_quadrants are
     # registry-only for the same reason as the bipartition below: 2×48
     # checkpointed rounds of tiny joins times the scheduler, and the

@@ -23,6 +23,9 @@
 - betweenness accuracy-vs-pivots: doubling the pivot budget improves
   rank accuracy vs exact all-sources Brandes, and the integer-grid
   scores rank exactly like the float estimator (rho = 1.0).
+- filtered rerank composition: the pre-filter + exact-rerank rung's
+  recall dominance over the plain pre-filter is structural (exact
+  ordering over a candidate superset), pinned per selectivity tier.
 """
 
 from __future__ import annotations
@@ -383,3 +386,29 @@ def test_betweenness_accuracy_improves_with_pivots(spark):
             == 1.0
         )
     assert rhos[8] > rhos[4] > 0.5
+
+
+def test_filtered_rerank_dominates_plain_prefilter(spark, qs):
+    """The composed rung's dominance is structural, not tuned: its
+    exact rerank runs over the ADC top-R candidates — a SUPERSET of
+    the plain pre-filtered rung's ADC top-k — and any true-top-k
+    member present in a candidate set is always selected by exact
+    ordering. So recall vs the filtered exact oracle is >= the plain
+    rung's, per tier. Also: every served row passes the predicate
+    (the contract a filtered serve owes)."""
+    from dataengineerchallenge_spark.queries.vectors import (
+        _ANNFILT_PRED,
+        _ANNFILT_PRED_HIGH,
+        _ANNFILT_PRED_LOW,
+        _prefiltered_rerank_serve,
+        _prefiltered_serve,
+    )
+
+    reg = qs["ivf_pq_serve_filtered_rerank_topk"](spark, SF_DIR).collect()
+    allowed = _allowed_ids(spark, _ANNFILT_PRED)
+    assert reg and all(r["vec_id"] in allowed for r in reg)
+    for pred in (_ANNFILT_PRED_HIGH, _ANNFILT_PRED, _ANNFILT_PRED_LOW):
+        exact = _exact_filtered_topk(spark, pred)
+        plain = _prefiltered_serve(spark, SF_DIR, pred).collect()
+        rr = _prefiltered_rerank_serve(spark, SF_DIR, pred).collect()
+        assert _recall(rr, exact) >= _recall(plain, exact)

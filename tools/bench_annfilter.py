@@ -10,6 +10,11 @@ serve under a metadata predicate, across three selectivity tiers.
          (`_postfiltered_serve`) — candidate cost is selectivity-
          independent; the widened budget hedges starvation but still
          loses recall when the filter passes few vectors.
+- pre_rerank : the production-best composition — pre-filter's pruned
+         candidate generation, then the exact rerank over the ADC
+         top-R survivors (`_prefiltered_rerank_serve`): same
+         candidate set as pre, exactly ordered, so recall >= pre's
+         by construction at ~equal cost.
 
 Both are measured for wall time (N warm samples, medians) AND recall
 against the FILTERED EXACT top-k (brute-force cosine over the
@@ -54,6 +59,7 @@ def main() -> None:
         _TOP_K,
         _annfilt_allowed,
         _postfiltered_serve,
+        _prefiltered_rerank_serve,
         _prefiltered_serve,
         _staged_fresh_query_batch,
         _staged_ivfpq_index,
@@ -136,22 +142,31 @@ def main() -> None:
         exact_rows = exact_filtered_topk(pred).collect()
         pre_rows, pre_t = timed(lambda: _prefiltered_serve(spark, sf, pred))
         post_rows, post_t = timed(lambda: _postfiltered_serve(spark, sf, pred))
+        prr_rows, prr_t = timed(
+            lambda: _prefiltered_rerank_serve(spark, sf, pred)
+        )
         out["tiers"][name] = {
             "pred": pred,
             "pass_frac": round(n_pass / n_emb, 4),
             "exact_pairs": len(exact_rows),
             "pre": dict(pre_t, recall_at_k=recall(pre_rows, exact_rows)),
             "post": dict(post_t, recall_at_k=recall(post_rows, exact_rows)),
+            "pre_rerank": dict(
+                prr_t, recall_at_k=recall(prr_rows, exact_rows)
+            ),
         }
 
     t = out["tiers"]
     out["readout"] = (
         "pre pushes the predicate into the list scan (cost shrinks with "
         "the filter, lists may starve); post widens probes 2->4 and "
-        "reranks (cost selectivity-independent). Crossover: "
+        "reranks (cost selectivity-independent); pre_rerank composes "
+        "pre's pruned candidates with the exact rerank. Crossover: "
         + "; ".join(
             f"{k}: pre {v['pre']['recall_at_k']}@{v['pre']['median_s']}s"
             f" vs post {v['post']['recall_at_k']}@{v['post']['median_s']}s"
+            f" vs pre_rerank {v['pre_rerank']['recall_at_k']}"
+            f"@{v['pre_rerank']['median_s']}s"
             for k, v in t.items()
         )
     )

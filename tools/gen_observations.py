@@ -640,6 +640,13 @@ widened probes + exact rerank win recall ({hi["post"]["recall_at_k"]:.2f} vs
 `{lo["pred"]}`) the post-filter candidate set starves ({lo["post"]["rows"]} rows
 served vs pre's {lo["pre"]["rows"]}) while pre-filter holds recall
 {lo["pre"]["recall_at_k"]:.2f} ≥ post's {lo["post"]["recall_at_k"]:.2f}"""
+        if "pre_rerank" in hi:
+            annfilter_para += f""". The composed
+`ivf_pq_serve_filtered_rerank_topk` (pre-filter's pruned candidates +
+the exact rerank — dominance structural: exact ordering over a
+candidate superset) beats BOTH at every tier
+({hi["pre_rerank"]["recall_at_k"]:.2f}/{tiers["medium"]["pre_rerank"]["recall_at_k"]:.2f}/{lo["pre_rerank"]["recall_at_k"]:.2f} recall high/medium/low, never starves)
+and is the recommended production default"""
 
     bc_para = ""
     if bc_bench:
@@ -1326,11 +1333,12 @@ scan before ADC scoring) and `ivf_pq_serve_postfiltered_topk`
 (widened probes, then filter + exact rerank) answer the most common
 production vector-search request — top-k WHERE metadata predicate —
 and BENCH_annfilter.json measures where each wins: {annfilter_para}.
-The registered default is the pre-filter (never starves, predicate
-prunes partitions before any distance math); the post-filter rung is
-the high-selectivity specialist. Composition with retraction stays
-closed: `ivf_pq_serve_filtered_retracted_topk` proves tombstoned
-vectors never surface from filtered serves either.
+The plain pre-filter stays the cheapest rung (predicate prunes
+partitions before any distance math), the post-filter rung is the
+no-pushdown fallback, and the composed rung is the one to serve.
+Composition with retraction stays closed:
+`ivf_pq_serve_filtered_retracted_topk` proves tombstoned vectors
+never surface from filtered serves either.
 
 ### The spectrum is now a query
 
