@@ -2620,13 +2620,14 @@ def spectral_second_direction(
     |p| ≤ 2ncG², |q| ≤ 2nc (S ≥ G² — the renorm pins max|x1| = G),
     |t| ≤ 2(n+1)cG, |n·t − Σt| ≤ 4(n+1)·n·c·G ≪ 2ncG².
 
-    Checkpoint cadence is 1 here, NOT direction 1's {_SB_CKPT}: the two
-    sequential one-row aggregates per round (projection p, then renorm
-    stats) give this round-plan reference multiplicity 8 on the prior
-    iterate, so fusing m rounds costs 8^m logical leaf copies — 512 at
-    m=3, measured to drown Catalyst (vs direction 1's 4^m). The
-    plan-depth vs round-trip trade lands on opposite sides for the two
-    loop shapes; BENCH_spectral.json carries the direction-1 sweep."""
+    Checkpoint cadence is 1, like direction 1's — but for an even
+    stronger reason: the two sequential one-row aggregates per round
+    (projection p, then renorm stats) give this round-plan reference
+    multiplicity 8 on the prior iterate, so fusing m rounds costs
+    ~8^m (measured to drown the engine at m=3 — 512 leaf copies —
+    before direction 1's 4^m sweep even showed fusion losing at m=2;
+    BENCH_spectral.json carries that direction-1 curve, the measured
+    negative that set both defaults to per-round)."""
     from dataengineerchallenge_spark.functions.hashing import spark_u32
 
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
