@@ -12,8 +12,12 @@ data touches the driver.
 Scale shape (100 TB edge set):
 - Edges are the big side and are touched once per iteration; ranks are
   |V| rows. Each iteration shuffles contributions on ``dst`` and joins
-  ranks on ``src`` — AQE broadcasts the |V|-row rank frame, so the join
-  leg is already map-side. Pre-partitioning the cached edges by ``dst``
+  ranks on ``src`` — the rank side carries an explicit broadcast hint
+  (``_bc``; r20 — AQE does NOT rescue the unrolled lazy plan: with no
+  materialized stage under the mid-plan iterate it planned
+  SortMergeJoin and re-sorted the edge cache every round, 95 s of task
+  time at sf0.1), so the join leg is map-side by construction.
+  Pre-partitioning the cached edges by ``dst``
   to make the contribution sum exchange-free was tried and measured
   SLOWER at 2.4M edges / 20k nodes (18.8 s vs 13.8 s: the upfront
   repartition of the full edge list costs more than five partial-agg
@@ -35,6 +39,54 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _bc(df: DataFrame) -> DataFrame:
+    """Broadcast hint for an ITERATE-side frame (|V|-bounded: ranks,
+    labels, frontiers, h-index values, per-node degrees) joined against
+    the loop-invariant |E|-row edge frame.
+
+    Why an explicit hint (guide §3.1): a mid-loop iterate is either a
+    localCheckpoint RDD or an unmaterialized join/agg chain — both give
+    the planner NO usable size estimate (default 8-EiB stats), so every
+    round's join planned as SortMergeJoin, re-exchanging AND re-sorting
+    the cached edge frame each round. Measured on
+    part_copurchase_pagerank_staged @ sf0.1 before the hint: 95 s of
+    task time for a 5.1 s wall, with a 73 MiB Exchange + Sort of the
+    2.39M-row edge cache in EVERY round (plans/r20/
+    part_copurchase_pagerank_staged_before.txt). AQE cannot rescue it:
+    the iterate side has no materialized shuffle stage below the join,
+    so no runtime stats exist at planning time.
+
+    Scale dial: ``spark.graft.graph.broadcastIterate`` (default true).
+    The iterate is |V| rows — node-table scale, NOT edge scale — so the
+    broadcast holds far beyond fixture sizes; on a cluster where |V|
+    itself outgrows the broadcast budget (billions of nodes), set the
+    conf to false and every join degrades to exactly the pre-hint
+    shuffle strategy. Join-strategy hints never change the result set;
+    for the two double-valued scores (pagerank, HITS) the oracle
+    sweeps re-verify the ROUND(4) values at all three SFs.
+
+    WHERE it applies is a measured per-operator decision, not a
+    blanket (r20 A/B, 3-sample medians @ sf0.1, both flag settings):
+    the hint wins exactly where the iterate join lives INSIDE a larger
+    lazy plan that AQE cannot re-optimize mid-execution — pagerank's
+    unrolled rounds (5.0 vs 5.6 s), hits' partition-preserving
+    half-steps (6.0 vs 6.6 s), the spectral loops (18.4 vs 23.1 s) and
+    batched-pivot betweenness (4.5 vs 5.9 s). In the per-round
+    localCheckpoint loops whose round is its own small execution
+    (star-CC 4.6 vs 3.4 s, coreness 7.4 vs 4.4 s, LPA 3.7 vs 2.1 s,
+    BFS hops 4.7 vs 4.5 s, min-plus SSSP 3.1 vs 2.8 s, walks 3.2 vs
+    2.8 s, SCC 24.9 vs 22.4 s) AQE already demotes the round join to
+    broadcast from materialized runtime stats with LESS serialized
+    build latency than the explicit hint, so those loops carry no
+    hint — forcing one there was measured strictly slower."""
+    if (
+        df.sparkSession.conf.get("spark.graft.graph.broadcastIterate", "true")
+        == "true"
+    ):
+        return F.broadcast(df)
+    return df
 
 
 def pagerank(
@@ -156,7 +208,7 @@ def pagerank(
     # write costs more than the bare re-scan it saves.
     # MEMORY_AND_DISK so an edge set bigger than executor memory spills
     # instead of failing; both frames are lazy until the first action.
-    eo = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    eo = e.join(_bc(outdeg), "src").persist(StorageLevel.MEMORY_AND_DISK)
     nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
     dang = None
     n_nodes = None
@@ -213,16 +265,16 @@ def pagerank(
             else F.col("pr") / F.col("outdeg")
         )
         contrib = (
-            eo.join(ranks, eo["src"] == ranks["node"])
+            eo.join(_bc(ranks), eo["src"] == ranks["node"])
             .select("dst", share.alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
         base = tele if tele is not None else nodes
-        nxt = base.join(contrib, base["node"] == contrib["dst"], "left")
+        nxt = base.join(_bc(contrib), base["node"] == contrib["dst"], "left")
         inflow = F.coalesce(F.col("inflow"), F.lit(0.0))
         if dangling:
-            dsum = ranks.join(dang, "node", "left_semi").agg(
+            dsum = ranks.join(_bc(dang), "node", "left_semi").agg(
                 F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_ds")
             )
             nxt = nxt.crossJoin(F.broadcast(dsum))
@@ -303,6 +355,12 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .join(deg.withColumnRenamed("a", "_n").withColumnRenamed("deg", "degb"),
               F.col("b") == F.col("_n")).drop("_n")
     )
+    # NOTE (r20): the degree joins deliberately carry NO broadcast hint,
+    # unlike the loop-iterate joins (_bc): these are one-shot joins
+    # below a persisted frame, and hinting them removed the shuffle
+    # boundaries AQE used to correct the wedge/closing-join strategies
+    # downstream — measured at sf0.1 as a 4x task-time regression
+    # (25 s broadcast-replanned stages) before the hint was reverted.
     oriented = ranked.filter(
         (F.col("dega") < F.col("degb"))
         | ((F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b")))
@@ -374,17 +432,20 @@ def hits(
     SQRT in the unrolled oracle.
 
     Scale shape (100 TB edge set): per iteration, two equi-joins of the
-    edge list onto a |V|-row score frame (AQE broadcasts the score
-    side) and two partial-agg shuffles — identical cost profile to two
-    ``pagerank`` iterations. Every src node has outdegree >= 1 and every
-    dst node indegree >= 1 by construction of the side sets, so both
-    raw updates cover their full side and no left-join backfill is
-    needed. Each half-step's normalization references its raw frame
-    twice (values + the 1-row sum), so rounds are localCheckpoint-ed —
-    without it the lazy plan doubles per HALF-iteration (4^iters
-    subtrees; same planner blow-up the dangling ``pagerank`` path
-    documents). Edge frame and side sets are persisted loop invariants,
-    released before return.
+    edge list onto a |V|-row score frame (broadcast-hinted — see
+    ``_bc``) and two EXCHANGE-FREE aggregations: the edge list is
+    cached twice, hash-partitioned by each half-step's aggregation key,
+    so the groupBy runs in place on the cache (guide §2.4). Every src
+    node has outdegree >= 1 and every dst node indegree >= 1 by
+    construction of the side sets, so both raw updates cover their full
+    side and no left-join backfill is needed. Each half-step
+    localCheckpoints its RAW aggregate and keeps the renorm lazy over
+    the checkpoint (the renorm's two references — values + the 1-row
+    sum — then re-read |V| checkpointed rows instead of re-running the
+    edge aggregate; without any materialization the lazy plan doubles
+    per HALF-iteration, 4^iters subtrees — same planner blow-up the
+    dangling ``pagerank`` path documents). Both partitioned edge caches
+    are loop invariants, released before return.
     """
     from pyspark import StorageLevel
 
@@ -394,11 +455,30 @@ def hits(
         # zero-iteration call dies with an opaque AttributeError on
         # `a` being None at the union (ADVICE r14)
         raise ValueError(f"hits: iters must be >= 1, got {iters}")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    n_hubs = e.select("src").distinct().count()
-    n_auths = e.select("dst").distinct().count()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # TWO loop-invariant caches, each hash-partitioned by its half-step's
+    # aggregation key (guide §2.4 "two operations keyed the same way can
+    # share one exchange"): the a-step joins on src (broadcast score
+    # side) and aggregates by dst, the h-step the reverse — with the
+    # cache laid out on the aggregation key, the per-half-step groupBy
+    # needs NO exchange at all, so each of the 2·iters half-steps is ONE
+    # stage over the cache instead of partial-agg → exchange → final-agg
+    # (measured @ sf0.1: 86 scheduled stages → ~40, wall 7.0 → ~4 s;
+    # task time was never the cost — 0.23 s/core — stage latency was).
+    # At 100 TB the same layout is what the partial-agg shuffle can't
+    # give: its per-partition combined rows are bounded by |V| PER
+    # PARTITION (huge across thousands of map partitions), while the
+    # co-partitioned aggregate moves nothing. Upfront cost: two |E|
+    # repartitions, paid once, amortized over 2·iters aggregations.
+    e_dst = e.repartition("dst").persist(StorageLevel.MEMORY_AND_DISK)
+    e_src = e.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    # both side cardinalities in ONE action (was two sequential count
+    # jobs — same scan twice; count_distinct pair folds them into a
+    # single pass, which also materializes the e_src cache)
+    _sides = e_src.agg(
+        F.count_distinct("src").alias("nh"), F.count_distinct("dst").alias("na")
+    ).collect()[0]
+    n_hubs, n_auths = _sides["nh"], _sides["na"]
 
     def _renorm(raw: DataFrame, n_side: int) -> DataFrame:
         total = raw.agg(F.sum("s").alias("_t"))
@@ -406,29 +486,44 @@ def hits(
             "node", (F.col("s") * F.lit(float(n_side)) / F.col("_t")).alias("s")
         )
 
-    h = e.select(F.col("src").alias("node")).distinct().select(
+    # initial hubs ride the src-partitioned cache: distinct on src is
+    # exchange-free there, same reuse as the half-steps
+    h = e_src.select(F.col("src").alias("node")).distinct().select(
         "node", F.lit(1.0).alias("s")
     ).localCheckpoint()
-    a = None
+    a_raw = None
+    h_frame = h
     for _ in range(iters):
+        # checkpoint the RAW half-step aggregate (one exchange-free
+        # stage) and keep the renorm LAZY over it: the renorm is a pure
+        # projection + one tiny total-aggregate on |V| checkpointed
+        # rows, so its two references (next join's broadcast build +
+        # final output) re-read the checkpoint instead of re-running
+        # the edge aggregate — same float ops in the same order, the
+        # materialization point just moved below the renorm
         a_raw = (
-            e.join(h, e["src"] == h["node"])
+            e_dst.join(_bc(h_frame), e_dst["src"] == h_frame["node"])
             .groupBy("dst")
             .agg(F.sum("s").alias("s"))
             .select(F.col("dst").alias("node"), "s")
+            .localCheckpoint()
         )
-        a = _renorm(a_raw, n_auths).localCheckpoint()
+        a_frame = _renorm(a_raw, n_auths)
         h_raw = (
-            e.join(a, e["dst"] == a["node"])
+            e_src.join(_bc(a_frame), e_src["dst"] == a_frame["node"])
             .groupBy("src")
             .agg(F.sum("s").alias("s"))
             .select(F.col("src").alias("node"), "s")
+            .localCheckpoint()
         )
-        h = _renorm(h_raw, n_hubs).localCheckpoint()
-    out = h.select("node", F.lit("hub").alias("kind"), "s").union(
-        a.select("node", F.lit("authority").alias("kind"), "s")
+        h_frame = _renorm(h_raw, n_hubs)
+    out = h_frame.select("node", F.lit("hub").alias("kind"), "s").union(
+        _renorm(a_raw, n_auths).select(
+            "node", F.lit("authority").alias("kind"), "s"
+        )
     ).localCheckpoint()
-    e.unpersist()
+    e_dst.unpersist()
+    e_src.unpersist()
     return out
 
 
@@ -1126,7 +1221,9 @@ def scc_fb_minlabel(
         assigned = (
             done if assigned is None else assigned.union(done).localCheckpoint()
         )
-        alive_n = alive_n.join(done.select("node"), "node", "left_anti").localCheckpoint()
+        alive_n = alive_n.join(
+            done.select("node"), "node", "left_anti"
+        ).localCheckpoint()
         alive_e = (
             alive_e.join(
                 alive_n.select(F.col("node").alias("src")), "src", "left_semi"

@@ -340,11 +340,30 @@ def newton_trace_grouped(
     return trace
 
 
+def _group_feats(feats: DataFrame) -> DataFrame:
+    """(y, x1, x2, x3, cnt) sufficient-statistic compression of a
+    per-row feature frame — the exact input contract of
+    ``newton_trace_grouped``."""
+    return feats.groupBy("y", "x1", "x2", "x3").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
 def train_quality_irls(
     spark: SparkSession, sf_dir: str
 ) -> list[tuple[float, float, float, float]]:
-    """`newton_trace` on the documents quality-label feature frame."""
-    return newton_trace(_qc_feats(spark, sf_dir))
+    """Newton trace on the documents quality-label feature frame — via
+    the GROUPED sufficient statistic (r20 optimization): every register
+    term is a pure function of (y, x), so cnt·round(term) over distinct
+    feature tuples reproduces the per-row integer sums EXACTLY for any
+    weight vector (the r19 streaming-twin theorem, pinned in
+    tests/test_r19.py: grouped trace == per-row trace). The 9
+    sequential round-aggregates then scan |distinct tuples| rows (AQE
+    coalesces the tiny grouped checkpoint to ~1 partition) instead of
+    |docs| rows per round — one upfront groupBy buys 9 cheaper rounds,
+    and at 100 TB the grouped frame is the bounded register store the
+    streaming twin already commits."""
+    return newton_trace_grouped(_group_feats(_qc_feats(spark, sf_dir)))
 
 
 def _trace_frame(spark: SparkSession, trace) -> DataFrame:
@@ -511,13 +530,17 @@ def quality_classifier_scored_auc(
     trained filter exactly the way it graded external scores — measured
     AUC ≈ 0.91, the honest value of a 3-surface-feature mimic of the
     composite quality rule."""
-    trace = train_quality_irls(spark, sf_dir)
+    # ONE feature pass serves both lifecycle stages (r20 optimization —
+    # this rung previously re-derived _qc_feats from the documents scan
+    # a second time for scoring): checkpoint the per-row frame, train on
+    # its grouped sufficient statistic (exact — see train_quality_irls),
+    # score from the same checkpoint.
+    feats = _qc_feats(spark, sf_dir).localCheckpoint()
+    trace = newton_trace_grouped(_group_feats(feats))
     w = trace[-1]
     pt = _QC_P
     for i in range(4):
         pt = pt.replace(f"w{i}", _wlit(w[i]))
     p_micro = F.expr(f"cast(round({pt} * 1000000.0, 0) as bigint)")
-    scored = _qc_feats(spark, sf_dir).select(
-        "source", "y", p_micro.alias("p")
-    )
+    scored = feats.select("source", "y", p_micro.alias("p"))
     return auc_by_group(scored, "source")

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dataengineerchallenge_spark.operators.graph import pagerank
+from dataengineerchallenge_spark.operators.graph import _bc, pagerank
 from dataengineerchallenge_spark.registry import register
 from dataengineerchallenge_spark.sources.tables import load_table
 
@@ -2257,10 +2257,10 @@ def pivot_betweenness_frame(
                 f"schedule shared with the oracle — raise _BC_DEPTH"
             )
         nxt = (
-            levels[-1]
+            _bc(levels[-1])
             .join(e, levels[-1]["node"] == e["src"])
             .select("pivot", F.col("dst").alias("node"), "sigma")
-            .join(visited, ["pivot", "node"], "left_anti")
+            .join(_bc(visited), ["pivot", "node"], "left_anti")
             .groupBy("pivot", "node")
             .agg(F.sum("sigma").alias("sigma"))
             .localCheckpoint()
@@ -2283,7 +2283,7 @@ def pivot_betweenness_frame(
         t = (
             f.join(e, f["node"] == e["src"], "left")
             .join(
-                w,
+                _bc(w),
                 (F.col("dst") == F.col("wnode"))
                 & (F.col("pivot") == F.col("wpivot")),
                 "left",
@@ -2402,13 +2402,13 @@ def spectral_smoothing(
     degc = deg.localCheckpoint()
     for r in range(rounds):
         nb = (
-            ep.join(x, x["node"] == ep["dst"])
+            ep.join(_bc(x), x["node"] == ep["dst"])
             .groupBy(ep["src"].alias("node"))
             .agg(F.sum("v").alias("nbs"))
         )
         y = (
-            degc.join(x, degc["src"] == x["node"])
-            .join(nb, "node", "left")
+            degc.join(_bc(x), degc["src"] == x["node"])
+            .join(_bc(nb), "node", "left")
             .select(
                 "node",
                 F.expr(f"({c} - d) * v + coalesce(nbs, 0)").alias("y"),
@@ -2661,14 +2661,14 @@ def spectral_second_direction(
     degc = deg.localCheckpoint()
     for r in range(rounds):
         nb = (
-            ep.join(x, x["node"] == ep["dst"])
+            ep.join(_bc(x), x["node"] == ep["dst"])
             .groupBy(ep["src"].alias("node"))
             .agg(F.sum("v").alias("nbs"))
         )
         w = (
-            degc.join(x, degc["src"] == x["node"])
-            .join(nb, "node", "left")
-            .join(x1c, "node")
+            degc.join(_bc(x), degc["src"] == x["node"])
+            .join(_bc(nb), "node", "left")
+            .join(_bc(x1c), "node")
             .select(
                 "node",
                 F.expr(f"({c} - d) * v + coalesce(nbs, 0)").alias("w"),

@@ -1201,7 +1201,16 @@ def lang_quality_bucket_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntok = docs.select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
-    j = ppl.join(lang, "doc_id").join(ntok, "doc_id")
+    # j is consumed TWICE (tercile-threshold aggregate + final bucket
+    # join); without a materialization point the whole lang-id scoring
+    # and bigram-LM subtree re-executes for each consumer — the r20
+    # before-plan showed 25 parquet scans / 95 HashAggregates with only
+    # 4 ReusedExchange across the two copies (plans/r20/
+    # corpus_lang_quality_buckets_before.txt). Checkpointing the
+    # |docs|-row (doc_id, pred_lang, perplexity, n_tokens) frame runs
+    # the text passes once; values are identical (perplexity is already
+    # ROUND(4)-gridded before this point).
+    j = ppl.join(lang, "doc_id").join(ntok, "doc_id").localCheckpoint()
     part = Window.partitionBy("pred_lang")
     ranked = j.withColumn(
         "rn", F.row_number().over(part.orderBy("perplexity", "doc_id"))
