@@ -296,24 +296,26 @@ def minhash_band_frame(
     sh = df.select(
         F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, n)).alias("_sh")
     )
+    # wide expression lists are built as SQL text, ONE py4j call per
+    # column instead of one per operator node (r20: profiling showed
+    # ~2 s of PER-RUN DataFrame-construction time on the explicit twin
+    # — pure Python→JVM call latency, not Catalyst — for these
+    # 64-column aggregates; same functions, same values, same plan)
     mins = sh.groupBy("_id").agg(
         *[
-            F.min(F.xxhash64("_sh", F.lit(salt * 1000 + i))).alias(f"_h{i}")
+            F.expr(f"min(xxhash64(_sh, {salt * 1000 + i})) AS _h{i}")
             for i in range(num_hashes)
         ]
     )
     n_bands = num_hashes // band_rows
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"_h{b * band_rows + r}") for r in range(band_rows)]
-                ).alias("band_hash"),
-            )
-            for b in range(n_bands)
-        ]
+    band_structs = ", ".join(
+        "struct({b} AS band, xxhash64({cols}) AS band_hash)".format(
+            b=b,
+            cols=", ".join(f"_h{b * band_rows + r}" for r in range(band_rows)),
+        )
+        for b in range(n_bands)
     )
+    bands = F.expr(f"array({band_structs})")
     return (
         mins.select(F.col("_id"), F.explode(bands).alias("_b"))
         .select(F.col("_id").alias(id_col), F.col("_b.band").alias("band"), F.col("_b.band_hash").alias("band_hash"))
@@ -384,28 +386,29 @@ def minhash_band_frame_explicit(
     sh = df.select(
         F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, n)).alias("_sh")
     ).select("_id", (F.expr(spark_u32("_sh")) % _MHX_P).alias("_u"))
+    # SQL-text expression lists — one py4j call per column, not per
+    # operator node (see the seeded frame above; ~2 s/run of driver
+    # plan-construction measured before the r20 conversion). The affine
+    # literals are Python ints < 2^31: as SQL integer literals they
+    # promote against the BIGINT ``_u`` exactly as F.lit did, and the
+    # (p-1)² < 2^63 bound keeps every product in int64 either way.
     mins = sh.groupBy("_id").agg(
         *[
-            F.min((F.lit(a) * F.col("_u") + F.lit(b)) % _MHX_P).alias(f"_h{i}")
+            F.expr(f"min(({a} * _u + {b}) % {_MHX_P}) AS _h{i}")
             for i, (a, b) in enumerate(MHX_COEFFS[:num_hashes])
         ]
     )
     n_bands = num_hashes // band_rows
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"_h{b * band_rows + r}").cast("string")
-                        for r in range(band_rows)
-                    ],
-                ).alias("band_hash"),
-            )
-            for b in range(n_bands)
-        ]
+    band_structs = ", ".join(
+        "struct({b} AS band, concat_ws(',', {cols}) AS band_hash)".format(
+            b=b,
+            cols=", ".join(
+                f"cast(_h{b * band_rows + r} AS string)" for r in range(band_rows)
+            ),
+        )
+        for b in range(n_bands)
     )
+    bands = F.expr(f"array({band_structs})")
     return (
         mins.select(F.col("_id"), F.explode(bands).alias("_b"))
         .select(
@@ -545,18 +548,24 @@ def simhash_frame(df: DataFrame, id_col: str, tokens: Column, id_salt: int = 0) 
     tok = df.select(F.col(id_col).alias("_id"), F.explode(tokens).alias("_t")).withColumn(
         "_h", F.xxhash64("_t", F.lit(id_salt))
     )
+    # SQL-text expression lists — one py4j call per column, not per
+    # operator node (r20; see minhash_band_frame); identical functions,
+    # identical values.
     votes = tok.groupBy("_id").agg(
         *[
-            F.sum(F.shiftrightunsigned("_h", b).bitwiseAND(F.lit(1)).cast("int") * 2 - 1).alias(f"_b{b}")
+            F.expr(
+                f"sum(cast(shiftrightunsigned(_h, {b}) & 1 AS int) * 2 - 1)"
+                f" AS _b{b}"
+            )
             for b in range(64)
         ]
     )
-    sim = reduce(
-        lambda acc, b: acc.bitwiseOR(F.shiftleft((F.col(f"_b{b}") > 0).cast("long"), b)),
-        range(64),
-        F.lit(0).cast("long"),
+    sim = " | ".join(
+        f"shiftleft(cast(_b{b} > 0 AS long), {b})" for b in range(64)
     )
-    return votes.select(F.col("_id").alias(id_col), sim.alias("simhash"))
+    return votes.select(
+        F.col("_id").alias(id_col), F.expr(f"(cast(0 AS long) | {sim}) AS simhash")
+    )
 
 
 def dup_span_doc_frame(
@@ -690,31 +699,40 @@ def dup_span_doc_frame(
         "_id", F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias("pos")
     ).distinct()
     n_dup = hits.groupBy("_id").agg(F.count(F.lit(1)).alias("n_dup_grams"))
-    n_cov = covered.groupBy("_id").agg(F.count(F.lit(1)).alias("covered_words"))
-    toks = base.select("_id", F.posexplode(F.split(F.col("_txt"), " ")).alias("pos", "w"))
-    kept = toks.join(covered, ["_id", "pos"], "left_anti")
-    trimmed = kept.groupBy("_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda x: x["w"]
-            ),
-            " ",
-        ).alias("trimmed_text")
+    # r20: the trim is ARRAY-LOCAL instead of positional-explode —
+    # the old plan posexploded EVERY corpus token, anti-joined the
+    # covered positions and re-grouped with collect_list (a full
+    # token-level shuffle + regroup, one of the query's two heaviest
+    # stages at sf0.1). Now the distinct covered positions collapse to
+    # one per-doc array (reusing the distinct's exchange), and the
+    # trimmed text is rebuilt per row: kept positions =
+    # array_except(sequence(0, n-1), covered) — ascending by
+    # construction, linear-time hash set-difference — indexed back into
+    # the token array. covered_words rides the same array as its size.
+    # Token-for-token identical to the anti-join construction (same
+    # split, same positions, same single-space join); the DuckDB oracle
+    # hash-checks both registered rungs.
+    cov_arr = covered.groupBy("_id").agg(F.collect_list("pos").alias("_cov"))
+    ws = F.split(F.col("_txt"), " ")
+    kept_pos = F.array_except(
+        F.sequence(F.lit(0), F.size(ws) - 1),
+        F.coalesce(F.col("_cov"), F.array().cast("array<int>")),
+    )
+    trimmed_c = F.array_join(
+        F.transform(kept_pos, lambda i: F.get(ws, i)), " "
     )
     return (
-        base.select("_id", F.size(F.split(F.col("_txt"), " ")).alias("n_words"))
+        base.join(cov_arr, "_id", "left")
         .join(n_dup, "_id", "left")
-        .join(n_cov, "_id", "left")
-        .join(trimmed, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
-            F.col("n_words").cast("long").alias("n_words"),
+            F.size(ws).cast("long").alias("n_words"),
             F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
-            F.coalesce("covered_words", F.lit(0)).cast("long").alias("covered_words"),
+            F.coalesce(F.size("_cov"), F.lit(0)).cast("long").alias("covered_words"),
             F.round(
-                F.coalesce("covered_words", F.lit(0)) / F.col("n_words"), 4
+                F.coalesce(F.size("_cov"), F.lit(0)) / F.size(ws), 4
             ).alias("dup_fraction"),
-            F.coalesce("trimmed_text", F.lit("")).alias("trimmed_text"),
+            F.coalesce(trimmed_c, F.lit("")).alias("trimmed_text"),
         )
     )
 
@@ -848,22 +866,31 @@ def simhash_frame_explicit(df: DataFrame, id_col: str, tokens: Column) -> DataFr
         F.expr(f"cast(conv(substring({m}, 1, 8), 16, 10) as bigint)").alias("_ua"),
         F.expr(f"cast(conv(substring({m}, 9, 8), 16, 10) as bigint)").alias("_ub"),
     )
+    # SQL-text vote/assembly expressions — one py4j call per column
+    # instead of one per operator node (r20; see minhash_band_frame).
+    # shiftrightunsigned/& spell the identical functions the Column
+    # operators compiled to, so values and the oracle hash are unchanged.
     votes = tok.groupBy("_id").agg(
         *[
-            F.sum(
-                F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
-            ).alias(f"_{nm}{b}")
-            for nm, h in (("a", F.col("_ua")), ("b", F.col("_ub")))
+            F.expr(
+                f"sum(cast(shiftrightunsigned(_u{nm}, {b}) & 1 AS int) * 2 - 1)"
+                f" AS _{nm}{b}"
+            )
+            for nm in ("a", "b")
             for b in range(32)
         ]
     )
-    fa = sum(
-        (F.col(f"_a{b}") > 0).cast("long") * F.lit(1 << b) for b in range(32)
+    fa = " + ".join(
+        f"cast(_a{b} > 0 AS long) * {1 << b}" for b in range(32)
     )
-    fb = sum(
-        (F.col(f"_b{b}") > 0).cast("long") * F.lit(1 << b) for b in range(32)
+    fb = " + ".join(
+        f"cast(_b{b} > 0 AS long) * {1 << b}" for b in range(32)
     )
-    return votes.select(F.col("_id").alias(id_col), fa.alias("fa"), fb.alias("fb"))
+    return votes.select(
+        F.col("_id").alias(id_col),
+        F.expr(f"({fa}) AS fa"),
+        F.expr(f"({fb}) AS fb"),
+    )
 
 
 def banded_hamming_pairs(

@@ -67,26 +67,37 @@ def parse_elb(lines: DataFrame, value_col: str = "value") -> DataFrame:
     # mode an out-of-bounds [i] throws instead of returning null.
     split_req = F.split(F.col("request"), " ")
     dash_null = lambda c: F.when(F.col(c) == "-", None).otherwise(F.col(c))  # noqa: E731
-    return (
-        r.withColumn("ts", F.try_to_timestamp(F.col("ts_raw"), F.lit(TS_FMT)))
-        .withColumn("client_ip", F.get(F.split("client", ":"), 0))
-        .withColumn("client_port", F.get(F.split("client", ":"), 1).cast("int"))
-        .withColumn("backend_ip", F.get(F.split(dash_null("backend"), ":"), 0))
-        .withColumn("backend_port", F.get(F.split(dash_null("backend"), ":"), 1).cast("int"))
-        .withColumn("method", F.get(split_req, 0))
-        .withColumn("url", F.get(split_req, 1))
-        .withColumn("protocol", F.get(split_req, 2))
-        .withColumn("url_path", F.parse_url(F.col("url"), F.lit("PATH")))
-        .withColumn(
-            "is_valid",
-            F.col("_corrupt").isNull()
-            & F.col("ts").isNotNull()
-            & F.col("client_ip").isNotNull()
-            & F.col("url").isNotNull()
+    # ONE withColumns call instead of a 9-deep withColumn chain (r20):
+    # classic PySpark analyzes eagerly per DataFrame op, so an op chain
+    # over a growing plan pays quadratic JVM analysis — measured ~0.5 s
+    # of pure build time for this parse alone. Columns that referenced
+    # an earlier chain column (url_path, is_valid) inline the same
+    # expression instead; the optimizer collapsed the chain to exactly
+    # this single projection anyway, so the plan and values are
+    # unchanged.
+    ts_c = F.try_to_timestamp(F.col("ts_raw"), F.lit(TS_FMT))
+    client_ip_c = F.get(F.split("client", ":"), 0)
+    url_c = F.get(split_req, 1)
+    return r.withColumns(
+        {
+            "ts": ts_c,
+            "client_ip": client_ip_c,
+            "client_port": F.get(F.split("client", ":"), 1).cast("int"),
+            "backend_ip": F.get(F.split(dash_null("backend"), ":"), 0),
+            "backend_port": F.get(F.split(dash_null("backend"), ":"), 1).cast(
+                "int"
+            ),
+            "method": F.get(split_req, 0),
+            "url": url_c,
+            "protocol": F.get(split_req, 2),
+            "url_path": F.parse_url(url_c, F.lit("PATH")),
+            "is_valid": F.col("_corrupt").isNull()
+            & ts_c.isNotNull()
+            & client_ip_c.isNotNull()
+            & url_c.isNotNull()
             & F.col("elb_status").isNotNull(),
-        )
-        .drop("ts_raw", "client", "backend")
-    )
+        }
+    ).drop("ts_raw", "client", "backend")
 
 
 def valid_requests(parsed: DataFrame) -> DataFrame:
