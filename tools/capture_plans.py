@@ -25,6 +25,12 @@ def main() -> None:
 
     spark = get_spark("capture-plans")
     spark.sparkContext.setLogLevel("ERROR")
+    # optional session-conf overrides, e.g. to reproduce a pre-hint plan:
+    #   CAPTURE_CONF="spark.graft.graph.broadcastIterate=false"
+    for kv in os.environ.get("CAPTURE_CONF", "").split(","):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            spark.conf.set(k.strip(), v.strip())
     qs = dict(e.queries())
     store = spark._jsparkSession.sharedState().statusStore()
     outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", tag)
