@@ -89,6 +89,79 @@ def _bc(df: DataFrame) -> DataFrame:
     return df
 
 
+# Per-partition row floor for compacted loop-invariant caches (_narrowed).
+# ~64k narrow (2-3 bigint column) rows is a few MB per task — big enough
+# that a round's per-task shuffle-file bookkeeping stops dominating, small
+# enough that mid-size frames keep most of their natural parallelism. The
+# clamp in _narrowed means frames at or above their natural width are
+# never widened, so at 100 TB the layout is untouched.
+_LOOP_CACHE_ROWS_PER_PART = 1 << 16
+
+
+def _narrowed(df: DataFrame, n_rows: int) -> DataFrame:
+    """Compact a persisted loop-invariant frame to a width derived from
+    its MEASURED row count (guide §2.2/§2.6: fewer, larger partitions;
+    scale-adaptive, not a local-mode constant).
+
+    Why: a persisted plan keeps the static ``spark.sql.shuffle.partitions``
+    width — AQE does not re-plan under ``persist`` unless
+    ``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning`` is on
+    (A/B'd: a wash, BENCH_cachepart.json) — so a few-thousand-row edge
+    frame arrives as 32-64 near-empty partitions, and every loop round's
+    join then schedules that many map tasks, each paying a shuffle-file
+    create/commit serialized on the per-JVM IndexShuffleBlockResolver
+    lock plus an mmap/unmap pair (jstack evidence: ~250 ms of blocked,
+    zero-CPU runtime per wave; OPTIMIZATION_r20.md Change 6).
+
+    ``coalesce`` is a narrow dependency reading the already-cached
+    blocks, so this costs no shuffle and cannot change any result set —
+    only the task count per round. Dial:
+    ``spark.graft.graph.narrowLoopFrames`` (default true; false restores
+    the uncompacted layout — used by the same-session A/B)."""
+    if not _narrow_enabled(df):
+        return df
+    parts = df.rdd.getNumPartitions()
+    want = max(1, min(parts, -(-n_rows // _LOOP_CACHE_ROWS_PER_PART)))
+    if want < parts:
+        return df.coalesce(want)
+    return df
+
+
+def _narrow_enabled(df: DataFrame) -> bool:
+    return (
+        df.sparkSession.conf.get("spark.graft.graph.narrowLoopFrames", "true")
+        == "true"
+    )
+
+
+def _seed1(spark, source, seed_t: str, col2: str, val2: int, t2: str) -> DataFrame:
+    """One-row (node, <col2>) seed frame on ONE partition.
+
+    ``createDataFrame([one row])`` slices even a single row over
+    ``defaultParallelism`` partitions, and the seed's width is inherited
+    by every visited-union and anti-join map side downstream (measured:
+    a 33-task final scan for a 2-wave BFS). ``spark.range(0, 1, 1, 1)``
+    pins numPartitions=1 at the SOURCE — measured at sf0.1 BFS: 0.8 s
+    total vs 3.2 s for the 32-slice createDataFrame seed. Do NOT reach
+    for ``coalesce(1)`` instead: a Coalesce node over the parallelized
+    seed RDD was measured ~8x SLOWER per round (23 s total) — it blocks
+    the local-relation short-circuits for every plan the seed's lineage
+    reaches (probe transcript in OPTIMIZATION_r20.md Change 6).
+    Values are identical either way; only the partitioning differs.
+    Shares the ``spark.graft.graph.narrowLoopFrames`` dial."""
+    if (
+        spark.conf.get("spark.graft.graph.narrowLoopFrames", "true")
+        != "true"
+    ):
+        return spark.createDataFrame(
+            [(source, val2)], f"node {seed_t}, {col2} {t2}"
+        )
+    return spark.range(0, 1, 1, 1).select(
+        F.lit(source).cast(seed_t).alias("node"),
+        F.lit(val2).cast(t2).alias(col2),
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 5,
@@ -685,19 +758,24 @@ def hop_distances(
     """
     from pyspark import StorageLevel
 
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
+    e_cached = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # ONE action fetches the default source AND the edge count (which
+    # sizes the cache compaction below); it also materializes the cache,
+    # so the caller never builds the edges twice
+    row = e_cached.agg(
+        F.min("src").alias("m"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
     if source is None:
         # default source = minimum src value, read from the (now cached)
-        # edge frame so the caller never has to build the edges twice
-        source = e.agg(F.min("src")).collect()[0][0]
+        # edge frame
+        source = row["m"]
+    e = _narrowed(e_cached, row["n"])
     # seed schema derives from the edge column's actual type — node ids
     # may be long, int or string depending on the graph
     seed_t = edges.schema[src].dataType.simpleString()
-    visited = e.sparkSession.createDataFrame(
-        [(source, 0)], f"node {seed_t}, hops int"
-    )
+    visited = _seed1(e.sparkSession, source, seed_t, "hops", 0, "int")
     frontier = visited
     for k in range(1, max_hops + 1):
         nxt = (
@@ -722,7 +800,7 @@ def hop_distances(
         frontier = nxt
     # every wave is localCheckpoint-ed, so the result no longer depends
     # on the cached edge frame — release it (see pagerank note)
-    e.unpersist()
+    e_cached.unpersist()
     return visited
 
 
@@ -764,15 +842,19 @@ def weighted_sssp(
     convergence with margin, shared with the oracle."""
     from pyspark import StorageLevel
 
-    e = edges.select(
+    e_cached = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(cost).alias("cost")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # one action fetches the default source and the edge count sizing the
+    # cache compaction (_narrowed), and materializes the cache
+    row = e_cached.agg(
+        F.min("src").alias("m"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
     if source is None:
-        source = e.agg(F.min("src")).collect()[0][0]
+        source = row["m"]
+    e = _narrowed(e_cached, row["n"])
     seed_t = edges.schema[src].dataType.simpleString()
-    d = e.sparkSession.createDataFrame(
-        [(source, 0)], f"node {seed_t}, dist long"
-    ).localCheckpoint()
+    d = _seed1(e.sparkSession, source, seed_t, "dist", 0, "long").localCheckpoint()
     prev = d.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
     ).collect()[0]
@@ -795,7 +877,7 @@ def weighted_sssp(
             converged = True
             break
         prev = (chk["n"], chk["s"])
-    e.unpersist()
+    e_cached.unpersist()
     if not converged:
         raise RuntimeError(
             f"weighted_sssp did not reach its fixpoint within rounds={rounds};"
@@ -840,9 +922,11 @@ def label_propagation(
 
     if iters < 1:
         raise ValueError(f"label_propagation: iters must be >= 1, got {iters}")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
+    e_cached = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # materialize the cache and size its compaction in one tiny action
+    e = _narrowed(e_cached, e_cached.count())
     labels = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -863,7 +947,7 @@ def label_propagation(
             .select("node", "label")
             .localCheckpoint()
         )
-    e.unpersist()
+    e_cached.unpersist()
     return labels.select("node", F.col("label").alias("community"))
 
 
@@ -910,9 +994,11 @@ def coreness(
 
     if iters < 1:
         raise ValueError(f"coreness: iters must be >= 1, got {iters}")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
+    e_cached = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # materialize the cache and size its compaction in one tiny action
+    e = _narrowed(e_cached, e_cached.count())
     vals = (
         e.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -929,7 +1015,7 @@ def coreness(
             .agg(F.max(F.least("_rn", "c")).alias("c"))
             .localCheckpoint()
         )
-    e.unpersist()
+    e_cached.unpersist()
     return vals.select("node", F.col("c").alias("core"))
 
 
@@ -976,9 +1062,11 @@ def deterministic_walks(
 
     if steps < 1:
         raise ValueError(f"deterministic_walks: steps must be >= 1, got {steps}")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
+    e_cached = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # materialize the cache and size its compaction in one tiny action
+    e = _narrowed(e_cached, e_cached.count())
     cur = (
         e.select(F.col("src").alias("node"))
         .distinct()
@@ -1001,7 +1089,7 @@ def deterministic_walks(
             .localCheckpoint()
         )
         frames.append(cur.select("walk_id", F.lit(i).alias("step"), "node"))
-    e.unpersist()
+    e_cached.unpersist()
     out = frames[0]
     for f in frames[1:]:
         out = out.union(f)
