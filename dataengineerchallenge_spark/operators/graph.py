@@ -543,15 +543,37 @@ def hits(
     # PARTITION (huge across thousands of map partitions), while the
     # co-partitioned aggregate moves nothing. Upfront cost: two |E|
     # repartitions, paid once, amortized over 2·iters aggregations.
-    e_dst = e.repartition("dst").persist(StorageLevel.MEMORY_AND_DISK)
-    e_src = e.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
-    # both side cardinalities in ONE action (was two sequential count
-    # jobs — same scan twice; count_distinct pair folds them into a
-    # single pass, which also materializes the e_src cache)
-    _sides = e_src.agg(
-        F.count_distinct("src").alias("nh"), F.count_distinct("dst").alias("na")
-    ).collect()[0]
-    n_hubs, n_auths = _sides["nh"], _sides["na"]
+    spark = e.sparkSession
+    if spark.conf.get("spark.graft.graph.narrowLoopFrames", "true") == "true":
+        # r20: size the two partitioned caches from the MEASURED edge
+        # count instead of the static spark.sql.shuffle.partitions width
+        # (the groupBy stays exchange-free under HashPartitioning(key, k)
+        # for ANY k — aggregation only needs a clustered distribution) —
+        # at fixture scale each half-step then schedules a few tasks
+        # instead of 32-64 near-empty ones (profiled: ~1.5-2.3 s of
+        # zero-CPU scheduling per half-step stage), and at 100 TB the
+        # clamp keeps the configured width. The count is one
+        # parquet-metadata-cheap action on the UNCACHED edge frame.
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        k = max(1, min(cap, -(-e.count() // _LOOP_CACHE_ROWS_PER_PART)))
+        e_dst = e.repartition(k, "dst").persist(StorageLevel.MEMORY_AND_DISK)
+        e_src = e.repartition(k, "src").persist(StorageLevel.MEMORY_AND_DISK)
+        # side cardinalities now come from frames the loop materializes
+        # anyway (h below; the first authority half-step) — the old
+        # count_distinct-pair setup stage was the profiler's single
+        # heaviest item (16.4 s task time for 3.6 MB of input: EXPAND
+        # doubles the rows, then a 32-partition distinct shuffle)
+        n_hubs = n_auths = None
+    else:
+        e_dst = e.repartition("dst").persist(StorageLevel.MEMORY_AND_DISK)
+        e_src = e.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+        # both side cardinalities in ONE action (was two sequential count
+        # jobs — same scan twice; count_distinct pair folds them into a
+        # single pass, which also materializes the e_src cache)
+        _sides = e_src.agg(
+            F.count_distinct("src").alias("nh"), F.count_distinct("dst").alias("na")
+        ).collect()[0]
+        n_hubs, n_auths = _sides["nh"], _sides["na"]
 
     def _renorm(raw: DataFrame, n_side: int) -> DataFrame:
         total = raw.agg(F.sum("s").alias("_t"))
@@ -564,6 +586,10 @@ def hits(
     h = e_src.select(F.col("src").alias("node")).distinct().select(
         "node", F.lit(1.0).alias("s")
     ).localCheckpoint()
+    if n_hubs is None:
+        # one row per distinct src by construction — a count over the
+        # |V|-row checkpoint just materialized, no extra corpus pass
+        n_hubs = h.count()
     a_raw = None
     h_frame = h
     for _ in range(iters):
@@ -581,6 +607,11 @@ def hits(
             .select(F.col("dst").alias("node"), "s")
             .localCheckpoint()
         )
+        if n_auths is None:
+            # every dst has indegree >= 1, so the first authority
+            # half-step covers the full side: its checkpointed row
+            # count IS the side cardinality
+            n_auths = a_raw.count()
         a_frame = _renorm(a_raw, n_auths)
         h_raw = (
             e_src.join(_bc(a_frame), e_src["dst"] == a_frame["node"])

@@ -17,6 +17,7 @@ from dataengineerchallenge_spark.operators.graph import (
     _LOOP_CACHE_ROWS_PER_PART,
     _narrowed,
     _seed1,
+    hits,
     hop_distances,
     weighted_sssp,
 )
@@ -81,3 +82,24 @@ def test_bfs_and_sssp_results_identical_either_dial(spark):
     assert base_sssp == off_sssp
     assert base_bfs == [(1, 0), (2, 1), (3, 2), (4, 3), (5, 2)]
     assert base_sssp == [(1, 0), (2, 4), (3, 5), (4, 7)]
+
+
+def test_hits_identical_either_dial(spark):
+    # the adaptive path derives n_hubs/n_auths from the h frame and the
+    # first authority half-step instead of the count_distinct pair —
+    # scores must match the legacy path bit-for-bit
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (3, 11), (3, 12)], "src long, dst long"
+    )
+    base = sorted(tuple(r) for r in hits(edges, iters=3).collect())
+    spark.conf.set(FLAG, "false")
+    try:
+        legacy = sorted(tuple(r) for r in hits(edges, iters=3).collect())
+    finally:
+        spark.conf.unset(FLAG)
+    assert base == legacy
+    # hubs cover {1,2,3}, authorities {10,11,12}, mean-1 scaled per side
+    hubs = [s for n, kind, s in base if kind == "hub"]
+    auths = [s for n, kind, s in base if kind == "authority"]
+    assert len(hubs) == 3 and len(auths) == 3
+    assert abs(sum(hubs) - 3.0) < 1e-9 and abs(sum(auths) - 3.0) < 1e-9

@@ -35,6 +35,9 @@ QUERIES = [
     ("copurchase_communities_lpa", "/root/testdata/sf0.1"),
     ("copurchase_coreness", "/root/testdata/sf0.1"),
     ("copurchase_deterministic_walks", "/root/testdata/sf0.1"),
+    # r20 second batch: adaptive HITS cache width + derived side counts
+    ("purchase_hits", "/root/testdata/sf0.1"),
+    ("purchase_hits_staged", "/root/testdata/sf0.1"),
     # control (no persisted loop invariant touched by the dial)
     ("copurchase_components_staged", "/root/testdata/sf0.1"),
 ]
@@ -48,8 +51,17 @@ def main() -> None:
     spark = get_spark("bench-narrow-ab")
     spark.sparkContext.setLogLevel("ERROR")
     qs = dict(e.queries())
+    # optional query-name filter: merge results into the existing JSON
+    only = set(sys.argv[1:])
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_narrow.json")
     out: dict[str, dict] = {}
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            out = json.load(f).get("queries", {})
     for name, sf in QUERIES:
+        if only and name not in only:
+            continue
         qs[name](spark, sf).write.format("noop").mode("overwrite").save()  # warm
         samples: dict[str, list[float]] = {"on": [], "off": []}
         for _ in range(N):
@@ -75,8 +87,7 @@ def main() -> None:
         ),
         "queries": out,
     }
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "BENCH_narrow.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)
 
 
