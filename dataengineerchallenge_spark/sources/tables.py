@@ -69,9 +69,48 @@ def _normalize_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+#: session -> {(sf_dir, name): DataFrame}. r20: every load_table call
+#: paid ~0.1 s of driver-side work (a fresh InMemoryFileIndex listing +
+#: parquet footer read + analysis round-trips) for the SAME immutable
+#: fixture scan — dq_referential_integrity alone calls it six times, and
+#: the 342-query registry re-lists the same handful of files hundreds of
+#: times per sweep (guide §5.3 driver overhead / §6 listing cost). The
+#: cached object is a LAZY PLAN, not data: every action still computes
+#: from the parquet inputs — nothing here memoizes results. Keyed on the
+#: live session object via WeakKeyDictionary so entries die with the
+#: session (no id()-reuse hazard — ADVICE r6), and DataFrames are
+#: immutable so sharing one across callers is safe.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    global _TABLE_CACHE
+    if _TABLE_CACHE is None:
+        import weakref
+
+        _TABLE_CACHE = weakref.WeakKeyDictionary()
     _ensure_confs(spark)
-    return _normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    path = f"{sf_dir}/{name}.parquet"
+    # the path's mtime is part of the key: a REWRITTEN fixture (test
+    # corpora regenerate under one tmp dir; a Spark overwrite bumps the
+    # directory mtime) must re-resolve its file listing, while the
+    # read-only driver fixtures hit the cache every time. One stat()
+    # per call — microseconds against the ~0.1 s listing it avoids.
+    try:
+        import os
+
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = None  # let spark.read raise its own descriptive error
+    try:
+        per = _TABLE_CACHE.setdefault(spark, {})
+    except TypeError:  # unhashable session stub (tests) — skip caching
+        per = {}
+    df = per.get((sf_dir, name, mtime))
+    if df is None:
+        df = _normalize_ts(spark.read.parquet(path))
+        per[(sf_dir, name, mtime)] = df
+    return df
 
 
 #: (applicationId, analyzed-plan semanticHash) -> scan partition count.
@@ -89,9 +128,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _SPREAD_CACHE: dict[tuple[str, int], int] = {}
 
 
+# Per-partition floor (in PLAN-STATS bytes, i.e. compressed parquet
+# bytes for scan-rooted plans) for spread's adaptive width: 64 KiB
+# compressed ≈ a few MB of post-explode work per task. At sf0.1 this
+# puts documents/embeddings at ~10 partitions (the measured sweet spot:
+# doc_lang_id 1.5 → 1.0 s, doc_lm_perplexity 1.7 → 1.1 s vs the
+# blanket defaultParallelism width whose 32 near-empty tasks each paid
+# ~300 ms of shuffle-commit overhead); any corpus big enough to need
+# the full cluster still gets it via the clamp below.
+_SPREAD_BYTES_PER_PART = 1 << 16
+
+
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition a narrow scan up to cluster width before a
-    fan-out-heavy stage (shingle explode, token explode, self-join).
+    """Round-robin repartition a narrow scan up to a fan-out width before
+    a fan-out-heavy stage (shingle explode, token explode, self-join).
 
     Single-file fixtures arrive as ONE scan partition, so everything up to
     the first exchange — including a 100×-row explode and the map side of a
@@ -101,17 +151,36 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     dataset already arrives wider than the cluster) this is a no-op and no
     extra shuffle is inserted. The width probe is memoized per semantic
     plan (see _SPREAD_CACHE).
-    """
+
+    r20: the target width is derived from the plan-stats input size
+    (guide §2.2 — partitions sized by bytes, adaptively, not a blanket
+    cluster-width constant), clamped to ``defaultParallelism``: tiny
+    corpora stop fanning out to dozens of near-empty tasks that each pay
+    per-task shuffle-file overhead, while plans with unknown stats
+    (checkpoint-rooted: Spark's 8-EiB default) and genuinely large
+    inputs keep the full width — identical to the old behavior. Dial:
+    ``spark.graft.spread.adaptive`` (default true; false restores the
+    blanket width — used by the same-session A/B)."""
     target = partitions or df.sparkSession.sparkContext.defaultParallelism
     key = (
         df.sparkSession.sparkContext.applicationId,
         df._jdf.queryExecution().analyzed().semanticHash(),
+        partitions,
     )
-    n = _SPREAD_CACHE.get(key)
-    if n is None:
+    cached = _SPREAD_CACHE.get(key)
+    if cached is None:
         n = df.rdd.getNumPartitions()
+        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
         if len(_SPREAD_CACHE) < 4096:  # bound against pathological churn
-            _SPREAD_CACHE[key] = n
+            _SPREAD_CACHE[key] = (n, size)
+    else:
+        n, size = cached
+    if (
+        partitions is None
+        and df.sparkSession.conf.get("spark.graft.spread.adaptive", "true")
+        == "true"
+    ):
+        target = max(1, min(target, -(-size // _SPREAD_BYTES_PER_PART)))
     if n >= target:
         return df
     return df.repartition(target)
