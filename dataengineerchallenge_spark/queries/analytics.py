@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dataengineerchallenge_spark.registry import register
-from dataengineerchallenge_spark.sources.tables import load_table
+from dataengineerchallenge_spark.sources.tables import load_table, local_frame
 
 
 @register(
@@ -758,7 +758,7 @@ def stream_hourly_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("n").alias("n"))
         )
         out = _mad_anomalies(_hour_spine_series(merged))
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = local_frame(spark, out.collect(), out.schema)
     finally:
         if q.isActive:
             q.stop()
@@ -946,7 +946,7 @@ def hourly_load_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = grid.join(h, "hour_s", "left").select(
         "hour_s", F.coalesce("y", F.lit(0)).cast("long").alias("y")
     )
-    lags = spark.createDataFrame([(g,) for g in _ACF_LAGS], "lag int")
+    lags = local_frame(spark, [(g,) for g in _ACF_LAGS], "lag int")
     a = d.select(F.col("hour_s").alias("hs"), F.col("y").alias("x"))
     b = d.select(F.col("hour_s").alias("hs_b"), F.col("y").alias("yb"))
     p = (
@@ -1525,7 +1525,7 @@ def stream_event_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cb", F.lit(0)).alias("cb"),
         )
         out = _psi_finish(spark, cnt)
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = local_frame(spark, out.collect(), out.schema)
     finally:
         if q.isActive:
             q.stop()

@@ -68,7 +68,7 @@ from pyspark.sql import functions as F
 
 from dataengineerchallenge_spark.queries.evals import auc_by_group
 from dataengineerchallenge_spark.registry import register
-from dataengineerchallenge_spark.sources.tables import load_table
+from dataengineerchallenge_spark.sources.tables import load_table, local_frame
 
 _QC_ROUNDS = 12
 _QC_THRESHOLD = "0.78"
@@ -379,7 +379,8 @@ def _trace_frame(spark: SparkSession, trace) -> DataFrame:
         )
         for r, w in enumerate(trace)
     ]
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         rows,
         "round long, w0_nano long, w1_nano long, w2_nano long, w3_nano long",
     )
@@ -474,7 +475,7 @@ def stream_quality_classifier_irls(
             .agg(F.sum("cnt").alias("cnt"))
         )
         out = _trace_frame(spark, newton_trace_grouped(g))
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = local_frame(spark, out.collect(), out.schema)
     finally:
         if q.isActive:
             q.stop()

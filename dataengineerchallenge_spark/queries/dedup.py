@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from dataengineerchallenge_spark.functions import vectors as V
 from dataengineerchallenge_spark.operators import dedup as D
 from dataengineerchallenge_spark.registry import register
-from dataengineerchallenge_spark.sources.tables import load_table, spread
+from dataengineerchallenge_spark.sources.tables import load_table, local_frame, spread
 
 # Embedding near-dup: the fixture corpus has no high-cosine pairs (max
 # pairwise cosine 0.60 at sf0.1), so — like exact_dedup_docs' self-union —
@@ -880,7 +880,7 @@ def _stream_near_dup_serve(
                 f"stream dedup did not drain availableNow input in {timeout_s}s"
             )
         drained = spark.read.parquet(sink).select("id_a", "id_b", "jaccard")
-        result = spark.createDataFrame(drained.collect(), drained.schema)
+        result = local_frame(spark, drained.collect(), drained.schema)
     finally:
         if q.isActive:
             q.stop()
@@ -2152,7 +2152,7 @@ def stream_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("contamination_micropoints"),
         )
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = local_frame(spark, out.collect(), out.schema)
     finally:
         if q.isActive:
             q.stop()

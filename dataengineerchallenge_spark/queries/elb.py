@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from dataengineerchallenge_spark.operators.sessionize import ORACLE_SESSION_CTE
 from dataengineerchallenge_spark.registry import register
+from dataengineerchallenge_spark.sources.tables import local_frame
 from dataengineerchallenge_spark.sources.elb import (
     elb_sessions,
     parse_elb,
@@ -412,7 +413,8 @@ def elb_geo_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical DuckDB formulation."""
     from dataengineerchallenge_spark.operators.joins import lpm_join
 
-    blocks = spark.createDataFrame(
+    blocks = local_frame(
+        spark,
         [r[:4] for r in _cidr_rows()],
         "region string, prefix_len int, ip_lo long, ip_hi long",
     )

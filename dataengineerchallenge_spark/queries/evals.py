@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dataengineerchallenge_spark.registry import register
-from dataengineerchallenge_spark.sources.tables import load_table
+from dataengineerchallenge_spark.sources.tables import load_table, local_frame
 
 _STOPWORDS = ("the", "a")
 
@@ -481,7 +481,7 @@ def stream_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("cnt").alias("cnt"), F.sum("pos").alias("pos"))
         )
         out = auc_from_score_groups(g, "source")
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = local_frame(spark, out.collect(), out.schema)
     finally:
         if q.isActive:
             q.stop()
@@ -595,7 +595,7 @@ def stream_classifier_brier_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("ece_micropoints"),
         )
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = local_frame(spark, out.collect(), out.schema)
     finally:
         if q.isActive:
             q.stop()
@@ -677,7 +677,7 @@ def stream_classifier_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("cnt").alias("cnt"), F.sum("pos").alias("pos"))
         )
         out = pr_auc_from_score_groups(g)
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = local_frame(spark, out.collect(), out.schema)
     finally:
         if q.isActive:
             q.stop()

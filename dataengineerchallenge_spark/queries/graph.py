@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from dataengineerchallenge_spark.operators.graph import _bc, pagerank
 from dataengineerchallenge_spark.registry import register
-from dataengineerchallenge_spark.sources.tables import load_table
+from dataengineerchallenge_spark.sources.tables import load_table, local_frame
 
 _ITERS = 5
 _DAMPING = 0.85
@@ -2274,8 +2274,8 @@ def pivot_betweenness_frame(
     # levels, and its deepest-level nodes get delta 0 from the empty
     # successor join — exactly the explicit 0 the serial walk appended.
     levels = [
-        spark.createDataFrame(
-            [(s, s, 1) for s in pivots], "pivot long, node long, sigma long"
+        local_frame(
+            spark, [(s, s, 1) for s in pivots], "pivot long, node long, sigma long"
         ).localCheckpoint()
     ]
     visited = levels[0].select("pivot", "node")

@@ -13,7 +13,7 @@ from dataengineerchallenge_spark.operators.multimodal import (
     with_payloads,
 )
 from dataengineerchallenge_spark.registry import register
-from dataengineerchallenge_spark.sources.tables import load_table
+from dataengineerchallenge_spark.sources.tables import load_table, local_frame
 
 
 @register(
@@ -403,7 +403,7 @@ def stream_payload_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         drained = spark.read.parquet(sink).select(
             "id_a", "id_b", "hamming", "cross_doc"
         )
-        result = spark.createDataFrame(drained.collect(), drained.schema)
+        result = local_frame(spark, drained.collect(), drained.schema)
     finally:
         if q.isActive:
             q.stop()

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataengineerchallenge_spark.registry import register
-from dataengineerchallenge_spark.sources.tables import load_table
+from dataengineerchallenge_spark.sources.tables import load_table, local_frame
 
 
 @register(
@@ -278,8 +278,8 @@ def dq_benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = v.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
     t = v.agg(F.count(F.lit(1)).alias("total"))
-    b = spark.createDataFrame(
-        [(d, s) for d, s in _BENFORD.items()], "digit long, benford_share double"
+    b = local_frame(
+        spark, [(d, s) for d, s in _BENFORD.items()], "digit long, benford_share double"
     )
     obs = F.round(F.coalesce("n_orders", F.lit(0)) * 1.0 / F.col("total"), 4)
     return (
@@ -443,7 +443,7 @@ def stream_event_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame
             .cast("bigint")
             .alias("top_key_share_micropoints"),
         )
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = local_frame(spark, out.collect(), out.schema)
     finally:
         if q.isActive:
             q.stop()

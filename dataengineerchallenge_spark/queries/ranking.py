@@ -25,6 +25,7 @@ from dataengineerchallenge_spark.operators.sessionize import (
 )
 from dataengineerchallenge_spark.registry import register
 from dataengineerchallenge_spark.sources import load_table
+from dataengineerchallenge_spark.sources.tables import local_frame
 
 _CTE = events_session_cte()
 
@@ -229,7 +230,7 @@ def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the predicate evaluates per row and pushes below any downstream
     shuffle, so at 100 TB this is a pure scan-side filter."""
     docs = load_table(spark, sf_dir, "documents")
-    rates = spark.createDataFrame(list(_LANG_RATES), "lang string, rate256 int")
+    rates = local_frame(spark, list(_LANG_RATES), "lang string, rate256 int")
     bucket = F.expr(_DOC_BUCKET)
     return (
         docs.join(F.broadcast(rates), "lang")

@@ -70,7 +70,7 @@ from dataengineerchallenge_spark.queries.classifier import (
     _wlit,
 )
 from dataengineerchallenge_spark.registry import register
-from dataengineerchallenge_spark.sources.tables import load_table
+from dataengineerchallenge_spark.sources.tables import load_table, local_frame
 
 _RG_LAM = 0.015625  # 2^-6 — exact in binary, exact diagonal shift
 # int64 saturation guard for the 1e-8-grid moment registers: Spark's
@@ -298,7 +298,8 @@ def session_length_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("avg_session_s", *[_half_up(w * 1000000000.0) for w in wa]),
         ("avg_unique_urls", *[_half_up(w * 1000000000.0) for w in wb]),
     ]
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         rows,
         "target string, w0_nano long, w1_nano long, w2_nano long, "
         "w3_nano long",
@@ -505,7 +506,8 @@ def stream_session_length_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("avg_session_s", *[_half_up(w * 1000000000.0) for w in wa]),
             ("avg_unique_urls", *[_half_up(w * 1000000000.0) for w in wb]),
         ]
-        result = spark.createDataFrame(
+        result = local_frame(
+            spark,
             rows,
             "target string, w0_nano long, w1_nano long, w2_nano long, "
             "w3_nano long",
@@ -640,7 +642,8 @@ def next_minute_load_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     14-register integerized moment pass, shared-text Cramer close."""
     _, _, wa, _ = _ld_fit(spark, sf_dir)
     rows = [("n_requests", *[_half_up(w * 1000000000.0) for w in wa])]
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         rows,
         "target string, w0_nano long, w1_nano long, w2_nano long, "
         "w3_nano long",
@@ -809,7 +812,8 @@ def stream_next_minute_load_ridge(
         for i in range(4):
             regs[f"gb{i}"] = regs[f"ga{i}"]  # 2-target contract
         wa, _, _, _ = ridge_solve(regs)
-        result = spark.createDataFrame(
+        result = local_frame(
+            spark,
             [("n_requests", *[_half_up(w * 1000000000.0) for w in wa])],
             "target string, w0_nano long, w1_nano long, w2_nano long, "
             "w3_nano long",

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataengineerchallenge_spark.registry import register
-from dataengineerchallenge_spark.sources.tables import load_table, spread
+from dataengineerchallenge_spark.sources.tables import load_table, local_frame, spread
 from dataengineerchallenge_spark.staging import staged
 
 _N_BUCKETS = 16
@@ -97,8 +97,8 @@ def _staged_inverted_index(spark: SparkSession, sf_dir: str) -> str:
 def _query_terms(spark: SparkSession, terms) -> DataFrame:
     """Tiny broadcast frame of query terms with their bucket keys —
     joining on (bucket, term) is what arms dynamic partition pruning."""
-    qt = spark.createDataFrame(
-        [(t, i) for i, t in enumerate(terms)], "term string, slot int"
+    qt = local_frame(
+        spark, [(t, i) for i, t in enumerate(terms)], "term string, slot int"
     )
     return qt.withColumn("bucket", _bucket(F.col("term")))
 

@@ -16,6 +16,7 @@ from dataengineerchallenge_spark.operators.sessionize import (
 )
 from dataengineerchallenge_spark.registry import register
 from dataengineerchallenge_spark.sources import load_table
+from dataengineerchallenge_spark.sources.tables import local_frame
 
 _CTE = events_session_cte()
 
@@ -558,7 +559,7 @@ def stream_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         hu = spark.read.parquet(pairs_dir).select("hour_s", "user_id").distinct()
         out = _sliding_distinct_from_pairs(hu)
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = local_frame(spark, out.collect(), out.schema)
     finally:
         if q.isActive:
             q.stop()

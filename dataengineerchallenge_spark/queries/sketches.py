@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataengineerchallenge_spark.registry import register
-from dataengineerchallenge_spark.sources.tables import load_table
+from dataengineerchallenge_spark.sources.tables import load_table, local_frame
 
 # Count-min sketch geometry (Cormode & Muthukrishnan 2005): d pairwise-
 # independent rows of w counters, h_i(x) = ((a_i*x + b_i) mod p) mod w
@@ -335,7 +335,7 @@ def stream_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20)
             .select("user_id", "cm_est", "exact_n")
         )
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = local_frame(spark, out.collect(), out.schema)
     finally:
         if q.isActive:
             q.stop()
@@ -574,7 +574,7 @@ def stream_hll_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count_distinct("user_id").alias("exact_users"))
         )
         out = _hll_estimate(spark, regs, types, exact)
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = local_frame(spark, out.collect(), out.schema)
     finally:
         if q.isActive:
             q.stop()
@@ -1130,7 +1130,7 @@ def stream_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pairs = spark.read.parquet(pairs_dir).select("event_type", "user_id").distinct()
         out = _kmv_overlap_matrix(pairs, sk)
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = local_frame(spark, out.collect(), out.schema)
     finally:
         if q.isActive:
             q.stop()
@@ -1338,7 +1338,7 @@ def stream_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("f2_est") - F.col("f2_exact")) / F.col("f2_exact"), 4
             ).alias("rel_err"),
         )
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = local_frame(spark, out.collect(), out.schema)
     finally:
         if q.isActive:
             q.stop()
@@ -1465,7 +1465,7 @@ def gk_quantiles_from_cents_counts(
         F.broadcast(ranks),
         (F.col("cum") >= F.col("r")) & (F.col("cum") - F.col("cnt") < F.col("r")),
     ).select("r", F.col("c").alias("v"))
-    qf = spark.createDataFrame([(q,) for q in _GK_QUANTILES], "q_bp long")
+    qf = local_frame(spark, [(q,) for q in _GK_QUANTILES], "q_bp long")
     t2 = (
         qf.crossJoin(F.broadcast(tot))
         .select("q_bp", "n", "s", F.expr("(q_bp * n + 9999) div 10000").alias("t"))
@@ -1605,7 +1605,7 @@ def stream_gk_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("cnt").alias("cnt"))
         )
         out = gk_quantiles_from_cents_counts(spark, g)
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = local_frame(spark, out.collect(), out.schema)
     finally:
         if q.isActive:
             q.stop()
@@ -1800,7 +1800,7 @@ def gk_grouped_quantiles_from_registers(
         "n",
         F.greatest(F.lit(1).cast("long"), F.expr(f"n div {_GK_EPS_INV}")).alias("s"),
     )
-    qf = spark.createDataFrame([(q,) for q in _GK_QUANTILES], "q_bp long")
+    qf = local_frame(spark, [(q,) for q in _GK_QUANTILES], "q_bp long")
     t2 = (
         tot.crossJoin(F.broadcast(qf))
         .select(

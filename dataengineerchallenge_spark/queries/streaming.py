@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from dataengineerchallenge_spark.operators.sessionize import events_session_cte
 from dataengineerchallenge_spark.registry import register
+from dataengineerchallenge_spark.sources.tables import local_frame
 from dataengineerchallenge_spark.streaming import run_to_batch, stream_events
 from dataengineerchallenge_spark.streaming.sessionize import (
     session_window_stream,
@@ -237,7 +238,7 @@ def stream_weighted_minute_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataengineerchallenge_spark.streaming.joins import weighted_minute_load_stream
 
     ev = stream_events(spark, sf_dir)
-    weights = spark.createDataFrame(_TYPE_WEIGHTS, "event_type string, weight double")
+    weights = local_frame(spark, _TYPE_WEIGHTS, "event_type string, weight double")
     return run_to_batch(
         weighted_minute_load_stream(ev, weights), "wload", output_mode="complete"
     )

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from dataengineerchallenge_spark.operators.dedup import word_shingles
 from dataengineerchallenge_spark.registry import register
-from dataengineerchallenge_spark.sources.tables import load_table, spread
+from dataengineerchallenge_spark.sources.tables import load_table, local_frame, spread
 
 _STOPWORDS = ("the", "a")  # the corpus' function words
 _POS_WORDS = ("fast", "small")  # tiny sentiment lexicon over the fixture vocab
@@ -326,8 +326,10 @@ def doc_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     of entries) where an in-expression literal array would not."""
     docs = load_table(spark, sf_dir, "documents")
     tok = spread(docs).select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    lex = spark.createDataFrame(
-        [(w, 1) for w in _POS_WORDS] + [(w, -1) for w in _NEG_WORDS], "w string, polarity int"
+    lex = local_frame(
+        spark,
+        [(w, 1) for w in _POS_WORDS] + [(w, -1) for w in _NEG_WORDS],
+        "w string, polarity int",
     )
     return (
         tok.join(F.broadcast(lex), "w", "left")

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from dataengineerchallenge_spark.functions import vectors as V
 from dataengineerchallenge_spark.registry import register
-from dataengineerchallenge_spark.sources.tables import load_table
+from dataengineerchallenge_spark.sources.tables import load_table, local_frame
 
 _N_QUERIES = 5  # vec_id < 5 are the designated query vectors
 _TOP_K = 10
@@ -2654,7 +2654,7 @@ def _stream_serve_fresh(
                 f"stream serve did not drain availableNow input in {timeout_s}s"
             )
         drained = spark.read.parquet(sink)
-        result = spark.createDataFrame(drained.collect(), drained.schema)
+        result = local_frame(spark, drained.collect(), drained.schema)
     finally:
         if q.isActive:
             q.stop()
@@ -3169,8 +3169,8 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt = rows[0]
         picks.append((i, nxt["doc_id"], nxt["rel"], nxt["obj"]))
         selected.append(nxt["doc_id"])
-    return spark.createDataFrame(
-        picks, "mmr_rank int, doc_id long, rel long, mmr_obj long"
+    return local_frame(
+        spark, picks, "mmr_rank int, doc_id long, rel long, mmr_obj long"
     )
 
 
@@ -3315,8 +3315,8 @@ def retrieval_eval_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nrel = rel.agg(F.sum("is_rel").alias("n_rel"))
-    d = spark.createDataFrame(
-        [(r, v) for r, v in _NDCG_DISC.items()], "rank int, disc long"
+    d = local_frame(
+        spark, [(r, v) for r, v in _NDCG_DISC.items()], "rank int, disc long"
     )
     dcg = (
         ranked.join(rel, "doc_id")
@@ -4091,8 +4091,8 @@ def embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame
             "carr"
         )
     ).localCheckpoint()
-    v = emb.sparkSession.createDataFrame(
-        [([0.125] * _PC_DIMS,)], "varr array<double>"
+    v = local_frame(
+        emb.sparkSession, [([0.125] * _PC_DIMS,)], "varr array<double>"
     ).withColumn("nrm", F.lit(None).cast("double"))
     for it in range(_PC_ITERS):
         wrow = cov.crossJoin(F.broadcast(v.select("varr"))).select(
@@ -4311,7 +4311,8 @@ def embedding_principal_components_r4(
                     int(_half_up(nrm / 1000000.0)),
                 )
             )
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         out_rows,
         "component long, dim long, loading_micropoints long,"
         " lambda_micropoints long",

@@ -186,6 +186,41 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def _lit_scalar(c) -> bool:
+    return c is None or isinstance(c, (int, float, str, bool)) or type(c).__module__ == "datetime"
+
+
+def local_frame(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """One-partition literal frame for tiny constant tables (quantile
+    grids, geo blocks, lexicons, dims).
+
+    ``createDataFrame`` slices even a 9-row literal table over
+    ``defaultParallelism`` partitions, and every execution that
+    materializes the frame then schedules that many near-empty
+    ExistingRDD tasks at ~200 ms apiece of pure scheduling/serialization
+    overhead (profiled on gk_value_quantiles / elb_geo_traffic: 7-8 s of
+    task time, <150 ms CPU, zero I/O — r20, OPTIMIZATION_r20.md Change
+    10). Building the rows as literal-array projections over
+    ``spark.range(0, n, 1, 1)`` pins ONE partition at the source and
+    measured 4.5x faster to materialize (0.08 vs 0.37 s); rows with
+    non-scalar cells fall back to a 1-slice parallelize, same layout.
+    Values are identical to the createDataFrame form either way."""
+    tmpl = spark.createDataFrame([], schema)
+    rows = [tuple(r) for r in rows]
+    if not rows:
+        return tmpl
+    if any(not _lit_scalar(c) for r in rows for c in r):
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), schema
+        )
+    idx = F.col("id").cast("int")
+    cols = []
+    for j, f in enumerate(tmpl.schema.fields):
+        arr = F.array([F.lit(r[j]) for r in rows])
+        cols.append(arr[idx].cast(f.dataType).alias(f.name))
+    return spark.range(0, len(rows), 1, 1).select(*cols)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose all fixture tables as temp views for the SQL surface (S5)."""
     for t in TABLES:

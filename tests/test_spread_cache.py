@@ -1,5 +1,6 @@
 """Round-20 optimization pins for adaptive spread + memoized table loads
-(sources/tables.py, OPTIMIZATION_r20.md Change 9):
++ one-partition literal frames (sources/tables.py, OPTIMIZATION_r20.md
+Changes 9-10):
 
 - spread() sizes its fan-out width from the plan-stats input size and
   never exceeds the old defaultParallelism blanket; the dial off
@@ -11,7 +12,11 @@
 
 from __future__ import annotations
 
-from dataengineerchallenge_spark.sources.tables import load_table, spread
+from dataengineerchallenge_spark.sources.tables import (
+    load_table,
+    local_frame,
+    spread,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 FLAG = "spark.graft.spread.adaptive"
@@ -40,6 +45,29 @@ def test_spread_dial_off_restores_blanket_width(spark):
 def test_spread_explicit_partitions_untouched(spark):
     docs = load_table(spark, SF_DIR, "documents")
     assert spread(docs, 7).rdd.getNumPartitions() == 7
+
+
+def test_local_frame_one_partition_same_values(spark):
+    rows = [(1, "a", 1.5), (2, None, -2.0), (None, "c", 0.0)]
+    schema = "k long, s string, v double"
+    lf = local_frame(spark, rows, schema)
+    ref = spark.createDataFrame(rows, schema)
+    assert lf.rdd.getNumPartitions() == 1
+    assert sorted(map(tuple, lf.collect()), key=str) == sorted(
+        map(tuple, ref.collect()), key=str
+    )
+    # names and types match; nullability may be TIGHTER than
+    # createDataFrame's all-nullable default (benign: the oracle harness
+    # compares names+values, unions reconcile nullability)
+    assert lf.dtypes == ref.dtypes
+
+
+def test_local_frame_empty_and_complex_cells(spark):
+    assert local_frame(spark, [], "x long").count() == 0
+    # non-scalar cells take the 1-slice parallelize fallback
+    lf = local_frame(spark, [([1.0, 2.0],)], "e array<double>")
+    assert lf.rdd.getNumPartitions() == 1
+    assert lf.collect()[0]["e"] == [1.0, 2.0]
 
 
 def test_load_table_rewritten_fixture_invalidates(spark, tmp_path):
