@@ -134,6 +134,21 @@ def _narrow_enabled(df: DataFrame) -> bool:
     )
 
 
+def _explode_members(spark) -> bool:
+    """Dial for the triangle-family duplicated-subtree fix (r20 session
+    4, guide §2.4): ``true`` (default) emits a triangle's three
+    corners/sides via one ``explode(array(...))`` pass over the
+    enumeration join; ``false`` restores the legacy 3-way UNION whose
+    executed plan re-ran the wedge + closing joins once per branch
+    (only the exchanges were reused). Values are identical either way —
+    the union IS union-all, so both forms produce the same row
+    multiset; only the plan shape differs. Used by the same-session
+    A/B (tools/bench_explode_ab.py)."""
+    return (
+        spark.conf.get("spark.graft.graph.explodeMembers", "true") == "true"
+    )
+
+
 def _seed1(spark, source, seed_t: str, col2: str, val2: int, t2: str) -> DataFrame:
     """One-row (node, <col2>) seed frame on ONE partition.
 
@@ -464,11 +479,23 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     # once in exactly one direction, so the two-reversal union is
     # duplicate-free by construction
     tris = wedges.join(closer, ["y", "z"])
-    members = (
-        tris.select(F.col("x").alias("node"))
-        .union(tris.select(F.col("y").alias("node")))
-        .union(tris.select(F.col("z").alias("node")))
-    )
+    # r20 session 4: a triangle contributes its three corners to the
+    # member multiset. The original 3-way UNION consumed `tris` three
+    # times and the executed plan (plans/r20, 38 join nodes) duplicated
+    # the whole wedge-join + closing-join subtree PER BRANCH — only the
+    # exchanges were reused, so the join/probe stages ran 3x (guide
+    # §2.4 "duplicated subtrees"). explode(array(x,y,z)) emits the
+    # identical row multiset from ONE enumeration pass.
+    if _explode_members(tris.sparkSession):
+        members = tris.select(
+            F.explode(F.array("x", "y", "z")).alias("node")
+        )
+    else:
+        members = (
+            tris.select(F.col("x").alias("node"))
+            .union(tris.select(F.col("y").alias("node")))
+            .union(tris.select(F.col("z").alias("node")))
+        )
     counts = members.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
     # materialize (localCheckpoint is eager and truncates lineage), then
     # RELEASE the persisted invariant — mirrors pagerank's unpersist
@@ -1212,11 +1239,36 @@ def truss(
             ecur.alias("z"),
             (F.least("p", "q") == F.col("z.a")) & (F.greatest("p", "q") == F.col("z.b")),
         ).select("t", "p", "q")
-        sides = (
-            tri.select(F.least("t", "p").alias("a"), F.greatest("t", "p").alias("b"))
-            .union(tri.select(F.least("t", "q").alias("a"), F.greatest("t", "q").alias("b")))
-            .union(tri.select(F.least("p", "q").alias("a"), F.greatest("p", "q").alias("b")))
-        )
+        # r20 session 4: same duplicated-subtree fix as triangle_counts
+        # (guide §2.4) — a triangle reinforces its three sides; the
+        # 3-way UNION re-ran the per-round wedge + closing joins once
+        # per branch, explode(array(struct,struct,struct)) emits the
+        # identical (a, b) row multiset from one pass.
+        if _explode_members(tri.sparkSession):
+            sides = tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.least("t", "p").alias("a"),
+                            F.greatest("t", "p").alias("b"),
+                        ),
+                        F.struct(
+                            F.least("t", "q").alias("a"),
+                            F.greatest("t", "q").alias("b"),
+                        ),
+                        F.struct(
+                            F.least("p", "q").alias("a"),
+                            F.greatest("p", "q").alias("b"),
+                        ),
+                    )
+                ).alias("_side")
+            ).select(F.col("_side.a").alias("a"), F.col("_side.b").alias("b"))
+        else:
+            sides = (
+                tri.select(F.least("t", "p").alias("a"), F.greatest("t", "p").alias("b"))
+                .union(tri.select(F.least("t", "q").alias("a"), F.greatest("t", "q").alias("b")))
+                .union(tri.select(F.least("p", "q").alias("a"), F.greatest("p", "q").alias("b")))
+            )
         supp = sides.groupBy("a", "b").agg(F.count(F.lit(1)).alias("s"))
         out = (
             ecur.join(supp, ["a", "b"], "left")
