@@ -97,6 +97,14 @@ def _bc(df: DataFrame) -> DataFrame:
 # never widened, so at 100 TB the layout is untouched.
 _LOOP_CACHE_ROWS_PER_PART = 1 << 16
 
+# Per-partition BYTE floor for keyed loop caches sized from plan stats
+# (pagerank — see _keyed's docstring for why stats, not a count action).
+# 256 KiB of scan bytes is a few MB decompressed in memory — the same
+# few-MB-per-task floor the 64k-row constant expresses for counted
+# frames; an unknown-stats plan (8-EiB default) clamps to the configured
+# shuffle width, i.e. exactly the width of the exchanges being removed.
+_LOOP_CACHE_BYTES_PER_PART = 256 << 10
+
 
 def _narrowed(df: DataFrame, n_rows: int) -> DataFrame:
     """Compact a persisted loop-invariant frame to a width derived from
@@ -132,6 +140,57 @@ def _narrow_enabled(df: DataFrame) -> bool:
         df.sparkSession.conf.get("spark.graft.graph.narrowLoopFrames", "true")
         == "true"
     )
+
+
+def _keyed_enabled(df: DataFrame) -> bool:
+    """Dial for the aggregation-keyed loop caches (r20 session 5).
+    Nested under ``narrowLoopFrames``: turning either dial off restores
+    the previous layout (coalesce-compacted for ``keyedLoopFrames=
+    false``, fully legacy for ``narrowLoopFrames=false``)."""
+    return _narrow_enabled(df) and (
+        df.sparkSession.conf.get("spark.graft.graph.keyedLoopFrames", "true")
+        == "true"
+    )
+
+
+def _keyed(e_cached: DataFrame, n_rows: int, key: str):
+    """Aggregation-keyed variant of ``_narrowed`` (r20 session 5, guide
+    §2.4 "two operations keyed the same way can share one exchange").
+
+    ``_narrowed``'s coalesce leaves the cache with UnknownPartitioning,
+    so every loop round still pays an exchange (tiny, but a full
+    map+reduce stage pair of scheduling latency) for its per-round
+    groupBy / window / distinct. Laying the loop-invariant cache out as
+    ``repartition(k, key)`` instead makes HashPartitioning(key, k) the
+    cache's stored partitioning — any per-round operator clustered on
+    ``key`` (or a superset of it: groupBy(key, x), a window partitioned
+    by key, distinct over key) then satisfies its required distribution
+    for ANY k and runs exchange-free, one stage per round, directly on
+    the cached blocks. This is the HITS Change-2/7 layout generalized
+    to the other keyed loops.
+
+    k derives from the MEASURED row count with the same 64k-row floor
+    and shuffle-width clamp as ``_narrowed``, so at 100 TB the cache
+    keeps the configured cluster width and the one-time repartition
+    replaces per-round edge-scale shuffles. The repartition reads the
+    already-persisted raw cache (the caller counts it first), and the
+    keyed frame is persisted itself — two cached copies held for the
+    loop's lifetime (the documented HITS trade); the caller unpersists
+    both.
+
+    Returns ``(loop_frame, keyed_frame_or_None)`` — the second element
+    is the extra persisted frame the caller must release after the
+    loop (None when a dial routed to the legacy layout).
+    """
+    from pyspark import StorageLevel
+
+    if not _keyed_enabled(e_cached):
+        return _narrowed(e_cached, n_rows), None
+    spark = e_cached.sparkSession
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    k = max(1, min(cap, -(-n_rows // _LOOP_CACHE_ROWS_PER_PART)))
+    part = e_cached.repartition(k, key).persist(StorageLevel.MEMORY_AND_DISK)
+    return part, part
 
 
 def _explode_members(spark) -> bool:
@@ -296,7 +355,33 @@ def pagerank(
     # write costs more than the bare re-scan it saves.
     # MEMORY_AND_DISK so an edge set bigger than executor memory spills
     # instead of failing; both frames are lazy until the first action.
-    eo = e.join(_bc(outdeg), "src").persist(StorageLevel.MEMORY_AND_DISK)
+    if _keyed_enabled(e):
+        # r20 session 5: the per-round contribution aggregate groups by
+        # dst, and the executed plan paid one edge-scale partial-agg →
+        # Exchange → final-agg stage pair PER ROUND for it
+        # (plans/r20/part_copurchase_pagerank_staged_before_keyed.txt).
+        # Laying the loop-invariant cache out as HashPartitioning(dst, k)
+        # once makes every round's groupBy("dst") exchange-free in place
+        # on the cache — the HITS Change-2 layout applied to pagerank.
+        # Unlike HITS, k comes from the edge frame's OPTIMIZED-PLAN
+        # stats, not a count action: a first-cut counted variant paid a
+        # full extra pass over the edge build plus a second cached copy
+        # (task-time A/B: CPU 24.8 → 34.4 s, shuffle 23.5 → 32.1 MB) —
+        # the wrong trade at 100 TB. Staged scans have exact file-size
+        # stats; an unknown mid-plan estimate (Spark's 8-EiB default)
+        # clamps k to the configured shuffle width, which is exactly the
+        # width the removed per-round exchanges used — never worse.
+        spark = e.sparkSession
+        size = int(str(e._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        k = max(1, min(cap, -(-size // _LOOP_CACHE_BYTES_PER_PART)))
+        eo = (
+            e.repartition(k, "dst")
+            .join(_bc(outdeg), "src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    else:
+        eo = e.join(_bc(outdeg), "src").persist(StorageLevel.MEMORY_AND_DISK)
     nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
     dang = None
     n_nodes = None
@@ -829,6 +914,14 @@ def hop_distances(
         # default source = minimum src value, read from the (now cached)
         # edge frame
         source = row["m"]
+    # NOT keyed (r20 session 5): the keyed-cache layout (see _keyed) was
+    # probed here and measured neutral-to-slower (5-sample alternating
+    # medians 0.956 vs 0.901 s staged / tie unstaged) — each wave's
+    # build side is AQE's per-wave pick (frontier early, edge set late),
+    # so the dst-partitioned cache never feeds an exchange-free distinct
+    # at fixture scale, and hinting the frontier broadcast to force it
+    # was +7-8% (a BFS frontier grows toward |V|). The Change-6 coalesce
+    # layout stays.
     e = _narrowed(e_cached, row["n"])
     # seed schema derives from the edge column's actual type — node ids
     # may be long, int or string depending on the graph
@@ -983,8 +1076,13 @@ def label_propagation(
     e_cached = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # materialize the cache and size its compaction in one tiny action
-    e = _narrowed(e_cached, e_cached.count())
+    # materialize the cache and size its compaction in one tiny action;
+    # keyed on dst (r20 session 5): the per-round (dst, label) count AND
+    # the per-node top-1 window are both clustered on the dst-derived
+    # node, so the keyed cache makes each round's TWO exchanges vanish
+    # (HashPartitioning(dst) satisfies ClusteredDistribution(dst, label)
+    # and ClusteredDistribution(node) alike)
+    e, e_keyed = _keyed(e_cached, e_cached.count(), "dst")
     labels = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -994,8 +1092,18 @@ def label_propagation(
     )
     w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
     for _ in range(iters):
+        # keyed layout: hint the |V|-row label side broadcast so the
+        # KEYED edge cache is the streamed side — the join output then
+        # carries HashPartitioning(dst) and both the (node, label)
+        # count and the top-1 window run exchange-free (without the
+        # hint AQE broadcasts whichever side is smaller; at fixture
+        # scale that is often the edge cache itself, which throws the
+        # keyed partitioning away). Applied ONLY under the keyed dial:
+        # the legacy layouts measured the blanket hint slower (see
+        # _bc's measured-revert note).
+        lab_side = _bc(labels) if e_keyed is not None else labels
         counts = (
-            e.join(labels, e["src"] == labels["node"])
+            e.join(lab_side, e["src"] == labels["node"])
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
@@ -1006,6 +1114,8 @@ def label_propagation(
             .localCheckpoint()
         )
     e_cached.unpersist()
+    if e_keyed is not None:
+        e_keyed.unpersist()
     return labels.select("node", F.col("label").alias("community"))
 
 
@@ -1055,8 +1165,11 @@ def coreness(
     e_cached = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # materialize the cache and size its compaction in one tiny action
-    e = _narrowed(e_cached, e_cached.count())
+    # materialize the cache and size its compaction in one tiny action;
+    # keyed on dst (r20 session 5): each round's neighbor-value window
+    # and h-index max both cluster on the dst-derived node, so the keyed
+    # cache removes the per-round window exchange
+    e, e_keyed = _keyed(e_cached, e_cached.count(), "dst")
     vals = (
         e.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -1064,7 +1177,12 @@ def coreness(
     )
     w = Window.partitionBy("node").orderBy(F.desc("c"))
     for _ in range(iters):
-        nb = e.join(vals, e["src"] == vals["node"]).select(
+        # keyed layout: hint the |V|-row value side broadcast so the
+        # keyed edge cache is the streamed side and the window + h-index
+        # max run exchange-free on HashPartitioning(dst) (see the LPA
+        # note; hint active only under the keyed dial)
+        val_side = _bc(vals) if e_keyed is not None else vals
+        nb = e.join(val_side, e["src"] == vals["node"]).select(
             F.col("dst").alias("node"), "c"
         )
         vals = (
@@ -1074,6 +1192,8 @@ def coreness(
             .localCheckpoint()
         )
     e_cached.unpersist()
+    if e_keyed is not None:
+        e_keyed.unpersist()
     return vals.select("node", F.col("c").alias("core"))
 
 
