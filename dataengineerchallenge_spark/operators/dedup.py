@@ -35,6 +35,17 @@ from dataengineerchallenge_spark.sources.tables import spread
 _SEP = "\x1f"
 
 
+def _ckpt_index_enabled(df: DataFrame) -> bool:
+    """Dial for the r20 session-5 inverted-index materialization in
+    shingle_jaccard_pairs / dup_span_doc_frame (default true; false
+    restores the recompute-per-consumer plan exactly — same values,
+    used by the same-session A/B, tools/bench_ckptindex_ab.py)."""
+    return (
+        df.sparkSession.conf.get("spark.graft.dedup.ckptInvertedIndex", "true")
+        == "true"
+    )
+
+
 def content_hash(*cols: str | Column) -> Column:
     """sha2-256 hex digest of the concatenated content columns (N1).
 
@@ -113,6 +124,17 @@ def shingle_jaccard_pairs(
     # single-file fixture — measured 6.7s -> 1.9s at sf0.1); no-op at scale
     df = spread(df)
     sh = df.select(F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, n)).alias("_sh"))
+    # r20 session 5 (guide §2.4 duplicated subtrees, §5.4): the executed
+    # plan computed the split+shingle explode THREE times — the self-join's
+    # two sides share one ReusedExchange, but each broadcast build of the
+    # doc-size frame (sa, sb) re-ran the whole text pass (profiled: 2 of
+    # the query's 3 heaviest stages were repeat explodes). Materializing
+    # the inverted index once makes every consumer read |shingle| narrow
+    # rows instead of re-scanning the corpus — at 100 TB that is two
+    # full corpus passes removed. Values are identical (same rows, same
+    # floats; only the materialization point moves).
+    if _ckpt_index_enabled(df):
+        sh = sh.localCheckpoint()
     sizes_all = sh.groupBy("_id").agg(F.count("*").alias("_n"))
     if max_shingle_freq is not None:
         freq = sh.groupBy("_sh").agg(F.count("*").alias("_df"))
@@ -194,6 +216,13 @@ def shingle_jaccard_pairs_prefix(
     sh = df.select(
         F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, n)).alias("_sh")
     )
+    # NOT checkpointed (r20 session 5): the shingle_jaccard_pairs
+    # materialization was probed here and measured +20% (6.8 vs 5.7 s
+    # median, same-session alternation) — a checkpoint ROOT erases the
+    # plan stats the candidate verification joins plan their broadcast
+    # sides from, and this variant's consumers already share the
+    # inverted index through reused exchanges. The recompute-per-
+    # consumer plan stays.
     cand = prefix_filter_candidates(sh, threshold)
     # verify per CANDIDATE pair on whole shingle SETS (two candidate-sized
     # joins + array_intersect), not by re-exploding the inverted index —
@@ -641,6 +670,15 @@ def dup_span_doc_frame(
     sh = base.select("_id", F.explode(grams).alias("_s")).select(
         "_id", F.col("_s.start").alias("start"), F.col("_s.g").alias("g")
     )
+    # r20 session 5: same duplicated-subtree fix as shingle_jaccard_pairs
+    # — the positional gram explode is consumed by the doc-frequency
+    # aggregate AND the candidate/hits join (and on the hash path by the
+    # re-verify), and the executed plan re-ran the split+slice text pass
+    # once per consumer (profiled: two ~3 s repeat-explode stages at
+    # sf0.1). One materialization, every consumer reads the narrow gram
+    # rows; identical values either way (dial: see _ckpt_index_enabled).
+    if _ckpt_index_enabled(df):
+        sh = sh.localCheckpoint()
     if cand_mode not in ("auto", "broadcast", "shuffle"):
         raise ValueError(f"cand_mode must be auto|broadcast|shuffle, got {cand_mode!r}")
     if hash_grams:
