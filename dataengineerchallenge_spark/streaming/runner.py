@@ -38,6 +38,32 @@ def run_to_batch(
     verify watermark semantics across restarts)."""
     spark = sdf.sparkSession
     qname = f"_strm_{name}_{next(_counter)}_{id(sdf) & 0xFFFF}"
+    # r20 session 5: a stateful drain fixes its STATE partition count
+    # from spark.sql.shuffle.partitions at first-batch planning (and
+    # records it in the offset log), so every drain through this harness
+    # scheduled 32 state-store tasks whose cost is per-task open/commit
+    # I/O, not compute — profiled at sf0.1: 21 s of task time at 0.79 s
+    # CPU for stream_per_minute_load's stateful stage; narrowing to 8
+    # measured the whole drain 2.1-4.1 s -> 1.2-1.5 s (alternating
+    # samples). This harness is the TEST/ORACLE path by contract (the
+    # memory sink collects to the driver, so drains here are
+    # driver-bounded by design — its own docstring); the production
+    # parquet/kafka sink path does not go through it. Dial:
+    # spark.graft.stream.drainStatePartitions (default 8; set 0/unset
+    # semantics: any non-positive value disables the override). The
+    # session width is restored after termination — state partitioning
+    # for batches beyond the first comes from the offset log, never the
+    # live conf. Partitioning cannot change any drained VALUE (exact
+    # aggregates; the oracle sweeps re-verify every streaming twin).
+    drain_sp = int(
+        spark.conf.get("spark.graft.stream.drainStatePartitions", "8")
+    )
+    old_sp: str | None = None
+    if drain_sp > 0:
+        cur_sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if drain_sp < cur_sp:
+            old_sp = str(cur_sp)
+            spark.conf.set("spark.sql.shuffle.partitions", str(drain_sp))
     writer = (
         sdf.writeStream.format("memory")
         .queryName(qname)
@@ -46,17 +72,21 @@ def run_to_batch(
     )
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
-    q = writer.start()
     try:
-        finished = q.awaitTermination(timeout_s)
-        if not finished:
-            raise TimeoutError(
-                f"streaming query {name!r} did not drain availableNow input in "
-                f"{timeout_s}s — refusing to return a partially-filled sink"
-            )
+        q = writer.start()
+        try:
+            finished = q.awaitTermination(timeout_s)
+            if not finished:
+                raise TimeoutError(
+                    f"streaming query {name!r} did not drain availableNow input in "
+                    f"{timeout_s}s — refusing to return a partially-filled sink"
+                )
+        finally:
+            if q.isActive:
+                q.stop()
     finally:
-        if q.isActive:
-            q.stop()
+        if old_sp is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     # Resolve the sink into a DataFrame, then drop the uniquely-named temp
     # view: spark.table() analyzes EAGERLY, so the returned frame holds the
     # memory-sink relation directly and survives the drop, while the
