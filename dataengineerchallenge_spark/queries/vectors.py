@@ -913,14 +913,27 @@ def _trained_serve_luts(
     qlf = V.explode_vectors(batch, ["query_id"], "embedding").withColumn(
         "sub", F.floor(F.col("pos") / _PQ_DIM)
     )
-    probes = _route_probes(qlf, cent, n_probes)
+    fused = _ckpt_serve_luts(spark)
+    if fused:
+        # r21 change 1 (guide §2.4/§5.4): materialize the batch long form
+        # once and fold the query-norm aggregate into the router pass —
+        # the legacy shape scanned+exploded the batch three times (router,
+        # qdot, qn), each under its own broadcast-build job.
+        qlf = qlf.localCheckpoint(eager=False)
+        router = _routed_query_stats(qlf, cent).localCheckpoint(eager=False)
+        probes = _probes_from_stats(router, n_probes)
+        qn = router.groupBy("query_id").agg(
+            F.sqrt(F.max("qn2")).alias("qnorm")
+        )
+    else:
+        probes = _route_probes(qlf, cent, n_probes)
+        qn = qlf.groupBy("query_id").agg(
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("qnorm")
+        )
     qdot = (
         qlf.join(F.broadcast(cb), ["sub", "pos"])
         .groupBy("query_id", "sub", "code")
         .agg(F.sum(F.col("v") * F.col("cv")).alias("qd"))
-    )
-    qn = qlf.groupBy("query_id").agg(
-        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("qnorm")
     )
     qlut = qdot.join(F.broadcast(cn), ["sub", "code"]).join(qn, "query_id")
     codes = spark.read.parquet(f"{root}/codes")
@@ -1568,6 +1581,66 @@ def _route_probes(qlf: DataFrame, cent: DataFrame, n_probes: int) -> DataFrame:
     )
 
 
+def _ckpt_serve_luts(spark: SparkSession) -> bool:
+    """Dial for the fused/materialized fresh-serve LUT stage (r21 change
+    1, guide §2.4/§5.4 — the Change-13 discipline applied to the ANN
+    serve tail): ``true`` (default) materializes the batch long form
+    once (lazy localCheckpoint) and computes routing, coarse dots and
+    query norms in ONE aggregation pass; ``false`` restores the legacy
+    shape, where the executed plan scanned and exploded the query batch
+    once per LUT (4 scans / 4 aggregation subtrees for the residual
+    fresh serve — plans/r21/ivf_pq_residual_serve_fresh_topk_before
+    .txt) and each broadcast build was its own multi-stage job. Values
+    are bit-identical either way (same joins, same groups, same input
+    row order — the batch payload is a single-file scan); only the
+    plan shape differs. Used by the same-session A/B
+    (tools/bench_servestage_ab.py)."""
+    return (
+        spark.conf.get("spark.graft.vectors.ckptServeLuts", "true") == "true"
+    )
+
+
+def _routed_query_stats(qlf: DataFrame, cent: DataFrame) -> DataFrame:
+    """ONE aggregation pass over (batch long form × broadcast coarse
+    codebook) producing per-(query, centroid) sufficient statistics:
+    qcd = Σ v·cv (the coarse dot), qn2 = Σ v² (the query norm², summed
+    within the group — every centroid's group sees each of the query's
+    dim rows exactly once and in the same scan order, so the per-group
+    sum is bit-identical to a per-query sum), cn2c = Σ cv² (centroid
+    norm²). The router's cosine, the residual serve's ``qclut`` and the
+    trained serve's query norm are all projections of this one frame —
+    previously three separate scan+explode+aggregate subtrees."""
+    return (
+        qlf.join(F.broadcast(cent), "pos")
+        .groupBy("query_id", "clabel")
+        .agg(
+            F.sum(F.col("v") * F.col("cv")).alias("qcd"),
+            F.sum(F.col("v") * F.col("v")).alias("qn2"),
+            F.sum(F.col("cv") * F.col("cv")).alias("cn2c"),
+        )
+    )
+
+
+def _probes_from_stats(router: DataFrame, n_probes: int) -> DataFrame:
+    """The ``_route_probes`` ranking re-expressed over the materialized
+    router-stats frame: cos = qcd / (√qn2 · √cn2c) — the identical
+    expression tree `_route_probes` folds into its aggregate — with the
+    same drift-stable ordering (round(cos, 8), clabel tie-break)."""
+    qsims = router.select(
+        "query_id",
+        "clabel",
+        (F.col("qcd") / (F.sqrt("qn2") * F.sqrt("cn2c"))).alias("cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos", 8)), F.asc("clabel")
+    )
+    return (
+        qsims.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probes)
+        .select("query_id", F.col("clabel").alias("probe_label"))
+    )
+
+
 def _fresh_query_luts(
     spark: SparkSession, root: str, batch: DataFrame, n_probes: int
 ) -> tuple[DataFrame, DataFrame]:
@@ -1576,12 +1649,23 @@ def _fresh_query_luts(
     (shared ``_route_probes``), then build the ADC lookup table — per-
     query code dots, code norms, query norms — from the same centroids
     viewed as the PQ codebook. All batch-sized against broadcast staged
-    state; shared by the plain fresh serve and the exact re-rank rung."""
+    state; shared by the plain fresh serve and the exact re-rank rung.
+
+    Under the ``_ckpt_serve_luts`` dial (default) the batch long form is
+    materialized once and the query norm is read off the fused router
+    stats instead of a third batch scan+aggregate (max over per-centroid
+    groups of an identical stored double — exact)."""
     cent = spark.read.parquet(f"{root}/centroids")
     qlf = V.explode_vectors(batch, ["query_id"], "embedding").withColumn(
         "sub", F.floor(F.col("pos") / _PQ_DIM)
     )
-    probes = _route_probes(qlf, cent, n_probes)
+    fused = _ckpt_serve_luts(spark)
+    if fused:
+        qlf = qlf.localCheckpoint(eager=False)
+        router = _routed_query_stats(qlf, cent).localCheckpoint(eager=False)
+        probes = _probes_from_stats(router, n_probes)
+    else:
+        probes = _route_probes(qlf, cent, n_probes)
     # ADC lookups from the same centroids viewed as the PQ codebook
     cb = cent.select(
         F.floor(F.col("pos") / _PQ_DIM).alias("sub"),
@@ -1595,9 +1679,14 @@ def _fresh_query_luts(
         .agg(F.sum(F.col("v") * F.col("cv")).alias("qd"))
     )
     cn = cb.groupBy("sub", "code").agg(F.sum(F.col("cv") * F.col("cv")).alias("cn2"))
-    qn = qlf.groupBy("query_id").agg(
-        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("qnorm")
-    )
+    if fused:
+        qn = router.groupBy("query_id").agg(
+            F.sqrt(F.max("qn2")).alias("qnorm")
+        )
+    else:
+        qn = qlf.groupBy("query_id").agg(
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("qnorm")
+        )
     qlut = qdot.join(cn, ["sub", "code"]).join(qn, "query_id")
     return probes, qlut
 
@@ -2537,22 +2626,40 @@ def _residual_serve_fresh_from_index(
     qlf = V.explode_vectors(batch, ["query_id"], "embedding").withColumn(
         "sub", F.floor(F.col("pos") / _PQ_DIM)
     )
-    probes = _route_probes(qlf, cent, n_probes)
+    if _ckpt_serve_luts(spark):
+        # r21 change 1 (guide §2.4/§5.4): the legacy plan scanned and
+        # exploded the 5-query batch FOUR times (router, qrlut, qc, qn —
+        # plans/r21/ivf_pq_residual_serve_fresh_topk_before.txt), each
+        # under its own multi-stage broadcast-build job. The router pass
+        # already computes every per-(query, bucket) statistic the
+        # coarse-dot lookup needs, so qclut is a projection of the fused
+        # router stats and the batch long form is materialized once.
+        qlf = qlf.localCheckpoint(eager=False)
+        router = _routed_query_stats(qlf, cent).localCheckpoint(eager=False)
+        probes = _probes_from_stats(router, n_probes)
+        qclut = router.select(
+            "query_id",
+            F.col("clabel").alias("bucket"),
+            "qcd",
+            F.sqrt("qn2").alias("qnorm"),
+        )
+    else:
+        probes = _route_probes(qlf, cent, n_probes)
+        qc = (
+            qlf.join(F.broadcast(cent), "pos")
+            .groupBy("query_id", F.col("clabel").alias("bucket"))
+            .agg(F.sum(F.col("v") * F.col("cv")).alias("qcd"))
+        )
+        qn = qlf.groupBy("query_id").agg(
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("qnorm")
+        )
+        qclut = qc.join(qn, "query_id")
     # query-side ADC lookups from the staged codebooks
     qrlut = (
         qlf.join(F.broadcast(rcb), ["sub", "pos"])
         .groupBy("query_id", "sub", "code")
         .agg(F.sum(F.col("v") * F.col("rcv")).alias("qrd"))
     )
-    qc = (
-        qlf.join(F.broadcast(cent), "pos")
-        .groupBy("query_id", F.col("clabel").alias("bucket"))
-        .agg(F.sum(F.col("v") * F.col("cv")).alias("qcd"))
-    )
-    qn = qlf.groupBy("query_id").agg(
-        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("qnorm")
-    )
-    qclut = qc.join(qn, "query_id")
     codes = spark.read.parquet(f"{root}/codes")
     dlut = spark.read.parquet(f"{root}/dlut")
     return _residual_adc_serve_topk(codes, probes, qrlut, dlut, qclut)
