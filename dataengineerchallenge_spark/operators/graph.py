@@ -153,6 +153,23 @@ def _keyed_enabled(df: DataFrame) -> bool:
     )
 
 
+def _stats_keyed(e: DataFrame, key: str) -> DataFrame:
+    """``repartition(k, key)`` with k sized from the frame's
+    OPTIMIZED-PLAN stats (the pagerank Change-12 sizing, extracted so
+    the spectral loops share it — r21 change 2): staged scans have
+    exact file-size stats; an unknown mid-plan estimate (Spark's 8-EiB
+    default) clamps k to the configured shuffle width, which is exactly
+    the width the removed per-round exchanges used — never worse. Not
+    persisted; callers persist the returned frame (keyed loop caches
+    hold HashPartitioning(key, k), so every per-round operator
+    clustered on ``key`` runs exchange-free on the cache)."""
+    spark = e.sparkSession
+    size = int(str(e._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    k = max(1, min(cap, -(-size // _LOOP_CACHE_BYTES_PER_PART)))
+    return e.repartition(k, key)
+
+
 def _keyed(e_cached: DataFrame, n_rows: int, key: str):
     """Aggregation-keyed variant of ``_narrowed`` (r20 session 5, guide
     §2.4 "two operations keyed the same way can share one exchange").
@@ -367,16 +384,10 @@ def pagerank(
         # stats, not a count action: a first-cut counted variant paid a
         # full extra pass over the edge build plus a second cached copy
         # (task-time A/B: CPU 24.8 → 34.4 s, shuffle 23.5 → 32.1 MB) —
-        # the wrong trade at 100 TB. Staged scans have exact file-size
-        # stats; an unknown mid-plan estimate (Spark's 8-EiB default)
-        # clamps k to the configured shuffle width, which is exactly the
-        # width the removed per-round exchanges used — never worse.
-        spark = e.sparkSession
-        size = int(str(e._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
-        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        k = max(1, min(cap, -(-size // _LOOP_CACHE_BYTES_PER_PART)))
+        # the wrong trade at 100 TB. Sizing shared via _stats_keyed
+        # (r21: the spectral loops use the same layout).
         eo = (
-            e.repartition(k, "dst")
+            _stats_keyed(e, "dst")
             .join(_bc(outdeg), "src")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )

@@ -2402,9 +2402,30 @@ def spectral_smoothing(
     Returns the round-``rounds`` iterate (node, v) on the ±G grid. Every
     operation is integer, so the whole trajectory is engine-exact; the
     one guard is the int64 bound 2·n·c·G² (raise-don't-truncate)."""
-    from dataengineerchallenge_spark.functions.hashing import spark_u32
+    from pyspark import StorageLevel
 
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    from dataengineerchallenge_spark.functions.hashing import spark_u32
+    from dataengineerchallenge_spark.operators.graph import (
+        _keyed_enabled,
+        _stats_keyed,
+    )
+
+    # r21 change 2 (guide §2.4; the pagerank Change-12 layout applied to
+    # the repo's two heaviest registered plans): the per-round matvec is
+    # groupBy(src) over the loop-invariant edge cache, so laying the
+    # cache out HashPartitioning(src, k) once makes all `rounds`
+    # neighbor-sum aggregations exchange-free in place on the cache —
+    # the legacy layout paid one edge-scale partial-agg → Exchange →
+    # final-agg stage pair PER ROUND. deg then derives from the keyed
+    # cache (same groupBy key: also exchange-free, and its collect
+    # doubles as the cache-materializing action). Values are identical
+    # either way; dial spark.graft.graph.keyedLoopFrames routes back to
+    # the legacy layout.
+    if _keyed_enabled(e):
+        ep = _stats_keyed(e, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        ep = e.persist(StorageLevel.MEMORY_AND_DISK)
+    deg = ep.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     stats = deg.agg(
         F.count(F.lit(1)).alias("n"), F.max("d").alias("dmax")
     ).collect()[0]
@@ -2426,9 +2447,6 @@ def spectral_smoothing(
         .cast("long")
         .alias("v"),
     ).localCheckpoint()
-    from pyspark import StorageLevel
-
-    ep = e.persist(StorageLevel.MEMORY_AND_DISK)
     degc = deg.localCheckpoint()
     for r in range(rounds):
         nb = (
@@ -2658,9 +2676,22 @@ def spectral_second_direction(
     before direction 1's 4^m sweep even showed fusion losing at m=2;
     BENCH_spectral.json carries that direction-1 curve, the measured
     negative that set both defaults to per-round)."""
-    from dataengineerchallenge_spark.functions.hashing import spark_u32
+    from pyspark import StorageLevel
 
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    from dataengineerchallenge_spark.functions.hashing import spark_u32
+    from dataengineerchallenge_spark.operators.graph import (
+        _keyed_enabled,
+        _stats_keyed,
+    )
+
+    # r21 change 2: same keyed-cache layout as direction 1 (see
+    # spectral_smoothing) — the per-round matvec groupBy(src) runs
+    # exchange-free on the HashPartitioning(src, k) cache.
+    if _keyed_enabled(e):
+        ep = _stats_keyed(e, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        ep = e.persist(StorageLevel.MEMORY_AND_DISK)
+    deg = ep.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     stats = deg.agg(
         F.count(F.lit(1)).alias("n"), F.max("d").alias("dmax")
     ).collect()[0]
@@ -2685,9 +2716,6 @@ def spectral_second_direction(
         .cast("long")
         .alias("v"),
     ).localCheckpoint()
-    from pyspark import StorageLevel
-
-    ep = e.persist(StorageLevel.MEMORY_AND_DISK)
     degc = deg.localCheckpoint()
     for r in range(rounds):
         nb = (

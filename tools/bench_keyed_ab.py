@@ -60,6 +60,12 @@ QUERIES = [
     # caches since Change 2/7; star-CC has no keyed aggregation frame)
     ("purchase_hits_staged", "/root/testdata/sf0.1"),
     ("copurchase_components_staged", "/root/testdata/sf0.1"),
+    # r21 change 2: the spectral loops' edge cache keyed on the matvec
+    # aggregation key (sf0.01 — the registry-only convention; these are
+    # the two heaviest registered plans, priced in BENCH_spectral.json)
+    ("copurchase_spectral_bipartition", "/root/testdata/sf0.01"),
+    ("copurchase_spectral_profile", "/root/testdata/sf0.01"),
+    ("copurchase_spectral_quadrants", "/root/testdata/sf0.01"),
 ]
 N = 3
 
