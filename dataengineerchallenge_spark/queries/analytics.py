@@ -743,15 +743,10 @@ def stream_hourly_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).parquet(f"{hours_dir}/epoch_id={epoch_id}")
 
-    q = (
-        sdf.writeStream.foreachBatch(update)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from dataengineerchallenge_spark.streaming.runner import drain_foreach_batch
+
     try:
-        if not q.awaitTermination(300):
-            raise TimeoutError("stream mad did not drain availableNow input in 300s")
+        drain_foreach_batch(sdf, update, ckpt, "stream mad")
         merged = (
             spark.read.parquet(hours_dir)
             .groupBy("hour_epoch_s")
@@ -760,8 +755,6 @@ def stream_hourly_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = _mad_anomalies(_hour_spine_series(merged))
         result = local_frame(spark, out.collect(), out.schema)
     finally:
-        if q.isActive:
-            q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result
 
@@ -1503,15 +1496,10 @@ def stream_event_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(f"{live_dir}/epoch_id={epoch_id}")
         )
 
-    q = (
-        sdf.writeStream.foreachBatch(update)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from dataengineerchallenge_spark.streaming.runner import drain_foreach_batch
+
     try:
-        if not q.awaitTermination(300):
-            raise TimeoutError("psi stream did not drain availableNow input in 300s")
+        drain_foreach_batch(sdf, update, ckpt, "psi stream")
         live = (
             spark.read.parquet(live_dir)
             .groupBy("event_type", "bin")
@@ -1527,8 +1515,6 @@ def stream_event_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = _psi_finish(spark, cnt)
         result = local_frame(spark, out.collect(), out.schema)
     finally:
-        if q.isActive:
-            q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result
 

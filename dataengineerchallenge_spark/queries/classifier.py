@@ -458,17 +458,10 @@ def stream_quality_classifier_irls(
         )
         reg.write.mode("overwrite").parquet(f"{regs_dir}/epoch_id={epoch_id}")
 
-    q = (
-        sdf.writeStream.foreachBatch(update)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from dataengineerchallenge_spark.streaming.runner import drain_foreach_batch
+
     try:
-        if not q.awaitTermination(300):
-            raise TimeoutError(
-                "classifier stream did not drain availableNow input in 300s"
-            )
+        drain_foreach_batch(sdf, update, ckpt, "classifier stream")
         g = (
             spark.read.parquet(regs_dir)
             .groupBy("y", "x1", "x2", "x3")
@@ -477,8 +470,6 @@ def stream_quality_classifier_irls(
         out = _trace_frame(spark, newton_trace_grouped(g))
         result = local_frame(spark, out.collect(), out.schema)
     finally:
-        if q.isActive:
-            q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result
 

@@ -867,23 +867,13 @@ def _stream_near_dup_serve(
         if epochs is not None:
             epochs.append((epoch_id, round(time.time() - t0, 3)))
 
-    q = (
-        sdf.writeStream.foreachBatch(serve)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from dataengineerchallenge_spark.streaming.runner import drain_foreach_batch
+
     try:
-        finished = q.awaitTermination(timeout_s)
-        if not finished:
-            raise TimeoutError(
-                f"stream dedup did not drain availableNow input in {timeout_s}s"
-            )
+        drain_foreach_batch(sdf, serve, ckpt, "stream dedup", timeout_s=timeout_s)
         drained = spark.read.parquet(sink).select("id_a", "id_b", "jaccard")
         result = local_frame(spark, drained.collect(), drained.schema)
     finally:
-        if q.isActive:
-            q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result
 
@@ -2120,15 +2110,10 @@ def stream_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         reg = grams_of(mb).select("gram").distinct()
         reg.write.mode("overwrite").parquet(f"{grams_dir}/epoch_id={epoch_id}")
 
-    q = (
-        sdf.writeStream.foreachBatch(update)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from dataengineerchallenge_spark.streaming.runner import drain_foreach_batch
+
     try:
-        if not q.awaitTermination(300):
-            raise TimeoutError("stream contamination did not drain in 300s")
+        drain_foreach_batch(sdf, update, ckpt, "stream contamination")
         train = spark.read.parquet(grams_dir).select("gram").distinct()
         ev_docs = spread(load_table(spark, sf_dir, "documents")).filter(
             F.col("source") == _CONTAM_EVAL_SRC
@@ -2154,8 +2139,6 @@ def stream_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         result = local_frame(spark, out.collect(), out.schema)
     finally:
-        if q.isActive:
-            q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result
 

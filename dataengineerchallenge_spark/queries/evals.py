@@ -466,15 +466,10 @@ def stream_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
         ).write.mode("overwrite").parquet(f"{tallies}/epoch_id={epoch_id}")
 
-    q = (
-        sdf.writeStream.foreachBatch(update)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from dataengineerchallenge_spark.streaming.runner import drain_foreach_batch
+
     try:
-        if not q.awaitTermination(300):
-            raise TimeoutError("auc stream did not drain availableNow input in 300s")
+        drain_foreach_batch(sdf, update, ckpt, "auc stream")
         g = (
             spark.read.parquet(tallies)
             .groupBy("source", "p")
@@ -483,8 +478,6 @@ def stream_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = auc_from_score_groups(g, "source")
         result = local_frame(spark, out.collect(), out.schema)
     finally:
-        if q.isActive:
-            q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result
 
@@ -563,17 +556,10 @@ def stream_classifier_brier_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("brier_nano").alias("bnano"),
         ).write.mode("overwrite").parquet(f"{tallies}/epoch_id={epoch_id}")
 
-    q = (
-        sdf.writeStream.foreachBatch(update)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from dataengineerchallenge_spark.streaming.runner import drain_foreach_batch
+
     try:
-        if not q.awaitTermination(300):
-            raise TimeoutError(
-                "brier stream did not drain availableNow input in 300s"
-            )
+        drain_foreach_batch(sdf, update, ckpt, "brier stream")
         b = (
             spark.read.parquet(tallies)
             .groupBy("bin")
@@ -597,8 +583,6 @@ def stream_classifier_brier_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         result = local_frame(spark, out.collect(), out.schema)
     finally:
-        if q.isActive:
-            q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result
 
@@ -662,15 +646,10 @@ def stream_classifier_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
         ).write.mode("overwrite").parquet(f"{tallies}/epoch_id={epoch_id}")
 
-    q = (
-        sdf.writeStream.foreachBatch(update)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from dataengineerchallenge_spark.streaming.runner import drain_foreach_batch
+
     try:
-        if not q.awaitTermination(300):
-            raise TimeoutError("ap stream did not drain availableNow input in 300s")
+        drain_foreach_batch(sdf, update, ckpt, "ap stream")
         g = (
             spark.read.parquet(tallies)
             .groupBy("p")
@@ -679,7 +658,5 @@ def stream_classifier_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = pr_auc_from_score_groups(g)
         result = local_frame(spark, out.collect(), out.schema)
     finally:
-        if q.isActive:
-            q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result

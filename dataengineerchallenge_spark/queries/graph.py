@@ -1648,18 +1648,10 @@ def stream_copurchase_edge_merge(
         if epochs is not None:
             epochs.append((epoch_id, round(time.time() - t0, 3)))
 
-    q = (
-        sdf.writeStream.foreachBatch(serve)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from dataengineerchallenge_spark.streaming.runner import drain_foreach_batch
+
     try:
-        finished = q.awaitTermination(timeout_s)
-        if not finished:
-            raise TimeoutError(
-                f"edge-store stream did not drain availableNow input in {timeout_s}s"
-            )
+        drain_foreach_batch(sdf, serve, ckpt, "edge-store stream", timeout_s=timeout_s)
         merged = (
             spark.read.parquet(f"{hist_root}/sym")
             .unionByName(
@@ -1670,8 +1662,6 @@ def stream_copurchase_edge_merge(
             .localCheckpoint()  # eager: detach from the scratch dir
         )
     finally:
-        if q.isActive:
-            q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return merged
 

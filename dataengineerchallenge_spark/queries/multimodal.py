@@ -390,22 +390,14 @@ def stream_payload_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.write.mode("overwrite").parquet(f"{sink}/epoch_id={epoch_id}")
         fp.write.mode("overwrite").parquet(f"{committed}/epoch_id={epoch_id}")
 
-    q = (
-        sdf.writeStream.foreachBatch(serve)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from dataengineerchallenge_spark.streaming.runner import drain_foreach_batch
+
     try:
-        finished = q.awaitTermination(300)
-        if not finished:
-            raise TimeoutError("payload dedup stream did not drain in 300s")
+        drain_foreach_batch(sdf, serve, ckpt, "payload dedup stream")
         drained = spark.read.parquet(sink).select(
             "id_a", "id_b", "hamming", "cross_doc"
         )
         result = local_frame(spark, drained.collect(), drained.schema)
     finally:
-        if q.isActive:
-            q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result

@@ -410,15 +410,10 @@ def stream_event_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         reg.write.mode("overwrite").parquet(f"{regs_dir}/epoch_id={epoch_id}")
 
-    q = (
-        sdf.writeStream.foreachBatch(update)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from dataengineerchallenge_spark.streaming.runner import drain_foreach_batch
+
     try:
-        if not q.awaitTermination(300):
-            raise TimeoutError("stream skew did not drain in 300s")
+        drain_foreach_batch(sdf, update, ckpt, "stream skew")
         c = (
             spark.read.parquet(regs_dir)
             .groupBy("event_type", "user_id")
@@ -445,7 +440,5 @@ def stream_event_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         result = local_frame(spark, out.collect(), out.schema)
     finally:
-        if q.isActive:
-            q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result

@@ -485,17 +485,10 @@ def stream_session_length_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{regs_dir}/epoch_id={epoch_id}"
         )
 
-    q = (
-        sdf.writeStream.foreachBatch(update)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from dataengineerchallenge_spark.streaming.runner import drain_foreach_batch
+
     try:
-        if not q.awaitTermination(300):
-            raise TimeoutError(
-                "ridge stream did not drain availableNow input in 300s"
-            )
+        drain_foreach_batch(sdf, update, ckpt, "ridge stream")
         row = (
             spark.read.parquet(regs_dir)
             .agg(*[F.sum(n).alias(n) for n in _RG_REG_NAMES])
@@ -513,8 +506,6 @@ def stream_session_length_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w3_nano long",
         )
     finally:
-        if q.isActive:
-            q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result
 
@@ -792,17 +783,10 @@ def stream_next_minute_load_ridge(
             f"{regs_dir}/epoch_id={epoch_id}"
         )
 
-    q = (
-        sdf.writeStream.foreachBatch(update)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from dataengineerchallenge_spark.streaming.runner import drain_foreach_batch
+
     try:
-        if not q.awaitTermination(300):
-            raise TimeoutError(
-                "load ridge stream did not drain availableNow input in 300s"
-            )
+        drain_foreach_batch(sdf, update, ckpt, "load ridge stream")
         row = (
             spark.read.parquet(regs_dir)
             .agg(*[F.sum(n).alias(n) for n in _LD_REG_NAMES])
@@ -819,7 +803,5 @@ def stream_next_minute_load_ridge(
             "w3_nano long",
         )
     finally:
-        if q.isActive:
-            q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result

@@ -303,18 +303,10 @@ def stream_postings_merge(
         if epochs is not None:
             epochs.append((epoch_id, round(time.time() - t0, 3)))
 
-    q = (
-        sdf.writeStream.foreachBatch(serve)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from dataengineerchallenge_spark.streaming.runner import drain_foreach_batch
+
     try:
-        finished = q.awaitTermination(timeout_s)
-        if not finished:
-            raise TimeoutError(
-                f"postings stream did not drain availableNow input in {timeout_s}s"
-            )
+        drain_foreach_batch(sdf, serve, ckpt, "postings stream", timeout_s=timeout_s)
         cols = ["term", "doc_id", "tf", "positions", "bucket"]
         merged = (
             spark.read.parquet(f"{hist}/postings")
@@ -330,8 +322,6 @@ def stream_postings_merge(
             .localCheckpoint()  # eager: detach from the scratch dir
         )
     finally:
-        if q.isActive:
-            q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return merged
 

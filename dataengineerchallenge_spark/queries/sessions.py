@@ -546,23 +546,14 @@ def stream_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
             f"{pairs_dir}/epoch_id={epoch_id}"
         )
 
-    q = (
-        sdf.writeStream.foreachBatch(update)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from dataengineerchallenge_spark.streaming.runner import drain_foreach_batch
+
     try:
-        if not q.awaitTermination(300):
-            raise TimeoutError(
-                "stream sliding-distinct did not drain availableNow input in 300s"
-            )
+        drain_foreach_batch(sdf, update, ckpt, "stream sliding-distinct")
         hu = spark.read.parquet(pairs_dir).select("hour_s", "user_id").distinct()
         out = _sliding_distinct_from_pairs(hu)
         result = local_frame(spark, out.collect(), out.schema)
     finally:
-        if q.isActive:
-            q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result
 

@@ -309,15 +309,10 @@ def stream_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).parquet(f"{counts_dir}/epoch_id={epoch_id}")
 
-    q = (
-        sdf.writeStream.foreachBatch(update)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from dataengineerchallenge_spark.streaming.runner import drain_foreach_batch
+
     try:
-        if not q.awaitTermination(300):
-            raise TimeoutError("stream cm did not drain availableNow input in 300s")
+        drain_foreach_batch(sdf, update, ckpt, "stream cm")
         cells = (
             spark.read.parquet(cells_dir)
             .groupBy("row", "bucket")
@@ -337,8 +332,6 @@ def stream_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         result = local_frame(spark, out.collect(), out.schema)
     finally:
-        if q.isActive:
-            q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result
 
@@ -553,15 +546,10 @@ def stream_hll_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pairs.write.mode("overwrite").parquet(f"{pairs_dir}/epoch_id={epoch_id}")
 
-    q = (
-        sdf.writeStream.foreachBatch(update)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from dataengineerchallenge_spark.streaming.runner import drain_foreach_batch
+
     try:
-        if not q.awaitTermination(300):
-            raise TimeoutError("stream hll did not drain availableNow input in 300s")
+        drain_foreach_batch(sdf, update, ckpt, "stream hll")
         regs = (
             spark.read.parquet(regs_dir)
             .groupBy("event_type", "bucket")
@@ -576,8 +564,6 @@ def stream_hll_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = _hll_estimate(spark, regs, types, exact)
         result = local_frame(spark, out.collect(), out.schema)
     finally:
-        if q.isActive:
-            q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result
 
@@ -1111,15 +1097,10 @@ def stream_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         reg.write.mode("overwrite").parquet(f"{regs_dir}/epoch_id={epoch_id}")
         pairs.write.mode("overwrite").parquet(f"{pairs_dir}/epoch_id={epoch_id}")
 
-    q = (
-        sdf.writeStream.foreachBatch(update)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from dataengineerchallenge_spark.streaming.runner import drain_foreach_batch
+
     try:
-        if not q.awaitTermination(300):
-            raise TimeoutError("stream kmv did not drain availableNow input in 300s")
+        drain_foreach_batch(sdf, update, ckpt, "stream kmv")
         sk = (
             spark.read.parquet(regs_dir)
             .select("event_type", "h")
@@ -1132,8 +1113,6 @@ def stream_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = _kmv_overlap_matrix(pairs, sk)
         result = local_frame(spark, out.collect(), out.schema)
     finally:
-        if q.isActive:
-            q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result
 
@@ -1305,15 +1284,10 @@ def stream_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("c")
         ).write.mode("overwrite").parquet(f"{cnt_dir}/epoch_id={epoch_id}")
 
-    q = (
-        sdf.writeStream.foreachBatch(update)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from dataengineerchallenge_spark.streaming.runner import drain_foreach_batch
+
     try:
-        if not q.awaitTermination(300):
-            raise TimeoutError("stream ams did not drain availableNow input in 300s")
+        drain_foreach_batch(sdf, update, ckpt, "stream ams")
         cells = (
             spark.read.parquet(cells_dir)
             .groupBy("event_type", "j")
@@ -1340,8 +1314,6 @@ def stream_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         result = local_frame(spark, out.collect(), out.schema)
     finally:
-        if q.isActive:
-            q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result
 
@@ -1590,15 +1562,10 @@ def stream_gk_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         reg.write.mode("overwrite").parquet(f"{regs_dir}/epoch_id={epoch_id}")
 
-    q = (
-        sdf.writeStream.foreachBatch(update)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from dataengineerchallenge_spark.streaming.runner import drain_foreach_batch
+
     try:
-        if not q.awaitTermination(300):
-            raise TimeoutError("stream gk did not drain availableNow input in 300s")
+        drain_foreach_batch(sdf, update, ckpt, "stream gk")
         g = (
             spark.read.parquet(regs_dir)
             .groupBy("c")
@@ -1607,8 +1574,6 @@ def stream_gk_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = gk_quantiles_from_cents_counts(spark, g)
         result = local_frame(spark, out.collect(), out.schema)
     finally:
-        if q.isActive:
-            q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result
 

@@ -2748,23 +2748,13 @@ def _stream_serve_fresh(
         if epochs is not None:
             epochs.append((epoch_id, round(time.time() - t0, 3)))
 
-    q = (
-        sdf.writeStream.foreachBatch(serve)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from dataengineerchallenge_spark.streaming.runner import drain_foreach_batch
+
     try:
-        finished = q.awaitTermination(timeout_s)
-        if not finished:
-            raise TimeoutError(
-                f"stream serve did not drain availableNow input in {timeout_s}s"
-            )
+        drain_foreach_batch(sdf, serve, ckpt, "stream serve", timeout_s=timeout_s)
         drained = spark.read.parquet(sink)
         result = local_frame(spark, drained.collect(), drained.schema)
     finally:
-        if q.isActive:
-            q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return result
 

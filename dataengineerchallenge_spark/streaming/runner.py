@@ -97,3 +97,62 @@ def run_to_batch(
     out = spark.table(qname)
     spark.catalog.dropTempView(qname)
     return out
+
+
+def drain_foreach_batch(
+    sdf: DataFrame,
+    batch_fn,
+    checkpoint: str,
+    name: str,
+    timeout_s: int = 300,
+) -> None:
+    """Drain an availableNow foreachBatch stream to completion — the
+    shared start/await/stop lifecycle of the ~21 foreachBatch twins,
+    under the same narrowed drain width as ``run_to_batch`` (r21 change
+    3; the r20 Change-14 dial applied through one helper instead of 21
+    hand-rolled writeStream blocks).
+
+    The session shuffle width is narrowed to
+    ``spark.graft.stream.drainStatePartitions`` (default 8; any
+    non-positive value disables) around the drain and restored after
+    termination: the stream's own state layout AND each micro-batch's
+    foreachBatch body (a batch query planned under the live conf) then
+    schedule drain-width tasks instead of the full
+    ``spark.sql.shuffle.partitions``. These drains run per-epoch
+    idempotent batch writes through the driver by contract (the
+    run-scoped store commit); the production parquet/kafka sink path
+    does not go through this helper, and a cluster drain raises the
+    dial. Partitioning cannot change any drained VALUE (exact
+    aggregates, epoch-keyed overwrites; the oracle sweeps re-verify
+    every twin).
+
+    Raises TimeoutError on a partial drain; always stops the query and
+    restores the width."""
+    spark = sdf.sparkSession
+    drain_sp = int(
+        spark.conf.get("spark.graft.stream.drainStatePartitions", "8")
+    )
+    old_sp: str | None = None
+    if drain_sp > 0:
+        cur_sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if drain_sp < cur_sp:
+            old_sp = str(cur_sp)
+            spark.conf.set("spark.sql.shuffle.partitions", str(drain_sp))
+    try:
+        q = (
+            sdf.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(timeout_s):
+                raise TimeoutError(
+                    f"{name} did not drain availableNow input in {timeout_s}s"
+                )
+        finally:
+            if q.isActive:
+                q.stop()
+    finally:
+        if old_sp is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
