@@ -492,9 +492,15 @@ def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .repartition("l_orderkey")
-        .localCheckpoint(eager=False)
     )
+    # r21: dial added so the r20 checkpoint change gets the alternating
+    # A/B readout the other changes have (VERDICT r20 what's-wrong #2);
+    # false restores the legacy rederive-per-consumer plan exactly.
+    if (
+        spark.conf.get("spark.graft.graph.ckptDistinctPairs", "true")
+        == "true"
+    ):
+        op = op.repartition("l_orderkey").localCheckpoint(eager=False)
     n_orders = op.agg(F.count_distinct("l_orderkey").alias("n_orders"))
     freq = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
     a = op.alias("a")
@@ -674,9 +680,13 @@ def weighted_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .repartition("l_orderkey")
-        .localCheckpoint(eager=False)
     )
+    # r21: same ckptDistinctPairs dial as part_pair_affinity (A/B).
+    if (
+        spark.conf.get("spark.graft.graph.ckptDistinctPairs", "true")
+        == "true"
+    ):
+        op = op.repartition("l_orderkey").localCheckpoint(eager=False)
     a, b = op.alias("a"), op.alias("b")
     edges = (
         a.join(b, "l_orderkey")
@@ -1869,9 +1879,15 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .repartition("l_orderkey")
-        .localCheckpoint(eager=False)
     )
+    # r21: dial added so the r20 checkpoint change gets the alternating
+    # A/B readout the other changes have (VERDICT r20 what's-wrong #2);
+    # false restores the legacy rederive-per-consumer plan exactly.
+    if (
+        spark.conf.get("spark.graft.graph.ckptDistinctPairs", "true")
+        == "true"
+    ):
+        op = op.repartition("l_orderkey").localCheckpoint(eager=False)
     n_orders = op.agg(F.count_distinct("l_orderkey").alias("n_orders"))
     freq = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("fr"))
     a, b = op.alias("a"), op.alias("b")
