@@ -760,6 +760,7 @@ def connected_components_star(
     dst: str = "dst",
     max_rounds: int = 50,
     stats: dict | None = None,
+    distinct_pairs: bool = False,
 ) -> DataFrame:
     """(node, component) labels of an UNDIRECTED graph via the
     alternating large-star/small-star contraction (Kiveris et al.,
@@ -804,6 +805,16 @@ def connected_components_star(
 
     Nodes are those incident to at least one edge; callers with isolated
     nodes attach them as (node, node) afterwards. Self-loops ignored.
+    ``distinct_pairs=True`` is the caller's promise that the input holds
+    each unordered pair AT MOST ONCE (e.g. a groupBy output or a staged
+    src<dst store slice): the opening big→small orientation then skips
+    its ``.distinct()`` — measured at sf0.1 the single heaviest stage of
+    ``copurchase_components_staged`` (a 2.39M-row distinct shuffle,
+    ~0.95 s warm vs ~0.26 s for the bare orientation; r21, guide §2.4
+    "a distinct on data that is already unique"). Values are identical
+    because star contraction treats the frame as an edge set and the
+    promised input already IS one. Default False keeps the general
+    contract for arbitrary edge frames.
     ``stats`` (optional dict) receives {"rounds": k, "converged": bool}
     — alternations executed (no trailing no-op round since r14) and
     whether a fixpoint was actually reached. If ``max_rounds`` is
@@ -820,9 +831,19 @@ def connected_components_star(
         .select(
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
-        .distinct()
-        .localCheckpoint()
     )
+    # dial spark.graft.graph.assumeDistinctPairs (default true) exists
+    # for the A/B and before-plan reproduction: false re-applies the
+    # distinct even for promising callers (legacy plan, same values).
+    if not (
+        distinct_pairs
+        and edges.sparkSession.conf.get(
+            "spark.graft.graph.assumeDistinctPairs", "true"
+        )
+        == "true"
+    ):
+        e = e.distinct()
+    e = e.localCheckpoint()
     prev = None
     rounds = 0
     converged = False

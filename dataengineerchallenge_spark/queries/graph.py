@@ -437,7 +437,9 @@ def copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= 2)
         .drop("support")
     )
-    out = connected_components_star(edges)
+    # the groupBy output holds each src<dst pair exactly once -> the
+    # operator may skip its opening distinct (r21).
+    out = connected_components_star(edges, distinct_pairs=True)
     return out.select(
         F.col("node").alias("part_key"),
         F.col("component").cast("long").alias("component"),
@@ -904,7 +906,9 @@ def copurchase_components_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = sym.filter((F.col("wr") >= 2) & (F.col("src") < F.col("dst"))).select(
         "src", "dst"
     )
-    out = connected_components_star(edges)
+    # src < dst over the symmetric store selects each unordered pair
+    # exactly once -> the operator may skip its opening distinct (r21).
+    out = connected_components_star(edges, distinct_pairs=True)
     return out.select(
         F.col("node").alias("part_key"),
         F.col("component").cast("long").alias("component"),
