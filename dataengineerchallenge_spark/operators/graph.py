@@ -680,7 +680,21 @@ def hits(
         cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
         k = max(1, min(cap, -(-e.count() // _LOOP_CACHE_ROWS_PER_PART)))
         e_dst = e.repartition(k, "dst").persist(StorageLevel.MEMORY_AND_DISK)
-        e_src = e.repartition(k, "src").persist(StorageLevel.MEMORY_AND_DISK)
+        # r21 memory-trade dial (VERDICT r20 next-round #6): true drops
+        # the second partitioned copy — the h-half-step then reads the
+        # dst-keyed cache and pays one groupBy(src) exchange per round,
+        # halving the loop's cache footprint. Measured A/B + per-cache
+        # storage bytes in BENCH_hitsmem.json; default keeps the
+        # exchange-free dual layout.
+        if (
+            spark.conf.get("spark.graft.graph.hitsSingleCache", "false")
+            == "true"
+        ):
+            e_src = e_dst
+        else:
+            e_src = e.repartition(k, "src").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
         # side cardinalities now come from frames the loop materializes
         # anyway (h below; the first authority half-step) — the old
         # count_distinct-pair setup stage was the profiler's single
@@ -750,7 +764,8 @@ def hits(
         )
     ).localCheckpoint()
     e_dst.unpersist()
-    e_src.unpersist()
+    if e_src is not e_dst:
+        e_src.unpersist()
     return out
 
 
